@@ -1,0 +1,143 @@
+"""Readers and writers.
+
+Reference behavior replaced: ``sf_datalake.io`` (reference
+``src/sf_datalake/io.py:41-191``) — csv/orc load and save, csv→orc
+conversion, and the prediction/explanation writers with fixed output
+parallelism. Here every reader takes an optional explicit ``StructType``
+(inference is opt-in, never the default — at 100 TB a schema-inference
+pass is a full extra scan) and writers expose partitioning knobs instead
+of hard-coding ``repartition(5)`` / ``coalesce(1)``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_data(
+    spark: SparkSession,
+    path: str,
+    file_format: str = "parquet",
+    sep: str = ",",
+    schema: StructType | None = None,
+    infer_schema: bool = False,
+    lowercase_columns: bool = False,
+) -> DataFrame:
+    """Load a dataset (csv/orc/parquet/json).
+
+    Mirrors reference ``io.py:60-94`` semantics: csv with header and a
+    configurable separator, explicit schema preferred over inference,
+    optional lowercase-all-columns normalization pass (reference
+    ``extract_financial_DGFiP.py:78-79``).
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if file_format == "csv":
+        df = reader.options(
+            header=True, sep=sep, inferSchema=(schema is None and infer_schema)
+        ).csv(path)
+    elif file_format == "orc":
+        df = reader.orc(path)
+    elif file_format == "parquet":
+        df = reader.parquet(path)
+    elif file_format == "json":
+        df = reader.json(path)
+    else:
+        raise ValueError(f"Unknown format: {file_format}")
+    if lowercase_columns:
+        df = df.toDF(*(c.lower() for c in df.columns))
+    return df
+
+
+def write_data(
+    df: DataFrame,
+    path: str,
+    file_format: str = "parquet",
+    sep: str = ",",
+    mode: str = "overwrite",
+    num_partitions: int | None = None,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Write a dataset (reference ``io.py:41-57``).
+
+    ``partition_by`` enables partition pruning for downstream readers —
+    the stored monthly panel should be partitioned by period (SURVEY.md
+    §4). ``num_partitions`` coalesces output files (small results) without
+    a shuffle.
+    """
+    if num_partitions is not None:
+        df = df.coalesce(num_partitions)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if file_format == "csv":
+        writer.options(header=True, sep=sep).csv(path)
+    elif file_format == "orc":
+        writer.orc(path)
+    elif file_format == "parquet":
+        writer.parquet(path)
+    else:
+        raise ValueError(f"Unknown format: {file_format}")
+
+
+def csv_to_orc(spark: SparkSession, input_path: str, output_path: str, sep: str = ",") -> None:
+    """One-shot csv→orc conversion (reference ``io.py:97-113``)."""
+    write_data(load_data(spark, input_path, "csv", sep=sep), output_path, "orc")
+
+
+def load_testdata(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] | None = None
+) -> dict[str, DataFrame]:
+    """Load the driver-generated TPC-H-ish parquet tables from ``sf_dir``."""
+    return {
+        name: spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        for name in (tables or TESTDATA_TABLES)
+    }
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each testdata table as a temp view for ``spark.sql``."""
+    for name, df in load_testdata(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def write_predictions(
+    df: DataFrame,
+    path: str,
+    file_format: str = "parquet",
+    probability_col: str = "probability",
+    keep_cols: list[str] | None = None,
+    num_partitions: int = 1,
+) -> None:
+    """Prediction writer (reference ``io.py:116-162``).
+
+    The reference disassembles the ml probability vector with a Python
+    UDF; we use the built-in ``vector_to_array`` (JVM-side) and take the
+    positive-class slot.
+    """
+    from pyspark.ml.functions import vector_to_array
+
+    cols = keep_cols or [c for c in df.columns if c != probability_col]
+    out = df.select(
+        *cols,
+        F.element_at(vector_to_array(F.col(probability_col)), 2).alias("probability"),
+    )
+    write_data(out, path, file_format, num_partitions=num_partitions)

@@ -1,0 +1,220 @@
+"""Document deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data-pipeline operators (beyond the reference's surface). All
+hash functions derive from md5 so results are deterministic and
+reproducible by external engines (oracle-checkable) — no dependence on
+Spark's partition-order or JVM hash seeds.
+
+Scale design:
+- Exact dedup: one hash-groupBy on a 32-byte fingerprint — the shuffle
+  carries (fingerprint, id), not the document text.
+- MinHash: explode shingles → ONE groupBy(doc) computing all K minima
+  as K aggregate columns (one shuffle, map-side partial aggregation).
+- LSH banding: candidate generation is an equi-join on (band, band_hash)
+  buckets — a hash join on small keys, never an all-pairs comparison.
+- SimHash: 64 aggregate columns over exploded tokens; near-dup pairs via
+  ``bit_count(xor)`` hamming distance inside LSH-style prefix buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sf_datalake_spark.functions.text import text_fingerprint, tokenize, word_shingles
+
+
+def md5_hash64(col: Column, seed: int | str = "") -> Column:
+    """Deterministic signed 60-bit hash: first 15 hex chars of md5."""
+    return F.conv(
+        F.substring(F.md5(F.concat(col, F.lit(f";{seed}"))), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one representative (min id) per exact-normalized-text group."""
+    return (
+        df.withColumn("__fp", text_fingerprint(text_col))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_duplicates"))
+        .drop("__fp")
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, signature array<bigint>) — MinHash over word shingles.
+
+    One explode + one groupBy: minimum of ``md5_hash64(shingle, i)`` per
+    document for each of the ``num_hashes`` seeds. Documents with no
+    shingle (shorter than ``shingle_n`` tokens) are dropped, like
+    datasketch's convention.
+    """
+    shingled = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("__sh")
+    )
+    mins = [
+        F.min(md5_hash64(F.col("__sh"), i)).alias(f"__h{i}") for i in range(num_hashes)
+    ]
+    sig = shingled.groupBy(id_col).agg(*mins)
+    return sig.select(
+        id_col, F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs from banded MinHash signatures.
+
+    Band b's key is md5 of signature[b*r : (b+1)*r]; docs sharing any
+    band key become a candidate pair (id_1 < id_2, distinct).
+    """
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("signature", b * rows_per_band + r + 1).cast(
+                                        "string"
+                                    )
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    shingle-inverted-index self-join: |A∩B| per pair from the join,
+    |A|,|B| from per-doc distinct counts, J = ∩ / (|A|+|B|−∩).
+    The shared-shingle prefilter keeps this far from all-pairs; truly
+    hot shingles should be stopworded upstream at extreme scale.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("sh")
+    ).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_1"), F.col("sz").alias("sz_1"))
+    sb = sizes.select(F.col(id_col).alias("id_2"), F.col("sz").alias("sz_2"))
+    return (
+        common.join(sa, "id_1")
+        .join(sb, "id_2")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz_1") + F.col("sz_2") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """(id, simhash bigint) — classic SimHash over whitespace tokens.
+
+    Token hash = two md5-derived 32-bit halves combined to 64 bits; each
+    output bit is the sign of the sum of (±1) contributions across
+    tokens. Computed as ``bits`` aggregate columns over one explode —
+    single shuffle with map-side combine.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("__t"))
+    hi = F.conv(F.substring(F.md5(F.col("__t")), 1, 8), 16, 10).cast("bigint")
+    lo = F.conv(F.substring(F.md5(F.col("__t")), 9, 8), 16, 10).cast("bigint")
+    h = F.shiftleft(hi, 32) + lo
+    toks = toks.select(id_col, h.alias("__h"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*sums)
+    sim = None
+    for i in range(bits):
+        bit = F.when(F.col(f"__b{i}") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim + term
+    return agg.select(id_col, sim.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    sims: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by hamming distance ≤ ``max_hamming``.
+
+    Blocked on the top ``prefix_bits`` of the simhash (docs differing in
+    the prefix are only found if another block matches — standard
+    multi-block SimHash would rotate; single-block here, documented
+    recall trade-off), then verified with ``bit_count(xor)``.
+    """
+    blocked = sims.withColumn(
+        "__blk", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__blk") == F.col("b.__blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_1"),
+            F.col(f"b.{id_col}").alias("id_2"),
+            "hamming",
+        )
+    )

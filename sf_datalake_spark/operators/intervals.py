@@ -1,0 +1,92 @@
+"""Interval algebra: union of overlapping spans, sessionization.
+
+Reference behavior replaced: the gaps-and-islands interval union of
+``extract_ap_data.py:159-180`` (overlapping activité-partielle
+authorization spans merged per establishment). Sessionization is the same
+algorithm on point events with a gap threshold — the batch equivalent of
+a streaming session window (SURVEY.md §2.10).
+
+Both are single-shuffle window compositions: cumulative max of the end
+bound over preceding rows → flag a new island when the next start clears
+it → running sum of flags = island id.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_interval_ids(
+    df: DataFrame,
+    keys: Sequence[str],
+    start_col: str,
+    end_col: str,
+    id_col: str = "interval_id",
+) -> DataFrame:
+    """Tag each row with the id of the merged (unioned) interval it
+    belongs to. Overlapping or touching spans share an id.
+
+    Reference algorithm (``extract_ap_data.py:159-180``): new interval
+    when this row's start exceeds the running max of all previous ends.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(start_col), F.col(end_col))
+    prev_max_end = F.max(end_col).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    is_new = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    return df.withColumn(
+        id_col,
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+def union_intervals(
+    df: DataFrame,
+    keys: Sequence[str],
+    start_col: str,
+    end_col: str,
+    agg: dict[str, str] | None = None,
+) -> DataFrame:
+    """Merge overlapping [start, end] spans per key group.
+
+    Returns one row per merged interval: keys, min(start) AS ``start_col``,
+    max(end) AS ``end_col``, plus optional extra ``{col: func}`` aggs
+    (e.g. summed authorized hours, reference ``extract_ap_data.py:185-207``).
+    """
+    tagged = with_interval_ids(df, keys, start_col, end_col, "__island")
+    aggs = [
+        F.min(start_col).alias(start_col),
+        F.max(end_col).alias(end_col),
+    ] + [getattr(F, fn)(c).alias(f"{fn}_{c}") for c, fn in (agg or {}).items()]
+    return tagged.groupBy(*keys, "__island").agg(*aggs).drop("__island")
+
+
+def sessionize(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    gap_seconds: float,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign batch session ids: a new session starts when the time since
+    the previous event (per key) exceeds ``gap_seconds``.
+
+    The streaming twin is ``F.session_window`` (see ``streaming/``); this
+    batch form exists because the reference's temporal logic is all batch.
+    Microsecond-precision arithmetic (``unix_micros``) keeps boundary
+    decisions exact.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col))
+    gap_us = int(gap_seconds * 1_000_000)
+    prev_ts = F.lag(ts_col).over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)) > gap_us),
+        1,
+    ).otherwise(0)
+    return df.withColumn(
+        session_col, F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )

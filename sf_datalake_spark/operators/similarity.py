@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-data-pipeline operators (beyond the reference's surface):
+
+- :func:`brute_force_topk` — exact cosine top-k, the correctness
+  baseline. All math is JVM-side (``zip_with`` + ``aggregate``); the
+  corpus side should be broadcast when it fits (the default here).
+- :func:`lsh_topk` — random-hyperplane LSH variant: both sides bucket by
+  sign-bit signature, candidates meet in an equi-join on the bucket key,
+  exact cosine re-ranks within buckets. This is the 100 TB path: the
+  all-pairs cross product never materializes; the shuffle key is the
+  16-bit bucket. Hyperplanes are seeded driver-side literals →
+  deterministic across runs.
+- :func:`embedding_near_dup_pairs` — near-duplicate detection at a
+  cosine threshold, LSH-blocked.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from sf_datalake_spark.functions.vector import array_cosine_similarity
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_corpus: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    Output: (query_id, neighbor_id, cosine, rank), excluding self-matches.
+    Ties broken by neighbor id (deterministic).
+    """
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    if broadcast_corpus:
+        c = F.broadcast(c)
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv"))
+    scored = (
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", array_cosine_similarity("__qv", "__cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_signature(
+    vec_col: Column | str, n_planes: int = 16, dim: int = 64, seed: int = 42
+) -> Column:
+    """Random-hyperplane sign signature as an int bucket id.
+
+    Hyperplane components are ±1 literals generated from a seeded RNG on
+    the driver — deterministic, reproducible, and fully codegen'd (the
+    per-row work is ``n_planes`` literal-array dot products).
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.choice([-1.0, 1.0], size=(n_planes, dim))
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+        dot = F.aggregate(
+            F.zip_with(v, lit_plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket, exact cosine
+    re-ranks. Recall < 1 by construction (single probe); raise recall
+    with fewer planes or multi-probe (future work).
+    """
+    sig = lambda df, idc: df.select(  # noqa: E731
+        F.col(idc), F.col(vec_col), hyperplane_signature(vec_col, n_planes, dim, seed).alias("__bkt")
+    )
+    q = sig(queries, query_id).select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv"), "__bkt"
+    )
+    c = sig(corpus, corpus_id).select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "__bkt"
+    )
+    scored = (
+        q.join(c, "__bkt")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", array_cosine_similarity("__qv", "__cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine ≥ threshold), LSH-blocked."""
+    sig = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_signature(vec_col, n_planes, dim, seed).alias("__bkt"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__bkt") == F.col("b.__bkt"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .withColumn(
+            "cosine",
+            array_cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_1"),
+            F.col(f"b.{id_col}").alias("id_2"),
+            "cosine",
+        )
+    )

@@ -1,0 +1,199 @@
+"""Windowed time-series operators over the (entity, period) panel.
+
+Reference behaviors replaced (SURVEY.md §2.5):
+- LagOperator       — ``transform.py:683-764``  (row-frame lag on month index)
+- DiffOperator      — ``transform.py:767-843``  (value minus its own lag)
+- MovingAverage     — ``transform.py:601-680``  (RANGE frame on month index —
+                      calendar-aware, robust to missing months)
+- bfill/ffill       — ``transform.py:251-269``  (first/last ignorenulls over
+                      directional unbounded frames)
+- LinearInterpolation — ``transform.py:939-1054`` (gap interpolation)
+- Dedup-by-rank     — ``extract_financial_DGFiP.py:213-222`` /
+                      ``extract_debit_urssaf.py:107-135`` (row_number keep-1;
+                      deterministic replacement for the reference's
+                      order-through-shuffle ``F.last`` idiom, which SURVEY.md
+                      §4 flags as undefined behavior)
+
+All are single-window, single-shuffle ops: one hash-exchange on the
+partition keys, then sort within partitions. Stacked features over the
+same keys (lags 1/2/3/6/12 + diffs + moving averages) reuse ONE exchange
+— Catalyst collapses identical window specs — so the whole post-join
+feature stack costs one shuffle at any scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from sf_datalake_spark.functions.dates import month_index
+
+
+def with_lag(
+    df: DataFrame,
+    cols: str | Sequence[str],
+    n_months: int | Sequence[int] = 1,
+    keys: Sequence[str] = ("siren",),
+    period_col: str = "période",
+    suffix_fmt: str = "{col}_lag{n}m",
+) -> DataFrame:
+    """Row-based lag over the month-indexed panel (reference LagOperator).
+
+    Matches reference semantics (``transform.py:744-758``): order by
+    calendar month index, but the lag itself is ROW-based — a missing
+    month shifts the lag (golden tests ``tests/test_transform.py:62-98``
+    encode this). Use :func:`with_moving_average`-style RANGE frames when
+    gap-robust semantics are wanted.
+    """
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    lags = [n_months] if isinstance(n_months, int) else list(n_months)
+    w = Window.partitionBy(*keys).orderBy(month_index(period_col))
+    out = df
+    for c in cols:
+        for n in lags:
+            out = out.withColumn(suffix_fmt.format(col=c, n=n), F.lag(c, n).over(w))
+    return out
+
+
+def with_diff(
+    df: DataFrame,
+    cols: str | Sequence[str],
+    n_months: int | Sequence[int] = 1,
+    keys: Sequence[str] = ("siren",),
+    period_col: str = "période",
+    suffix_fmt: str = "{col}_diff{n}m",
+) -> DataFrame:
+    """col − lag_n(col) (reference DiffOperator, ``transform.py:767-843``)."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    lags = [n_months] if isinstance(n_months, int) else list(n_months)
+    w = Window.partitionBy(*keys).orderBy(month_index(period_col))
+    out = df
+    for c in cols:
+        for n in lags:
+            out = out.withColumn(
+                suffix_fmt.format(col=c, n=n), F.col(c) - F.lag(c, n).over(w)
+            )
+    return out
+
+
+def with_moving_average(
+    df: DataFrame,
+    cols: str | Sequence[str],
+    n_months: int | Sequence[int] = 12,
+    keys: Sequence[str] = ("siren",),
+    period_col: str = "période",
+    suffix_fmt: str = "{col}_mean{n}m",
+) -> DataFrame:
+    """Calendar-aware moving average (reference MovingAverage).
+
+    RANGE frame over the integer month index (``transform.py:659-672``):
+    the window covers the last ``n`` calendar months *including* the
+    current one, regardless of how many panel rows exist in that span.
+    """
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    spans = [n_months] if isinstance(n_months, int) else list(n_months)
+    out = df
+    for n in spans:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(month_index(period_col))
+            .rangeBetween(-(n - 1), 0)
+        )
+        for c in cols:
+            out = out.withColumn(suffix_fmt.format(col=c, n=n), F.avg(c).over(w))
+    return out
+
+
+def with_ffill(
+    df: DataFrame,
+    cols: str | Sequence[str],
+    keys: Sequence[str] = ("siren",),
+    order_col: str = "période",
+    out_fmt: str = "{col}",
+) -> DataFrame:
+    """Forward-fill nulls with the last non-null value per entity.
+
+    Reference MissingValuesHandler bfill/ffill (``transform.py:251-269``):
+    ``F.last(ignorenulls=True)`` over (unboundedPreceding, currentRow).
+    """
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    w = Window.partitionBy(*keys).orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    out = df
+    for c in cols:
+        out = out.withColumn(out_fmt.format(col=c), F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def with_bfill(
+    df: DataFrame,
+    cols: str | Sequence[str],
+    keys: Sequence[str] = ("siren",),
+    order_col: str = "période",
+    out_fmt: str = "{col}",
+) -> DataFrame:
+    """Backward-fill nulls with the next non-null value per entity."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    w = Window.partitionBy(*keys).orderBy(order_col).rowsBetween(0, Window.unboundedFollowing)
+    out = df
+    for c in cols:
+        out = out.withColumn(out_fmt.format(col=c), F.first(c, ignorenulls=True).over(w))
+    return out
+
+
+def with_linear_interpolation(
+    df: DataFrame,
+    cols: str | Sequence[str],
+    keys: Sequence[str] = ("siren",),
+    order_col: str = "période",
+    out_fmt: str = "{col}",
+) -> DataFrame:
+    """Linearly interpolate interior null gaps per entity (reference
+    LinearInterpolationOperator, ``transform.py:939-1054``).
+
+    For each null row between two non-null anchors at row offsets
+    (i_prev, i_next) with values (v_prev, v_next):
+        v = v_prev + (v_next − v_prev) × (i − i_prev) / (i_next − i_prev)
+    Leading/trailing nulls stay null (the reference chains bfill/ffill
+    after when full filling is wanted). Single window spec → one shuffle.
+    """
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    w_prev = w.rowsBetween(Window.unboundedPreceding, 0)
+    w_next = w.rowsBetween(0, Window.unboundedFollowing)
+    out = df.withColumn("__rn", F.row_number().over(w))
+    for c in cols:
+        v_prev = F.last(c, ignorenulls=True).over(w_prev)
+        v_next = F.first(c, ignorenulls=True).over(w_next)
+        i_prev = F.last(F.when(F.col(c).isNotNull(), F.col("__rn")), ignorenulls=True).over(w_prev)
+        i_next = F.first(F.when(F.col(c).isNotNull(), F.col("__rn")), ignorenulls=True).over(w_next)
+        interp = v_prev + (v_next - v_prev) * (F.col("__rn") - i_prev) / (i_next - i_prev)
+        out = out.withColumn(
+            out_fmt.format(col=c),
+            F.when(F.col(c).isNotNull(), F.col(c)).otherwise(
+                F.when(i_prev.isNotNull() & i_next.isNotNull(), interp)
+            ),
+        )
+    return out.drop("__rn")
+
+
+def dedup_by_rank(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+) -> DataFrame:
+    """Keep exactly one row per key group, ranked by ``order_by``.
+
+    Deterministic replacement for every "keep last/best row" pattern in
+    the reference (``extract_financial_DGFiP.py:213-222``,
+    ``extract_debit_urssaf.py:107-135``, ``altares_preprocessing.py:74-76``).
+    Callers must make ``order_by`` a total order (include a unique
+    tiebreaker) for fully deterministic output.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") == 1)
+        .drop("__rank")
+    )

@@ -1,0 +1,1046 @@
+"""Headline queries: every SURVEY.md §2 operator exercised on the
+driver-generated TPC-H-ish tables, each paired with a DuckDB oracle SQL.
+
+Conventions that keep Spark and the DuckDB oracle hash-identical:
+
+- Aggregates of monetary columns are rounded at the precision where the
+  true sums are exact decimal multiples (prices/discounts are 2-dec →
+  sums round(2), price×(1−disc) products are 4-dec → round(4), triple
+  products 6-dec → round(6)). At those positions the float-association
+  error (~1e-9) can never cross a rounding boundary.
+- Ratios of exactly-computed integers are bit-identical in both engines
+  (single IEEE division), so round(…, 6) is safe on them.
+- Every computed column is aliased identically in the Spark plan and the
+  SQL text (the driver's comparator matches columns by name).
+- Timestamps are compared as ``unix_micros`` bigints (Spark truncates
+  parquet ns → µs; DuckDB ``epoch_us`` does the same).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sf_datalake_spark.functions.dates import month_index, month_trunc, spread_over_months
+from sf_datalake_spark.functions.numeric import clip, count_missing_values
+from sf_datalake_spark.functions.text import (
+    STOPWORDS,
+    stopword_hits,
+    text_fingerprint,
+    token_count,
+)
+from sf_datalake_spark.operators.aggregates import aggregate_by_keys
+from sf_datalake_spark.operators.asof import merge_asof
+from sf_datalake_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+)
+from sf_datalake_spark.operators.intervals import sessionize, union_intervals
+from sf_datalake_spark.operators.similarity import brute_force_topk
+from sf_datalake_spark.operators.split import hash_split
+from sf_datalake_spark.operators.windows import (
+    dedup_by_rank,
+    with_diff,
+    with_ffill,
+    with_lag,
+    with_moving_average,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # The events table stores TIMESTAMP(NANOS) which Spark's parquet
+        # reader rejects; read nanos as long and truncate to microseconds
+        # (integer division — doubles would lose precision at 1e18).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Shared building blocks
+# ---------------------------------------------------------------------------
+
+def customer_monthly_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's core data model: an (entity, period) monthly panel.
+
+    Orders rolled up to one row per (custkey, month) — the TPC-H analog
+    of the reference's (siren, période) panel (SURVEY.md §1.1). Revenue
+    is rounded at the aggregation boundary so downstream window math is
+    engine-exact.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        month_trunc("o_orderdate").alias("periode"),
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+_PANEL_SQL = """
+    SELECT o_custkey AS custkey,
+           date_trunc('month', o_orderdate)::date AS periode,
+           round(sum(o_totalprice), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+"""
+
+_MONTH_IDX_SQL = "((year(periode) - 1970) * 12 + month(periode) - 1)"
+
+
+# ---------------------------------------------------------------------------
+# Relational core
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → pushed-down filter → hash agg (map-side
+    partial) → 5 aggregates over 2 grouping columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") < F.lit("1998-09-03").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                6,
+            ).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_PRICING_SUMMARY_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1998-09-03'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join chain with broadcast dimensions (the reference's
+    6-way panel join shape, ``join_datasets.py:174-181``): fact lineitem
+    joins orders, then broadcast customer/nation/region dims."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+_REVENUE_BY_NATION_SQL = """
+    SELECT r_name AS region_name, n_name AS nation_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+"""
+
+
+def q_monthly_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Panel construction itself (groupBy on entity + truncated month)."""
+    return customer_monthly_panel(spark, sf_dir)
+
+
+def q_panel_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LagOperator semantics: row-based lag ordered by calendar month
+    index (reference ``transform.py:683-764``)."""
+    panel = customer_monthly_panel(spark, sf_dir)
+    out = with_lag(
+        panel, "revenue", [1, 12], keys=["custkey"], period_col="periode",
+        suffix_fmt="revenue_lag{n}m",
+    )
+    return out.select("custkey", "periode", "revenue", "revenue_lag1m", "revenue_lag12m")
+
+
+_PANEL_LAG_SQL = f"""
+    WITH panel AS ({_PANEL_SQL})
+    SELECT custkey, periode, revenue,
+           lag(revenue, 1)  OVER w AS revenue_lag1m,
+           lag(revenue, 12) OVER w AS revenue_lag12m
+    FROM panel
+    WINDOW w AS (PARTITION BY custkey ORDER BY {_MONTH_IDX_SQL})
+"""
+
+
+def q_panel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DiffOperator: col − lag_n(col) (reference ``transform.py:767-843``)."""
+    panel = customer_monthly_panel(spark, sf_dir)
+    out = with_diff(
+        panel, "revenue", [3], keys=["custkey"], period_col="periode",
+        suffix_fmt="revenue_diff{n}m",
+    )
+    return out.select("custkey", "periode", "revenue", "revenue_diff3m")
+
+
+_PANEL_DIFF_SQL = f"""
+    WITH panel AS ({_PANEL_SQL})
+    SELECT custkey, periode, revenue,
+           revenue - lag(revenue, 3) OVER w AS revenue_diff3m
+    FROM panel
+    WINDOW w AS (PARTITION BY custkey ORDER BY {_MONTH_IDX_SQL})
+"""
+
+
+def q_panel_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-aware moving average: RANGE frame over the month index,
+    robust to missing months (reference ``transform.py:601-680``)."""
+    panel = customer_monthly_panel(spark, sf_dir)
+    out = with_moving_average(
+        panel, "revenue", [3], keys=["custkey"], period_col="periode",
+        suffix_fmt="revenue_mean{n}m",
+    )
+    return out.select(
+        "custkey", "periode", "revenue",
+        F.round(F.col("revenue_mean3m"), 6).alias("revenue_mean3m"),
+    )
+
+
+_PANEL_MA_SQL = f"""
+    WITH panel AS ({_PANEL_SQL})
+    SELECT custkey, periode, revenue,
+           round(avg(revenue) OVER (PARTITION BY custkey ORDER BY {_MONTH_IDX_SQL}
+                 RANGE BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS revenue_mean3m
+    FROM panel
+"""
+
+
+def q_target_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TargetVariable semantics (reference ``transform.py:846-894``):
+    label 1 when the entity's "failure" event (first order with status
+    'F') falls within 18 months after the panel period."""
+    panel = customer_monthly_panel(spark, sf_dir)
+    orders = _t(spark, sf_dir, "orders")
+    failures = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.min(month_trunc("o_orderdate")).alias("failure_date"))
+    )
+    return (
+        panel.join(F.broadcast(failures), "custkey", "left")
+        .select(
+            "custkey",
+            "periode",
+            F.when(
+                F.col("failure_date").isNotNull()
+                & (F.add_months(F.col("periode"), 18) >= F.col("failure_date")),
+                1,
+            )
+            .otherwise(0)
+            .alias("failure"),
+        )
+    )
+
+
+_TARGET_VARIABLE_SQL = f"""
+    WITH panel AS ({_PANEL_SQL}),
+    failures AS (
+        SELECT o_custkey AS custkey,
+               min(date_trunc('month', o_orderdate)::date) AS failure_date
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+    )
+    SELECT p.custkey, p.periode,
+           CASE WHEN f.failure_date IS NOT NULL
+                 AND (p.periode + INTERVAL 18 MONTH)::date >= f.failure_date
+                THEN 1 ELSE 0 END AS failure
+    FROM panel p LEFT JOIN failures f ON p.custkey = f.custkey
+"""
+
+
+def q_semi_join_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi membership filter (reference's workforce/perimeter
+    filters, ``join_datasets.py:169-171,200``)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    active = customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi"
+    )
+    return active.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count("*").alias("n_active_customers")
+    )
+
+
+_SEMI_JOIN_SQL = """
+    SELECT c_mktsegment AS mktsegment, CAST(count(*) AS BIGINT) AS n_active_customers
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY 1
+"""
+
+
+def q_anti_join_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (the reference never uses one — SURVEY.md §2.3 —
+    but a complete engine needs it)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    inactive = customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    )
+    return inactive.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count("*").alias("n_inactive_customers")
+    )
+
+
+_ANTI_JOIN_SQL = """
+    SELECT c_mktsegment AS mktsegment, CAST(count(*) AS BIGINT) AS n_inactive_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY 1
+"""
+
+
+def q_range_join_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join against a broadcast generated date dimension
+    (reference ``extract_financial_DGFiP.py:206-212``): count orders
+    whose 90-day activity window covers each month start."""
+    orders = _t(spark, sf_dir, "orders")
+    bounds = orders.select(
+        month_trunc(F.min("o_orderdate")).alias("lo"),
+        month_trunc(F.max("o_orderdate")).alias("hi"),
+    )
+    months = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 month"))).alias("month_start")
+    )
+    spans = orders.select(
+        F.col("o_orderkey"),
+        F.col("o_orderdate").cast("date").alias("d0"),
+        F.date_add(F.col("o_orderdate").cast("date"), 90).alias("d1"),
+    )
+    return (
+        spans.join(
+            F.broadcast(months),
+            F.col("month_start").between(F.col("d0"), F.col("d1")),
+        )
+        .groupBy("month_start")
+        .agg(F.count("*").alias("n_active_orders"))
+    )
+
+
+_RANGE_JOIN_SQL = """
+    WITH months AS (
+        SELECT unnest(generate_series(
+                 (SELECT date_trunc('month', min(o_orderdate))::date FROM orders),
+                 (SELECT date_trunc('month', max(o_orderdate))::date FROM orders),
+                 INTERVAL 1 MONTH))::date AS month_start
+    ),
+    spans AS (
+        SELECT o_orderkey, o_orderdate::date AS d0, o_orderdate::date + 90 AS d1
+        FROM orders
+    )
+    SELECT month_start, CAST(count(*) AS BIGINT) AS n_active_orders
+    FROM spans JOIN months ON month_start BETWEEN d0 AND d1
+    GROUP BY 1
+"""
+
+
+def q_spread_over_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval → monthly spread WITHOUT a join (sequence + explode pure
+    projection; replaces the reference's range-join spread,
+    ``extract_cotisation_urssaf.py:94-100``). Each order's price is
+    spread uniformly over a 1–3 month span."""
+    orders = _t(spark, sf_dir, "orders")
+    spans = orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d0"),
+        F.add_months(
+            F.col("o_orderdate").cast("date"), (F.col("o_orderkey") % 3).cast("int")
+        ).alias("d1"),
+        (F.col("o_totalprice") / ((F.col("o_orderkey") % 3) + 1)).alias("monthly_amount"),
+    )
+    spread = spread_over_months(spans, "d0", "d1", period_col="month_start")
+    return spread.groupBy("month_start").agg(
+        F.round(F.sum("monthly_amount"), 4).alias("spread_amount"),
+        F.count("*").alias("n_order_months"),
+    )
+
+
+_SPREAD_SQL = """
+    WITH spans AS (
+        SELECT o_orderkey,
+               date_trunc('month', o_orderdate)::date AS m0,
+               date_trunc('month', o_orderdate + to_months((o_orderkey % 3)::int))::date AS m1,
+               o_totalprice / ((o_orderkey % 3) + 1) AS monthly_amount
+        FROM orders
+    )
+    , exploded AS (
+        SELECT unnest(generate_series(m0, m1, INTERVAL 1 MONTH))::date AS month_start,
+               monthly_amount
+        FROM spans
+    )
+    SELECT month_start,
+           round(sum(monthly_amount), 4) AS spread_amount,
+           CAST(count(*) AS BIGINT) AS n_order_months
+    FROM exploded
+    GROUP BY 1
+"""
+
+
+def q_key_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SirenAggregator semantics in one shuffle (reference
+    ``transform.py:471-539``): configured aggs + deterministic carry."""
+    li = _t(spark, sf_dir, "lineitem")
+    return aggregate_by_keys(
+        li,
+        keys=["l_orderkey"],
+        agg={"l_quantity": "sum", "l_extendedprice": "sum"},
+        carry=["l_returnflag"],
+    ).select(
+        "l_orderkey",
+        F.round("l_quantity", 2).alias("sum_quantity"),
+        F.round("l_extendedprice", 2).alias("sum_price"),
+        F.col("l_returnflag").alias("first_returnflag"),
+    )
+
+
+_KEY_AGG_SQL = """
+    SELECT l_orderkey,
+           round(sum(l_quantity), 2) AS sum_quantity,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           min(l_returnflag) AS first_returnflag
+    FROM lineitem GROUP BY 1
+"""
+
+
+def q_clip_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional clip expression (reference ``utils.py:75-98``) +
+    groupBy rollup."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("clipped", clip("value", 5.0, 20.0))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum("clipped"), 2).alias("sum_clipped"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+_CLIP_SQL = """
+    SELECT event_type,
+           round(sum(least(greatest(value, 5.0), 20.0)), 2) AS sum_clipped,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+"""
+
+
+def q_null_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column null counter (reference ``utils.py:244-273``)."""
+    orders = _t(spark, sf_dir, "orders")
+    return count_missing_values(orders)
+
+
+_NULL_COUNTS_SQL = """
+    SELECT count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS o_orderkey,
+           count(CASE WHEN o_custkey IS NULL THEN 1 END) AS o_custkey,
+           count(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS o_orderstatus,
+           count(CASE WHEN o_totalprice IS NULL THEN 1 END) AS o_totalprice,
+           count(CASE WHEN o_orderdate IS NULL THEN 1 END) AS o_orderdate,
+           count(CASE WHEN o_orderpriority IS NULL THEN 1 END) AS o_orderpriority
+    FROM orders
+"""
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keep-one-row-per-group (row_number rank), replacing
+    the reference's order-through-shuffle ``F.last`` idiom
+    (``extract_debit_urssaf.py:107-135``; SURVEY.md §4)."""
+    ev = _t(spark, sf_dir, "events")
+    best = dedup_by_rank(
+        ev,
+        keys=["user_id", "event_type"],
+        order_by=[F.col("value").desc(), F.col("event_id").asc()],
+    )
+    return best.select("user_id", "event_type", "event_id", "value")
+
+
+_DEDUP_RANK_SQL = """
+    SELECT user_id, event_type, event_id, value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY value DESC, event_id ASC) = 1
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from a string props column (beyond the
+    reference, which has no JSON functions — SURVEY.md §2.8)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("k").alias("n_with_k"))
+    )
+
+
+_JSON_SQL = """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
+    FROM events GROUP BY 1
+"""
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic grouped train/test split (md5 bucketing) — the
+    scale-friendly, leak-free replacement for the reference's
+    distinct+randomSplit+semi-join split (``model_selection.py:8-69``)."""
+    customer = _t(spark, sf_dir, "customer")
+    train, test = hash_split(customer, "c_custkey", test_fraction=0.2)
+    return (
+        train.withColumn("split", F.lit("train"))
+        .unionByName(test.withColumn("split", F.lit("test")))
+        .groupBy("split", F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+_HASH_SPLIT_SQL = """
+    WITH bucketed AS (
+        SELECT c_mktsegment,
+               CASE WHEN CAST(('0x' || substr(md5(c_custkey::varchar), 1, 8)) AS BIGINT)
+                         % 100 < 20
+                    THEN 'test' ELSE 'train' END AS split
+        FROM customer
+    )
+    SELECT split, c_mktsegment AS mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+    FROM bucketed GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-series / event operators
+# ---------------------------------------------------------------------------
+
+def q_daily_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-entity daily grid (sequence+explode) + forward fill of
+    gap days (MissingValuesHandler ffill, reference ``transform.py:251-269``)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
+    grid = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+        )
+    )
+    sparse = grid.join(daily, ["user_id", "day"], "left")
+    filled = with_ffill(
+        sparse, "day_value", keys=["user_id"], order_col="day", out_fmt="{col}_ffill"
+    )
+    return filled.select("user_id", "day", "day_value", "day_value_ffill")
+
+
+_DAILY_FFILL_SQL = """
+    WITH daily AS (
+        SELECT user_id, ts::date AS day, round(sum(value), 2) AS day_value
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+    ),
+    grid AS (
+        SELECT user_id,
+               unnest(generate_series(d0, d1, INTERVAL 1 DAY))::date AS day
+        FROM bounds
+    )
+    SELECT g.user_id, g.day, d.day_value,
+           last_value(d.day_value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_value_ffill
+    FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+"""
+
+
+def q_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (union-tag + window; replaces reference
+    ``utils.py:101-241``): for each purchase, the closest click at or
+    before it per user, within a 1-hour tolerance."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    out = merge_asof(
+        purchases,
+        clicks,
+        on="ts",
+        by=["user_id"],
+        value_cols=["click_value"],
+        direction="backward",
+        tolerance=3600,
+    )
+    return out.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value", "click_value"
+    )
+
+
+_ASOF_BACKWARD_SQL = """
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, value AS click_value FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+           CASE WHEN c.ts IS NOT NULL
+                 AND (epoch_us(p.ts) - epoch_us(c.ts)) <= 3600000000::BIGINT
+                THEN c.click_value END AS click_value
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (batch twin of a streaming session
+    window; same algorithm as reference ``extract_ap_data.py:159-180``):
+    30-minute inactivity gap, session-level rollup."""
+    ev = _t(spark, sf_dir, "events")
+    sessions = sessionize(ev, keys=["user_id"], ts_col="ts", gap_seconds=1800)
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min(F.unix_micros("ts")).alias("session_start_us"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+_SESSIONIZE_SQL = """
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR (epoch_us(ts) - epoch_us(lag(ts) OVER w)) > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    tagged AS (
+        SELECT user_id, ts, value,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           min(epoch_us(ts)) AS session_start_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM tagged GROUP BY 1, 2
+"""
+
+
+def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of overlapping [start, end] spans per entity — the
+    reference's gaps-and-islands interval merge (``extract_ap_data.py:159-180``)
+    on 45-day order activity windows."""
+    orders = _t(spark, sf_dir, "orders")
+    spans = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").cast("date").alias("span_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 45).alias("span_end"),
+    )
+    merged = union_intervals(spans, ["custkey"], "span_start", "span_end")
+    return merged.groupBy("custkey").agg(
+        F.count("*").alias("n_intervals"),
+        F.min("span_start").alias("first_start"),
+        F.max("span_end").alias("last_end"),
+    )
+
+
+_INTERVAL_UNION_SQL = """
+    WITH spans AS (
+        SELECT o_custkey AS custkey,
+               o_orderdate::date AS span_start,
+               o_orderdate::date + 45 AS span_end
+        FROM orders
+    ),
+    flagged AS (
+        SELECT custkey, span_start, span_end,
+               CASE WHEN max(span_end) OVER (PARTITION BY custkey ORDER BY span_start, span_end
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                     OR span_start > max(span_end) OVER (PARTITION BY custkey
+                        ORDER BY span_start, span_end
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS is_new
+        FROM spans
+    ),
+    islands AS (
+        SELECT custkey, span_start, span_end,
+               sum(is_new) OVER (PARTITION BY custkey ORDER BY span_start, span_end
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM flagged
+    ),
+    merged AS (
+        SELECT custkey, min(span_start) AS span_start, max(span_end) AS span_end
+        FROM islands GROUP BY custkey, island
+    )
+    SELECT custkey, CAST(count(*) AS BIGINT) AS n_intervals,
+           min(span_start) AS first_start, max(span_end) AS last_end
+    FROM merged GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis / dedup / similarity (training-data pipeline layer)
+# ---------------------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting per source (text-analysis layer)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("n_tokens", token_count("text"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+_TOKEN_STATS_SQL = r"""
+    WITH tok AS (
+        SELECT source,
+               len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens
+        FROM documents
+    )
+    SELECT source,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(n_tokens) AS INT) AS min_tokens,
+           CAST(max(n_tokens) AS INT) AS max_tokens,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM tok GROUP BY 1
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: token count, char length,
+    stopword ratio (integer-ratio arithmetic → engine-exact)."""
+    docs = _t(spark, sf_dir, "documents")
+    en_hits = stopword_hits("text", STOPWORDS["en"])
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        en_hits.alias("en_stopword_hits"),
+        F.round(
+            en_hits.cast("double") / F.greatest(token_count("text"), F.lit(1)), 6
+        ).alias("stopword_ratio"),
+    )
+
+
+_EN_PATTERN = r"(?i)\b(" + "|".join(STOPWORDS["en"]) + r")\b"
+
+_QUALITY_SQL = rf"""
+    WITH base AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+               CAST(length(text) AS INT) AS n_chars_measured,
+               len(regexp_extract_all(text, '{_EN_PATTERN}')) AS en_stopword_hits
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, n_chars_measured,
+           CAST(en_stopword_hits AS INT) AS en_stopword_hits,
+           round(CAST(en_stopword_hits AS DOUBLE) / greatest(n_tokens, 1), 6) AS stopword_ratio
+    FROM base
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language identification (n-gram heuristic),
+    reported as a confusion matrix against the labeled ``lang``."""
+    docs = _t(spark, sf_dir, "documents")
+    hits = {lang: stopword_hits("text", words) for lang, words in STOPWORDS.items()}
+    pred = (
+        F.when(
+            (hits["en"] >= hits["fr"]) & (hits["en"] >= hits["de"]) & (hits["en"] >= hits["es"]),
+            "en",
+        )
+        .when((hits["fr"] >= hits["de"]) & (hits["fr"] >= hits["es"]), "fr")
+        .when(hits["de"] >= hits["es"], "de")
+        .otherwise("es")
+    )
+    return (
+        docs.withColumn("pred_lang", pred)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _lang_pattern(lang: str) -> str:
+    return r"(?i)\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+
+
+_LANGID_SQL = rf"""
+    WITH scored AS (
+        SELECT lang,
+               len(regexp_extract_all(text, '{_lang_pattern("en")}')) AS h_en,
+               len(regexp_extract_all(text, '{_lang_pattern("fr")}')) AS h_fr,
+               len(regexp_extract_all(text, '{_lang_pattern("de")}')) AS h_de,
+               len(regexp_extract_all(text, '{_lang_pattern("es")}')) AS h_es
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN h_en >= h_fr AND h_en >= h_de AND h_en >= h_es THEN 'en'
+                WHEN h_fr >= h_de AND h_fr >= h_es THEN 'fr'
+                WHEN h_de >= h_es THEN 'de'
+                ELSE 'es' END AS pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM scored GROUP BY 1, 2
+"""
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text md5 fingerprint (hash-groupBy)."""
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text")
+
+
+_EXACT_DEDUP_SQL = r"""
+    SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_duplicates
+    FROM (SELECT doc_id,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+          FROM documents)
+    GROUP BY fp
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: stable md5 of normalized text."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text_fingerprint("text").alias("fingerprint"))
+
+
+_FINGERPRINT_SQL = r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+"""
+
+
+_SHINGLE_SQL = r"""
+        SELECT doc_id, sh FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(toks) < 3 THEN []::varchar[]
+                          ELSE list_transform(generate_series(1, len(toks) - 2),
+                               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END) AS sh
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+                  FROM documents)
+        )
+"""
+
+
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures over word 3-shingles (md5-derived hash family;
+    one explode + one groupBy). Output exploded to (doc, seed, minhash)
+    for engine-portable comparison."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
+    return sig.select(
+        "doc_id", F.posexplode("signature").alias("seed", "minhash")
+    )
+
+
+_MINHASH_SQL = rf"""
+    WITH shingles AS ({_SHINGLE_SQL}),
+    hashed AS (
+        SELECT doc_id, seed,
+               CAST(('0x' || substr(md5(sh || ';' || seed::varchar), 1, 15)) AS BIGINT) AS h
+        FROM shingles CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed)
+    )
+    SELECT doc_id, CAST(seed AS INT) AS seed, min(h) AS minhash
+    FROM hashed GROUP BY 1, 2
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding over MinHash signatures → candidate near-dup pairs
+    (band equi-join, never all-pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
+    return lsh_candidate_pairs(sig, "doc_id", bands=4, rows_per_band=2)
+
+
+_LSH_PAIRS_SQL = rf"""
+    WITH shingles AS ({_SHINGLE_SQL}),
+    hashed AS (
+        SELECT doc_id, seed,
+               CAST(('0x' || substr(md5(sh || ';' || seed::varchar), 1, 15)) AS BIGINT) AS h
+        FROM shingles CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed)
+    ),
+    sig AS (SELECT doc_id, seed, min(h) AS mh FROM hashed GROUP BY 1, 2),
+    banded AS (
+        SELECT doc_id, seed // 2 AS band,
+               md5(string_agg(mh::varchar, ',' ORDER BY seed)) AS bucket
+        FROM sig GROUP BY doc_id, seed // 2
+    )
+    SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard for pairs sharing ≥1 shingle (inverted-index
+    self-join; integer-ratio → engine-exact)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.2)
+    return pairs.select("id_1", "id_2", F.round("jaccard", 6).alias("jaccard"))
+
+
+_JACCARD_SQL = rf"""
+    WITH shingles AS (SELECT DISTINCT doc_id, sh FROM ({_SHINGLE_SQL})),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+    common AS (
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS c
+        FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_1, id_2,
+           round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_1
+    JOIN sizes sb ON sb.doc_id = id_2
+    WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.2
+"""
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 neighbors (exact ANN baseline; JVM-side
+    zip_with/aggregate math, broadcast corpus, window top-k)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    topk = brute_force_topk(emb, emb, k=3, vec_col="embedding")
+    return topk.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
+_TOPK_SQL = """
+    WITH pairs AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+               / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                  * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+               AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS INT) AS rank,
+           round(cosine, 6) AS cosine
+    FROM pairs
+    QUALIFY row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "monthly_panel": q_monthly_panel,
+    "panel_lag": q_panel_lag,
+    "panel_diff": q_panel_diff,
+    "panel_moving_avg": q_panel_moving_avg,
+    "target_variable": q_target_variable,
+    "semi_join_active": q_semi_join_active,
+    "anti_join_inactive": q_anti_join_inactive,
+    "range_join_months": q_range_join_months,
+    "spread_over_months": q_spread_over_months,
+    "key_aggregate": q_key_aggregate,
+    "clip_values": q_clip_values,
+    "null_counts": q_null_counts,
+    "dedup_keep_best": q_dedup_keep_best,
+    "json_extract": q_json_extract,
+    "hash_split": q_hash_split,
+    "daily_ffill": q_daily_ffill,
+    "asof_backward": q_asof_backward,
+    "sessionize": q_sessionize,
+    "interval_union": q_interval_union,
+    "token_stats": q_token_stats,
+    "quality_score": q_quality_score,
+    "language_id": q_language_id,
+    "exact_dedup": q_exact_dedup,
+    "fingerprint": q_fingerprint,
+    "minhash_signature": q_minhash_signature,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_topk": q_embedding_topk,
+}
+
+ORACLES: dict[str, str] = {
+    "pricing_summary": _PRICING_SUMMARY_SQL,
+    "revenue_by_nation": _REVENUE_BY_NATION_SQL,
+    "monthly_panel": _PANEL_SQL,
+    "panel_lag": _PANEL_LAG_SQL,
+    "panel_diff": _PANEL_DIFF_SQL,
+    "panel_moving_avg": _PANEL_MA_SQL,
+    "target_variable": _TARGET_VARIABLE_SQL,
+    "semi_join_active": _SEMI_JOIN_SQL,
+    "anti_join_inactive": _ANTI_JOIN_SQL,
+    "range_join_months": _RANGE_JOIN_SQL,
+    "spread_over_months": _SPREAD_SQL,
+    "key_aggregate": _KEY_AGG_SQL,
+    "clip_values": _CLIP_SQL,
+    "null_counts": _NULL_COUNTS_SQL,
+    "dedup_keep_best": _DEDUP_RANK_SQL,
+    "json_extract": _JSON_SQL,
+    "hash_split": _HASH_SPLIT_SQL,
+    "daily_ffill": _DAILY_FFILL_SQL,
+    "asof_backward": _ASOF_BACKWARD_SQL,
+    "sessionize": _SESSIONIZE_SQL,
+    "interval_union": _INTERVAL_UNION_SQL,
+    "token_stats": _TOKEN_STATS_SQL,
+    "quality_score": _QUALITY_SQL,
+    "language_id": _LANGID_SQL,
+    "exact_dedup": _EXACT_DEDUP_SQL,
+    "fingerprint": _FINGERPRINT_SQL,
+    "minhash_signature": _MINHASH_SQL,
+    "minhash_lsh_pairs": _LSH_PAIRS_SQL,
+    "ngram_jaccard": _JACCARD_SQL,
+    "embedding_topk": _TOPK_SQL,
+}

@@ -1,0 +1,57 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Reference behavior replaced: ``sf_datalake.utils.get_spark_session``
+(reference ``src/sf_datalake/utils.py:15-20``) set an obsolete Spark-2.x
+shuffle transport and a driver result cap. Here we configure a modern
+Spark 4.x session: AQE on (runtime re-planning, skew-join handling,
+partition coalescing), Arrow on (fast pandas interchange), UTC session
+timezone (deterministic date semantics vs external oracles).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark_session(
+    app_name: str = "sf_datalake_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    On a real cluster ``master`` comes from the submit environment; locally
+    we default to ``local[N]`` with N = SPARK_GRAFT_CPUS. Shuffle
+    partitions default to the core count — at 100 TB scale the caller
+    should raise this (or rely on AQE coalescing from a high initial
+    value); the knob is exposed rather than hidden.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
