@@ -1,0 +1,127 @@
+"""Tests for deduplication + similarity-search operators."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sf_datalake_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_dup_pairs,
+)
+from sf_datalake_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "The quick  brown fox jumps over the lazy dog"),   # exact dup modulo ws/case
+        (3, "the quick brown fox jumps over the lazy cat"),    # near dup
+        (4, "completely different words entirely here now ok"),
+        (5, "hi"),                                             # < 3 tokens, no shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_exact_dedup(docs):
+    out = exact_dedup(docs, "doc_id", "text").collect()
+    got = {r["doc_id"]: r["n_duplicates"] for r in out}
+    assert got == {1: 2, 3: 1, 4: 1, 5: 1}
+
+
+def test_minhash_identical_docs_same_signature(docs):
+    sig = minhash_signature(docs, "doc_id", "text", num_hashes=8)
+    got = {r["doc_id"]: r["signature"] for r in sig.collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[4]
+    assert 5 not in got  # too short for shingles
+    # near-dups share most minima
+    shared = sum(a == b for a, b in zip(got[1], got[3]))
+    assert shared >= 4
+
+
+def test_lsh_finds_near_dups(docs):
+    sig = minhash_signature(docs, "doc_id", "text", num_hashes=8)
+    pairs = {(r["id_1"], r["id_2"]) for r in
+             lsh_candidate_pairs(sig, "doc_id", bands=4, rows_per_band=2).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs or (2, 3) in pairs   # near-dup caught by some band
+    assert not any(4 in p for p in pairs)
+
+
+def test_ngram_jaccard_values(docs):
+    pairs = {
+        (r["id_1"], r["id_2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.1).collect()
+    }
+    # doc 2 differs only in "The" casing → 1 of 7 shingles differs: 6/8
+    assert pairs[(1, 2)] == 0.75
+    # doc 3 differs only in the last token → shingle 7 differs: 6/8
+    assert pairs[(1, 3)] == 0.75
+
+
+def test_simhash_near_dup(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # identical tokens
+            (3, "totally unrelated text about spark engines"),
+        ],
+        "doc_id int, text string",
+    )
+    sims = simhash(df, "doc_id", "text")
+    got = {r["doc_id"]: r["simhash"] for r in sims.collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+    pairs = simhash_near_dup_pairs(sims, "doc_id", max_hamming=0).collect()
+    assert {(r["id_1"], r["id_2"]) for r in pairs} == {(1, 2)}
+
+
+@pytest.fixture()
+def vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),    # close to 1
+        (3, [0.0, 1.0, 0.0, 0.0]),    # orthogonal to 1
+        (4, [-1.0, 0.0, 0.0, 0.0]),   # opposite of 1
+    ]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+def test_brute_force_topk_exact(vectors):
+    out = brute_force_topk(vectors, vectors, k=1)
+    got = {r["query_id"]: (r["neighbor_id"], r["cosine"]) for r in out.collect()}
+    assert got[1][0] == 2
+    assert abs(got[1][1] - 0.9 / math.hypot(0.9, 0.1)) < 1e-12
+    assert got[2][0] == 1
+    assert got[4][0] == 3  # cos=0 beats cos(1,4)=-1
+
+
+def test_brute_force_excludes_self(vectors):
+    out = brute_force_topk(vectors, vectors, k=3)
+    assert all(r["query_id"] != r["neighbor_id"] for r in out.collect())
+
+
+def test_lsh_topk_agrees_on_close_pair(vectors):
+    out = lsh_topk(vectors, vectors, k=1, n_planes=4, dim=4)
+    got = {r["query_id"]: r["neighbor_id"] for r in out.collect()}
+    # 1 and 2 are near-identical → always in the same hyperplane bucket
+    assert got.get(1) == 2
+    assert got.get(2) == 1
+
+
+def test_embedding_near_dup_pairs(vectors):
+    pairs = embedding_near_dup_pairs(vectors, threshold=0.95, n_planes=4, dim=4)
+    got = {(r["id_1"], r["id_2"]) for r in pairs.collect()}
+    assert got == {(1, 2)}

@@ -1,0 +1,136 @@
+"""Tests for scalar/column function layers (dates, numeric, text, vector)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from sf_datalake_spark.functions.dates import (
+    month_index,
+    month_trunc,
+    monthly_date_dim,
+    spread_over_months,
+)
+from sf_datalake_spark.functions.numeric import (
+    clip,
+    count_missing_values,
+    count_nan_values,
+    sigmoid,
+)
+from sf_datalake_spark.functions.text import (
+    text_fingerprint,
+    token_count,
+    tokenize,
+    word_shingles,
+)
+from sf_datalake_spark.functions.vector import (
+    array_cosine_similarity,
+    array_dot,
+    array_norm,
+)
+
+from tests.conftest import d
+
+
+def test_month_trunc_and_index(spark):
+    df = spark.createDataFrame([(d("2023-07-15"),)], "x date")
+    row = df.select(
+        month_trunc("x").alias("m"), month_index("x").alias("i")
+    ).first()
+    assert row["m"] == d("2023-07-01")
+    assert row["i"] == (2023 - 1970) * 12 + 6
+
+
+def test_monthly_date_dim(spark):
+    dim = monthly_date_dim(spark, "2023-01-01", "2023-04-30", "p")
+    assert [r["p"] for r in dim.collect()] == [
+        d("2023-01-01"), d("2023-02-01"), d("2023-03-01"), d("2023-04-01")
+    ]
+
+
+def test_spread_over_months_inclusive_exclusive(spark):
+    df = spark.createDataFrame(
+        [(d("2023-01-15"), d("2023-03-01"))], "s date, e date"
+    )
+    inc = spread_over_months(df, "s", "e", "p").select("p").collect()
+    assert [r["p"] for r in inc] == [d("2023-01-01"), d("2023-02-01"), d("2023-03-01")]
+    exc = spread_over_months(df, "s", "e", "p", end_exclusive=True).select("p").collect()
+    assert [r["p"] for r in exc] == [d("2023-01-01"), d("2023-02-01")]
+
+
+def test_clip_and_sigmoid(spark):
+    df = spark.createDataFrame([(0.0,), (10.0,), (-10.0,)], "x double")
+    rows = df.select(
+        clip("x", -5.0, 5.0).alias("c"), sigmoid("x").alias("s")
+    ).collect()
+    got = {r["c"] for r in rows}
+    assert got == {0.0, 5.0, -5.0}
+    s = {r["s"] for r in rows}
+    assert 0.5 in s
+    assert all(0.0 < v < 1.0 for v in s)
+
+
+def test_count_missing_and_nan(spark):
+    df = spark.createDataFrame(
+        [(1.0, "a"), (None, None), (float("nan"), "c")], "x double, y string"
+    )
+    nulls = count_missing_values(df).first()
+    assert (nulls["x"], nulls["y"]) == (1, 1)
+    nans = count_nan_values(df).first()
+    assert nans["x"] == 1
+    assert "y" not in nans.asDict()
+
+
+def test_tokenize_and_shingles(spark):
+    df = spark.createDataFrame([("  a  b c d ",), ("x y",)], "text string")
+    rows = df.select(
+        tokenize("text").alias("t"),
+        token_count("text").alias("n"),
+        word_shingles("text", 3).alias("sh"),
+    ).collect()
+    assert rows[0]["t"] == ["a", "b", "c", "d"]
+    assert rows[0]["n"] == 4
+    assert rows[0]["sh"] == ["a b c", "b c d"]
+    assert rows[1]["sh"] == []  # shorter than n
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [("Hello  World",), ("hello world",)], "text string"
+    )
+    fps = [r["fp"] for r in df.select(text_fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_vector_math(spark):
+    df = spark.createDataFrame(
+        [([3.0, 4.0], [4.0, 3.0])], "a array<double>, b array<double>"
+    )
+    row = df.select(
+        array_dot("a", "b").alias("dot"),
+        array_norm("a").alias("na"),
+        array_cosine_similarity("a", "b").alias("cos"),
+    ).first()
+    assert row["dot"] == 24.0
+    assert row["na"] == 5.0
+    assert abs(row["cos"] - 24.0 / 25.0) < 1e-12
+
+
+def test_cosine_zero_norm_is_null(spark):
+    df = spark.createDataFrame([([0.0, 0.0], [1.0, 2.0])], "a array<double>, b array<double>")
+    assert df.select(array_cosine_similarity("a", "b").alias("c")).first()["c"] is None
+
+
+def test_unicode_column_names_roundtrip(spark, tmp_path):
+    """The reference's columns are accented French (période, dû) —
+    SURVEY.md §1.2 requires unicode-safe end-to-end handling."""
+    df = spark.createDataFrame(
+        [("123456789", d("2023-01-01"), 1.5)],
+        "siren string, `période` date, `dette_sociale_ouvrière` double",
+    )
+    p = str(tmp_path / "uni.parquet")
+    df.write.parquet(p)
+    back = spark.read.parquet(p)
+    assert set(back.columns) == {"siren", "période", "dette_sociale_ouvrière"}
+    assert back.first()["dette_sociale_ouvrière"] == 1.5

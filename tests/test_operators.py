@@ -1,0 +1,135 @@
+"""Tests for intervals, sessionize, aggregation, split, resample."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sf_datalake_spark.operators.aggregates import aggregate_by_keys
+from sf_datalake_spark.operators.intervals import sessionize, union_intervals
+from sf_datalake_spark.operators.resample import resample_classes
+from sf_datalake_spark.operators.split import hash_split, train_test_split_grouped
+
+from tests.conftest import d, ts
+
+
+def test_union_intervals_merges_overlaps(spark):
+    df = spark.createDataFrame(
+        [
+            ("s1", d("2023-01-01"), d("2023-01-10")),
+            ("s1", d("2023-01-05"), d("2023-01-20")),   # overlaps → merged
+            ("s1", d("2023-02-01"), d("2023-02-05")),   # gap → new island
+            ("s2", d("2023-01-01"), d("2023-01-02")),
+        ],
+        "siren string, start date, end date",
+    )
+    out = union_intervals(df, ["siren"], "start", "end")
+    got = {(r["siren"], r["start"], r["end"]) for r in out.collect()}
+    assert got == {
+        ("s1", d("2023-01-01"), d("2023-01-20")),
+        ("s1", d("2023-02-01"), d("2023-02-05")),
+        ("s2", d("2023-01-01"), d("2023-01-02")),
+    }
+
+
+def test_union_intervals_touching_spans_merge(spark):
+    """start == running max end → same island (inclusive bounds)."""
+    df = spark.createDataFrame(
+        [("s1", d("2023-01-01"), d("2023-01-10")), ("s1", d("2023-01-10"), d("2023-01-15"))],
+        "siren string, start date, end date",
+    )
+    assert union_intervals(df, ["siren"], "start", "end").count() == 1
+
+
+def test_union_intervals_extra_aggs(spark):
+    df = spark.createDataFrame(
+        [
+            ("s1", d("2023-01-01"), d("2023-01-10"), 5.0),
+            ("s1", d("2023-01-05"), d("2023-01-20"), 7.0),
+        ],
+        "siren string, start date, end date, hours double",
+    )
+    row = union_intervals(df, ["siren"], "start", "end", agg={"hours": "sum"}).first()
+    assert row["sum_hours"] == 12.0
+
+
+def test_sessionize_gap(spark):
+    df = spark.createDataFrame(
+        [
+            ("u", ts("2023-01-01 10:00:00")),
+            ("u", ts("2023-01-01 10:10:00")),   # 10 min gap, same session
+            ("u", ts("2023-01-01 11:00:00")),   # 50 min gap, new session
+        ],
+        "uid string, t timestamp",
+    )
+    out = sessionize(df, ["uid"], "t", gap_seconds=1800).collect()
+    got = {r["t"]: r["session_id"] for r in out}
+    assert got[ts("2023-01-01 10:00:00")] == got[ts("2023-01-01 10:10:00")]
+    assert got[ts("2023-01-01 11:00:00")] == got[ts("2023-01-01 10:00:00")] + 1
+
+
+def test_sessionize_boundary_exact_gap_same_session(spark):
+    """gap == threshold does NOT start a new session (strict >)."""
+    df = spark.createDataFrame(
+        [("u", ts("2023-01-01 10:00:00")), ("u", ts("2023-01-01 10:30:00"))],
+        "uid string, t timestamp",
+    )
+    out = sessionize(df, ["uid"], "t", gap_seconds=1800).collect()
+    assert len({r["session_id"] for r in out}) == 1
+
+
+def test_aggregate_by_keys_carry_deterministic(spark):
+    df = spark.createDataFrame(
+        [("k", 1.0, "z"), ("k", 2.0, "a")], "k string, v double, tag string"
+    )
+    row = aggregate_by_keys(df, ["k"], {"v": "sum"}, carry=["tag"]).first()
+    assert row["v"] == 3.0
+    assert row["tag"] == "a"  # min, not partition-order-dependent first
+
+
+def test_hash_split_no_leakage_and_deterministic(spark):
+    df = spark.createDataFrame([(i, i % 7) for i in range(1000)], "id bigint, g int")
+    train, test = hash_split(df, "g", test_fraction=0.3)
+    tg = {r["g"] for r in train.select("g").distinct().collect()}
+    sg = {r["g"] for r in test.select("g").distinct().collect()}
+    assert tg.isdisjoint(sg)
+    assert tg | sg == set(range(7))
+    # deterministic across invocations
+    train2, _ = hash_split(df, "g", test_fraction=0.3)
+    assert train.count() == train2.count()
+
+
+def test_grouped_split_no_leakage(spark):
+    df = spark.createDataFrame([(f"s{i % 20}", i) for i in range(200)], "siren string, x int")
+    train, test = train_test_split_grouped(df, "siren", train_size=0.8, seed=42)
+    inter = train.select("siren").intersect(test.select("siren"))
+    assert inter.count() == 0
+    assert train.count() + test.count() == 200
+
+
+def test_resample_undersampling_ratio(spark):
+    df = spark.createDataFrame(
+        [(i, 1 if i < 100 else 0) for i in range(1100)], "id bigint, failure int"
+    )
+    out = resample_classes(df, "failure", target_ratio=0.35,
+                           method="undersampling", seed=42)
+    counts = {r["failure"]: r["count"] for r in out.groupBy("failure").count().collect()}
+    ratio = counts[1] / counts[0]
+    assert abs(ratio - 0.35) < 0.2  # tolerance like reference tests
+
+
+def test_resample_oversampling_ratio(spark):
+    df = spark.createDataFrame(
+        [(i, 1 if i < 100 else 0) for i in range(1100)], "id bigint, failure int"
+    )
+    out = resample_classes(df, "failure", target_ratio=0.35,
+                           method="oversampling", seed=42)
+    counts = {r["failure"]: r["count"] for r in out.groupBy("failure").count().collect()}
+    assert counts[0] == 1000
+    assert abs(counts[1] / counts[0] - 0.35) < 0.2
+
+
+def test_resample_rejects_nonbinary(spark):
+    df = spark.createDataFrame([(1, 0), (2, 1), (3, 2)], "id bigint, failure int")
+    with pytest.raises(ValueError):
+        resample_classes(df, "failure")
