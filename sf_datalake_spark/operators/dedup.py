@@ -58,8 +58,19 @@ def minhash_signature(
     shingled = df.select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("__sh")
     )
+    # ONE md5 per shingle; the K-member hash family is affine over its two
+    # halves: h_i = a + (i+1)·b with a = 60-bit, b = 56-bit slices (max
+    # value < 2^61 — no signed-64 overflow for K ≤ 16). Same trick as
+    # Lucene's single-hash MinHash; 8× fewer digests than hashing per seed.
+    md5 = F.md5(F.col("__sh"))
+    a = F.conv(F.substring(md5, 1, 15), 16, 10).cast("bigint")
+    b = F.conv(F.substring(md5, 16, 14), 16, 10).cast("bigint")
+    if num_hashes > 16:
+        raise ValueError("num_hashes > 16 would overflow the affine family")
+    shingled = shingled.select(id_col, a.alias("__a"), b.alias("__b"))
     mins = [
-        F.min(md5_hash64(F.col("__sh"), i)).alias(f"__h{i}") for i in range(num_hashes)
+        F.min(F.col("__a") + (i + 1) * F.col("__b")).alias(f"__h{i}")
+        for i in range(num_hashes)
     ]
     sig = shingled.groupBy(id_col).agg(*mins)
     return sig.select(

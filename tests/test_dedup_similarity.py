@@ -17,6 +17,7 @@ from sf_datalake_spark.operators.dedup import (
 )
 from sf_datalake_spark.operators.similarity import (
     brute_force_topk,
+    brute_force_topk_np,
     embedding_near_dup_pairs,
     lsh_topk,
 )
@@ -111,6 +112,19 @@ def test_brute_force_topk_exact(vectors):
 def test_brute_force_excludes_self(vectors):
     out = brute_force_topk(vectors, vectors, k=3)
     assert all(r["query_id"] != r["neighbor_id"] for r in out.collect())
+
+
+def test_blas_topk_matches_jvm_topk(spark, vectors):
+    """The mapInPandas/BLAS path must reproduce the JVM plan exactly
+    (ids, ranks; cosines to float tolerance)."""
+    jvm = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+           for r in brute_force_topk(vectors, vectors, k=2).collect()}
+    blas = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+            for r in brute_force_topk_np(vectors, vectors, k=2).collect()}
+    assert jvm.keys() == blas.keys()
+    for key, (nid, cos) in jvm.items():
+        assert blas[key][0] == nid
+        assert abs(blas[key][1] - cos) < 1e-12
 
 
 def test_lsh_topk_agrees_on_close_pair(vectors):
