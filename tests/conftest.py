@@ -15,7 +15,10 @@ from sf_datalake_spark.session import get_spark_session
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark_session("tests", master="local[2]", shuffle_partitions=4)
+    s = get_spark_session(
+        "tests", master="local[2]", shuffle_partitions=4,
+        extra_conf={"spark.sql.debug.maxToStringFields": "2000"},
+    )
     yield s
 
 
