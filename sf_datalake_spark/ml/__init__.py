@@ -1,0 +1,27 @@
+"""Learning layer: stage synthesis, model factory, evaluation, explain."""
+
+from sf_datalake_spark.ml.evaluation import (
+    binary_metrics,
+    confusion_matrix,
+    optimal_fbeta_thresholds,
+    with_alert_levels,
+)
+from sf_datalake_spark.ml.explain import (
+    feature_names_from_metadata,
+    linear_contributions,
+    vector_disassembler,
+)
+from sf_datalake_spark.ml.models import make_classifier
+from sf_datalake_spark.ml.stages import encoding_scaling_stages
+
+__all__ = [
+    "binary_metrics",
+    "confusion_matrix",
+    "encoding_scaling_stages",
+    "feature_names_from_metadata",
+    "linear_contributions",
+    "make_classifier",
+    "optimal_fbeta_thresholds",
+    "vector_disassembler",
+    "with_alert_levels",
+]

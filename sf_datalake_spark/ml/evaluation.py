@@ -1,0 +1,128 @@
+"""Model evaluation — Spark-native, no sklearn.
+
+Reference behavior replaced: ``sf_datalake.evaluation`` (reference
+``src/sf_datalake/evaluation.py:17-101``) which collected scores to the
+driver and looped sklearn's ``fbeta_score`` over 101 thresholds — a
+driver-side O(n_thresholds × n_rows) pass. Here threshold tuning is
+distributed AND single-pass: scores are bucketed to the candidate
+threshold grid (one groupBy over ≤ n_thr groups), cumulated on the
+driver over the tiny bucket histogram, and every F-beta / precision /
+recall at every threshold falls out exactly. Alert levels
+(``generate_frontend_document.py:214-230``) are a Column expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.evaluation import BinaryClassificationEvaluator
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _threshold_histogram(
+    predictions: DataFrame, score_col: str, label_col: str, n_thr: int
+) -> list[tuple[int, int, int]]:
+    """(bucket, n_pos, n_neg) histogram with bucket = floor(score·(n_thr−1)).
+
+    Exact for thresholds on the even grid k/(n_thr−1): score ≥ t ⇔
+    bucket ≥ k. ONE aggregation of ≤ n_thr rows regardless of input size.
+    """
+    g = n_thr - 1
+    bucket = F.least(F.floor(F.col(score_col) * g), F.lit(g)).cast("int")
+    rows = (
+        predictions.groupBy(bucket.alias("b"))
+        .agg(
+            F.count(F.when(F.col(label_col) == 1, 1)).alias("pos"),
+            F.count(F.when(F.col(label_col) == 0, 1)).alias("neg"),
+        )
+        .collect()
+    )
+    return [(r["b"], r["pos"], r["neg"]) for r in rows]
+
+
+def optimal_fbeta_thresholds(
+    predictions: DataFrame,
+    score_col: str = "probability",
+    label_col: str = "failure",
+    betas: tuple[float, ...] = (0.5, 2.0),
+    n_thr: int = 101,
+) -> dict[float, float]:
+    """Thresholds maximizing F-beta for each beta (reference
+    ``evaluation.py:17-54``), distributed single-pass.
+
+    Ties resolve to the LOWEST maximizing threshold, matching
+    ``np.argmax`` over an ascending threshold grid.
+    """
+    hist = {b: (p, n) for b, p, n in _threshold_histogram(
+        predictions, score_col, label_col, n_thr)}
+    g = n_thr - 1
+    total_pos = sum(p for p, _ in hist.values())
+    best: dict[float, tuple[float, float]] = {beta: (-1.0, 0.0) for beta in betas}
+    # suffix sums: tp(k) = positives with bucket ≥ k, fp(k) likewise
+    tp, fp = 0, 0
+    scores: dict[int, tuple[int, int]] = {}
+    for k in range(g, -1, -1):
+        p, n = hist.get(k, (0, 0))
+        tp, fp = tp + p, fp + n
+        scores[k] = (tp, fp)
+    for beta in betas:
+        b2 = beta * beta
+        for k in range(0, n_thr):
+            tp, fp = scores[k]
+            fn = total_pos - tp
+            denom = (1 + b2) * tp + fp + b2 * fn
+            f = (1 + b2) * tp / denom if denom else 0.0
+            if f > best[beta][0]:
+                best[beta] = (f, k / g)
+    return {beta: thr for beta, (_, thr) in best.items()}
+
+
+def with_alert_levels(
+    predictions: DataFrame,
+    thresholds: dict[float, float],
+    score_col: str = "probability",
+    output_col: str = "alert_level",
+) -> DataFrame:
+    """Alert level = 2 − (p < t_precision) − (p < t_recall) ∈ {0,1,2}
+    (reference ``generate_frontend_document.py:214-230``)."""
+    t_hi = max(thresholds.values())
+    t_lo = min(thresholds.values())
+    p = F.col(score_col)
+    level = (
+        F.lit(2)
+        - F.when(p < t_hi, 1).otherwise(0)
+        - F.when(p < t_lo, 1).otherwise(0)
+    )
+    return predictions.withColumn(output_col, level)
+
+
+def binary_metrics(
+    predictions: DataFrame,
+    raw_col: str = "rawPrediction",
+    label_col: str = "failure",
+) -> dict[str, float]:
+    """AUC-ROC and AUC-PR via MLlib evaluators (reference used sklearn
+    on collected arrays, ``evaluation.py:57-101``)."""
+    out = {}
+    for name, metric in (("auc_roc", "areaUnderROC"), ("auc_pr", "areaUnderPR")):
+        out[name] = BinaryClassificationEvaluator(
+            rawPredictionCol=raw_col, labelCol=label_col, metricName=metric
+        ).evaluate(predictions)
+    return out
+
+
+def confusion_matrix(
+    predictions: DataFrame,
+    threshold: float = 0.5,
+    score_col: str = "probability",
+    label_col: str = "failure",
+) -> dict[str, int]:
+    """{tp, fp, tn, fn} at a threshold — one aggregation."""
+    pred = (F.col(score_col) >= threshold).cast("int")
+    lab = F.col(label_col)
+    row = predictions.agg(
+        F.count(F.when((pred == 1) & (lab == 1), 1)).alias("tp"),
+        F.count(F.when((pred == 1) & (lab == 0), 1)).alias("fp"),
+        F.count(F.when((pred == 0) & (lab == 0), 1)).alias("tn"),
+        F.count(F.when((pred == 0) & (lab == 1), 1)).alias("fn"),
+    ).first()
+    return {k: row[k] for k in ("tp", "fp", "tn", "fn")}

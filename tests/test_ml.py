@@ -1,0 +1,164 @@
+"""ML-layer tests, ending with the SURVEY.md §7.2 end-to-end slice:
+panel → target → lag features → fill → assemble → logistic regression →
+grouped split → predictions → threshold tuning → alert levels."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.ml import Pipeline
+from pyspark.sql import functions as F
+
+from sf_datalake_spark.ml import (
+    binary_metrics,
+    confusion_matrix,
+    encoding_scaling_stages,
+    feature_names_from_metadata,
+    linear_contributions,
+    make_classifier,
+    optimal_fbeta_thresholds,
+    vector_disassembler,
+    with_alert_levels,
+)
+from sf_datalake_spark.ml.stages import SCALERS
+from sf_datalake_spark.operators.split import hash_split
+from sf_datalake_spark.operators.windows import with_lag
+from sf_datalake_spark.transformers import MissingValuesHandler, TargetVariable
+
+from tests.conftest import d
+
+
+def test_stage_synthesis_shapes(spark):
+    df = spark.createDataFrame(
+        [(1.0, 5.0, "A"), (2.0, 30.0, "B"), (3.0, 100.0, "A")],
+        "ca double, effectif double, naf string",
+    )
+    stages = encoding_scaling_stages(
+        {
+            "ca": ["standard_scaler"],
+            "effectif": ["bins"],
+            "naf": ["string_indexer", "onehot"],
+        },
+        bins={"effectif": ["-inf", 10.0, 50.0, "inf"]},
+    )
+    out = Pipeline(stages=stages).fit(df).transform(df)
+    assert "features" in out.columns
+    names = feature_names_from_metadata(out)
+    # effectif_bin + naf onehot slots + scaled ca
+    assert any(n.startswith("effectif_bin") for n in names)
+    assert any("naf_ix_onehot" in n for n in names)
+    assert any("standard_scaler_output" in n for n in names)
+
+
+def test_make_classifier_factory():
+    lr = make_classifier("LogisticRegression", regParam=0.1)
+    assert lr.getRegParam() == 0.1
+    with pytest.raises(ValueError):
+        make_classifier("SVM")
+
+
+def test_fbeta_thresholds_match_reference_algorithm(spark):
+    """Distributed histogram tuning == the reference's dense scan
+    (sklearn-equivalent numpy reimplementation, tie → lowest)."""
+    rng = np.random.RandomState(7)
+    scores = rng.rand(500)
+    labels = (scores + rng.normal(0, 0.3, 500) > 0.6).astype(int)
+    df = spark.createDataFrame(
+        [(float(s), int(y)) for s, y in zip(scores, labels)], "probability double, failure int"
+    )
+    got = optimal_fbeta_thresholds(df, betas=(0.5, 2.0), n_thr=101)
+
+    thr = np.linspace(0, 1, 101)
+    for beta in (0.5, 2.0):
+        fs = []
+        for t in thr:
+            pred = scores >= t
+            tp = int(np.sum(pred & (labels == 1)))
+            fp = int(np.sum(pred & (labels == 0)))
+            fn = int(np.sum(~pred & (labels == 1)))
+            b2 = beta * beta
+            denom = (1 + b2) * tp + fp + b2 * fn
+            fs.append((1 + b2) * tp / denom if denom else 0.0)
+        assert abs(got[beta] - thr[int(np.argmax(fs))]) < 1e-12
+
+
+def test_alert_levels(spark):
+    df = spark.createDataFrame(
+        [(0.1,), (0.5,), (0.9,)], "probability double"
+    )
+    out = with_alert_levels(df, {0.5: 0.8, 2.0: 0.3})
+    got = {r["probability"]: r["alert_level"] for r in out.collect()}
+    assert got == {0.1: 0, 0.5: 1, 0.9: 2}
+
+
+def test_confusion_matrix(spark):
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.8, 0), (0.2, 1), (0.1, 0)], "probability double, failure int"
+    )
+    cm = confusion_matrix(df, threshold=0.5)
+    assert cm == {"tp": 1, "fp": 1, "tn": 1, "fn": 1}
+
+
+@pytest.fixture(scope="module")
+def mock_panel(spark):
+    """Randomized two-class panel: failing entities see revenue decay."""
+    rng = np.random.RandomState(42)
+    rows = []
+    for e in range(60):
+        fails = e % 3 == 0
+        base = 1000 + 100 * rng.rand()
+        for m in range(1, 13):
+            decay = 0.85 ** m if fails else 1.0
+            rows.append(
+                (
+                    f"{e:09d}",
+                    d(f"2023-{m:02d}-01"),
+                    float(base * decay * (1 + 0.05 * rng.randn())),
+                    d("2024-03-01") if fails else None,
+                )
+            )
+    return spark.createDataFrame(
+        rows, "siren string, `période` date, ca double, date_jugement date"
+    )
+
+
+def test_end_to_end_slice(mock_panel):
+    """SURVEY.md §7.2: every architectural boundary in ~40 lines."""
+    labeled = TargetVariable(n_months=18).transform(mock_panel)
+    feats = with_lag(labeled, "ca", [1], keys=["siren"], period_col="période")
+    feats = MissingValuesHandler(strategy="value", value={"ca_lag1m": 0.0}).transform(feats)
+
+    prep = Pipeline(stages=encoding_scaling_stages({"ca": ["standard_scaler"],
+                                                    "ca_lag1m": ["standard_scaler"]}))
+    model_input = prep.fit(feats).transform(feats)
+
+    train, test = hash_split(model_input, "siren", test_fraction=0.3)
+    lr = make_classifier("LogisticRegression", maxIter=20)
+    model = lr.fit(train)
+    preds = model.transform(test)
+
+    # vector plumbing
+    names = feature_names_from_metadata(preds)
+    assert len(names) == 2
+    disassembled = vector_disassembler(preds, names, keep=["siren"])
+    assert set(disassembled.columns) == {"siren"} | set(names)
+    contribs = linear_contributions(preds, model, keep=["siren"])
+    assert len(contribs.columns) == 3
+
+    # probability column + metrics + thresholds + alerts
+    from pyspark.ml.functions import vector_to_array
+
+    scored = preds.withColumn(
+        "probability_1", F.element_at(vector_to_array("probability"), 2)
+    )
+    m = binary_metrics(preds)
+    assert m["auc_roc"] > 0.8      # decaying revenue is very separable
+    thresholds = optimal_fbeta_thresholds(scored, score_col="probability_1")
+    assert set(thresholds) == {0.5, 2.0}
+    alerts = with_alert_levels(scored, thresholds, score_col="probability_1")
+    levels = {r["alert_level"] for r in alerts.collect()}
+    assert levels <= {0, 1, 2}
+    # failing entities should skew to higher alert levels
+    mean_fail = alerts.groupBy("failure").agg(F.avg("alert_level").alias("a")).collect()
+    by_label = {r["failure"]: r["a"] for r in mean_fail}
+    assert by_label[1] > by_label[0]
