@@ -1,0 +1,17 @@
+"""Structured Streaming layer."""
+
+from sf_datalake_spark.streaming.streams import (
+    read_file_stream,
+    run_to_memory,
+    session_aggregate,
+    streaming_dedup,
+    windowed_aggregate,
+)
+
+__all__ = [
+    "read_file_stream",
+    "run_to_memory",
+    "session_aggregate",
+    "streaming_dedup",
+    "windowed_aggregate",
+]

@@ -1,0 +1,113 @@
+"""Structured Streaming operators.
+
+The reference has NO streaming surface (SURVEY.md §2.10 — its temporal
+logic is all batch windows), so this layer is the forward-looking twin:
+the same (entity, time) semantics expressed over unbounded input.
+
+- tumbling/sliding windowed aggregation with watermarks (late data
+  bounded state) — the streaming form of the monthly panel rollup;
+- ``F.session_window`` aggregation — the streaming form of
+  ``operators.intervals.sessionize`` (same gap semantics, verified
+  against the batch operator in tests);
+- watermarked streaming dedup — the streaming form of exact dedup.
+
+Scale notes: state size is bounded by the watermark horizon × key
+cardinality; keys should be the natural entity id so state partitions
+evenly. File sources here (what the tests drive); swap ``format`` for
+kafka in production — the query shape is identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    file_format: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream (schema mandatory — streaming never infers)."""
+    reader = spark.readStream.schema(schema).format(file_format)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def windowed_aggregate(
+    df: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    aggs: Sequence[Column],
+    keys: Sequence[str] = (),
+    slide_duration: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling (or sliding) event-time window aggregation with a
+    watermark bounding late data and state."""
+    win = F.window(F.col(ts_col), window_duration, slide_duration)
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(*keys, win.alias("window"))
+        .agg(*aggs)
+        .withColumn("window_start", F.col("window.start"))
+        .withColumn("window_end", F.col("window.end"))
+        .drop("window")
+    )
+
+
+def session_aggregate(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    aggs: Sequence[Column],
+    keys: Sequence[str] = (),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session-window aggregation: a session closes after ``gap`` of
+    inactivity — the streaming twin of batch ``sessionize`` (same
+    strict-greater gap semantics)."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(*keys, F.session_window(F.col(ts_col), gap).alias("session"))
+        .agg(*aggs)
+        .withColumn("session_start", F.col("session.start"))
+        .withColumn("session_end", F.col("session.end"))
+        .drop("session")
+    )
+
+
+def streaming_dedup(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Drop duplicate rows by key across micro-batches; with a
+    watermark, state for old keys is reclaimed."""
+    if ts_col:
+        return df.withWatermark(ts_col, watermark).dropDuplicates([*keys, ts_col])
+    return df.dropDuplicates(list(keys))
+
+
+def run_to_memory(
+    stream: DataFrame, query_name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Run a streaming query to completion (availableNow trigger) into an
+    in-memory table; returns the batch DataFrame of results. Test/debug
+    sink — production uses parquet/kafka sinks with checkpointing."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream.sparkSession.table(query_name)

@@ -1,0 +1,83 @@
+"""Structured Streaming tests: file source → window/session/dedup →
+memory sink, with the session operator cross-checked against its batch
+twin (``operators.intervals.sessionize``)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sf_datalake_spark.operators.intervals import sessionize
+from sf_datalake_spark.streaming import (
+    read_file_stream,
+    run_to_memory,
+    session_aggregate,
+    streaming_dedup,
+    windowed_aggregate,
+)
+
+from tests.conftest import ts
+
+SCHEMA = "uid string, t timestamp, v double"
+
+ROWS = [
+    ("u1", ts("2023-01-01 10:00:00"), 1.0),
+    ("u1", ts("2023-01-01 10:10:00"), 2.0),
+    ("u1", ts("2023-01-01 11:00:00"), 3.0),   # > 30 min gap → new session
+    ("u2", ts("2023-01-01 10:05:00"), 4.0),
+]
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    p = str(tmp_path / "in")
+    spark.createDataFrame(ROWS, SCHEMA).coalesce(1).write.parquet(p)
+    return p
+
+
+def test_windowed_aggregate(spark, stream_dir):
+    stream = read_file_stream(spark, stream_dir, SCHEMA)
+    agg = windowed_aggregate(
+        stream, "t", "1 hour",
+        aggs=[F.sum("v").alias("sum_v"), F.count("*").alias("n")],
+        keys=["uid"],
+    )
+    out = run_to_memory(agg, "win_test", output_mode="complete")
+    got = {(r["uid"], r["window_start"]): (r["sum_v"], r["n"]) for r in out.collect()}
+    assert got[("u1", ts("2023-01-01 10:00:00"))] == (3.0, 2)
+    assert got[("u1", ts("2023-01-01 11:00:00"))] == (3.0, 1)
+    assert got[("u2", ts("2023-01-01 10:00:00"))] == (4.0, 1)
+
+
+def test_session_aggregate_matches_batch_sessionize(spark, stream_dir):
+    stream = read_file_stream(spark, stream_dir, SCHEMA)
+    agg = session_aggregate(
+        stream, "t", "30 minutes",
+        aggs=[F.count("*").alias("n"), F.sum("v").alias("sum_v")],
+        keys=["uid"],
+    )
+    out = run_to_memory(agg, "sess_test", output_mode="complete")
+    streaming_sessions = {
+        (r["uid"], r["session_start"]): (r["n"], r["sum_v"]) for r in out.collect()
+    }
+
+    batch = (
+        sessionize(spark.createDataFrame(ROWS, SCHEMA), ["uid"], "t", gap_seconds=1800)
+        .groupBy("uid", "session_id")
+        .agg(F.min("t").alias("start"), F.count("*").alias("n"),
+             F.sum("v").alias("sum_v"))
+    )
+    batch_sessions = {
+        (r["uid"], r["start"]): (r["n"], r["sum_v"]) for r in batch.collect()
+    }
+    assert streaming_sessions == batch_sessions
+    assert len(streaming_sessions) == 3
+
+
+def test_streaming_dedup(spark, tmp_path):
+    p = str(tmp_path / "dup")
+    rows = ROWS + ROWS[:2]  # duplicate first two events
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(p)
+    stream = read_file_stream(spark, p, SCHEMA)
+    out = run_to_memory(streaming_dedup(stream, ["uid"], ts_col="t"), "dedup_test")
+    assert out.count() == 4
