@@ -17,6 +17,10 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sf_datalake_spark.queries import ORACLES, QUERIES  # noqa: E402
+from sf_datalake_spark.queries_ext import ORACLES_EXT, QUERIES_EXT  # noqa: E402
+
+QUERIES = {**QUERIES, **QUERIES_EXT}
+ORACLES = {**ORACLES, **ORACLES_EXT}
 
 
 def entry(spark: SparkSession) -> DataFrame:

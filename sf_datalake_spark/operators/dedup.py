@@ -167,18 +167,20 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 48) -> DataFrame:
     """(id, simhash bigint) — classic SimHash over whitespace tokens.
 
-    Token hash = two md5-derived 32-bit halves combined to 64 bits; each
-    output bit is the sign of the sum of (±1) contributions across
-    tokens. Computed as ``bits`` aggregate columns over one explode —
-    single shuffle with map-side combine.
+    Token hash = first ``bits/4`` hex chars of md5 (``bits`` ≤ 60 keeps
+    every intermediate positive in a signed 64-bit lane — portable to
+    external engines with no unsigned/overflow gymnastics); each output
+    bit is the sign of the sum of (±1) contributions across tokens.
+    Computed as ``bits`` aggregate columns over one explode — single
+    shuffle with map-side combine.
     """
+    if bits % 4 or not 4 <= bits <= 60:
+        raise ValueError("bits must be a multiple of 4 in [4, 60]")
     toks = df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("__t"))
-    hi = F.conv(F.substring(F.md5(F.col("__t")), 1, 8), 16, 10).cast("bigint")
-    lo = F.conv(F.substring(F.md5(F.col("__t")), 9, 8), 16, 10).cast("bigint")
-    h = F.shiftleft(hi, 32) + lo
+    h = F.conv(F.substring(F.md5(F.col("__t")), 1, bits // 4), 16, 10).cast("bigint")
     toks = toks.select(id_col, h.alias("__h"))
     sums = [
         F.sum(
@@ -200,6 +202,7 @@ def simhash_near_dup_pairs(
     id_col: str,
     max_hamming: int = 3,
     prefix_bits: int = 16,
+    bits: int = 48,
 ) -> DataFrame:
     """Near-dup pairs by hamming distance ≤ ``max_hamming``.
 
@@ -209,7 +212,7 @@ def simhash_near_dup_pairs(
     recall trade-off), then verified with ``bit_count(xor)``.
     """
     blocked = sims.withColumn(
-        "__blk", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
+        "__blk", F.shiftrightunsigned(F.col("simhash"), bits - prefix_bits)
     )
     a, b = blocked.alias("a"), blocked.alias("b")
     return (

@@ -1,0 +1,498 @@
+"""Extended query/oracle registry: set operations, outer joins,
+rollup/pivot, cumulative windows, date arithmetic, interpolation,
+SimHash, multimodal metadata, forward as-of — widening SURVEY.md §2
+coverage beyond the core registry in ``queries.py``. Same conventions
+(identical aliases in Spark and SQL, exact-decimal rounding).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sf_datalake_spark.operators.asof import merge_asof
+from sf_datalake_spark.operators.dedup import simhash, simhash_near_dup_pairs
+from sf_datalake_spark.operators.windows import with_linear_interpolation
+from sf_datalake_spark.queries import _t, customer_monthly_panel, _PANEL_SQL
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY.md §2.7: union/intersect + the except the
+# reference lacks)
+# ---------------------------------------------------------------------------
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union / intersect / except over yearly active-customer key sets."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def active(year: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .select(F.col("o_custkey").alias("custkey"))
+            .distinct()
+        )
+
+    y94, y95 = active(1996), active(1997)
+    return (
+        y94.union(y95).distinct().select(F.lit("union").alias("op"), "custkey")
+        .unionByName(y94.intersect(y95).select(F.lit("intersect").alias("op"), "custkey"))
+        .unionByName(y94.exceptAll(y95).select(F.lit("except").alias("op"), "custkey"))
+        .groupBy("op")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+_SET_OPS_SQL = """
+    WITH y94 AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+                 WHERE year(o_orderdate) = 1996),
+         y95 AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+                 WHERE year(o_orderdate) = 1997),
+    tagged AS (
+        SELECT 'union' AS op, custkey FROM (SELECT custkey FROM y94 UNION
+                                            SELECT custkey FROM y95)
+        UNION ALL
+        SELECT 'intersect', custkey FROM (SELECT custkey FROM y94 INTERSECT
+                                          SELECT custkey FROM y95)
+        UNION ALL
+        SELECT 'except', custkey FROM (SELECT custkey FROM y94 EXCEPT
+                                       SELECT custkey FROM y95)
+    )
+    SELECT op, CAST(count(*) AS BIGINT) AS n_customers FROM tagged GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Full outer join (reference ``extract_ap_data.py:225-229`` demande ⋈
+# consommation shape)
+# ---------------------------------------------------------------------------
+
+def q_outer_join_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two per-(user, day) event-type rollups with
+    key coalescing — months where either side exists survive."""
+    ev = _t(spark, sf_dir, "events")
+
+    def side(kind: str, alias: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == kind)
+            .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+            .agg(F.round(F.sum("value"), 2).alias(alias))
+        )
+
+    clicks = side("click", "click_value")
+    purchases = side("purchase", "purchase_value")
+    return (
+        clicks.join(purchases, ["user_id", "day"], "outer")
+        .select("user_id", "day", "click_value", "purchase_value")
+    )
+
+
+_OUTER_JOIN_SQL = """
+    WITH clicks AS (
+        SELECT user_id, ts::date AS day, round(sum(value), 2) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    purchases AS (
+        SELECT user_id, ts::date AS day, round(sum(value), 2) AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT coalesce(c.user_id, p.user_id) AS user_id,
+           coalesce(c.day, p.day) AS day,
+           c.click_value, p.purchase_value
+    FROM clicks c FULL OUTER JOIN purchases p
+      ON c.user_id = p.user_id AND c.day = p.day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rollup + grouping id (beyond the reference: no grouping sets anywhere,
+# SURVEY.md §2.4)
+# ---------------------------------------------------------------------------
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    base = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        base.rollup(F.col("n_name").alias("nation_name"),
+                    F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+_ROLLUP_SQL = """
+    SELECT n_name AS nation_name, c_mktsegment AS mktsegment,
+           CAST(GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS BIGINT) AS gid,
+           round(sum(o_totalprice), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP(nation_name, mktsegment)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pivot (wide conditional aggregation)
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIORITY_ALIASES = ["p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low"]
+
+
+def q_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders per (month, priority) pivoted to one column per priority."""
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+        .na.fill(0)
+    )
+    renames = dict(zip(_PRIORITIES, _PRIORITY_ALIASES))
+    return out.select(
+        "month", *[F.col(f"`{p}`").alias(a) for p, a in renames.items()]
+    )
+
+
+_PIVOT_SQL = """
+    SELECT date_trunc('month', o_orderdate)::date AS month,
+           count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p1_urgent,
+           count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p2_high,
+           count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p3_medium,
+           count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p4_not_specified,
+           count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p5_low
+    FROM orders GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cumulative window (reference ``rar_dataset.py:52-76``) + multi-agg stats
+# ---------------------------------------------------------------------------
+
+def q_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue + order count per customer over its monthly panel."""
+    panel = customer_monthly_panel(spark, sf_dir)
+    w = (
+        Window.partitionBy("custkey")
+        .orderBy("periode")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return panel.select(
+        "custkey",
+        "periode",
+        F.round(F.sum("revenue").over(w), 2).alias("cum_revenue"),
+        F.sum("n_orders").over(w).alias("cum_orders"),
+    )
+
+
+_CUMULATIVE_SQL = f"""
+    WITH panel AS ({_PANEL_SQL})
+    SELECT custkey, periode,
+           round(sum(revenue) OVER w, 2) AS cum_revenue,
+           sum(n_orders) OVER w AS cum_orders
+    FROM panel
+    WINDOW w AS (PARTITION BY custkey ORDER BY periode
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-agg per group: sum/min/max/avg/stddev/count (reference AP
+    interval agg ``extract_ap_data.py:185-207`` + ANOVA group stats
+    ``exploration.py:118-125``)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.stddev("l_quantity"), 4).alias("std_qty"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_SUPPLIER_STATS_SQL = """
+    SELECT l_suppkey,
+           round(sum(l_quantity), 2) AS sum_qty,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(stddev_samp(l_quantity), 4) AS std_qty,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Date arithmetic battery (SURVEY.md §2.8)
+# ---------------------------------------------------------------------------
+
+def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    ship = F.col("l_shipdate").cast("date")
+    ordered = F.col("o_orderdate").cast("date")
+    return li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff(ship, ordered).alias("ship_delay_days"),
+        F.date_add(ship, 30).alias("ship_plus_30"),
+        F.add_months(ship, 2).alias("ship_plus_2m"),
+        F.last_day(ship).alias("ship_month_end"),
+        F.year(ship).alias("ship_year"),
+        F.quarter(ship).alias("ship_quarter"),
+        F.dayofmonth(ship).alias("ship_dom"),
+    )
+
+
+_DATE_ARITH_SQL = """
+    SELECT l_orderkey, l_linenumber,
+           CAST(date_diff('day', o_orderdate::date, l_shipdate::date) AS INT)
+             AS ship_delay_days,
+           l_shipdate::date + 30 AS ship_plus_30,
+           (l_shipdate::date + INTERVAL 2 MONTH)::date AS ship_plus_2m,
+           last_day(l_shipdate::date) AS ship_month_end,
+           CAST(year(l_shipdate::date) AS INT) AS ship_year,
+           CAST(quarter(l_shipdate::date) AS INT) AS ship_quarter,
+           CAST(day(l_shipdate::date) AS INT) AS ship_dom
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation over the daily grid (reference
+# ``transform.py:939-1054``), oracle-checked
+# ---------------------------------------------------------------------------
+
+_DAILY_BASE_SQL = """
+        SELECT user_id, ts::date AS day, round(sum(value), 2) AS day_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+"""
+
+
+def q_daily_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user daily grid of purchase values with interior gaps
+    linearly interpolated (row-index interpolation == day interpolation
+    on a dense grid)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("day_value"))
+    )
+    grid = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+        )
+    )
+    sparse = grid.join(daily, ["user_id", "day"], "left")
+    out = with_linear_interpolation(
+        sparse, "day_value", keys=["user_id"], order_col="day", out_fmt="{col}_interp"
+    )
+    return out.select(
+        "user_id", "day", "day_value",
+        F.round("day_value_interp", 6).alias("day_value_interp"),
+    )
+
+
+_INTERPOLATION_SQL = f"""
+    WITH daily AS ({_DAILY_BASE_SQL}),
+    bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+    grid AS (
+        SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::date AS day
+        FROM bounds
+    ),
+    sparse AS (
+        SELECT g.user_id, g.day, d.day_value,
+               CAST(row_number() OVER (PARTITION BY g.user_id ORDER BY g.day) AS BIGINT)
+                 AS rn
+        FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    ),
+    anchored AS (
+        SELECT user_id, day, day_value, rn,
+               last_value(day_value IGNORE NULLS) OVER wp AS v_prev,
+               first_value(day_value IGNORE NULLS) OVER wn AS v_next,
+               last_value(CASE WHEN day_value IS NOT NULL THEN rn END IGNORE NULLS)
+                 OVER wp AS i_prev,
+               first_value(CASE WHEN day_value IS NOT NULL THEN rn END IGNORE NULLS)
+                 OVER wn AS i_next
+        FROM sparse
+        WINDOW wp AS (PARTITION BY user_id ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY user_id ORDER BY day
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, day, day_value,
+           round(CASE WHEN day_value IS NOT NULL THEN day_value
+                      WHEN i_prev IS NOT NULL AND i_next IS NOT NULL
+                      THEN v_prev + (v_next - v_prev) * (rn - i_prev) / (i_next - i_prev)
+                 END, 6) AS day_value_interp
+    FROM anchored
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash (portable 48-bit family) + near-dup pairs
+# ---------------------------------------------------------------------------
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text", bits=48)
+
+
+def _simhash_sql(bits: int = 48) -> str:
+    hexlen = bits // 4
+    bit_sums = ",\n               ".join(
+        f"CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << i}::BIGINT ELSE 0 END AS b{i}"
+        for i in range(bits)
+    )
+    total = " + ".join(f"b{i}" for i in range(bits))
+    return rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS t
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(t), 1, {hexlen})) AS BIGINT) AS h
+        FROM toks
+    ),
+    bitsums AS (
+        SELECT doc_id,
+               {bit_sums}
+        FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, {total} AS simhash FROM bitsums
+"""
+
+
+_SIMHASH_SQL = _simhash_sql(48)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sims = simhash(docs, "doc_id", "text", bits=48)
+    return simhash_near_dup_pairs(sims, "doc_id", max_hamming=12,
+                                  prefix_bits=8, bits=48)
+
+
+_SIMHASH_PAIRS_SQL = f"""
+    WITH sims AS ({_SIMHASH_SQL})
+    SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sims a JOIN sims b
+      ON (a.simhash >> 40) = (b.simhash >> 40) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal metadata pass (binary payloads; JVM-side, oracle-checked)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treat each document's utf-8 bytes as an opaque binary payload and
+    run the corpus-wide integrity/metadata pass (length + md5) — the
+    stage that precedes any decode on a 100 TB media corpus."""
+    from sf_datalake_spark.multimodal import with_asset_metadata
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("text").alias("modality"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    out = with_asset_metadata(docs)
+    return out.select("asset_id", "modality", "content_length", "content_md5")
+
+
+_MULTIMODAL_META_SQL = """
+    SELECT doc_id AS asset_id, 'text' AS modality,
+           CAST(octet_length(encode(text)) AS INT) AS content_length,
+           md5(text) AS content_md5
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join (completing the direction surface; DuckDB ASOF with
+# a flipped inequality)
+# ---------------------------------------------------------------------------
+
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each click, the nearest purchase at-or-after it per user
+    within 2 hours."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = merge_asof(
+        clicks, purchases, on="ts", by=["user_id"],
+        value_cols=["purchase_value"], direction="forward", tolerance=7200,
+    )
+    return out.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "purchase_value"
+    )
+
+
+_ASOF_FORWARD_SQL = """
+    WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts, value AS purchase_value FROM events
+               WHERE event_type = 'purchase')
+    SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+           CASE WHEN p.ts IS NOT NULL
+                 AND (epoch_us(p.ts) - epoch_us(c.ts)) <= 7200000000::BIGINT
+                THEN p.purchase_value END AS purchase_value
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "set_ops": q_set_ops,
+    "outer_join_activity": q_outer_join_activity,
+    "rollup_revenue": q_rollup_revenue,
+    "pivot_priority": q_pivot_priority,
+    "cumulative_revenue": q_cumulative_revenue,
+    "supplier_stats": q_supplier_stats,
+    "date_arithmetic": q_date_arithmetic,
+    "daily_interpolation": q_daily_interpolation,
+    "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
+    "multimodal_meta": q_multimodal_meta,
+    "asof_forward": q_asof_forward,
+}
+
+ORACLES_EXT: dict[str, str] = {
+    "set_ops": _SET_OPS_SQL,
+    "outer_join_activity": _OUTER_JOIN_SQL,
+    "rollup_revenue": _ROLLUP_SQL,
+    "pivot_priority": _PIVOT_SQL,
+    "cumulative_revenue": _CUMULATIVE_SQL,
+    "supplier_stats": _SUPPLIER_STATS_SQL,
+    "date_arithmetic": _DATE_ARITH_SQL,
+    "daily_interpolation": _INTERPOLATION_SQL,
+    "simhash": _SIMHASH_SQL,
+    "simhash_pairs": _SIMHASH_PAIRS_SQL,
+    "multimodal_meta": _MULTIMODAL_META_SQL,
+    "asof_forward": _ASOF_FORWARD_SQL,
+}
