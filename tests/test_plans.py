@@ -1,0 +1,58 @@
+"""Plan-inspection tests: pushdown, pruning, broadcast — asserted on the
+real testdata parquet (sf0.001), because this is exactly what the
+100 TB deployment depends on."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sf_datalake_spark.plans import plan_report
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def orders(spark):
+    return spark.read.parquet(f"{SF_DIR}/orders.parquet")
+
+
+def test_filter_pushdown_and_column_pruning(orders):
+    df = orders.filter(F.col("o_custkey") == 42).select("o_orderkey", "o_totalprice")
+    rep = plan_report(df)
+    assert any("o_custkey" in f for f in rep["pushed_filters"])
+    # pruned scan: only the 3 referenced columns reach parquet
+    assert rep["read_schemas"], "no scan schema found"
+    schema = rep["read_schemas"][0]
+    assert "o_orderkey" in schema and "o_custkey" in schema
+    assert "o_orderpriority" not in schema and "o_orderdate" not in schema
+
+
+def test_small_dim_join_is_broadcast(spark, orders):
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    df = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .count()
+    )
+    rep = plan_report(df)
+    assert rep["n_broadcasts"] >= 1
+    assert rep["n_nested_loop_joins"] == 0
+
+
+def test_aggregation_plan_shape(orders):
+    df = orders.groupBy("o_orderpriority").agg(F.sum("o_totalprice").alias("s"))
+    rep = plan_report(df, execute=True)
+    assert rep["n_exchanges"] == 1          # one shuffle for the agg
+    assert rep["n_python_evals"] == 0       # JVM end-to-end
+    assert rep["n_codegen_spans"] >= 1      # whole-stage codegen active
+
+
+def test_python_stage_detection(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    from sf_datalake_spark.operators.similarity import brute_force_topk_np
+
+    rep = plan_report(brute_force_topk_np(emb, emb, k=2))
+    assert rep["n_python_evals"] == 1       # exactly the one mapInPandas
