@@ -464,6 +464,115 @@ _ASOF_FORWARD_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# Exploration: ANOVA (distributed Column arithmetic), exact quantiles,
+# PCA (rows-only — component signs are implementation-defined)
+# ---------------------------------------------------------------------------
+
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value across event types, as ONE DataFrame
+    plan (group stats → broadcast grand mean → scalar combine) — no
+    driver math (reference ``exploration.py:103-152`` used 2 UDFs +
+    driver scipy)."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.avg("value").alias("mean"),
+        F.var_samp("value").alias("var"),
+    )
+    grand = stats.agg(
+        (F.sum(F.col("n") * F.col("mean")) / F.sum("n")).alias("gm"),
+        F.sum("n").alias("n_total"),
+        F.count("*").alias("k"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(grand))
+        .agg(
+            F.round(
+                (
+                    F.sum(F.col("n") * F.pow(F.col("mean") - F.col("gm"), 2))
+                    / (F.first("k") - 1)
+                )
+                / (
+                    F.sum((F.col("n") - 1) * F.col("var"))
+                    / (F.first("n_total") - F.first("k"))
+                ),
+                4,
+            ).alias("f_stat"),
+            (F.first("k") - 1).alias("df_between"),
+            (F.first("n_total") - F.first("k")).alias("df_within"),
+        )
+    )
+
+
+_ANOVA_SQL = """
+    WITH stats AS (
+        SELECT event_type, count(value) AS n, avg(value) AS mean,
+               var_samp(value) AS var
+        FROM events GROUP BY 1
+    ),
+    grand AS (
+        SELECT sum(n * mean) / sum(n) AS gm, sum(n) AS n_total, count(*) AS k
+        FROM stats
+    )
+    SELECT round((sum(n * (mean - gm) ^ 2) / (any_value(k) - 1))
+                 / (sum((n - 1) * var) / (any_value(n_total) - any_value(k))),
+                 4) AS f_stat,
+           CAST(any_value(k) - 1 AS BIGINT) AS df_between,
+           CAST(any_value(n_total) - any_value(k) AS BIGINT) AS df_within
+    FROM stats CROSS JOIN grand
+"""
+
+
+def q_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-column quantiles (reference ``exploration.py:392-401``)."""
+    from sf_datalake_spark.ml.exploration import quantile_summary
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = quantile_summary(li, ["l_quantity", "l_extendedprice"],
+                           (0.05, 0.25, 0.5, 0.75, 0.95))
+    return out.select("column", "quantile", F.round("value", 6).alias("value"))
+
+
+_QUANTILE_SQL = """
+    WITH agg AS (
+        SELECT quantile_cont(l_quantity, [0.05, 0.25, 0.5, 0.75, 0.95]) AS vq,
+               quantile_cont(l_extendedprice, [0.05, 0.25, 0.5, 0.75, 0.95]) AS vp
+        FROM lineitem
+    )
+    SELECT 'l_quantity' AS column,
+           CAST(unnest([0.05, 0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS quantile,
+           round(unnest(vq), 6) AS value
+    FROM agg
+    UNION ALL
+    SELECT 'l_extendedprice',
+           CAST(unnest([0.05, 0.25, 0.5, 0.75, 0.95]) AS DOUBLE),
+           round(unnest(vp), 6)
+    FROM agg
+"""
+
+
+def q_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA of the embedding table's vectors onto 2 components
+    (DataFrame-native; replaces the reference's RDD RowMatrix SVD,
+    ``exploration.py:155-177``). Rows-only check: component signs and
+    rotations are implementation-defined, so no cross-engine oracle."""
+    from pyspark.ml.functions import vector_to_array
+
+    from sf_datalake_spark.ml.exploration import pca_project
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", *[F.element_at("embedding", i + 1).alias(f"e{i}") for i in range(8)]
+    )
+    projected, _ = pca_project(emb, [f"e{i}" for i in range(8)], k=2)
+    arr = vector_to_array("pca_features")
+    return projected.select(
+        "vec_id",
+        F.element_at(arr, 1).alias("pc1"),
+        F.element_at(arr, 2).alias("pc2"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -480,6 +589,9 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "multimodal_meta": q_multimodal_meta,
     "asof_forward": q_asof_forward,
+    "anova_f": q_anova_f,
+    "quantile_summary": q_quantile_summary,
+    "pca_projection": q_pca_projection,
 }
 
 ORACLES_EXT: dict[str, str] = {
@@ -495,4 +607,8 @@ ORACLES_EXT: dict[str, str] = {
     "simhash_pairs": _SIMHASH_PAIRS_SQL,
     "multimodal_meta": _MULTIMODAL_META_SQL,
     "asof_forward": _ASOF_FORWARD_SQL,
+    "anova_f": _ANOVA_SQL,
+    "quantile_summary": _QUANTILE_SQL,
+    # pca_projection intentionally has no oracle (rows-only): PCA
+    # component signs/rotations are implementation-defined.
 }
