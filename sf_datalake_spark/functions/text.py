@@ -42,14 +42,22 @@ def token_count(col: Column | str) -> Column:
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Array of word n-gram shingles (space-joined), for MinHash/Jaccard.
 
-    Pure array expression: tokens → for each start offset, join the next
-    ``n`` tokens. Returns an empty array when fewer than ``n`` tokens.
+    Implementation note (hot path at corpus scale): higher-order
+    functions are interpreted, and a lambda that references an outer
+    expression re-evaluates it PER ELEMENT — the naive
+    ``transform(sequence(...), i -> slice(toks, i, n))`` retokenizes the
+    document once per shingle (quadratic). Here the lambda touches only
+    its own argument: ``arrays_zip`` of ``n`` shifted slices is built
+    once per row, then each zipped struct is joined — tokenization cost
+    is O(n) per row, not O(tokens).
     """
     toks = tokenize(col)
+    zipped = F.arrays_zip(
+        *[F.slice(toks, i + 1, F.size(toks) - n + 1) for i in range(n)]
+    )
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
         )
     )
 

@@ -142,9 +142,18 @@ def ngram_jaccard_pairs(
     |A|,|B| from per-doc distinct counts, J = ∩ / (|A|+|B|−∩).
     The shared-shingle prefilter keeps this far from all-pairs; truly
     hot shingles should be stopworded upstream at extreme scale.
+
+    The join/shuffle key is a 60-bit md5 of the shingle, not the string
+    — fixed-width numeric keys shuffle and compare far faster; a
+    colliding pair of distinct shingles (P ≈ n²/2⁶¹) would only nudge
+    one intersection count by 1.
     """
     sh = df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("sh")
+        F.col(id_col),
+        F.explode(word_shingles(text_col, shingle_n)).alias("__s"),
+    ).select(
+        id_col,
+        F.conv(F.substring(F.md5("__s"), 1, 15), 16, 10).cast("bigint").alias("sh"),
     ).distinct()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
