@@ -98,6 +98,30 @@ def write_data(
         raise ValueError(f"Unknown format: {file_format}")
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    file_format: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (+optionally sorted) table.
+
+    Bucketing pre-shuffles data by the join/aggregation key at WRITE
+    time: two tables bucketed on the same key with the same bucket count
+    join with NO exchange, and groupBy on the bucket key skips its
+    shuffle too. This is the storage-level answer to the reference's
+    repeated (siren, période) joins — pay the shuffle once, reuse it in
+    every downstream query. Sorted buckets additionally skip the
+    sort-merge join's sort."""
+    writer = df.write.format(file_format).mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def csv_to_orc(spark: SparkSession, input_path: str, output_path: str, sep: str = ",") -> None:
     """One-shot csv→orc conversion (reference ``io.py:97-113``)."""
     write_data(load_data(spark, input_path, "csv", sep=sep), output_path, "orc")

@@ -76,6 +76,32 @@ def linear_contributions(
     )
 
 
+def topic_contributions(
+    contributions: DataFrame,
+    topic_groups: dict[str, list[str]],
+    keep: list[str] | None = None,
+    prefix: str = "contrib_",
+) -> DataFrame:
+    """Roll per-feature contributions up to named topics (reference
+    ``explain.py:110-156`` + ``configuration/standard.json:136-172``):
+    topic score = sum of its member features' contributions. Pure Column
+    sums — stays distributed (the reference did this in driver pandas).
+
+    ``topic_groups`` maps topic → list of FEATURE names (matched against
+    ``{prefix}{feature}`` columns; missing features are skipped so
+    configs survive feature-set drift)."""
+    cols = set(contributions.columns)
+    out_cols = []
+    for topic, features in topic_groups.items():
+        members = [f"{prefix}{f}" for f in features if f"{prefix}{f}" in cols]
+        if members:
+            col = F.col(members[0])
+            for m in members[1:]:
+                col = col + F.col(m)
+            out_cols.append(col.alias(f"topic_{topic}"))
+    return contributions.select(*(keep or []), *out_cols)
+
+
 def shap_explanations(*args, **kwargs):  # pragma: no cover
     """Driver-side SHAP (reference ``explain.py``) — requires the shap
     package, which is not part of this engine's pinned environment."""

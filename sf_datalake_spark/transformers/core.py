@@ -197,6 +197,17 @@ class MissingValuesHandler(_ParamsMixin):
                 keys=self.get("keys"),
                 order_col=self.get("orderCol"),
             )
+        if strategy in ("mean", "median", "mode"):
+            # Statistical strategies delegate to pyspark.ml Imputer
+            # (reference ``transform.py:271-292``; mode needs Spark ≥3.1).
+            from pyspark.ml.feature import Imputer
+
+            cols = list(self.get("inputCols"))
+            return (
+                Imputer(strategy=strategy, inputCols=cols, outputCols=cols)
+                .fit(dataset)
+                .transform(dataset)
+            )
         raise ValueError(f"Unknown strategy: {strategy}")
 
 

@@ -17,7 +17,10 @@ from sf_datalake_spark.session import get_spark_session
 def spark():
     s = get_spark_session(
         "tests", master="local[2]", shuffle_partitions=4,
-        extra_conf={"spark.sql.debug.maxToStringFields": "2000"},
+        extra_conf={
+            "spark.sql.debug.maxToStringFields": "2000",
+            "spark.sql.warehouse.dir": "/tmp/spark-warehouse-tests",
+        },
     )
     yield s
 
