@@ -1,0 +1,73 @@
+"""Front-end document generation.
+
+Reference behavior replaced:
+``postprocessing/generate_frontend_document.py`` (§3.3 of SURVEY.md):
+threshold-based alert levels, waterfall rescaling of explanation scores,
+and the merged per-entity JSON alert document. The reference does all of
+this in driver pandas after collecting; here every step is a DataFrame
+transformation and the sink is ``df.write.json`` — the driver never
+holds the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sf_datalake_spark.ml.evaluation import with_alert_levels
+
+
+def rescale_contributions(
+    df: DataFrame,
+    contrib_cols: list[str],
+    target_col: str = "probability",
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Waterfall rescaling (reference
+    ``generate_frontend_document.py:169-185``): scale each row's
+    contribution columns by a common factor so they sum exactly to the
+    row's final score — keeps per-feature shares while matching the
+    displayed probability."""
+    total = None
+    for c in contrib_cols:
+        total = F.col(c) if total is None else total + F.col(c)
+    factor = F.when(total != 0, F.col(target_col) / total).otherwise(F.lit(0.0))
+    return df.select(
+        *(keep or []),
+        target_col,
+        *[(F.col(c) * factor).alias(c) for c in contrib_cols],
+    )
+
+
+def build_alert_documents(
+    predictions: DataFrame,
+    thresholds: dict[float, float],
+    entity_col: str = "siren",
+    score_col: str = "probability",
+    topic_cols: list[str] | None = None,
+) -> DataFrame:
+    """One JSON-ready row per entity: id, score, alert level, and a
+    ``scores`` map of topic explanations (reference
+    ``generate_frontend_document.py:243-271``). Write with
+    ``df.write.json(path)`` — distributed, no driver collect."""
+    with_levels = with_alert_levels(predictions, thresholds, score_col=score_col)
+    alert_label = (
+        F.when(F.col("alert_level") == 2, "Alerte seuil F1")
+        .when(F.col("alert_level") == 1, "Alerte seuil F2")
+        .otherwise("Pas d'alerte")
+    )
+    topic_cols = topic_cols or []
+    scores = (
+        F.create_map(
+            *[x for c in topic_cols for x in (F.lit(c.removeprefix("topic_")), F.col(c))]
+        )
+        if topic_cols
+        else F.create_map()
+    )
+    return with_levels.select(
+        F.col(entity_col).alias("siren"),
+        F.round(F.col(score_col), 6).alias("score"),
+        F.col("alert_level"),
+        alert_label.alias("alert"),
+        scores.alias("scores"),
+    )

@@ -145,6 +145,41 @@ def hyperplane_signature(
     return bucket
 
 
+def hyperplane_buckets_np(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    out_col: str = "__bkt",
+) -> DataFrame:
+    """Arrow-batched numpy twin of :func:`hyperplane_signature`:
+    one (batch × dim) @ (dim × n_planes) matmul per batch instead of
+    n_planes interpreted fold expressions per row. Bit-identical buckets
+    (same seeded ±1 planes, ``dot >= 0`` convention)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.choice([-1.0, 1.0], size=(n_planes, dim))
+    weights = np.ascontiguousarray(planes.T)  # (dim, n_planes)
+    pows = (1 << np.arange(n_planes)).astype(np.int64)
+
+    id_type = dict(df.dtypes)[id_col]
+    vec_type = dict(df.dtypes)[vec_col]
+    schema = f"`{id_col}` {id_type}, `{vec_col}` {vec_type}, `{out_col}` int"
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            buckets = ((mat @ weights) >= 0) @ pows
+            out = pdf[[id_col, vec_col]].copy()
+            out[out_col] = buckets.astype(np.int32)
+            yield out
+
+    return df.select(id_col, vec_col).mapInPandas(run, schema=schema)
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -160,8 +195,8 @@ def lsh_topk(
     re-ranks. Recall < 1 by construction (single probe); raise recall
     with fewer planes or multi-probe (future work).
     """
-    sig = lambda df, idc: df.select(  # noqa: E731
-        F.col(idc), F.col(vec_col), hyperplane_signature(vec_col, n_planes, dim, seed).alias("__bkt")
+    sig = lambda df, idc: hyperplane_buckets_np(  # noqa: E731
+        df, idc, vec_col, n_planes, dim, seed
     )
     q = sig(queries, query_id).select(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv"), "__bkt"

@@ -573,6 +573,79 @@ def q_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Rows-only queries (no SQL oracle): ANN, ML training, resampling, the
+# randomized grouped split. Deterministic (seeded) but not expressible
+# as engine-portable SQL — the driver records the weaker rows-only check.
+# ---------------------------------------------------------------------------
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 neighbors via random-hyperplane LSH buckets
+    (the 100 TB path: candidates meet in an equi-join, never all-pairs)."""
+    from sf_datalake_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb, k=3, n_planes=8, dim=64).select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def q_ml_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship learning slice as a query: panel features → logistic
+    regression → per-entity failure probability + alert level."""
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.ml.feature import VectorAssembler
+
+    from sf_datalake_spark.ml import make_classifier, with_alert_levels
+    from sf_datalake_spark.operators.split import hash_split
+    from sf_datalake_spark.operators.windows import with_lag
+    from sf_datalake_spark.queries import q_target_variable
+
+    panel = customer_monthly_panel(spark, sf_dir)
+    panel = with_lag(panel, "revenue", [1], keys=["custkey"], period_col="periode",
+                     suffix_fmt="revenue_lag{n}m").fillna({"revenue_lag1m": 0.0})
+    labeled = panel.join(q_target_variable(spark, sf_dir), ["custkey", "periode"])
+    assembled = VectorAssembler(
+        inputCols=["revenue", "revenue_lag1m"], outputCol="features"
+    ).transform(labeled)
+    train, test = hash_split(assembled, "custkey", test_fraction=0.3)
+    model = make_classifier("LogisticRegression", maxIter=20).fit(train)
+    preds = model.transform(test).withColumn(
+        "probability_1", F.round(F.element_at(vector_to_array("probability"), 2), 6)
+    )
+    return with_alert_levels(
+        preds, {0.5: 0.6, 2.0: 0.3}, score_col="probability_1"
+    ).select("custkey", "periode", "failure", "probability_1", "alert_level")
+
+
+def q_resampled_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class rebalancing to a 0.5 minority/majority ratio (seeded
+    undersampling), reported as per-class counts."""
+    from sf_datalake_spark.operators.resample import resample_classes
+    from sf_datalake_spark.queries import q_target_variable
+
+    labeled = q_target_variable(spark, sf_dir)
+    out = resample_classes(labeled, "failure", target_ratio=0.5,
+                           method="undersampling", seed=42)
+    return out.groupBy("failure").agg(F.count("*").alias("n_rows"))
+
+
+def q_grouped_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-style randomized grouped split (distinct + randomSplit +
+    left-semi), seeded; split sizes per side."""
+    from sf_datalake_spark.operators.split import train_test_split_grouped
+
+    customer = _t(spark, sf_dir, "customer")
+    train, test = train_test_split_grouped(customer, "c_custkey",
+                                           train_size=0.8, seed=42)
+    return (
+        train.select(F.lit("train").alias("split"))
+        .unionByName(test.select(F.lit("test").alias("split")))
+        .groupBy("split")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -592,6 +665,10 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anova_f": q_anova_f,
     "quantile_summary": q_quantile_summary,
     "pca_projection": q_pca_projection,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ml_train_predict": q_ml_train_predict,
+    "resampled_counts": q_resampled_counts,
+    "grouped_split_counts": q_grouped_split_counts,
 }
 
 ORACLES_EXT: dict[str, str] = {
