@@ -49,6 +49,8 @@ class ExtractJob:
     group_keys: Sequence[str] = ()
     agg: dict[str, str] = field(default_factory=dict)
     fill_defaults: dict = field(default_factory=dict)
+    sample_ratio: float = 1.0
+    random_seed: int = 42
     output_path: str | None = None
     output_format: str = "orc"
     partition_output_by: Sequence[str] | None = None
@@ -59,6 +61,9 @@ class ExtractJob:
             spark, self.source_path, self.file_format, sep=self.sep,
             schema=self.schema if isinstance(self.schema, StructType) else None,
         )
+        if self.sample_ratio < 1.0:
+            # Sampled scan for smoke runs (reference ``__main__.py:146-149``).
+            df = df.sample(fraction=self.sample_ratio, seed=self.random_seed)
         if isinstance(self.schema, str):
             for name, typ in (c.split(":") for c in self.schema.split(",")):
                 df = df.withColumn(name.strip(), F.col(name.strip()).cast(typ.strip()))

@@ -1,0 +1,132 @@
+"""Property-based tests (hypothesis): randomized inputs, invariant
+assertions — the formalized version of the reference's tolerance-band
+randomized tests (SURVEY.md §5 pattern 2).
+
+Spark jobs are slow per-example, so each property runs few, large
+examples (deadline disabled; the generator builds whole tables)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from sf_datalake_spark.operators.asof import merge_asof
+from sf_datalake_spark.operators.intervals import union_intervals
+from sf_datalake_spark.operators.skew import salted_aggregate
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_day = st.integers(min_value=0, max_value=400)
+
+
+@st.composite
+def asof_tables(draw):
+    n_left = draw(st.integers(2, 15))
+    n_right = draw(st.integers(1, 15))
+    groups = ["g1", "g2"]
+    left = [
+        (draw(st.sampled_from(groups)), dt.date(2022, 1, 1) + dt.timedelta(draw(_day)))
+        for _ in range(n_left)
+    ]
+    right = [
+        (
+            draw(st.sampled_from(groups)),
+            dt.date(2022, 1, 1) + dt.timedelta(draw(_day)),
+            float(draw(st.integers(0, 1000))),
+        )
+        for _ in range(n_right)
+    ]
+    # pandas merge_asof requires unique-ish ordering; dedupe right on (g, t)
+    right = list({(g, t): (g, t, v) for g, t, v in right}.values())
+    return left, right
+
+
+@given(tables=asof_tables(), direction=st.sampled_from(["backward", "forward"]),
+       tolerance=st.sampled_from([None, 30, 365]))
+@SLOW
+def test_asof_matches_pandas(spark, tables, direction, tolerance):
+    left_rows, right_rows = tables
+    left = spark.createDataFrame(left_rows, "g string, t date")
+    right = spark.createDataFrame(right_rows, "g string, t date, v double")
+    got = (
+        merge_asof(left, right, on="t", by=["g"], direction=direction,
+                   tolerance=tolerance)
+        .orderBy("g", "t")
+        .toPandas()
+    )
+    lp = pd.DataFrame(left_rows, columns=["g", "t"]).sort_values(["t", "g"])
+    rp = pd.DataFrame(right_rows, columns=["g", "t", "v"]).sort_values(["t", "g"])
+    lp["t"] = pd.to_datetime(lp["t"])
+    rp["t"] = pd.to_datetime(rp["t"])
+    exp = pd.merge_asof(
+        lp, rp, on="t", by="g", direction=direction,
+        tolerance=None if tolerance is None else pd.Timedelta(days=tolerance),
+    ).sort_values(["g", "t"]).reset_index(drop=True)
+    # compare multisets of (g, t, v): left may contain duplicate (g, t)
+    got_set = sorted((r.g, str(r.t), -1 if pd.isna(r.v) else r.v)
+                     for r in got.itertuples())
+    exp_set = sorted((r.g, str(r.t.date()), -1 if pd.isna(r.v) else r.v)
+                     for r in exp.itertuples())
+    assert got_set == exp_set
+
+
+@st.composite
+def interval_tables(draw):
+    n = draw(st.integers(1, 20))
+    rows = []
+    for _ in range(n):
+        start = draw(_day)
+        length = draw(st.integers(0, 40))
+        rows.append(
+            ("e", dt.date(2022, 1, 1) + dt.timedelta(start),
+             dt.date(2022, 1, 1) + dt.timedelta(start + length))
+        )
+    return rows
+
+
+@given(rows=interval_tables())
+@SLOW
+def test_interval_union_invariants(spark, rows):
+    df = spark.createDataFrame(rows, "k string, s date, e date")
+    merged = union_intervals(df, ["k"], "s", "e").collect()
+    merged = sorted((r["s"], r["e"]) for r in merged)
+    # 1. disjoint and strictly separated (no touching spans remain)
+    for (s1, e1), (s2, e2) in zip(merged, merged[1:]):
+        assert e1 < s2
+    # 2. coverage: every input interval lies inside some merged interval
+    for _, s, e in rows:
+        assert any(ms <= s and e <= me for ms, me in merged)
+    # 3. conservation: merged bounds come from the input
+    starts = {s for _, s, _ in rows}
+    ends = {e for _, _, e in rows}
+    for ms, me in merged:
+        assert ms in starts and me in ends
+
+
+@given(
+    values=st.lists(st.tuples(st.sampled_from(["a", "b", "hot"]),
+                              st.floats(-1e6, 1e6)), min_size=1, max_size=60),
+    n_salts=st.sampled_from([2, 7, 16]),
+)
+@SLOW
+def test_salted_aggregate_equals_plain(spark, values, n_salts):
+    df = spark.createDataFrame(values, "k string, v double")
+    plain = {r["k"]: (r["s"], r["n"]) for r in
+             df.groupBy("k").agg(F.sum("v").alias("s"), F.count("v").alias("n")).collect()}
+    salted = {r["k"]: (r["v"], r["n"]) for r in
+              salted_aggregate(
+                  df.select("k", "v", F.col("v").alias("n")),
+                  ["k"], {"v": "sum", "n": "count"}, n_salts=n_salts).collect()}
+    assert plain.keys() == salted.keys()
+    for k, (s, n) in plain.items():
+        assert salted[k][1] == n
+        assert abs(salted[k][0] - s) < 1e-6 * max(1.0, abs(s))
