@@ -572,11 +572,156 @@ def q_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of (the direction the reference documented
+    but never implemented — ``utils.py:126`` vs ``:190-193``): closest
+    click before OR after each purchase, 30-minute tolerance, ties →
+    backward (pandas convention)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    out = merge_asof(
+        purchases, clicks, on="ts", by=["user_id"],
+        value_cols=["click_value"], direction="nearest", tolerance=1800,
+    )
+    return out.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "click_value"
+    )
+
+
+_ASOF_NEAREST_SQL = """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, value AS click_value FROM events
+               WHERE event_type = 'click'),
+    b AS (
+        SELECT p.event_id, c.ts AS bts, c.click_value AS bv
+        FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    ),
+    f AS (
+        SELECT p.event_id, c.ts AS fts, c.click_value AS fv
+        FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+    )
+    SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+           CASE
+             WHEN b.bts IS NOT NULL
+                  AND (epoch_us(p.ts) - epoch_us(b.bts)) <= 1800000000::BIGINT
+                  AND (f.fts IS NULL
+                       OR (epoch_us(f.fts) - epoch_us(p.ts)) > 1800000000::BIGINT
+                       OR (epoch_us(p.ts) - epoch_us(b.bts))
+                          <= (epoch_us(f.fts) - epoch_us(p.ts)))
+               THEN b.bv
+             WHEN f.fts IS NOT NULL
+                  AND (epoch_us(f.fts) - epoch_us(p.ts)) <= 1800000000::BIGINT
+               THEN f.fv
+           END AS click_value
+    FROM p LEFT JOIN b ON p.event_id = b.event_id
+           LEFT JOIN f ON p.event_id = f.event_id
+"""
+
+
+def q_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking battery the reference never used (SURVEY.md §2.5 — only
+    row_number appears there): dense_rank + ntile deciles over customer
+    lifetime revenue."""
+    panel = customer_monthly_panel(spark, sf_dir)
+    totals = panel.groupBy("custkey").agg(
+        F.round(F.sum("revenue"), 2).alias("total_revenue")
+    )
+    w = Window.orderBy(F.col("total_revenue").desc(), F.col("custkey").asc())
+    return totals.select(
+        "custkey",
+        "total_revenue",
+        F.dense_rank().over(w).alias("revenue_rank"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+_DECILES_SQL = f"""
+    WITH panel AS ({_PANEL_SQL}),
+    totals AS (
+        SELECT custkey, round(sum(revenue), 2) AS total_revenue
+        FROM panel GROUP BY 1
+    )
+    SELECT custkey, total_revenue,
+           CAST(dense_rank() OVER w AS BIGINT) AS revenue_rank,
+           CAST(ntile(10) OVER w AS BIGINT) AS decile
+    FROM totals
+    WINDOW w AS (ORDER BY total_revenue DESC, custkey ASC)
+"""
+
+
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String battery (SURVEY.md §2.8: lpad zero-pad, substr, concat,
+    case mapping, regexp extraction)."""
+    customer = _t(spark, sf_dir, "customer")
+    padded = F.lpad(F.col("c_custkey").cast("string"), 9, "0")
+    return customer.select(
+        F.col("c_custkey").alias("custkey"),
+        padded.alias("custkey_padded"),
+        padded.substr(1, 3).alias("key_prefix"),
+        F.concat_ws("/", F.col("c_mktsegment"), padded).alias("segment_key"),
+        F.upper("c_name").alias("name_upper"),
+        F.regexp_extract("c_name", r"(\d+)$", 1).alias("name_number"),
+        F.length("c_name").alias("name_len"),
+    )
+
+
+_STRING_SQL = r"""
+    SELECT c_custkey AS custkey,
+           lpad(c_custkey::varchar, 9, '0') AS custkey_padded,
+           substring(lpad(c_custkey::varchar, 9, '0'), 1, 3) AS key_prefix,
+           concat_ws('/', c_mktsegment, lpad(c_custkey::varchar, 9, '0'))
+             AS segment_key,
+           upper(c_name) AS name_upper,
+           regexp_extract(c_name, '(\d+)$', 1) AS name_number,
+           CAST(length(c_name) AS INT) AS name_len
+    FROM customer
+"""
+
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct cardinalities per dimension (one pass, multiple
+    count-distincts — Catalyst expands these via a grouping-sets plan)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.countDistinct(F.year("o_orderdate")).alias("n_years"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+_DISTINCT_SQL = """
+    SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           CAST(count(DISTINCT year(o_orderdate)) AS BIGINT) AS n_years,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+"""
+
+
 # ---------------------------------------------------------------------------
 # Rows-only queries (no SQL oracle): ANN, ML training, resampling, the
 # randomized grouped split. Deterministic (seeded) but not expressible
 # as engine-portable SQL — the driver records the weaker rows-only check.
 # ---------------------------------------------------------------------------
+
+def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based approximations for the interactive 100 TB path:
+    HyperLogLog++ cardinalities and approximate percentiles. Rows-only —
+    sketch internals are engine-specific by nature (exact twins:
+    ``distinct_counts`` / ``quantile_summary``)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").alias(
+            "price_p50_p95"
+        ),
+    )
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 neighbors via random-hyperplane LSH buckets
@@ -665,6 +810,11 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anova_f": q_anova_f,
     "quantile_summary": q_quantile_summary,
     "pca_projection": q_pca_projection,
+    "asof_nearest": q_asof_nearest,
+    "revenue_deciles": q_revenue_deciles,
+    "string_functions": q_string_functions,
+    "distinct_counts": q_distinct_counts,
+    "sketches": q_sketches,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ml_train_predict": q_ml_train_predict,
     "resampled_counts": q_resampled_counts,
@@ -686,6 +836,10 @@ ORACLES_EXT: dict[str, str] = {
     "asof_forward": _ASOF_FORWARD_SQL,
     "anova_f": _ANOVA_SQL,
     "quantile_summary": _QUANTILE_SQL,
-    # pca_projection intentionally has no oracle (rows-only): PCA
-    # component signs/rotations are implementation-defined.
+    "asof_nearest": _ASOF_NEAREST_SQL,
+    "revenue_deciles": _DECILES_SQL,
+    "string_functions": _STRING_SQL,
+    "distinct_counts": _DISTINCT_SQL,
+    # pca_projection, sketches, ann_lsh_topk, ml_train_predict,
+    # resampled_counts, grouped_split_counts: rows-only by design.
 }
