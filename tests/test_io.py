@@ -1,0 +1,78 @@
+"""IO coverage: readers/writers, prediction writer, csv→orc, sampled
+scan, compound-condition semi join (the reference's activity-window
+filter shape, ``join_datasets.py:202-210``)."""
+
+from __future__ import annotations
+
+from pyspark.ml.classification import LogisticRegression
+from pyspark.ml.feature import VectorAssembler
+from pyspark.sql import functions as F
+
+from sf_datalake_spark.io import csv_to_orc, load_data, write_data, write_predictions
+from sf_datalake_spark.pipelines import ExtractJob
+
+from tests.conftest import d
+
+
+def test_csv_roundtrip_with_custom_sep(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    p = str(tmp_path / "out_csv")
+    write_data(df, p, "csv", sep="|")
+    back = load_data(spark, p, "csv", sep="|", infer_schema=True)
+    assert {(r["k"], r["v"]) for r in back.collect()} == {("a", 1), ("b", 2)}
+
+
+def test_csv_to_orc_and_lowercase(spark, tmp_path):
+    src = tmp_path / "in.csv"
+    src.write_text("SIREN,Montant\n123,4.5\n")
+    out = str(tmp_path / "out_orc")
+    csv_to_orc(spark, str(src), out)
+    back = load_data(spark, out, "orc", lowercase_columns=True)
+    assert back.columns == ["siren", "montant"]
+
+
+def test_write_predictions_extracts_positive_probability(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1.0, 0.0, 1), (0.0, 1.0, 0), (2.0, 1.0, 1), (0.5, 2.0, 0)] * 5,
+        "x double, y double, label int",
+    )
+    assembled = VectorAssembler(inputCols=["x", "y"], outputCol="features").transform(df)
+    model = LogisticRegression(featuresCol="features", labelCol="label").fit(assembled)
+    preds = model.transform(assembled)
+    p = str(tmp_path / "preds")
+    write_predictions(preds, p, keep_cols=["label"])
+    back = spark.read.parquet(p)
+    assert set(back.columns) == {"label", "probability"}
+    probs = [r["probability"] for r in back.collect()]
+    assert all(0.0 <= v <= 1.0 for v in probs)
+
+
+def test_sampled_scan(spark, tmp_path):
+    src = tmp_path / "big.csv"
+    src.write_text("id\n" + "\n".join(str(i) for i in range(1000)))
+    job = ExtractJob(source_path=str(src), sample_ratio=0.2, random_seed=42)
+    n = job.build(spark).count()
+    assert 100 < n < 320            # Bernoulli sample around 200
+    # deterministic for a fixed seed
+    assert job.build(spark).count() == n
+
+
+def test_compound_condition_semi_join(spark):
+    """Activity-window membership: siren equal AND date_début <= période
+    < date_fin, as a left-semi join (reference ``join_datasets.py:202-210``)."""
+    panel = spark.createDataFrame(
+        [("1", d("2023-01-01")), ("1", d("2023-05-01")), ("2", d("2023-01-01"))],
+        "siren string, `période` date",
+    )
+    windows = spark.createDataFrame(
+        [("1", d("2022-12-01"), d("2023-03-01"))],
+        "siren_w string, d0 date, d1 date",
+    )
+    out = panel.join(
+        windows,
+        (F.col("siren") == F.col("siren_w"))
+        & (F.col("d0") <= F.col("période"))
+        & (F.col("période") < F.col("d1")),
+        "left_semi",
+    )
+    assert [(r["siren"], r["période"]) for r in out.collect()] == [("1", d("2023-01-01"))]
