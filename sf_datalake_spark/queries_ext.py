@@ -572,6 +572,71 @@ def q_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: join + agg + global ORDER BY + LIMIT top-k
+    (SURVEY.md §2.6 — the reference never uses limit/top-k; a complete
+    engine needs the TakeOrderedAndProject path). Total order via the
+    orderkey tiebreak keeps the result deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        .filter(F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp"))
+        .groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
+        .limit(10)
+    )
+
+
+_TOP_UNSHIPPED_SQL = """
+    SELECT l_orderkey AS orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate > TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    ORDER BY revenue DESC, orderkey ASC
+    LIMIT 10
+"""
+
+
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + single scalar aggregate — the
+    pushdown-everything query (predicates reach the parquet scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.05))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "forecast_revenue"
+            ),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+_FORECAST_SQL = """
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS forecast_revenue,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.05
+      AND l_quantity < 24
+"""
+
+
 def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-direction as-of (the direction the reference documented
     but never implemented — ``utils.py:126`` vs ``:190-193``): closest
@@ -810,6 +875,8 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anova_f": q_anova_f,
     "quantile_summary": q_quantile_summary,
     "pca_projection": q_pca_projection,
+    "top_unshipped_orders": q_top_unshipped_orders,
+    "forecast_revenue_change": q_forecast_revenue_change,
     "asof_nearest": q_asof_nearest,
     "revenue_deciles": q_revenue_deciles,
     "string_functions": q_string_functions,
@@ -836,6 +903,8 @@ ORACLES_EXT: dict[str, str] = {
     "asof_forward": _ASOF_FORWARD_SQL,
     "anova_f": _ANOVA_SQL,
     "quantile_summary": _QUANTILE_SQL,
+    "top_unshipped_orders": _TOP_UNSHIPPED_SQL,
+    "forecast_revenue_change": _FORECAST_SQL,
     "asof_nearest": _ASOF_NEAREST_SQL,
     "revenue_deciles": _DECILES_SQL,
     "string_functions": _STRING_SQL,
