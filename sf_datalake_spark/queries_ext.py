@@ -775,6 +775,26 @@ _DISTINCT_SQL = """
 # as engine-portable SQL — the driver records the weaker rows-only check.
 # ---------------------------------------------------------------------------
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode + resize plumbing over binary payloads (deterministic
+    stub decoder — real codecs are import-try'd): documents' utf-8 bytes
+    become 16×16 fake images, resized to 8×8, with a pixel checksum.
+    Rows-only: the md5-seeded fake pixels are not SQL-reproducible, but
+    the row count, schema, and Arrow batch plumbing are fully exercised."""
+    from sf_datalake_spark.multimodal import decode_images, resize_images
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    decoded = decode_images(docs)
+    resized = resize_images(decoded, 8, 8)
+    return resized.select(
+        "asset_id", "height", "width", "channels",
+        F.md5("pixels").alias("pixels_md5"),
+    )
+
+
 def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based approximations for the interactive 100 TB path:
     HyperLogLog++ cardinalities and approximate percentiles. Rows-only —
@@ -882,6 +902,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_functions": q_string_functions,
     "distinct_counts": q_distinct_counts,
     "sketches": q_sketches,
+    "multimodal_decode": q_multimodal_decode,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ml_train_predict": q_ml_train_predict,
     "resampled_counts": q_resampled_counts,
