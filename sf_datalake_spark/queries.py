@@ -53,6 +53,9 @@ from sf_datalake_spark.operators.windows import (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The caller may hand us a session we didn't build: pin UTC so
+    # timestamp→date truncation matches the (tz-naive) oracle engine.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # The events table stores TIMESTAMP(NANOS) which Spark's parquet
         # reader rejects; read nanos as long and truncate to microseconds
