@@ -219,6 +219,117 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans coarse quantizer
+    partitions the corpus into cells; each query probes its ``n_probe``
+    nearest cells and exact cosine re-ranks the candidates.
+
+    The scale path complement to :func:`lsh_topk`: cell membership is a
+    plain int column, so the candidate join is an equi-join touching
+    ~``n_probe``/``n_cells`` of the corpus per query, and the corpus side
+    can be stored bucketed by cell. Centroids (n_cells × dim) ride along
+    broadcast; cell assignment is one Arrow matmul per batch.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus_v = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        array_to_vector(F.col(vec_col)).alias("__v"),
+    ).cache()  # KMeans iterations re-scan the corpus; cache it once
+    model = KMeans(k=n_cells, seed=seed, featuresCol="__v", maxIter=8).fit(corpus_v)
+    assigned = model.transform(corpus_v).select(
+        "neighbor_id", "__cv", F.col("prediction").alias("__cell")
+    )
+    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
+    bc = queries.sparkSession.sparkContext.broadcast(centroids)
+    id_type = dict(queries.dtypes)[query_id]
+    vec_type = dict(queries.dtypes)[vec_col]
+
+    def probe(batches):
+        import pandas as pd
+
+        cents = bc.value
+        for pdf in batches:
+            q = np.array(list(pdf["__qv"]), dtype=np.float64)
+            # squared euclidean to every centroid; argpartition n_probe
+            d2 = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            cells = np.argsort(d2, axis=1)[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf["query_id"].to_numpy(), n_probe),
+                    "__qv": [v for v in pdf["__qv"] for _ in range(n_probe)],
+                    "__cell": cells.ravel().astype(np.int32),
+                }
+            )
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).mapInPandas(
+        probe, schema=f"query_id {id_type}, __qv {vec_type}, __cell int"
+    )
+
+    # Re-rank per cell with a COGROUPED Arrow stage: queries probing a
+    # cell meet that cell's corpus slice as two pandas frames — one BLAS
+    # matmul per cell, and the (query × candidate) pair rows never
+    # materialize in the shuffle (only per-cell top-k survives).
+    n_id_type = dict(corpus.dtypes)[corpus_id]
+    out_schema = f"query_id {id_type}, neighbor_id {n_id_type}, cosine double"
+
+    def rerank(qpdf, cpdf):
+        import pandas as pd
+
+        if qpdf.empty or cpdf.empty:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+        qm = np.array(list(qpdf["__qv"]), dtype=np.float64)
+        cm = np.array(list(cpdf["__cv"]), dtype=np.float64)
+        qn = np.linalg.norm(qm, axis=1)
+        cn = np.linalg.norm(cm, axis=1)
+        qn[qn == 0] = np.nan
+        cn[cn == 0] = np.nan
+        sims = (qm @ cm.T) / np.outer(qn, cn)
+        q_ids = qpdf["query_id"].to_numpy()
+        c_ids = cpdf["neighbor_id"].to_numpy()
+        order = np.argsort(c_ids, kind="stable")
+        sims = sims[:, order]
+        c_sorted = c_ids[order]
+        sims[q_ids[:, None] == c_sorted[None, :]] = -np.inf
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+        out = pd.DataFrame(
+            {
+                "query_id": np.repeat(q_ids, top.shape[1]),
+                "neighbor_id": c_sorted[top].ravel(),
+                "cosine": np.take_along_axis(sims, top, 1).ravel(),
+            }
+        )
+        return out[np.isfinite(out["cosine"])]
+
+    candidates = (
+        q.groupBy("__cell")
+        .cogroup(assigned.groupBy("__cell"))
+        .applyInPandas(rerank, schema=out_schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

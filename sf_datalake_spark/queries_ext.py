@@ -819,6 +819,17 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-3: KMeans cells + 4-probe + exact re-rank
+    (rows-only: centroid assignment is iterative/seeded, not SQL)."""
+    from sf_datalake_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb, k=3, n_cells=16, n_probe=4).select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def q_ml_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship learning slice as a query: panel features → logistic
     regression → per-entity failure probability + alert level."""
@@ -904,6 +915,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketches": q_sketches,
     "multimodal_decode": q_multimodal_decode,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "ml_train_predict": q_ml_train_predict,
     "resampled_counts": q_resampled_counts,
     "grouped_split_counts": q_grouped_split_counts,

@@ -3,6 +3,7 @@
 from sf_datalake_spark.streaming.streams import (
     read_file_stream,
     run_to_memory,
+    running_total_alerts,
     session_aggregate,
     streaming_dedup,
     windowed_aggregate,
@@ -11,6 +12,7 @@ from sf_datalake_spark.streaming.streams import (
 __all__ = [
     "read_file_stream",
     "run_to_memory",
+    "running_total_alerts",
     "session_aggregate",
     "streaming_dedup",
     "windowed_aggregate",

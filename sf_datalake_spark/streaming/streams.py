@@ -96,6 +96,64 @@ def streaming_dedup(
     return df.dropDuplicates(list(keys))
 
 
+def running_total_alerts(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    threshold: float,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: maintain a
+    per-key running total across micro-batches and emit one row whenever
+    the total first crosses ``threshold`` (then every further crossing of
+    the next multiple). The kind of operator windows can't express —
+    state is an arbitrary accumulator, emission is data-dependent.
+
+    State = (total, alerts_emitted). Pass ``timeout_ms`` in long-running
+    production streams to reclaim idle-key state; leave ``None`` for
+    bounded/availableNow runs (a processing-time timeout keeps scheduling
+    micro-batches until every timeout has fired, which stalls an
+    availableNow drain). Output: (key..., alert_no, total, ts) rows.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        ", ".join(f"`{k}` string" for k in keys)
+        + ", alert_no int, total double, ts timestamp"
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        total, emitted = state.get if state.exists else (0.0, 0)
+        rows = []
+        for pdf in pdfs:
+            for _, r in pdf.sort_values(ts_col).iterrows():
+                total += float(r[value_col])
+                while total >= threshold * (emitted + 1):
+                    emitted += 1
+                    rows.append((*key, emitted, total, r[ts_col]))
+        state.update((total, emitted))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        cols = [*keys, "alert_no", "total", "ts"]
+        yield pd.DataFrame(rows, columns=cols)
+
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return df.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="total double, emitted int",
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )
+
+
 def run_to_memory(
     stream: DataFrame, query_name: str, output_mode: str = "append"
 ) -> DataFrame:

@@ -135,6 +135,23 @@ def test_lsh_topk_agrees_on_close_pair(vectors):
     assert got.get(2) == 1
 
 
+def test_ivf_topk_recall_vs_exact(spark):
+    """IVF with full probing (n_probe == n_cells) equals brute force;
+    partial probing keeps high recall on real embeddings."""
+    from sf_datalake_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk_np(emb, emb, k=3).collect()}
+    full = {(r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(emb, emb, k=3, n_cells=4, n_probe=4).collect()}
+    assert full == exact
+    partial = {(r["query_id"], r["neighbor_id"])
+               for r in ivf_topk(emb, emb, k=3, n_cells=8, n_probe=3).collect()}
+    recall = len(partial & exact) / len(exact)
+    assert recall > 0.7
+
+
 def test_embedding_near_dup_pairs(vectors):
     pairs = embedding_near_dup_pairs(vectors, threshold=0.95, n_planes=4, dim=4)
     got = {(r["id_1"], r["id_2"]) for r in pairs.collect()}

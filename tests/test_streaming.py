@@ -74,6 +74,26 @@ def test_session_aggregate_matches_batch_sessionize(spark, stream_dir):
     assert len(streaming_sessions) == 3
 
 
+def test_running_total_alerts_stateful(spark, tmp_path):
+    """applyInPandasWithState: per-key accumulator emits an alert row at
+    every crossing of threshold multiples."""
+    from sf_datalake_spark.streaming import running_total_alerts
+
+    p = str(tmp_path / "state_in")
+    rows = [
+        ("u1", ts("2023-01-01 10:00:00"), 6.0),    # total 6
+        ("u1", ts("2023-01-01 10:01:00"), 5.0),    # 11 → alerts 1 (≥10)
+        ("u1", ts("2023-01-01 10:02:00"), 12.0),   # 23 → alert 2 (≥20)
+        ("u2", ts("2023-01-01 10:00:00"), 3.0),    # never crosses
+    ]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(p)
+    stream = read_file_stream(spark, p, SCHEMA)
+    alerts = running_total_alerts(stream, ["uid"], "t", "v", threshold=10.0)
+    out = run_to_memory(alerts, "alerts_test")
+    got = sorted((r["uid"], r["alert_no"], r["total"]) for r in out.collect())
+    assert got == [("u1", 1, 11.0), ("u1", 2, 23.0)]
+
+
 def test_streaming_dedup(spark, tmp_path):
     p = str(tmp_path / "dup")
     rows = ROWS + ROWS[:2]  # duplicate first two events
