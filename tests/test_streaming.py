@@ -94,6 +94,22 @@ def test_running_total_alerts_stateful(spark, tmp_path):
     assert got == [("u1", 1, 11.0), ("u1", 2, 23.0)]
 
 
+def test_stream_static_join(spark, stream_dir):
+    """Stream-static broadcast join: enrich streaming events with a
+    static dimension — no state, per-batch hash join."""
+    from pyspark.sql import functions as F
+
+    dim = spark.createDataFrame(
+        [("u1", "gold"), ("u2", "silver")], "uid string, tier string"
+    )
+    stream = read_file_stream(spark, stream_dir, SCHEMA)
+    enriched = stream.join(F.broadcast(dim), "uid")
+    out = run_to_memory(enriched, "join_test")
+    got = {(r["uid"], r["tier"]) for r in out.collect()}
+    assert got == {("u1", "gold"), ("u2", "silver")}
+    assert out.count() == 4
+
+
 def test_streaming_dedup(spark, tmp_path):
     p = str(tmp_path / "dup")
     rows = ROWS + ROWS[:2]  # duplicate first two events
