@@ -50,10 +50,9 @@ def minhash_signature(
 ) -> DataFrame:
     """(id, signature array<bigint>) — MinHash over word shingles.
 
-    One explode + one groupBy: minimum of ``md5_hash64(shingle, i)`` per
-    document for each of the ``num_hashes`` seeds. Documents with no
-    shingle (shorter than ``shingle_n`` tokens) are dropped, like
-    datasketch's convention.
+    One explode + one groupBy computing all ``num_hashes`` minima as
+    aggregate columns. Documents with no shingle (shorter than
+    ``shingle_n`` tokens) are dropped, like datasketch's convention.
     """
     shingled = df.select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("__sh")

@@ -132,6 +132,33 @@ def post_join_features(
     return Pipeline(stages=list(stages)).fit(df).transform(df)
 
 
+def upsert_monthly_partitions(
+    df: DataFrame,
+    path: str,
+    period_col: str = "période",
+    file_format: str = "parquet",
+) -> None:
+    """Incrementally maintain a period-partitioned panel: overwrite ONLY
+    the partitions present in ``df`` (dynamic partition overwrite),
+    leaving historical months untouched.
+
+    The 100 TB maintenance path: a monthly refresh rewrites one month's
+    partition, not the table; readers keep pruning on ``period_col``.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.write.mode("overwrite")
+            .partitionBy(period_col)
+            .format(file_format)
+            .save(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def semi_join_filter(
     df: DataFrame, perimeter: DataFrame, keys: Sequence[str] = ("siren",)
 ) -> DataFrame:

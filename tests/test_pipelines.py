@@ -14,6 +14,7 @@ from sf_datalake_spark.pipelines import (
     join_panel,
     post_join_features,
     semi_join_filter,
+    upsert_monthly_partitions,
 )
 from sf_datalake_spark.transformers import (
     IdentifierNormalizer,
@@ -107,3 +108,37 @@ def test_full_dataset_build_dag(spark, csv_sources, tmp_path):
 
     pruned = back.filter(F.col("période") == "2023-01-01")
     assert pruned.count() == 1
+
+
+def test_upsert_monthly_partitions_is_incremental(spark, tmp_path):
+    """Dynamic partition overwrite: re-writing one month leaves the
+    others untouched."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "panel_parts")
+    base = spark.createDataFrame(
+        [("1", d("2023-01-01"), 10.0), ("1", d("2023-02-01"), 20.0)],
+        "siren string, `période` date, ca double",
+    )
+    upsert_monthly_partitions(base, path)
+    # revise February only
+    feb = spark.createDataFrame(
+        [("1", d("2023-02-01"), 99.0)], "siren string, `période` date, ca double"
+    )
+    upsert_monthly_partitions(feb, path)
+    back = {r["période"]: r["ca"] for r in spark.read.parquet(path).collect()}
+    assert back == {d("2023-01-01"): 10.0, d("2023-02-01"): 99.0}
+
+
+def test_char_ngrams_and_mode_imputer(spark):
+    from sf_datalake_spark.functions.text import char_ngrams
+    from sf_datalake_spark.transformers import MissingValuesHandler
+
+    df = spark.createDataFrame([("Ab cd",), ("xy",)], "text string")
+    rows = df.select(char_ngrams("text", 4).alias("g")).collect()
+    assert rows[0]["g"] == ["ab c", "b cd"]     # normalized (lowercase)
+    assert rows[1]["g"] == []                    # shorter than n
+
+    dfn = spark.createDataFrame([(1.0,), (1.0,), (5.0,), (None,)], "x double")
+    out = MissingValuesHandler(strategy="mode", inputCols=["x"]).transform(dfn)
+    assert sorted(r["x"] for r in out.collect()) == [1.0, 1.0, 1.0, 5.0]
