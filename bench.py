@@ -29,9 +29,13 @@ def main() -> int:
 
     qs = entry_mod.queries()
 
-    # Warm up: JVM codegen, parquet footers.
+    # Warm up: JVM codegen, parquet footers, and the Arrow python
+    # workers (so the first mapInPandas query doesn't pay worker spawn).
     try:
         next(iter(qs.values()))(spark, sf_dir).limit(1).collect()
+        spark.range(32).repartition(32).mapInPandas(
+            lambda it: it, schema="id long"
+        ).count()
     except Exception:
         pass
 

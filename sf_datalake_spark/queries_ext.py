@@ -748,6 +748,40 @@ _STRING_SQL = r"""
 """
 
 
+def q_salted_supplier_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe two-phase aggregation (operators/skew.py): the salted
+    plan must produce EXACTLY the plain groupBy's numbers — the oracle is
+    the plain SQL aggregation, so the equivalence is checked cross-engine."""
+    from sf_datalake_spark.operators.skew import salted_aggregate
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.col("l_quantity").alias("sum_qty"),
+        F.col("l_extendedprice").alias("max_price"),
+        F.lit(1).alias("n_items"),
+    )
+    out = salted_aggregate(
+        li, ["l_suppkey"],
+        {"sum_qty": "sum", "max_price": "max", "n_items": "count"},
+        n_salts=8,
+    )
+    return out.select(
+        "l_suppkey",
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("max_price", 2).alias("max_price"),
+        "n_items",
+    )
+
+
+_SALTED_AGG_SQL = """
+    SELECT l_suppkey,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(max(l_extendedprice), 2) AS max_price,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem GROUP BY 1
+"""
+
+
 def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct cardinalities per dimension (one pass, multiple
     count-distincts — Catalyst expands these via a grouping-sets plan)."""
@@ -849,7 +883,7 @@ def q_ml_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCols=["revenue", "revenue_lag1m"], outputCol="features"
     ).transform(labeled)
     train, test = hash_split(assembled, "custkey", test_fraction=0.3)
-    model = make_classifier("LogisticRegression", maxIter=20).fit(train)
+    model = make_classifier("LogisticRegression", maxIter=10).fit(train)
     preds = model.transform(test).withColumn(
         "probability_1", F.round(F.element_at(vector_to_array("probability"), 2), 6)
     )
@@ -912,6 +946,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_deciles": q_revenue_deciles,
     "string_functions": q_string_functions,
     "distinct_counts": q_distinct_counts,
+    "salted_supplier_agg": q_salted_supplier_agg,
     "sketches": q_sketches,
     "multimodal_decode": q_multimodal_decode,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -942,6 +977,7 @@ ORACLES_EXT: dict[str, str] = {
     "revenue_deciles": _DECILES_SQL,
     "string_functions": _STRING_SQL,
     "distinct_counts": _DISTINCT_SQL,
+    "salted_supplier_agg": _SALTED_AGG_SQL,
     # pca_projection, sketches, ann_lsh_topk, ml_train_predict,
     # resampled_counts, grouped_split_counts: rows-only by design.
 }
