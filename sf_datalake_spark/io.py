@@ -98,6 +98,18 @@ def write_data(
         raise ValueError(f"Unknown format: {file_format}")
 
 
+def write_explanations(
+    df: DataFrame,
+    path: str,
+    file_format: str = "parquet",
+    num_partitions: int = 1,
+) -> None:
+    """Explanations writer (reference ``io.py:165-191``): persist the
+    micro/macro contribution tables produced by
+    ``ml.explain.linear_contributions`` / ``topic_contributions``."""
+    write_data(df, path, file_format, num_partitions=num_partitions)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -57,6 +57,12 @@ def merge_asof(
     ``direction`` one of backward / forward / nearest; ``tolerance`` the
     maximum allowed distance — in DAYS when ``on`` is a date column,
     in SECONDS when it is a timestamp.
+
+    Determinism note: if ``right`` holds several rows with the SAME
+    (by, on) key, which one wins is partition-order-dependent (pandas
+    picks input order, which has no distributed equivalent). For fully
+    deterministic output pre-reduce the right side, e.g.
+    ``dedup_by_rank(right, [*by, on], [tiebreaker])``.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"Unknown direction: {direction}")
