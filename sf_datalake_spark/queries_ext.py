@@ -748,6 +748,65 @@ _STRING_SQL = r"""
 """
 
 
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming sessionization IN the oracle harness: the
+    events parquet is replayed as a file stream, aggregated with
+    ``F.session_window`` (30-min gap) under an availableNow trigger, and
+    the memory-sink result is compared against the batch
+    gaps-and-islands SQL — proving the streaming and batch temporal
+    semantics coincide (SURVEY.md §2.10's session-window candidate)."""
+    from sf_datalake_spark.streaming import run_to_memory, session_aggregate
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint, event_type string, "
+            "value double, props string"
+        )
+        # file streams read directories: stream the sf dir, globbed to
+        # the events file
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = session_aggregate(
+        stream, "ts", "30 minutes",
+        aggs=[F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("session_value")],
+        keys=["user_id"],
+    )
+    out = run_to_memory(agg, "q_streaming_sessions", output_mode="complete")
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        "n_events",
+        "session_value",
+    )
+
+
+_STREAMING_SESSIONS_SQL = """
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR (epoch_us(ts) - epoch_us(lag(ts) OVER w)) > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    tagged AS (
+        SELECT user_id, ts, value,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           min(epoch_us(ts)) AS session_start_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM tagged GROUP BY user_id, session_id
+"""
+
+
 def q_salted_supplier_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key-safe two-phase aggregation (operators/skew.py): the salted
     plan must produce EXACTLY the plain groupBy's numbers — the oracle is
@@ -947,6 +1006,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "string_functions": q_string_functions,
     "distinct_counts": q_distinct_counts,
     "salted_supplier_agg": q_salted_supplier_agg,
+    "streaming_sessions": q_streaming_sessions,
     "sketches": q_sketches,
     "multimodal_decode": q_multimodal_decode,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -978,6 +1038,7 @@ ORACLES_EXT: dict[str, str] = {
     "string_functions": _STRING_SQL,
     "distinct_counts": _DISTINCT_SQL,
     "salted_supplier_agg": _SALTED_AGG_SQL,
+    "streaming_sessions": _STREAMING_SESSIONS_SQL,
     # pca_projection, sketches, ann_lsh_topk, ml_train_predict,
     # resampled_counts, grouped_split_counts: rows-only by design.
 }
