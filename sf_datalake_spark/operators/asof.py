@@ -70,6 +70,13 @@ def merge_asof(
     vals = list(value_cols) if value_cols is not None else [
         c for c in right.columns if c not in (*by, on)
     ]
+    clashes = [f"{v}{suffix}" for v in vals if f"{v}{suffix}" in left.columns]
+    if clashes:
+        raise ValueError(
+            f"Right value column(s) {clashes} collide with left columns — "
+            "pass suffix=... (pandas would auto-disambiguate; here the "
+            "duplicate names would poison every downstream by-name reference)"
+        )
 
     packed = right.select(
         *by,

@@ -31,6 +31,25 @@ def md5_hash64(col: Column, seed: int | str = "") -> Column:
     ).cast("bigint")
 
 
+#: Mersenne prime 2^61 − 1 for the MinHash Carter-Wegman family.
+MINHASH_PRIME = 2305843009213693951
+
+
+def minhash_constants(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Per-seed (c_i, d_i) constants for h_i = (c_i·x + d_i) mod p.
+
+    Seeded and driver-side so any engine (the DuckDB oracle included)
+    can reproduce the exact family; c_i < 2^30 bounds c_i·x (x 32-bit)
+    under 2^62 in a signed-64 lane."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [
+        (int(rng.randint(1, 1 << 30)), int(rng.randint(0, 1 << 30)))
+        for _ in range(num_hashes)
+    ]
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Keep one representative (min id) per exact-normalized-text group."""
     return (
@@ -57,19 +76,19 @@ def minhash_signature(
     shingled = df.select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("__sh")
     )
-    # ONE md5 per shingle; the K-member hash family is affine over its two
-    # halves: h_i = a + (i+1)·b with a = 60-bit, b = 56-bit slices (max
-    # value < 2^61 — no signed-64 overflow for K ≤ 16). Same trick as
-    # Lucene's single-hash MinHash; 8× fewer digests than hashing per seed.
-    md5 = F.md5(F.col("__sh"))
-    a = F.conv(F.substring(md5, 1, 15), 16, 10).cast("bigint")
-    b = F.conv(F.substring(md5, 16, 14), 16, 10).cast("bigint")
-    if num_hashes > 16:
-        raise ValueError("num_hashes > 16 would overflow the affine family")
-    shingled = shingled.select(id_col, a.alias("__a"), b.alias("__b"))
+    # ONE md5 per shingle; the K hash functions are an independent
+    # Carter-Wegman family h_i = (c_i·x + d_i) mod p over a 32-bit digest
+    # slice, with per-seed driver constants (c_i < 2^30 keeps c_i·x under
+    # 2^62 — signed-64 safe; p = 2^61−1). Independent constants per seed
+    # keep band collisions on the theoretical (1−(1−J^r)^b) curve — a
+    # shared-slope affine-in-i family would correlate the bands.
+    x = F.conv(F.substring(F.md5(F.col("__sh")), 1, 8), 16, 10).cast("bigint")
+    shingled = shingled.select(id_col, x.alias("__x"))
     mins = [
-        F.min(F.col("__a") + (i + 1) * F.col("__b")).alias(f"__h{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(c) * F.col("__x") + F.lit(d)) % F.lit(MINHASH_PRIME)).alias(
+            f"__h{i}"
+        )
+        for i, (c, d) in enumerate(minhash_constants(num_hashes))
     ]
     sig = shingled.groupBy(id_col).agg(*mins)
     return sig.select(
@@ -82,12 +101,29 @@ def lsh_candidate_pairs(
     id_col: str,
     bands: int = 4,
     rows_per_band: int = 4,
+    signature_length: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs from banded MinHash signatures.
 
     Band b's key is md5 of signature[b*r : (b+1)*r]; docs sharing any
     band key become a candidate pair (id_1 < id_2, distinct).
+
+    Pass ``signature_length`` (the ``num_hashes`` used upstream) to
+    validate the banding for free; without it one row is materialized to
+    check — out-of-range slots would otherwise silently collapse whole
+    bands into a single all-pairs bucket (null ``element_at`` →
+    ``concat_ws`` skips → every doc shares ``md5('')``).
     """
+    n = signature_length
+    if n is None:
+        row = signatures.select(F.size("signature").alias("n")).head(1)
+        n = row[0]["n"] if row else None
+    if n is not None and bands * rows_per_band > n:
+        raise ValueError(
+            f"bands × rows_per_band = {bands * rows_per_band} exceeds the "
+            f"signature length {n} — out-of-range slots would collapse "
+            "those bands into one all-pairs bucket"
+        )
     banded = signatures.select(
         F.col(id_col),
         F.explode(

@@ -40,6 +40,12 @@ def resample_classes(
         raise ValueError(f"Expected binary label, got classes: {sorted(counts)}")
     (minor, n_minor), (major, n_major) = sorted(counts.items(), key=lambda kv: kv[1])
     current = n_minor / n_major
+    if current >= target_ratio:
+        # Already at least as balanced as requested — resampling would
+        # either crash (undersample fraction > 1) or silently SHRINK the
+        # minority (oversample fraction < 1). No-op is the only correct
+        # answer.
+        return df
     minority = df.filter(F.col(label_col) == minor)
     majority = df.filter(F.col(label_col) == major)
     if method == "oversampling":

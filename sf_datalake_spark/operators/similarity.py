@@ -35,8 +35,10 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every query vector.
 
-    Output: (query_id, neighbor_id, cosine, rank), excluding self-matches.
-    Ties broken by neighbor id (deterministic).
+    Output: (query_id, neighbor_id, cosine, rank), excluding self-matches
+    and zero-norm pairs (cosine undefined — same contract as the numpy
+    twin, which drops non-finite similarities). Ties broken by neighbor
+    id (deterministic).
     """
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv")
@@ -47,6 +49,7 @@ def brute_force_topk(
     scored = (
         q.join(c, F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", array_cosine_similarity("__qv", "__cv"))
+        .filter(F.col("cosine").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -142,7 +145,11 @@ def hyperplane_signature(
             lambda acc, x: acc + x,
         )
         bucket = bucket + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+    # zip_with null-pads on length mismatch → dot would be null and every
+    # row would silently share bucket 0 (an O(n²) self-join). Null the
+    # bucket instead: mismatched rows drop out of equi-joins, and the
+    # numpy twin raises on the same mistake.
+    return F.when(F.size(v) == dim, bucket)
 
 
 def hyperplane_buckets_np(
@@ -243,6 +250,7 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    n_probe = min(n_probe, n_cells)  # probing more cells than exist = full scan
     corpus_v = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),

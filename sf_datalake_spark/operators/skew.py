@@ -69,7 +69,14 @@ def salted_join(
 
     The small side grows ×n_salts (keep it the genuinely smaller input);
     each big-side row joins exactly its one (key, salt) replica, so
-    multiplicity is unchanged."""
+    multiplicity is unchanged. Only inner/left are supported: in a
+    right/full outer join an UNMATCHED small-side key would surface once
+    per salt replica (×n_salts duplication)."""
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, not {how!r} — unmatched "
+            "small-side rows would be duplicated once per salt replica"
+        )
     on = list(on)
     replicated = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

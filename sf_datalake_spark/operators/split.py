@@ -22,14 +22,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def hash_bucket(col: Column | str, n_buckets: int = 100, salt: str = "") -> Column:
+def hash_bucket(col: Column | str, n_buckets: int = 10_000, salt: str = "") -> Column:
     """Stable bucket in [0, n_buckets) from md5 of the key (+ salt).
 
     md5 (not ``F.hash``) so external systems can reproduce the bucketing
     bit-for-bit: bucket = first 8 hex digits of md5, mod n_buckets.
+    NULL keys hash as the literal ``"__null__"`` — they land in a bucket
+    instead of silently vanishing from every filter.
     """
     c = F.col(col) if isinstance(col, str) else col
-    h = F.conv(F.substring(F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, 8), 16, 10)
+    key = F.coalesce(c.cast("string"), F.lit("__null__"))
+    h = F.conv(F.substring(F.md5(F.concat(key, F.lit(salt))), 1, 8), 16, 10)
     return (h.cast("bigint") % n_buckets).cast("int")
 
 
@@ -42,10 +45,12 @@ def hash_split(
     """Deterministic grouped split: (train, test).
 
     Every row whose ``group_col`` hashes below the cut goes to test; an
-    entity is never split across sets.
+    entity is never split across sets. Basis-point resolution (cut =
+    fraction × 10 000) so e.g. 0.125 or 0.004 are honored, not rounded
+    to whole percent.
     """
-    cut = int(round(test_fraction * 100))
-    bucket = hash_bucket(group_col, 100, salt)
+    cut = int(round(test_fraction * 10_000))
+    bucket = hash_bucket(group_col, 10_000, salt)
     return df.filter(bucket >= cut), df.filter(bucket < cut)
 
 

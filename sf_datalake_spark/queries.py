@@ -543,7 +543,7 @@ _HASH_SPLIT_SQL = """
     WITH bucketed AS (
         SELECT c_mktsegment,
                CASE WHEN CAST(('0x' || substr(md5(c_custkey::varchar), 1, 8)) AS BIGINT)
-                         % 100 < 20
+                         % 10000 < 2000
                     THEN 'test' ELSE 'train' END AS split
         FROM customer
     )
@@ -885,17 +885,32 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_family_sql(num_hashes: int = 8) -> str:
+    """The (seed, c, d) constant table for the SQL twin of the
+    Carter-Wegman MinHash family — same seeded constants as the Spark
+    operator, so both engines hash identically."""
+    from sf_datalake_spark.operators.dedup import MINHASH_PRIME, minhash_constants
+
+    rows = ", ".join(
+        f"({i}, {c}::BIGINT, {d}::BIGINT)"
+        for i, (c, d) in enumerate(minhash_constants(num_hashes))
+    )
+    return (
+        f"(SELECT * FROM (VALUES {rows}) AS t(seed, c, d)), "
+        f"p AS (SELECT {MINHASH_PRIME}::BIGINT AS p)"
+    )
+
+
 _MINHASH_SQL = rf"""
     WITH shingles AS ({_SHINGLE_SQL}),
-    ab AS (
-        SELECT doc_id,
-               CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS a,
-               CAST(('0x' || substr(md5(sh), 16, 14)) AS BIGINT) AS b
+    fam AS {_minhash_family_sql(8)},
+    xs AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS x
         FROM shingles
     ),
     hashed AS (
-        SELECT doc_id, seed, a + (seed + 1) * b AS h
-        FROM ab CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed)
+        SELECT doc_id, seed, (c * x + d) % (SELECT p FROM p) AS h
+        FROM xs CROSS JOIN fam
     )
     SELECT doc_id, CAST(seed AS INT) AS seed, min(h) AS minhash
     FROM hashed GROUP BY 1, 2
@@ -907,20 +922,19 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band equi-join, never all-pairs)."""
     docs = _t(spark, sf_dir, "documents")
     sig = minhash_signature(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
-    return lsh_candidate_pairs(sig, "doc_id", bands=4, rows_per_band=2)
+    return lsh_candidate_pairs(sig, "doc_id", bands=4, rows_per_band=2, signature_length=8)
 
 
 _LSH_PAIRS_SQL = rf"""
     WITH shingles AS ({_SHINGLE_SQL}),
-    ab AS (
-        SELECT doc_id,
-               CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS a,
-               CAST(('0x' || substr(md5(sh), 16, 14)) AS BIGINT) AS b
+    fam AS {_minhash_family_sql(8)},
+    xs AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS x
         FROM shingles
     ),
     hashed AS (
-        SELECT doc_id, seed, a + (seed + 1) * b AS h
-        FROM ab CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed)
+        SELECT doc_id, seed, (c * x + d) % (SELECT p FROM p) AS h
+        FROM xs CROSS JOIN fam
     ),
     sig AS (SELECT doc_id, seed, min(h) AS mh FROM hashed GROUP BY 1, 2),
     banded AS (

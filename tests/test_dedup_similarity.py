@@ -41,15 +41,26 @@ def test_exact_dedup(docs):
     assert got == {1: 2, 3: 1, 4: 1, 5: 1}
 
 
-def test_minhash_identical_docs_same_signature(docs):
+def test_minhash_signatures(spark, docs):
     sig = minhash_signature(docs, "doc_id", "text", num_hashes=8)
     got = {r["doc_id"]: r["signature"] for r in sig.collect()}
-    assert got[1] == got[2]
+    # identical shingle sets → identical signatures (guaranteed)
+    dup = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),
+         (11, "the quick brown fox jumps over the lazy dog")],
+        "doc_id int, text string",
+    )
+    dsig = {r["doc_id"]: r["signature"]
+            for r in minhash_signature(dup, "doc_id", "text", num_hashes=8).collect()}
+    assert dsig[10] == dsig[11]
+    # docs 1/3 share 6 of 8 shingles (J=0.75) → most minima agree;
+    # unrelated doc 4 shares none
     assert got[1] != got[4]
     assert 5 not in got  # too short for shingles
-    # near-dups share most minima
-    shared = sum(a == b for a, b in zip(got[1], got[3]))
-    assert shared >= 4
+    shared_near = sum(a == b for a, b in zip(got[1], got[3]))
+    shared_far = sum(a == b for a, b in zip(got[1], got[4]))
+    assert shared_near >= 4
+    assert shared_far == 0
 
 
 def test_lsh_finds_near_dups(docs):
