@@ -77,7 +77,10 @@ def spread_over_months(
     end = F.col(end_col)
     if end_exclusive:
         end = F.date_sub(end, 1)
-    return df.withColumn(
-        period_col,
-        F.explode(F.sequence(month_trunc(F.col(start_col)), month_trunc(end), F.expr("interval 1 month"))),
+    m0, m1 = month_trunc(F.col(start_col)), month_trunc(end)
+    # empty interval (end-exclusive start == end): sequence() with a
+    # positive step and start > stop throws — emit zero months instead
+    months = F.when(m1 >= m0, F.sequence(m0, m1, F.expr("interval 1 month"))).otherwise(
+        F.array().cast("array<date>")
     )
+    return df.withColumn(period_col, F.explode(months))

@@ -63,10 +63,20 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def char_ngrams(col: Column | str, n: int = 4) -> Column:
-    """Array of character n-grams of the normalized text."""
+    """Array of character n-grams of the normalized text.
+
+    Same HOF discipline as :func:`word_shingles`: the lambda must not
+    reference the normalized-text expression (interpreted HOFs
+    re-evaluate captured outer expressions per element — O(len²) per
+    row); ``arrays_zip`` of shifted character slices keeps normalization
+    at O(n) evaluations per row."""
     c = normalize_text(col)
+    chars = F.split(c, "")
+    zipped = F.arrays_zip(
+        *[F.slice(chars, i + 1, F.length(c) - n + 1) for i in range(n)]
+    )
     return F.when(F.length(c) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(F.sequence(F.lit(1), F.length(c) - n + 1), lambda i: c.substr(i, F.lit(n)))
+        F.transform(zipped, lambda s: F.concat(*[s[str(i)] for i in range(n)]))
     )
 
 

@@ -58,11 +58,16 @@ def one_way_anova(
         )
         .collect()
     )
+    # all-null groups contribute nothing (mean is NULL); singleton groups
+    # have NULL var_samp — zero within-group SS, not a crash
+    stats = [r for r in stats if r["n"] > 0 and r["mean"] is not None]
+    if len(stats) < 2:
+        raise ValueError("one_way_anova needs at least two non-empty groups")
     n_total = sum(r["n"] for r in stats)
     k = len(stats)
     grand_mean = sum(r["n"] * r["mean"] for r in stats) / n_total
     ss_between = sum(r["n"] * (r["mean"] - grand_mean) ** 2 for r in stats)
-    ss_within = sum((r["n"] - 1) * r["var"] for r in stats)
+    ss_within = sum((r["n"] - 1) * (r["var"] or 0.0) for r in stats)
     df_between, df_within = k - 1, n_total - k
     f_stat = (ss_between / df_between) / (ss_within / df_within)
     out = {

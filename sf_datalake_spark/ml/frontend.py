@@ -51,8 +51,9 @@ def build_alert_documents(
     ``generate_frontend_document.py:243-271``). Write with
     ``df.write.json(path)`` — distributed, no driver collect."""
     with_levels = with_alert_levels(predictions, thresholds, score_col=score_col)
+    # exact reference category strings (generate_frontend_document.py:226)
     alert_label = (
-        F.when(F.col("alert_level") == 2, "Alerte seuil F1")
+        F.when(F.col("alert_level") == 2, "Alerte seuil F1/2")
         .when(F.col("alert_level") == 1, "Alerte seuil F2")
         .otherwise("Pas d'alerte")
     )

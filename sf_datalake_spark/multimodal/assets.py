@@ -30,7 +30,7 @@ from collections.abc import Iterable, Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -77,9 +77,7 @@ AUDIO_FEATURE_SCHEMA = (
 )
 
 
-def with_asset_metadata(
-    df: DataFrame, content_col: str = "content", modality_col: str = "modality"
-) -> DataFrame:
+def with_asset_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Cheap JVM-side metadata: byte length + md5 checksum of the payload.
 
     Pure Column expressions (no Python) — this is the dedup/integrity
@@ -105,12 +103,13 @@ def _decode_image(payload: bytes, width: int | None, height: int | None):
         import io
 
         from PIL import Image
-
-        arr = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
-        return arr
     except ImportError:
         w, h = width or 16, height or 16
         return _fake_rng(payload, "img").randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    try:  # pragma: no cover
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    except Exception:
+        return None  # corrupt payload: caller skips the row
 
 
 def _decode_audio(payload: bytes, sample_rate: int | None):
@@ -120,12 +119,14 @@ def _decode_audio(payload: bytes, sample_rate: int | None):
         import io
 
         import soundfile as sf
-
-        data, rate = sf.read(io.BytesIO(payload), dtype="float32")
-        return data, rate
     except ImportError:
         rate = sample_rate or 16000
         return _fake_rng(payload, "aud").uniform(-1, 1, size=rate).astype(np.float32), rate
+    try:  # pragma: no cover
+        data, rate = sf.read(io.BytesIO(payload), dtype="float32")
+        return data, rate
+    except Exception:
+        return None  # corrupt payload: caller skips the row
 
 
 def _decode_video_frame(payload: bytes, frame_index: int, width: int | None, height: int | None):
@@ -163,6 +164,8 @@ def decode_images(df: DataFrame, content_col: str = "content") -> DataFrame:
                     m["width"] if m is not None else None,
                     m["height"] if m is not None else None,
                 )
+                if arr is None:  # undecodable payload: skip, don't fail the job
+                    continue
                 out.append(
                     (row["asset_id"], arr.shape[0], arr.shape[1], arr.shape[2],
                      arr.tobytes())
@@ -210,11 +213,13 @@ def sample_frames(
             out = []
             for _, row in pdf.iterrows():
                 m = row["meta"]
-                duration = int(m["duration_ms"] or 0)
+                duration = int(m["duration_ms"] or 0) if m is not None else 0
                 n = max(1, -(-duration // every_ms)) if duration else 1
                 for i in range(n):
                     arr = _decode_video_frame(
-                        bytes(row[content_col]), i, m["width"], m["height"]
+                        bytes(row[content_col]), i,
+                        m["width"] if m is not None else None,
+                        m["height"] if m is not None else None,
                     )
                     out.append(
                         (row["asset_id"], i, i * every_ms, arr.shape[0],
@@ -240,7 +245,13 @@ def extract_audio_features(df: DataFrame, content_col: str = "content") -> DataF
             out = []
             for _, row in pdf.iterrows():
                 m = row["meta"]
-                samples, rate = _decode_audio(bytes(row[content_col]), m["sample_rate"])
+                decoded = _decode_audio(
+                    bytes(row[content_col]),
+                    m["sample_rate"] if m is not None else None,
+                )
+                if decoded is None:  # undecodable payload: skip
+                    continue
+                samples, rate = decoded
                 rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
                 zc = int(np.count_nonzero(np.diff(np.signbit(samples))))
                 out.append(

@@ -89,10 +89,16 @@ def streaming_dedup(
     ts_col: str | None = None,
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """Drop duplicate rows by key across micro-batches; with a
-    watermark, state for old keys is reclaimed."""
+    """Drop duplicate rows by exactly ``keys`` across micro-batches.
+
+    With ``ts_col``, uses ``dropDuplicatesWithinWatermark`` — the key's
+    dedup state is reclaimed once the watermark passes (bounded state);
+    ``ts_col`` itself is NOT part of the dedup key. Without it, plain
+    ``dropDuplicates`` keeps state forever."""
     if ts_col:
-        return df.withWatermark(ts_col, watermark).dropDuplicates([*keys, ts_col])
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
     return df.dropDuplicates(list(keys))
 
 
@@ -118,14 +124,21 @@ def running_total_alerts(
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    key_types = dict(df.dtypes)
     out_schema = (
-        ", ".join(f"`{k}` string" for k in keys)
+        ", ".join(f"`{k}` {key_types[k]}" for k in keys)
         + ", alert_no int, total double, ts timestamp"
     )
 
     def fn(key, pdfs, state: GroupState):
         import pandas as pd
 
+        cols = [*keys, "alert_no", "total", "ts"]
+        if state.hasTimedOut:
+            # idle key: reclaim its state (the whole point of timeout_ms)
+            state.remove()
+            yield pd.DataFrame([], columns=cols)
+            return
         total, emitted = state.get if state.exists else (0.0, 0)
         rows = []
         for pdf in pdfs:
@@ -137,7 +150,6 @@ def running_total_alerts(
         state.update((total, emitted))
         if timeout_ms is not None:
             state.setTimeoutDuration(timeout_ms)
-        cols = [*keys, "alert_no", "total", "ts"]
         yield pd.DataFrame(rows, columns=cols)
 
     timeout_conf = (

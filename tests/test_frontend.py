@@ -30,7 +30,7 @@ def test_build_alert_documents_json_roundtrip(spark, tmp_path):
         preds, {0.5: 0.8, 2.0: 0.3}, topic_cols=["topic_debt"]
     )
     got = {r["siren"]: r for r in docs.collect()}
-    assert got["000000001"]["alert"] == "Alerte seuil F1"
+    assert got["000000001"]["alert"] == "Alerte seuil F1/2"
     assert got["000000002"]["alert"] == "Alerte seuil F2"
     assert got["000000003"]["alert"] == "Pas d'alerte"
     assert got["000000001"]["scores"]["debt"] == 0.7

@@ -115,5 +115,12 @@ def test_streaming_dedup(spark, tmp_path):
     rows = ROWS + ROWS[:2]  # duplicate first two events
     spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(p)
     stream = read_file_stream(spark, p, SCHEMA)
-    out = run_to_memory(streaming_dedup(stream, ["uid"], ts_col="t"), "dedup_test")
+    # dedup key = (uid, t): the two replayed events collapse, the four
+    # distinct (uid, t) combinations survive
+    out = run_to_memory(
+        streaming_dedup(stream, ["uid", "t"], ts_col="t"), "dedup_test"
+    )
     assert out.count() == 4
+    # key-only dedup: one row per uid
+    out2 = run_to_memory(streaming_dedup(stream, ["uid"], ts_col="t"), "dedup_test2")
+    assert out2.count() == 2
