@@ -74,7 +74,8 @@ def _train(args: argparse.Namespace) -> int:
             features_col=cfg.learning.features_column,
         )
     )
-    model_input = prep.fit(df).transform(df)
+    prep_model = prep.fit(df)
+    model_input = prep_model.transform(df)
     train, test = hash_split(model_input, entity, cfg.learning.test_fraction)
 
     clf = make_classifier(
@@ -101,8 +102,62 @@ def _train(args: argparse.Namespace) -> int:
         preds, thresholds, entity_col=entity, score_col="probability_1"
     ).write.mode("overwrite").json(f"{out}/alert_documents")
     cfg.dump(spark, f"{out}/run_configuration")
+    # Persist the fitted artifacts so `predict` scores with THIS model
+    prep_model.write().overwrite().save(f"{out}/model/preprocessing")
+    model.write().overwrite().save(f"{out}/model/classifier")
+    spark.createDataFrame(
+        [(json.dumps({str(k): v for k, v in thresholds.items()}),)], "t string"
+    ).coalesce(1).write.mode("overwrite").text(f"{out}/model/thresholds")
     print(json.dumps({"metrics": metrics,
                       "thresholds": {str(k): v for k, v in thresholds.items()}}))
+    return 0
+
+
+def _predict(args: argparse.Namespace) -> int:
+    """Score a dataset with a previously trained run's artifacts
+    (``--model-dir`` = the train run's output directory)."""
+    from pyspark.ml import PipelineModel
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import functions as F
+
+    from sf_datalake_spark.config import Configuration
+    from sf_datalake_spark.io import load_data, write_predictions
+    from sf_datalake_spark.ml.frontend import build_alert_documents
+    from sf_datalake_spark.ml.models import load_classifier
+    from sf_datalake_spark.session import get_spark_session
+
+    cli: dict = {}
+    if args.dataset:
+        cli["dataset_path"] = args.dataset
+    if args.output:
+        cli["output_directory"] = args.output
+    cfg = Configuration(config_file=args.config, cli_args=cli)
+    model_dir = (args.model_dir or cfg.io.output_directory).rstrip("/")
+
+    spark = get_spark_session("sf_datalake_spark.predict")
+    df = load_data(spark, cfg.io.dataset_path, args.format)
+    prep = PipelineModel.load(f"{model_dir}/model/preprocessing")
+    clf = load_classifier(cfg.learning.model_name, f"{model_dir}/model/classifier")
+    thresholds = {
+        float(k): v
+        for k, v in json.loads(
+            spark.read.text(f"{model_dir}/model/thresholds").first()["value"]
+        ).items()
+    }
+    preds = clf.transform(prep.transform(df)).withColumn(
+        "probability_1", F.element_at(vector_to_array("probability"), 2)
+    )
+    entity = cfg.preprocessing.identifiers[0]
+    out = cfg.io.output_directory.rstrip("/")
+    write_predictions(
+        preds.select(entity, cfg.preprocessing.identifiers[1], "probability"),
+        f"{out}/predictions",
+    )
+    build_alert_documents(
+        preds, thresholds, entity_col=entity, score_col="probability_1"
+    ).write.mode("overwrite").json(f"{out}/alert_documents")
+    print(json.dumps({"thresholds": {str(k): v for k, v in thresholds.items()},
+                      "model_dir": model_dir}))
     return 0
 
 
@@ -125,6 +180,8 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--output", default=None, help="output directory")
         p.add_argument("--format", default="parquet")
         p.add_argument("--sample", type=float, default=None)
+        p.add_argument("--model-dir", dest="model_dir", default=None,
+                       help="train run output dir holding model/ (predict only)")
 
     c = sub.add_parser("convert")
     c.add_argument("--input", required=True)
@@ -132,8 +189,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--sep", default=",")
 
     args = parser.parse_args(argv)
-    if args.command in ("train", "predict"):
+    if args.command == "train":
         return _train(args)
+    if args.command == "predict":
+        return _predict(args)
     return _convert(args)
 
 

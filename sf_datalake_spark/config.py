@@ -92,8 +92,24 @@ class Configuration:
                 overrides.update(json.load(f))
         overrides.update(cli_args or {})
 
+        # Accept both flat field names and section-nested dicts — the
+        # latter is what ``dump`` writes, so a dumped run configuration
+        # round-trips back in.
+        nested: dict[str, dict] = {
+            s: overrides.pop(s)
+            for s in list(overrides)
+            if s in _SECTIONS and isinstance(overrides[s], dict)
+        }
         for attr, dc in _SECTIONS.items():
-            taken = {k: overrides.pop(k) for k in list(overrides) if k in _fields(dc)}
+            taken = dict(nested.get(attr, {}))
+            taken.update(
+                {k: overrides.pop(k) for k in list(overrides) if k in _fields(dc)}
+            )
+            unknown = set(taken) - _fields(dc)
+            if unknown:
+                raise ValueError(
+                    f"Unknown key(s) in section {attr!r}: {sorted(unknown)}"
+                )
             setattr(self, attr, dc(**taken))
         if overrides:
             raise ValueError(

@@ -94,6 +94,8 @@ def write_data(
         writer.orc(path)
     elif file_format == "parquet":
         writer.parquet(path)
+    elif file_format == "json":
+        writer.json(path)
     else:
         raise ValueError(f"Unknown format: {file_format}")
 

@@ -35,3 +35,20 @@ def make_classifier(
     if name not in _MODELS:
         raise ValueError(f"Unknown model: {name}; choose from {sorted(_MODELS)}")
     return _MODELS[name](featuresCol=features_col, labelCol=label_col, **params)
+
+
+_MODEL_CLASSES = {
+    "LogisticRegression": "pyspark.ml.classification.LogisticRegressionModel",
+    "RandomForestClassifier": "pyspark.ml.classification.RandomForestClassificationModel",
+    "GBTClassifier": "pyspark.ml.classification.GBTClassificationModel",
+}
+
+
+def load_classifier(name: str, path: str):
+    """Load a previously saved fitted classifier by estimator name."""
+    import importlib
+
+    if name not in _MODEL_CLASSES:
+        raise ValueError(f"Unknown model: {name}; choose from {sorted(_MODEL_CLASSES)}")
+    module, cls = _MODEL_CLASSES[name].rsplit(".", 1)
+    return getattr(importlib.import_module(module), cls).load(path)

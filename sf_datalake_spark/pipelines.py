@@ -65,7 +65,11 @@ class ExtractJob:
             # Sampled scan for smoke runs (reference ``__main__.py:146-149``).
             df = df.sample(fraction=self.sample_ratio, seed=self.random_seed)
         if isinstance(self.schema, str):
-            for name, typ in (c.split(":") for c in self.schema.split(",")):
+            import re
+
+            # split on commas OUTSIDE parens so decimal(10,2) survives
+            for c in re.split(r",(?![^()]*\))", self.schema):
+                name, typ = c.split(":", 1)
                 df = df.withColumn(name.strip(), F.col(name.strip()).cast(typ.strip()))
         if self.stages:
             df = Pipeline(stages=list(self.stages)).fit(df).transform(df)

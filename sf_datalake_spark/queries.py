@@ -21,10 +21,10 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sf_datalake_spark.functions.dates import month_index, month_trunc, spread_over_months
+from sf_datalake_spark.functions.dates import month_trunc, spread_over_months
 from sf_datalake_spark.functions.numeric import clip, count_missing_values
 from sf_datalake_spark.functions.text import (
     STOPWORDS,
@@ -390,7 +390,13 @@ def q_spread_over_months(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.add_months(
             F.col("o_orderdate").cast("date"), (F.col("o_orderkey") % 3).cast("int")
         ).alias("d1"),
-        (F.col("o_totalprice") / ((F.col("o_orderkey") % 3) + 1)).alias("monthly_amount"),
+        # round the /3 division at SOURCE so every summed term is an
+        # exact 4-dec value in both engines (the module's rounding
+        # convention: an unrounded /3 would make group sums inexact and
+        # the post-sum round(4) boundary-unstable)
+        F.round(
+            F.col("o_totalprice") / ((F.col("o_orderkey") % 3) + 1), 4
+        ).alias("monthly_amount"),
     )
     spread = spread_over_months(spans, "d0", "d1", period_col="month_start")
     return spread.groupBy("month_start").agg(
@@ -404,7 +410,7 @@ _SPREAD_SQL = """
         SELECT o_orderkey,
                date_trunc('month', o_orderdate)::date AS m0,
                date_trunc('month', o_orderdate + to_months((o_orderkey % 3)::int))::date AS m1,
-               o_totalprice / ((o_orderkey % 3) + 1) AS monthly_amount
+               round(o_totalprice / ((o_orderkey % 3) + 1), 4) AS monthly_amount
         FROM orders
     )
     , exploded AS (

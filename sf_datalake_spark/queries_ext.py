@@ -34,30 +34,30 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    y94, y95 = active(1996), active(1997)
+    y96, y97 = active(1996), active(1997)
     return (
-        y94.union(y95).distinct().select(F.lit("union").alias("op"), "custkey")
-        .unionByName(y94.intersect(y95).select(F.lit("intersect").alias("op"), "custkey"))
-        .unionByName(y94.exceptAll(y95).select(F.lit("except").alias("op"), "custkey"))
+        y96.union(y97).distinct().select(F.lit("union").alias("op"), "custkey")
+        .unionByName(y96.intersect(y97).select(F.lit("intersect").alias("op"), "custkey"))
+        .unionByName(y96.exceptAll(y97).select(F.lit("except").alias("op"), "custkey"))
         .groupBy("op")
         .agg(F.count("*").alias("n_customers"))
     )
 
 
 _SET_OPS_SQL = """
-    WITH y94 AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+    WITH y96 AS (SELECT DISTINCT o_custkey AS custkey FROM orders
                  WHERE year(o_orderdate) = 1996),
-         y95 AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+         y97 AS (SELECT DISTINCT o_custkey AS custkey FROM orders
                  WHERE year(o_orderdate) = 1997),
     tagged AS (
-        SELECT 'union' AS op, custkey FROM (SELECT custkey FROM y94 UNION
-                                            SELECT custkey FROM y95)
+        SELECT 'union' AS op, custkey FROM (SELECT custkey FROM y96 UNION
+                                            SELECT custkey FROM y97)
         UNION ALL
-        SELECT 'intersect', custkey FROM (SELECT custkey FROM y94 INTERSECT
-                                          SELECT custkey FROM y95)
+        SELECT 'intersect', custkey FROM (SELECT custkey FROM y96 INTERSECT
+                                          SELECT custkey FROM y97)
         UNION ALL
-        SELECT 'except', custkey FROM (SELECT custkey FROM y94 EXCEPT
-                                       SELECT custkey FROM y95)
+        SELECT 'except', custkey FROM (SELECT custkey FROM y96 EXCEPT
+                                       SELECT custkey FROM y97)
     )
     SELECT op, CAST(count(*) AS BIGINT) AS n_customers FROM tagged GROUP BY 1
 """

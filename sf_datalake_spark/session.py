@@ -48,8 +48,15 @@ def get_spark_session(
     )
     if master:
         builder = builder.master(master)
-    elif not os.environ.get("SPARK_MASTER"):
-        builder = builder.master(f"local[{cpus}]")
+    else:
+        # Only default to local[N] when no master was provided by the
+        # submit environment — spark-submit passes --master as the
+        # spark.master system property, NOT an env var, and overriding
+        # it would silently run the "cluster" job single-node.
+        from pyspark import SparkConf
+
+        if not SparkConf().contains("spark.master"):
+            builder = builder.master(f"local[{cpus}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark import keyword_only
 from pyspark.ml import Transformer
 from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.ml.util import DefaultParamsReadable, DefaultParamsWritable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -29,9 +30,11 @@ from sf_datalake_spark.operators.aggregates import aggregate_by_keys
 from sf_datalake_spark.operators.windows import with_bfill, with_ffill
 
 
-class _ParamsMixin(Transformer):
+class _ParamsMixin(Transformer, DefaultParamsReadable, DefaultParamsWritable):
     """Boilerplate shared by all transformers: declare params as a dict
-    of name → default in ``_params``; get kwargs via keyword_only."""
+    of name → default in ``_params``; get kwargs via keyword_only.
+    DefaultParams persistence makes every transformer usable inside a
+    saved PipelineModel (all param values are JSON-serializable)."""
 
     _params: dict[str, object] = {}
 

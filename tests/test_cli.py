@@ -53,3 +53,16 @@ def test_train_command_end_to_end(spark, tmp_path, capsys):
 
     dumped = json.loads(spark.read.text(f"{out}/run_configuration").first()["value"])
     assert dumped["learning"]["model_params"]["maxIter"] == 15
+
+    # predict: score a dataset with the SAVED model (no retraining),
+    # driving the config round-trip through the dumped run configuration
+    dumped_cfg = tmp_path / "dumped.json"
+    dumped_cfg.write_text(json.dumps(dumped))
+    out2 = str(tmp_path / "predict_out")
+    rc = main(["predict", "--config", str(dumped_cfg), "--dataset", panel_path,
+               "--output", out2, "--model-dir", out])
+    assert rc == 0
+    preds2 = spark.read.parquet(f"{out2}/predictions")
+    assert preds2.count() > 0
+    docs2 = spark.read.json(f"{out2}/alert_documents")
+    assert {"siren", "score", "alert"} <= set(docs2.columns)
