@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import numpy as np
 import pandas as pd
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -110,6 +111,47 @@ def test_interval_union_invariants(spark, rows):
     ends = {e for _, _, e in rows}
     for ms, me in merged:
         assert ms in starts and me in ends
+
+
+@st.composite
+def panels(draw):
+    rows = []
+    for ent in ("x", "y"):
+        months = sorted(draw(st.sets(st.integers(0, 18), min_size=2, max_size=10)))
+        for m in months:
+            rows.append((ent, dt.date(2022 + m // 12, m % 12 + 1, 1),
+                         float(draw(st.integers(0, 100)))))
+    return rows
+
+
+@given(rows=panels(), n=st.sampled_from([1, 2, 3]))
+@SLOW
+def test_lag_and_moving_average_vs_pandas(spark, rows, n):
+    """Row-based lag == pandas groupby.shift; calendar moving average ==
+    pandas rolling over the month-indexed series (gaps as NaN)."""
+    from sf_datalake_spark.operators.windows import with_lag, with_moving_average
+
+    df = spark.createDataFrame(rows, "siren string, `période` date, ca double")
+    out = with_lag(df, "ca", n)
+    out = with_moving_average(out, "ca", n).toPandas()
+    out = out.sort_values(["siren", "période"]).reset_index(drop=True)
+
+    pdf = pd.DataFrame(rows, columns=["siren", "période", "ca"])
+    pdf = pdf.sort_values(["siren", "période"]).reset_index(drop=True)
+    exp_lag = pdf.groupby("siren")["ca"].shift(n)
+    assert list(out[f"ca_lag{n}m"].fillna(-1)) == list(exp_lag.fillna(-1))
+
+    # calendar-aware MA: reindex each entity to a dense monthly grid,
+    # rolling(n, min_periods=1), then read back at the original months
+    for ent, g in pdf.groupby("siren"):
+        idx = pd.PeriodIndex(pd.to_datetime(g["période"]), freq="M")
+        dense = g.set_index(idx)["ca"].reindex(
+            pd.period_range(idx.min(), idx.max(), freq="M")
+        )
+        rolled = dense.rolling(n, min_periods=1).mean()
+        got = out[out["siren"] == ent][f"ca_mean{n}m"].to_numpy()
+        exp = rolled.loc[idx].to_numpy()
+        assert np.allclose(got, exp), (ent, got, exp)
 
 
 @given(
