@@ -39,6 +39,34 @@ def rescale_contributions(
     )
 
 
+def rescale_micro_to_topics(
+    df: DataFrame,
+    topic_groups: dict[str, list[str]],
+    prefix: str = "contrib_",
+    topic_prefix: str = "topic_",
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Micro/macro reconciliation (reference
+    ``postprocessing/micro_macro_link.py:13-44``): within each topic,
+    scale the member features' contributions by a common per-row factor
+    so they sum exactly to the topic's score — the drill-down waterfall
+    stays consistent with the topic chart. Distributed Column arithmetic
+    (the reference loops dicts on the driver)."""
+    cols = set(df.columns)
+    out_cols = []
+    for topic, features in topic_groups.items():
+        members = [f"{prefix}{f}" for f in features if f"{prefix}{f}" in cols]
+        topic_col = f"{topic_prefix}{topic}"
+        if not members or topic_col not in cols:
+            continue
+        total = F.col(members[0])
+        for m in members[1:]:
+            total = total + F.col(m)
+        factor = F.when(total != 0, F.col(topic_col) / total).otherwise(F.lit(0.0))
+        out_cols += [(F.col(m) * factor).alias(m) for m in members]
+    return df.select(*(keep or []), *out_cols)
+
+
 def build_alert_documents(
     predictions: DataFrame,
     thresholds: dict[float, float],

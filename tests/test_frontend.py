@@ -6,7 +6,27 @@ import json
 
 from pyspark.sql import functions as F
 
-from sf_datalake_spark.ml.frontend import build_alert_documents, rescale_contributions
+from sf_datalake_spark.ml.frontend import (
+    build_alert_documents,
+    rescale_contributions,
+    rescale_micro_to_topics,
+)
+
+
+def test_rescale_micro_to_topics(spark):
+    """Per-topic reconciliation: member contributions rescale to sum to
+    their topic's score, topic by topic."""
+    df = spark.createDataFrame(
+        [("a", 1.0, 3.0, 5.0, 0.8, 2.0)],
+        "siren string, contrib_ca double, contrib_ca_lag1m double, "
+        "contrib_dette double, topic_activity double, topic_debt double",
+    )
+    out = rescale_micro_to_topics(
+        df, {"activity": ["ca", "ca_lag1m"], "debt": ["dette"]}, keep=["siren"]
+    ).first()
+    assert abs(out["contrib_ca"] + out["contrib_ca_lag1m"] - 0.8) < 1e-12
+    assert abs(out["contrib_ca"] - 0.2) < 1e-12          # 1:3 shares kept
+    assert out["contrib_dette"] == 2.0                    # rescaled to topic
 
 
 def test_rescale_contributions_sums_to_score(spark):
