@@ -7,6 +7,7 @@ session, golden-column fixtures, collect-and-compare assertions.
 from __future__ import annotations
 
 import datetime as dt
+import tempfile
 
 import pytest
 
@@ -19,7 +20,7 @@ def spark():
         "tests", master="local[2]", shuffle_partitions=4,
         extra_conf={
             "spark.sql.debug.maxToStringFields": "2000",
-            "spark.sql.warehouse.dir": "/tmp/spark-warehouse-tests",
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-warehouse-"),
         },
     )
     yield s

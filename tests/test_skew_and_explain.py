@@ -70,7 +70,7 @@ def test_median_imputation(spark):
         [(1.0,), (2.0,), (9.0,), (None,)], "x double"
     )
     out = MissingValuesHandler(strategy="median", inputCols=["x"]).transform(df)
-    assert {r["x"] for r in out.collect()} == {1.0, 2.0, 9.0, 2.0}
+    assert sorted(r["x"] for r in out.collect()) == [1.0, 2.0, 2.0, 9.0]
 
 
 def test_topic_contributions(spark):

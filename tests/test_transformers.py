@@ -85,7 +85,7 @@ def test_missing_values_handler_value_and_ffill(spark):
     filled = MissingValuesHandler(strategy="value", value={"ca": 0.0}).transform(df)
     assert {r["ca"] for r in filled.collect()} == {1.0, 0.0}
     ffilled = MissingValuesHandler(strategy="ffill", inputCols=["ca"]).transform(df)
-    assert {r["ca"] for r in ffilled.collect()} == {1.0}
+    assert sorted(r["ca"] for r in ffilled.collect()) == [1.0, 1.0]
 
 
 def test_missing_values_dropper(spark):

@@ -1,11 +1,13 @@
 """Local stand-in for the driver's correctness gate.
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
-DuckDB against the same sf dir, then compares row count, column names/
-types, and an order-insensitive value hash (values rounded to 9
-significant-ish decimals before hashing, mirroring a tolerant
-comparator; a strict comparator would still pass because the queries are
-designed to be engine-exact).
+DuckDB against the same sf dir, then compares row count, column NAMES
+(types are engine-specific strings and deliberately not compared), and
+an order-insensitive value hash (values rounded to 9 significant-ish
+decimals before hashing, mirroring a tolerant comparator; a strict
+comparator would still pass because the queries are designed to be
+engine-exact). Assumes a UTC driver (this container is UTC): Spark's
+non-Arrow collect() renders timestamps in the driver's local zone.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -32,7 +34,7 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        return f"{v + 0.0:.9g}"  # fold -0.0 into 0.0
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
@@ -62,6 +64,10 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"Unknown query name(s): {sorted(unknown)}")
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
