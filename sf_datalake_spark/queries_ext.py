@@ -841,6 +841,47 @@ _SALTED_AGG_SQL = """
 """
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profile of orders (n_rows, nulls, exact
+    distinct, numeric min/max) — the pre-ingest data-quality report."""
+    from sf_datalake_spark.functions.profile import profile_table
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    return profile_table(orders)
+
+
+_TABLE_PROFILE_SQL = """
+    WITH w AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS nu1,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS d1,
+               CAST(min(o_orderkey) AS DOUBLE) AS mn1,
+               CAST(max(o_orderkey) AS DOUBLE) AS mx1,
+               count(CASE WHEN o_custkey IS NULL THEN 1 END) AS nu2,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS d2,
+               CAST(min(o_custkey) AS DOUBLE) AS mn2,
+               CAST(max(o_custkey) AS DOUBLE) AS mx2,
+               count(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS nu3,
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS d3,
+               count(CASE WHEN o_totalprice IS NULL THEN 1 END) AS nu4,
+               CAST(count(DISTINCT o_totalprice) AS BIGINT) AS d4,
+               CAST(min(o_totalprice) AS DOUBLE) AS mn4,
+               CAST(max(o_totalprice) AS DOUBLE) AS mx4
+        FROM orders
+    )
+    SELECT 'o_orderkey' AS column, n AS n_rows, nu1 AS n_nulls, d1 AS n_distinct,
+           mn1 AS min_value, mx1 AS max_value FROM w
+    UNION ALL
+    SELECT 'o_custkey', n, nu2, d2, mn2, mx2 FROM w
+    UNION ALL
+    SELECT 'o_orderstatus', n, nu3, d3, NULL, NULL FROM w
+    UNION ALL
+    SELECT 'o_totalprice', n, nu4, d4, mn4, mx4 FROM w
+"""
+
+
 def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct cardinalities per dimension (one pass, multiple
     count-distincts — Catalyst expands these via a grouping-sets plan)."""
@@ -1005,6 +1046,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_deciles": q_revenue_deciles,
     "string_functions": q_string_functions,
     "distinct_counts": q_distinct_counts,
+    "table_profile": q_table_profile,
     "salted_supplier_agg": q_salted_supplier_agg,
     "streaming_sessions": q_streaming_sessions,
     "sketches": q_sketches,
@@ -1037,6 +1079,7 @@ ORACLES_EXT: dict[str, str] = {
     "revenue_deciles": _DECILES_SQL,
     "string_functions": _STRING_SQL,
     "distinct_counts": _DISTINCT_SQL,
+    "table_profile": _TABLE_PROFILE_SQL,
     "salted_supplier_agg": _SALTED_AGG_SQL,
     "streaming_sessions": _STREAMING_SESSIONS_SQL,
     # pca_projection, sketches, ann_lsh_topk, ml_train_predict,
