@@ -964,6 +964,19 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by hyperplane LSH
+    buckets — the vector-space twin of MinHash dedup. Threshold 0.3 sits
+    at this synthetic corpus's 99th cosine percentile (max ≈ 0.51), so
+    the candidate set is small but non-trivial. Rows-only: the seeded
+    hyperplane buckets are not SQL-expressible."""
+    from sf_datalake_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.3, n_planes=8, dim=64)
+    return pairs.select("id_1", "id_2", F.round("cosine", 6).alias("cosine"))
+
+
 def q_ml_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship learning slice as a query: panel features → logistic
     regression → per-entity failure probability + alert level."""
@@ -1053,6 +1066,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode": q_multimodal_decode,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "embedding_near_dups": q_embedding_near_dups,
     "ml_train_predict": q_ml_train_predict,
     "resampled_counts": q_resampled_counts,
     "grouped_split_counts": q_grouped_split_counts,
