@@ -99,7 +99,8 @@ def _train(args: argparse.Namespace) -> int:
         f"{out}/predictions",
     )
     build_alert_documents(
-        preds, thresholds, entity_col=entity, score_col="probability_1"
+        preds, thresholds, entity_col=entity, score_col="probability_1",
+        period_col=cfg.preprocessing.identifiers[1],
     ).write.mode("overwrite").json(f"{out}/alert_documents")
     cfg.dump(spark, f"{out}/run_configuration")
     # Persist the fitted artifacts so `predict` scores with THIS model
@@ -154,7 +155,8 @@ def _predict(args: argparse.Namespace) -> int:
         f"{out}/predictions",
     )
     build_alert_documents(
-        preds, thresholds, entity_col=entity, score_col="probability_1"
+        preds, thresholds, entity_col=entity, score_col="probability_1",
+        period_col=cfg.preprocessing.identifiers[1],
     ).write.mode("overwrite").json(f"{out}/alert_documents")
     print(json.dumps({"thresholds": {str(k): v for k, v in thresholds.items()},
                       "model_dir": model_dir}))

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import NumericType
+from pyspark.sql.types import MapType, NumericType
 
 
 def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
@@ -27,27 +27,34 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     numeric = {
         f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
     }
+    maps = {f.name for f in df.schema.fields if isinstance(f.dataType, MapType)}
+    # positional internal aliases + df[c] references keep dotted /
+    # special-character column names intact
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
-        aggs.append(F.count(F.when(F.isnull(c), 1)).alias(f"__nulls_{c}"))
-        aggs.append(F.countDistinct(c).alias(f"__distinct_{c}"))
+    for i, c in enumerate(cols):
+        aggs.append(F.count(F.when(df[c].isNull(), 1)).alias(f"__nulls_{i}"))
+        # map columns are not groupable -> no exact distinct for them
+        aggs.append(
+            (F.lit(None).cast("bigint") if c in maps else F.countDistinct(df[c]))
+            .alias(f"__distinct_{i}")
+        )
         if c in numeric:
-            aggs.append(F.min(c).cast("double").alias(f"__min_{c}"))
-            aggs.append(F.max(c).cast("double").alias(f"__max_{c}"))
+            aggs.append(F.min(df[c]).cast("double").alias(f"__min_{i}"))
+            aggs.append(F.max(df[c]).cast("double").alias(f"__max_{i}"))
     wide = df.agg(*aggs)
     per_col = [
         F.struct(
             F.lit(c).alias("column"),
             F.col("__n").alias("n_rows"),
-            F.col(f"__nulls_{c}").alias("n_nulls"),
-            F.col(f"__distinct_{c}").alias("n_distinct"),
-            (F.col(f"__min_{c}") if c in numeric else F.lit(None).cast("double")).alias(
+            F.col(f"__nulls_{i}").alias("n_nulls"),
+            F.col(f"__distinct_{i}").alias("n_distinct"),
+            (F.col(f"__min_{i}") if c in numeric else F.lit(None).cast("double")).alias(
                 "min_value"
             ),
-            (F.col(f"__max_{c}") if c in numeric else F.lit(None).cast("double")).alias(
+            (F.col(f"__max_{i}") if c in numeric else F.lit(None).cast("double")).alias(
                 "max_value"
             ),
         )
-        for c in cols
+        for i, c in enumerate(cols)
     ]
     return wide.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")

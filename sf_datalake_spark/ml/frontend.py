@@ -28,9 +28,14 @@ def rescale_contributions(
     contribution columns by a common factor so they sum exactly to the
     row's final score — keeps per-feature shares while matching the
     displayed probability."""
+    if not contrib_cols:
+        raise ValueError("contrib_cols must not be empty")
+    # null-safe total (pandas .sum skips NaN): one NULL contribution must
+    # not null the whole row's factor
     total = None
     for c in contrib_cols:
-        total = F.col(c) if total is None else total + F.col(c)
+        term = F.coalesce(F.col(c), F.lit(0.0))
+        total = term if total is None else total + term
     factor = F.when(total != 0, F.col(target_col) / total).otherwise(F.lit(0.0))
     return df.select(
         *(keep or []),
@@ -52,6 +57,13 @@ def rescale_micro_to_topics(
     so they sum exactly to the topic's score — the drill-down waterfall
     stays consistent with the topic chart. Distributed Column arithmetic
     (the reference loops dicts on the driver)."""
+    all_members = [f for fs in topic_groups.values() for f in fs]
+    dupes = {f for f in all_members if all_members.count(f) > 1}
+    if dupes:
+        raise ValueError(
+            f"Feature(s) {sorted(dupes)} appear in multiple topics — the "
+            "rescaled output would carry duplicate column names"
+        )
     cols = set(df.columns)
     out_cols = []
     for topic, features in topic_groups.items():
@@ -73,11 +85,15 @@ def build_alert_documents(
     entity_col: str = "siren",
     score_col: str = "probability",
     topic_cols: list[str] | None = None,
+    period_col: str | None = None,
 ) -> DataFrame:
-    """One JSON-ready row per entity: id, score, alert level, and a
-    ``scores`` map of topic explanations (reference
-    ``generate_frontend_document.py:243-271``). Write with
-    ``df.write.json(path)`` — distributed, no driver collect."""
+    """One JSON-ready row per (entity, period): id, score, alert level,
+    and a ``scores`` map of topic explanations (reference
+    ``generate_frontend_document.py:243-271``; the reference REJECTS
+    duplicate entities — pass ``period_col`` when predictions are a
+    panel so each document is unambiguous, or pre-reduce to one row per
+    entity first). Write with ``df.write.json(path)`` — distributed, no
+    driver collect."""
     with_levels = with_alert_levels(predictions, thresholds, score_col=score_col)
     # exact reference category strings (generate_frontend_document.py:226)
     alert_label = (
@@ -93,8 +109,12 @@ def build_alert_documents(
         if topic_cols
         else F.create_map()
     )
+    period_fields = (
+        [F.col(period_col).cast("string").alias("periode")] if period_col else []
+    )
     return with_levels.select(
         F.col(entity_col).alias("siren"),
+        *period_fields,
         F.round(F.col(score_col), 6).alias("score"),
         F.col("alert_level"),
         alert_label.alias("alert"),

@@ -613,8 +613,12 @@ def q_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("value").alias("click_value")
+    clicks = dedup_by_rank(
+        ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("value").alias("click_value")
+        ),
+        keys=["user_id", "ts"],
+        order_by=[F.col("click_value").desc()],
     )
     out = merge_asof(
         purchases,
@@ -632,7 +636,10 @@ def q_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ASOF_BACKWARD_SQL = """
     WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
-         c AS (SELECT user_id, ts, value AS click_value FROM events WHERE event_type = 'click')
+         c AS (SELECT user_id, ts, value AS click_value FROM events
+               WHERE event_type = 'click'
+               QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY value DESC) = 1)
     SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
            CASE WHEN c.ts IS NOT NULL
                  AND (epoch_us(p.ts) - epoch_us(c.ts)) <= 3600000000::BIGINT

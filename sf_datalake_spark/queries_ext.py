@@ -439,8 +439,14 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.col("value").alias("purchase_value")
+    from sf_datalake_spark.operators.windows import dedup_by_rank
+
+    purchases = dedup_by_rank(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("value").alias("purchase_value")
+        ),
+        keys=["user_id", "ts"],
+        order_by=[F.col("purchase_value").desc()],
     )
     out = merge_asof(
         clicks, purchases, on="ts", by=["user_id"],
@@ -454,7 +460,9 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ASOF_FORWARD_SQL = """
     WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
          p AS (SELECT user_id, ts, value AS purchase_value FROM events
-               WHERE event_type = 'purchase')
+               WHERE event_type = 'purchase'
+               QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY value DESC) = 1)
     SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
            CASE WHEN p.ts IS NOT NULL
                  AND (epoch_us(p.ts) - epoch_us(c.ts)) <= 7200000000::BIGINT
@@ -552,7 +560,8 @@ _QUANTILE_SQL = """
 
 
 def q_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA of the embedding table's vectors onto 2 components
+    """PCA of the embeddings' FIRST 8 DIMENSIONS onto 2 components —
+    deliberate truncation to keep the scalar-column assembly small
     (DataFrame-native; replaces the reference's RDD RowMatrix SVD,
     ``exploration.py:155-177``). Rows-only check: component signs and
     rotations are implementation-defined, so no cross-engine oracle."""
@@ -646,8 +655,14 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("value").alias("click_value")
+    from sf_datalake_spark.operators.windows import dedup_by_rank
+
+    clicks = dedup_by_rank(
+        ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("value").alias("click_value")
+        ),
+        keys=["user_id", "ts"],
+        order_by=[F.col("click_value").desc()],
     )
     out = merge_asof(
         purchases, clicks, on="ts", by=["user_id"],
@@ -661,7 +676,9 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ASOF_NEAREST_SQL = """
     WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
          c AS (SELECT user_id, ts, value AS click_value FROM events
-               WHERE event_type = 'click'),
+               WHERE event_type = 'click'
+               QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY value DESC) = 1),
     b AS (
         SELECT p.event_id, c.ts AS bts, c.click_value AS bv
         FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
@@ -1096,6 +1113,8 @@ ORACLES_EXT: dict[str, str] = {
     "table_profile": _TABLE_PROFILE_SQL,
     "salted_supplier_agg": _SALTED_AGG_SQL,
     "streaming_sessions": _STREAMING_SESSIONS_SQL,
-    # pca_projection, sketches, ann_lsh_topk, ml_train_predict,
-    # resampled_counts, grouped_split_counts: rows-only by design.
+    # Rows-only by design (no SQL-expressible oracle): pca_projection,
+    # sketches, ann_lsh_topk, ann_ivf_topk, embedding_near_dups,
+    # multimodal_decode, ml_train_predict, resampled_counts,
+    # grouped_split_counts.
 }
