@@ -199,7 +199,7 @@ _CUMULATIVE_SQL = f"""
     WITH panel AS ({_PANEL_SQL})
     SELECT custkey, periode,
            round(sum(revenue) OVER w, 2) AS cum_revenue,
-           sum(n_orders) OVER w AS cum_orders
+           CAST(sum(n_orders) OVER w AS BIGINT) AS cum_orders
     FROM panel
     WINDOW w AS (PARTITION BY custkey ORDER BY periode
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

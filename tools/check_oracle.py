@@ -3,23 +3,33 @@
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB against the same sf dir, then compares row count, column NAMES
 (types are engine-specific strings and deliberately not compared), and
-an order-insensitive value hash (values rounded to 9 significant-ish
-decimals before hashing, mirroring a tolerant comparator; a strict
-comparator would still pass because the queries are designed to be
-engine-exact). Assumes a UTC driver (this container is UTC): Spark's
-non-Arrow collect() renders timestamps in the driver's local zone.
+an order-insensitive, TYPE-FAITHFUL value hash: an int ``3`` and a float
+``3.0`` hash differently, mirroring the driver's strict pandas-based
+comparator (round 1's only red row, cumulative_revenue, was a DuckDB
+HUGEINT surfacing as float that the old ``%.9g`` folding hid).  Float
+magnitudes are still normalized to 9 significant digits — the queries
+are designed engine-exact, the tolerance only absorbs 15th-decimal
+noise, never a type change.  DuckDB results are fetched through Arrow so
+HUGEINT/DECIMAL columns are visible (they arrive as decimal128) and
+fail loudly with a "cast it in the SQL" hint instead of silently
+comparing as arbitrary-precision ints.  Assumes a UTC driver (this
+container is UTC): Spark's non-Arrow collect() renders timestamps in the
+driver's local zone.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import math
 import os
 import sys
 import time
 
 import duckdb
+import pyarrow as pa
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -29,15 +39,38 @@ TABLES = (
 
 
 def norm_cell(v):
+    """Type-tagged cell rendering: values of different Python types never
+    collide (int 3 != float 3.0 != Decimal 3), matching the driver's
+    type-aware comparator."""
     if v is None:
         return "NULL"
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return f"b:{int(v)}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return f"{v + 0.0:.9g}"  # fold -0.0 into 0.0
-    if isinstance(v, bool):
-        return str(int(v))
+            return "f:NaN"
+        return f"f:{v + 0.0:.9g}"  # fold -0.0 into 0.0
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"
+    if isinstance(v, datetime.datetime):
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, datetime.date):
+        return f"d:{v.isoformat()}"
     return str(v)
+
+
+def suspect_duckdb_types(arrow_schema: "pa.Schema") -> list[str]:
+    """Columns whose DuckDB result type cannot round-trip to a Spark type:
+    HUGEINT/DECIMAL arrive as decimal128 — the SQL should CAST to
+    BIGINT/DOUBLE (DuckDB sums of integers are HUGEINT, including windowed
+    sums; sums of DECIMAL literals stay DECIMAL)."""
+    bad = []
+    for field in arrow_schema:
+        if pa.types.is_decimal(field.type):
+            bad.append(f"{field.name}:{field.type}")
+    return bad
 
 
 def table_digest(rows, colnames):
@@ -85,14 +118,21 @@ def main() -> int:
             print(f"SKIP {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            atbl = con.execute(oracles[name]).fetch_arrow_table()
+            dcols = atbl.column_names
+            dpy = [col.to_pylist() for col in atbl.columns]
+            drows = list(zip(*dpy)) if dcols else []
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
             continue
         problems = []
+        bad_types = suspect_duckdb_types(atbl.schema)
+        if bad_types:
+            problems.append(
+                f"oracle yields HUGEINT/DECIMAL ({', '.join(bad_types)}) — "
+                "CAST to BIGINT/DOUBLE in the SQL"
+            )
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
         if len(srows) != len(drows):
