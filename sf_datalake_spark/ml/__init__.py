@@ -9,6 +9,7 @@ from sf_datalake_spark.ml.evaluation import (
 from sf_datalake_spark.ml.explain import (
     feature_names_from_metadata,
     linear_contributions,
+    tree_contributions,
     vector_disassembler,
 )
 from sf_datalake_spark.ml.models import make_classifier
@@ -22,6 +23,7 @@ __all__ = [
     "linear_contributions",
     "make_classifier",
     "optimal_fbeta_thresholds",
+    "tree_contributions",
     "vector_disassembler",
     "with_alert_levels",
 ]

@@ -1034,6 +1034,48 @@ def q_resampled_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("failure").agg(F.count("*").alias("n_rows"))
 
 
+def q_tree_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-forest failure model + Saabas per-feature contributions
+    (reference ``explain.py:63-107`` TreeExplainer, shap-free): per
+    entity-month, base rate and additive revenue/lag contributions whose
+    sum is exactly the predicted failure probability.  Rows-only: tree
+    training is not SQL-expressible."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    from sf_datalake_spark.ml import make_classifier, tree_contributions
+    from sf_datalake_spark.operators.split import hash_split
+    from sf_datalake_spark.operators.windows import with_lag
+    from sf_datalake_spark.queries import q_target_variable
+
+    panel = customer_monthly_panel(spark, sf_dir)
+    panel = with_lag(panel, "revenue", [1], keys=["custkey"], period_col="periode",
+                     suffix_fmt="revenue_lag{n}m").fillna({"revenue_lag1m": 0.0})
+    labeled = panel.join(q_target_variable(spark, sf_dir), ["custkey", "periode"])
+    assembled = VectorAssembler(
+        inputCols=["revenue", "revenue_lag1m"], outputCol="features"
+    ).transform(labeled)
+    train, test = hash_split(assembled, "custkey", test_fraction=0.3)
+    model = make_classifier(
+        "RandomForestClassifier", numTrees=5, maxDepth=4, seed=42
+    ).fit(train)
+    preds = model.transform(test).withColumn(
+        "p1", F.element_at(vector_to_array("probability"), 2)
+    )
+    out = tree_contributions(preds, model, keep=["custkey", "periode"])
+    return (
+        out.join(preds.select("custkey", "periode", "p1"), ["custkey", "periode"])
+        .select(
+            "custkey",
+            "periode",
+            F.round("base", 6).alias("base"),
+            F.round("contrib_revenue", 6).alias("contrib_revenue"),
+            F.round("contrib_revenue_lag1m", 6).alias("contrib_revenue_lag1m"),
+            F.round("p1", 6).alias("probability_1"),
+        )
+    )
+
+
 def q_grouped_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-style randomized grouped split (distinct + randomSplit +
     left-semi), seeded; split sizes per side."""
@@ -1087,6 +1129,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ml_train_predict": q_ml_train_predict,
     "resampled_counts": q_resampled_counts,
     "grouped_split_counts": q_grouped_split_counts,
+    "tree_contributions": q_tree_contributions,
 }
 
 ORACLES_EXT: dict[str, str] = {
@@ -1116,5 +1159,5 @@ ORACLES_EXT: dict[str, str] = {
     # Rows-only by design (no SQL-expressible oracle): pca_projection,
     # sketches, ann_lsh_topk, ann_ivf_topk, embedding_near_dups,
     # multimodal_decode, ml_train_predict, resampled_counts,
-    # grouped_split_counts.
+    # grouped_split_counts, tree_contributions.
 }
