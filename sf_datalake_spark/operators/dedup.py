@@ -170,13 +170,24 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_doc_frequency: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
 
     shingle-inverted-index self-join: |A∩B| per pair from the join,
     |A|,|B| from per-doc distinct counts, J = ∩ / (|A|+|B|−∩).
-    The shared-shingle prefilter keeps this far from all-pairs; truly
-    hot shingles should be stopworded upstream at extreme scale.
+    The shared-shingle prefilter keeps this far from all-pairs.
+
+    ``max_doc_frequency`` is the hot-shingle guard for scale: a shingle
+    appearing in ``> max_doc_frequency`` documents (boilerplate headers,
+    license blocks) is dropped as a stopword BEFORE the self-join —
+    without it one hot key makes the join quadratic in that shingle's
+    document count. Stopword semantics are principled: the shingle
+    leaves both the intersection AND the per-doc sizes, so ``jaccard``
+    is the exact Jaccard over the filtered shingle space (docs whose
+    every shingle is hot drop out entirely). Costs one extra
+    groupBy(shingle) + a broadcast anti-join against the (tiny) hot
+    set. Default ``None`` preserves unfiltered semantics.
 
     The join/shuffle key is a 60-bit md5 of the shingle, not the string
     — fixed-width numeric keys shuffle and compare far faster; a
@@ -190,6 +201,14 @@ def ngram_jaccard_pairs(
         id_col,
         F.conv(F.substring(F.md5("__s"), 1, 15), 16, 10).cast("bigint").alias("sh"),
     ).distinct()
+    if max_doc_frequency is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_doc_frequency)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

@@ -986,6 +986,37 @@ _JACCARD_SQL = rf"""
 """
 
 
+def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard with the hot-shingle guard on: shingles in > 4 documents
+    are stopworded before the inverted-index self-join (the 100 TB skew
+    defense — one boilerplate shingle otherwise makes a join key
+    quadratic). Jaccard is exact over the filtered shingle space."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.2, max_doc_frequency=4
+    )
+    return pairs.select("id_1", "id_2", F.round("jaccard", 6).alias("jaccard"))
+
+
+_JACCARD_CAPPED_SQL = rf"""
+    WITH raw AS (SELECT DISTINCT doc_id, sh FROM ({_SHINGLE_SQL})),
+    hot AS (SELECT sh FROM raw GROUP BY sh HAVING count(*) > 4),
+    shingles AS (SELECT * FROM raw ANTI JOIN hot USING (sh)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+    common AS (
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS c
+        FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_1, id_2,
+           round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_1
+    JOIN sizes sb ON sb.doc_id = id_2
+    WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.2
+"""
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-3 neighbors via the Arrow/BLAS path (broadcast
     corpus matrix, ``mapInPandas`` batched matmul — ~100× the
@@ -1050,6 +1081,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signature": q_minhash_signature,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ngram_jaccard": q_ngram_jaccard,
+    "ngram_jaccard_capped": q_ngram_jaccard_capped,
     "embedding_topk": q_embedding_topk,
 }
 
@@ -1083,5 +1115,6 @@ ORACLES: dict[str, str] = {
     "minhash_signature": _MINHASH_SQL,
     "minhash_lsh_pairs": _LSH_PAIRS_SQL,
     "ngram_jaccard": _JACCARD_SQL,
+    "ngram_jaccard_capped": _JACCARD_CAPPED_SQL,
     "embedding_topk": _TOPK_SQL,
 }

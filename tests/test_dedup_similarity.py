@@ -83,6 +83,39 @@ def test_ngram_jaccard_values(docs):
     assert pairs[(1, 3)] == 0.75
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """Adversarial skew corpus: one boilerplate shingle in EVERY doc.
+    Uncapped → every pair is a join candidate (quadratic in the hot
+    shingle's doc count); capped → the hot shingle is stopworded and
+    only genuinely-similar pairs survive."""
+    n = 30
+    rows = [(i, f"aa bb cc u{i} v{i} w{i}") for i in range(n)]
+    rows.append((n, "aa bb cc u0 v0 w0 zz"))  # true near-dup of doc 0
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    uncapped = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.01)
+    # hot shingle "aa bb cc" makes ALL C(31,2) pairs candidates
+    assert uncapped.count() == n * (n + 1) // 2
+
+    capped = ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.01, max_doc_frequency=5
+    )
+    got = {(r["id_1"], r["id_2"]): r["jaccard"] for r in capped.collect()}
+    # only the true near-dup pair remains; jaccard over the FILTERED
+    # space: doc0 keeps {bb cc u0, cc u0 v0, u0 v0 w0}, doc30 keeps
+    # those 3 plus {v0 w0 zz} → 3/4
+    assert got == {(0, n): 0.75}
+
+
+def test_ngram_jaccard_cap_none_identical(docs):
+    base = {(r["id_1"], r["id_2"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.1).collect()}
+    huge_cap = {(r["id_1"], r["id_2"]): r["jaccard"]
+                for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.1,
+                                             max_doc_frequency=10**6).collect()}
+    assert base == huge_cap
+
+
 def test_simhash_near_dup(spark):
     df = spark.createDataFrame(
         [
