@@ -264,34 +264,66 @@ def simhash_near_dup_pairs(
     sims: DataFrame,
     id_col: str,
     max_hamming: int = 3,
-    prefix_bits: int = 16,
     bits: int = 48,
+    num_blocks: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by hamming distance ≤ ``max_hamming``.
+    """Near-dup pairs by hamming distance ≤ ``max_hamming``, multi-block
+    SimHash (Manku et al., WWW'07 "Detecting near-duplicates for web
+    crawling" — public algorithm): split the ``bits``-bit hash into
+    ``num_blocks`` contiguous blocks and join on each block's exact
+    value.  With the default ``num_blocks = max_hamming + 1`` the
+    pigeonhole principle makes candidate recall EXACT — ≤ ``max_hamming``
+    differing bits cannot touch all blocks, so every qualifying pair
+    shares at least one block verbatim.  Candidates are verified with
+    ``bit_count(xor)``.
 
-    Blocked on the top ``prefix_bits`` of the simhash (docs differing in
-    the prefix are only found if another block matches — standard
-    multi-block SimHash would rotate; single-block here, documented
-    recall trade-off), then verified with ``bit_count(xor)``.
+    Cost scales with ``num_blocks`` explodes + one equi-join on
+    (block_idx, block_value) — still bucketed, never all-pairs.  Passing
+    a smaller ``num_blocks`` trades recall for fewer/larger buckets
+    (recall loss begins at ``max_hamming ≥ num_blocks``).
     """
-    blocked = sims.withColumn(
-        "__blk", F.shiftrightunsigned(F.col("simhash"), bits - prefix_bits)
-    )
+    nb = num_blocks if num_blocks is not None else max_hamming + 1
+    if not 1 <= nb <= bits:
+        raise ValueError(f"num_blocks must be in [1, {bits}], got {nb}")
+    widths = [bits // nb + (1 if i < bits % nb else 0) for i in range(nb)]
+    offsets = [sum(widths[:i]) for i in range(nb)]
+    blocked = sims.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned(F.col("simhash"), off)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("val"),
+                    )
+                    for i, (off, w) in enumerate(zip(offsets, widths))
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", F.col("bb.blk").alias("blk"), F.col("bb.val").alias("val"))
     a, b = blocked.alias("a"), blocked.alias("b")
-    return (
+    candidates = (
         a.join(
             b,
-            (F.col("a.__blk") == F.col("b.__blk"))
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
-        )
-        .filter(F.col("hamming") <= max_hamming)
         .select(
             F.col(f"a.{id_col}").alias("id_1"),
             F.col(f"b.{id_col}").alias("id_2"),
-            "hamming",
+            F.col("a.simhash").alias("__s1"),
+            F.col("b.simhash").alias("__s2"),
         )
+        .distinct()  # a pair can match in several blocks
+    )
+    return (
+        candidates.withColumn(
+            "hamming", F.bit_count(F.col("__s1").bitwiseXOR(F.col("__s2")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_1", "id_2", "hamming")
     )

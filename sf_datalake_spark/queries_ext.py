@@ -384,19 +384,21 @@ _SIMHASH_SQL = _simhash_sql(48)
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-block SimHash near-dups at the standard hamming ≤ 3: four
+    12-bit blocks make candidate recall exact (pigeonhole), so the
+    DuckDB oracle can be the genuinely independent brute-force all-pairs
+    hamming join — any blocking bug shows up as missing rows."""
     docs = _t(spark, sf_dir, "documents")
     sims = simhash(docs, "doc_id", "text", bits=48)
-    return simhash_near_dup_pairs(sims, "doc_id", max_hamming=12,
-                                  prefix_bits=8, bits=48)
+    return simhash_near_dup_pairs(sims, "doc_id", max_hamming=3, bits=48)
 
 
 _SIMHASH_PAIRS_SQL = f"""
     WITH sims AS ({_SIMHASH_SQL})
     SELECT a.doc_id AS id_1, b.doc_id AS id_2,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-    FROM sims a JOIN sims b
-      ON (a.simhash >> 40) = (b.simhash >> 40) AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 

@@ -133,6 +133,40 @@ def test_simhash_near_dup(spark):
     assert {(r["id_1"], r["id_2"]) for r in pairs} == {(1, 2)}
 
 
+def test_simhash_multiblock_finds_prefix_differing_pair(spark):
+    """A pair whose 3 differing bits all sit in the TOP 16 bits: any
+    single-prefix blocking misses it; 4-block rotation must find it
+    (pigeonhole — 3 flips cannot touch all 4 blocks)."""
+    base = 0x0123456789AB  # arbitrary 48-bit value
+    flipped_top = base ^ (0b111 << 45)  # 3 flips within bits 45-47
+    flipped_spread = base ^ (1 << 40) ^ (1 << 25) ^ (1 << 5)  # one per block
+    far = base ^ ((1 << 20) - 1)  # hamming 20
+    sims = spark.createDataFrame(
+        [(1, base), (2, flipped_top), (3, far), (4, flipped_spread)],
+        "doc_id int, simhash long",
+    )
+    got = {(r["id_1"], r["id_2"]): r["hamming"]
+           for r in simhash_near_dup_pairs(sims, "doc_id", max_hamming=3).collect()}
+    assert got[(1, 2)] == 3
+    # 3 flips across 3 DIFFERENT blocks still share the 4th block
+    assert got[(1, 4)] == 3
+    assert not any(3 in p for p in got)
+
+
+def test_simhash_fewer_blocks_loses_recall(spark):
+    """Explicit num_blocks below max_hamming+1 documents the trade-off:
+    a pair with one flip in each of the 2 blocks is no longer found."""
+    base = 0x0123456789AB
+    both_halves = base ^ (1 << 40) ^ (1 << 5)
+    sims = spark.createDataFrame(
+        [(1, base), (2, both_halves)], "doc_id int, simhash long"
+    )
+    full = simhash_near_dup_pairs(sims, "doc_id", max_hamming=2).collect()
+    assert len(full) == 1
+    partial = simhash_near_dup_pairs(sims, "doc_id", max_hamming=2, num_blocks=2).collect()
+    assert partial == []
+
+
 @pytest.fixture()
 def vectors(spark):
     rows = [
