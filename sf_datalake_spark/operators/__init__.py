@@ -21,7 +21,9 @@ from sf_datalake_spark.operators.similarity import (  # noqa: F401
     brute_force_topk_np,
     embedding_near_dup_pairs,
     hyperplane_buckets_np,
+    ivf_topk,
     lsh_topk,
+    sharded_topk_np,
 )
 from sf_datalake_spark.operators.skew import salted_aggregate, salted_join  # noqa: F401
 from sf_datalake_spark.operators.split import (  # noqa: F401

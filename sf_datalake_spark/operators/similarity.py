@@ -78,8 +78,9 @@ def brute_force_topk_np(
     argpartitions the top-k. The quadratic pair space lives only inside
     BLAS — 4M interpreted Catalyst lambda evaluations become one matrix
     multiply per batch. Scale path: corpus must fit in executor memory
-    (~1 GB per 2M × 64-dim float64 vectors); beyond that, shard the
-    corpus and union per-shard top-k, or switch to :func:`lsh_topk`.
+    (~1 GB per 2M × 64-dim float64 vectors); beyond that,
+    :func:`sharded_topk_np` gives the same exact answer with no corpus
+    collect, or switch to approximate :func:`lsh_topk` / :func:`ivf_topk`.
     """
     # Sorted by id so that a STABLE argsort on -cosine breaks ties by
     # neighbor id ascending — same contract as brute_force_topk.
@@ -226,6 +227,100 @@ def lsh_topk(
     )
 
 
+def _make_blas_rerank(k: int):
+    """Cogrouped Arrow re-rank kernel shared by :func:`ivf_topk` and
+    :func:`sharded_topk_np`: queries of one group meet that group's
+    corpus slice as two pandas frames (columns ``query_id/__qv`` and
+    ``neighbor_id/__cv``) — one BLAS matmul per group, per-group top-k,
+    self-matches and zero-norm (NaN) pairs dropped.  Candidates are
+    id-sorted before the stable argsort so ties break by neighbor id —
+    the same contract as :func:`brute_force_topk_np`."""
+
+    def rerank(qpdf, cpdf):
+        import pandas as pd
+
+        if qpdf.empty or cpdf.empty:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+        qm = np.array(list(qpdf["__qv"]), dtype=np.float64)
+        cm = np.array(list(cpdf["__cv"]), dtype=np.float64)
+        qn = np.linalg.norm(qm, axis=1)
+        cn = np.linalg.norm(cm, axis=1)
+        qn[qn == 0] = np.nan
+        cn[cn == 0] = np.nan
+        sims = (qm @ cm.T) / np.outer(qn, cn)
+        q_ids = qpdf["query_id"].to_numpy()
+        c_ids = cpdf["neighbor_id"].to_numpy()
+        order = np.argsort(c_ids, kind="stable")
+        sims = sims[:, order]
+        c_sorted = c_ids[order]
+        sims[q_ids[:, None] == c_sorted[None, :]] = -np.inf
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+        out = pd.DataFrame(
+            {
+                "query_id": np.repeat(q_ids, top.shape[1]),
+                "neighbor_id": c_sorted[top].ravel(),
+                "cosine": np.take_along_axis(sims, top, 1).ravel(),
+            }
+        )
+        return out[np.isfinite(out["cosine"])]
+
+    return rerank
+
+
+def sharded_topk_np(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_shards: int = 8,
+) -> DataFrame:
+    """EXACT cosine top-k with no driver-side corpus collect — the scale
+    path for :func:`brute_force_topk_np` when the corpus outgrows a
+    broadcast (> ~2M × 64-dim per executor-GB).
+
+    The corpus is hash-sharded into ``n_shards`` groups; every query is
+    replicated to every shard (explode of a literal array), each
+    (query-slice, corpus-shard) pair meets in a cogrouped Arrow BLAS
+    re-rank producing per-shard top-k, and a final window keeps the
+    global top-k of the ≤ ``n_shards·k`` survivors.  Exact because every
+    corpus vector lives in exactly one probed shard; per-pair cosine is
+    computed by the same kernel as the broadcast path, so results are
+    identical (tie-break by neighbor id included).
+
+    Shuffle cost: queries replicate ``n_shards``× (rows, not the corpus)
+    and only per-shard top-k survives the cogroup — the quadratic pair
+    space never hits the shuffle.  Size ``n_shards`` so one shard's
+    matrix fits an executor's Arrow group (~rows/n_shards × dim × 8 B).
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv")
+    ).withColumn(
+        "__shard", F.explode(F.array(*[F.lit(i) for i in range(n_shards)]))
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    ).withColumn("__shard", F.pmod(F.hash("neighbor_id"), F.lit(n_shards)).cast("int"))
+
+    id_type = dict(queries.dtypes)[query_id]
+    n_id_type = dict(corpus.dtypes)[corpus_id]
+    out_schema = f"query_id {id_type}, neighbor_id {n_id_type}, cosine double"
+    candidates = (
+        q.groupBy("__shard")
+        .cogroup(c.groupBy("__shard"))
+        .applyInPandas(_make_blas_rerank(k), schema=out_schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -295,38 +390,10 @@ def ivf_topk(
     n_id_type = dict(corpus.dtypes)[corpus_id]
     out_schema = f"query_id {id_type}, neighbor_id {n_id_type}, cosine double"
 
-    def rerank(qpdf, cpdf):
-        import pandas as pd
-
-        if qpdf.empty or cpdf.empty:
-            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
-        qm = np.array(list(qpdf["__qv"]), dtype=np.float64)
-        cm = np.array(list(cpdf["__cv"]), dtype=np.float64)
-        qn = np.linalg.norm(qm, axis=1)
-        cn = np.linalg.norm(cm, axis=1)
-        qn[qn == 0] = np.nan
-        cn[cn == 0] = np.nan
-        sims = (qm @ cm.T) / np.outer(qn, cn)
-        q_ids = qpdf["query_id"].to_numpy()
-        c_ids = cpdf["neighbor_id"].to_numpy()
-        order = np.argsort(c_ids, kind="stable")
-        sims = sims[:, order]
-        c_sorted = c_ids[order]
-        sims[q_ids[:, None] == c_sorted[None, :]] = -np.inf
-        top = np.argsort(-sims, axis=1, kind="stable")[:, :k]
-        out = pd.DataFrame(
-            {
-                "query_id": np.repeat(q_ids, top.shape[1]),
-                "neighbor_id": c_sorted[top].ravel(),
-                "cosine": np.take_along_axis(sims, top, 1).ravel(),
-            }
-        )
-        return out[np.isfinite(out["cosine"])]
-
     candidates = (
         q.groupBy("__cell")
         .cogroup(assigned.groupBy("__cell"))
-        .applyInPandas(rerank, schema=out_schema)
+        .applyInPandas(_make_blas_rerank(k), schema=out_schema)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

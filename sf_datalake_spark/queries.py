@@ -41,7 +41,7 @@ from sf_datalake_spark.operators.dedup import (
     ngram_jaccard_pairs,
 )
 from sf_datalake_spark.operators.intervals import sessionize, union_intervals
-from sf_datalake_spark.operators.similarity import brute_force_topk_np
+from sf_datalake_spark.operators.similarity import brute_force_topk_np, sharded_topk_np
 from sf_datalake_spark.operators.split import hash_split
 from sf_datalake_spark.operators.windows import (
     dedup_by_rank,
@@ -1028,6 +1028,18 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_topk_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same exact top-3 via the sharded cogroup path (no driver-side
+    corpus collect — the 100 TB-exact variant): hash-shard the corpus,
+    replicate queries per shard, per-shard BLAS top-k, global window.
+    Oracle-identical to the broadcast path by construction."""
+    emb = _t(spark, sf_dir, "embeddings")
+    topk = sharded_topk_np(emb, emb, k=3, vec_col="embedding", n_shards=4)
+    return topk.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
 _TOPK_SQL = """
     WITH pairs AS (
         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -1083,6 +1095,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "ngram_jaccard_capped": q_ngram_jaccard_capped,
     "embedding_topk": q_embedding_topk,
+    "embedding_topk_sharded": q_embedding_topk_sharded,
 }
 
 ORACLES: dict[str, str] = {
@@ -1117,4 +1130,5 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard": _JACCARD_SQL,
     "ngram_jaccard_capped": _JACCARD_CAPPED_SQL,
     "embedding_topk": _TOPK_SQL,
+    "embedding_topk_sharded": _TOPK_SQL,
 }

@@ -230,6 +230,33 @@ def test_ivf_topk_recall_vs_exact(spark):
     assert recall > 0.7
 
 
+def test_sharded_topk_bit_identical_to_broadcast(spark):
+    """Forced 4-shard split must reproduce the broadcast BLAS path
+    bit-for-bit (same kernel per pair, same neighbor-id tie-break),
+    including duplicate vectors (cosine ties)."""
+    import numpy as np
+
+    from sf_datalake_spark.operators.similarity import sharded_topk_np
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(60)]
+    rows += [(100 + i, rows[i][1]) for i in range(5)]     # exact duplicates → ties
+    rows.append((999, [0.0] * 16))                        # zero norm → dropped
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    base = sorted(map(tuple, brute_force_topk_np(df, df, k=3).collect()))
+    shard = sorted(map(tuple, sharded_topk_np(df, df, k=3, n_shards=4).collect()))
+    assert base == shard  # exact: ids, ranks, and cosine bit patterns
+
+
+def test_sharded_topk_single_shard(vectors):
+    from sf_datalake_spark.operators.similarity import sharded_topk_np
+
+    base = sorted(map(tuple, brute_force_topk_np(vectors, vectors, k=2).collect()))
+    shard = sorted(map(tuple, sharded_topk_np(vectors, vectors, k=2, n_shards=1).collect()))
+    assert base == shard
+
+
 def test_embedding_near_dup_pairs(vectors):
     pairs = embedding_near_dup_pairs(vectors, threshold=0.95, n_planes=4, dim=4)
     got = {(r["id_1"], r["id_2"]) for r in pairs.collect()}
