@@ -129,17 +129,51 @@ def _decode_audio(payload: bytes, sample_rate: int | None):
         return None  # corrupt payload: caller skips the row
 
 
-def _decode_video_frame(payload: bytes, frame_index: int, width: int | None, height: int | None):
-    """→ one (H, W, 3) uint8 frame. Real impl would use ffmpeg/pyav."""
-    try:  # pragma: no cover - av absent in this container
-        import av  # noqa: F401
+def _decode_video_frame(
+    payload: bytes,
+    frame_index: int,
+    width: int | None,
+    height: int | None,
+    at_ms: int | None = None,
+):
+    """→ one (H, W, 3) uint8 frame, or None if undecodable.
 
-        raise NotImplementedError("pyav frame extraction not wired in this container")
+    Real path (pyav importable): open the container from the in-memory
+    payload, seek near ``at_ms`` when given (container-level seek in
+    AV_TIME_BASE µs, keyframe-backward), then decode forward to the
+    first frame at/after the target — the standard accurate-seek
+    pattern; without ``at_ms``, decode sequentially to ``frame_index``.
+    Deterministic md5-seeded fake when pyav is absent (this container).
+    """
+    try:
+        import av
     except ImportError:
         w, h = width or 16, height or 16
         return _fake_rng(payload, "vid", frame_index).randint(
             0, 256, size=(h, w, 3), dtype=np.uint8
         )
+    import io
+
+    try:
+        with av.open(io.BytesIO(payload)) as container:
+            stream = container.streams.video[0]
+            if at_ms is not None and at_ms > 0:
+                try:
+                    # AV_TIME_BASE (µs) offset; lands on the keyframe at
+                    # or before the target, decode catches up from there.
+                    container.seek(int(at_ms) * 1000, backward=True)
+                except Exception:
+                    pass  # non-seekable container: sequential scan below
+            for i, frame in enumerate(container.decode(stream)):
+                if at_ms is not None:
+                    t_ms = (frame.time or 0.0) * 1000.0
+                    if t_ms + 1e-6 >= at_ms:
+                        return frame.to_ndarray(format="rgb24")
+                elif i >= frame_index:
+                    return frame.to_ndarray(format="rgb24")
+        return None  # target beyond end of stream
+    except Exception:
+        return None  # corrupt payload: caller skips the row
 
 
 # ---------------------------------------------------------------------------
@@ -220,7 +254,10 @@ def sample_frames(
                         bytes(row[content_col]), i,
                         m["width"] if m is not None else None,
                         m["height"] if m is not None else None,
+                        at_ms=i * every_ms if duration else None,
                     )
+                    if arr is None:  # undecodable/short payload: skip frame
+                        continue
                     out.append(
                         (row["asset_id"], i, i * every_ms, arr.shape[0],
                          arr.shape[1], arr.shape[2], arr.tobytes())

@@ -104,3 +104,95 @@ def test_metadata_filter_prunes_before_decode(assets, spark):
     stage — the decode sees only surviving rows."""
     big = assets.filter("meta.width >= 8")
     assert decode_images(big).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Real pyav code path, exercised via a monkeypatched fake `av` module
+# (the hook imports av lazily, so sys.modules injection reaches it)
+# ---------------------------------------------------------------------------
+
+def _fake_av(frames, fail_open=False):
+    import sys
+    import types
+
+    class FakeFrame:
+        def __init__(self, t, arr):
+            self.time = t
+            self._arr = arr
+
+        def to_ndarray(self, format):
+            assert format == "rgb24"
+            return self._arr
+
+    class FakeContainer:
+        def __init__(self):
+            self.streams = types.SimpleNamespace(video=[object()])
+            self.seek_calls = []
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def seek(self, offset, backward=True):
+            self.seek_calls.append(offset)
+
+        def decode(self, stream):
+            yield from (FakeFrame(t, a) for t, a in frames)
+
+    mod = types.ModuleType("av")
+    container = FakeContainer()
+    if fail_open:
+        def _open(buf):
+            raise OSError("moov atom not found")
+    else:
+        def _open(buf):
+            return container
+    mod.open = _open
+    return mod, container
+
+
+def test_pyav_path_seeks_and_returns_first_frame_at_or_after(monkeypatch):
+    import sys
+
+    from sf_datalake_spark.multimodal.assets import _decode_video_frame
+
+    arrs = [np.full((4, 4, 3), i, dtype=np.uint8) for i in range(3)]
+    mod, container = _fake_av([(0.0, arrs[0]), (0.5, arrs[1]), (1.0, arrs[2])])
+    monkeypatch.setitem(sys.modules, "av", mod)
+    got = _decode_video_frame(b"payload", 0, None, None, at_ms=600)
+    assert (got == arrs[2]).all()  # 500 ms < 600 ≤ 1000 ms
+    assert container.seek_calls == [600 * 1000]  # AV_TIME_BASE µs
+
+
+def test_pyav_path_frame_index_without_timestamp(monkeypatch):
+    import sys
+
+    from sf_datalake_spark.multimodal.assets import _decode_video_frame
+
+    arrs = [np.full((2, 2, 3), i, dtype=np.uint8) for i in range(3)]
+    mod, _ = _fake_av([(None, arrs[0]), (None, arrs[1]), (None, arrs[2])])
+    monkeypatch.setitem(sys.modules, "av", mod)
+    got = _decode_video_frame(b"payload", 1, None, None)
+    assert (got == arrs[1]).all()
+
+
+def test_pyav_path_target_beyond_stream_returns_none(monkeypatch):
+    import sys
+
+    from sf_datalake_spark.multimodal.assets import _decode_video_frame
+
+    mod, _ = _fake_av([(0.0, np.zeros((2, 2, 3), np.uint8))])
+    monkeypatch.setitem(sys.modules, "av", mod)
+    assert _decode_video_frame(b"payload", 0, None, None, at_ms=5000) is None
+
+
+def test_pyav_path_corrupt_payload_returns_none(monkeypatch):
+    import sys
+
+    from sf_datalake_spark.multimodal.assets import _decode_video_frame
+
+    mod, _ = _fake_av([], fail_open=True)
+    monkeypatch.setitem(sys.modules, "av", mod)
+    assert _decode_video_frame(b"\x00garbage", 0, None, None, at_ms=0) is None
