@@ -25,9 +25,16 @@ def _threshold_histogram(
 
     Exact for thresholds on the even grid k/(n_thr−1): score ≥ t ⇔
     bucket ≥ k. ONE aggregation of ≤ n_thr rows regardless of input size.
+
+    The +1e-9 is a ULP guard: for g=100, scores equal to grid values
+    like 0.29 compute score·g as k−1e-14 and would floor into bucket
+    k−1, counting a score EQUAL to a threshold as below it. 1e-9 is
+    ~1e5 ULPs at score·g ≈ 100 yet 1e-7 of the bucket width, so it can
+    only repair representation error, never move a genuinely distinct
+    score across a boundary.
     """
     g = n_thr - 1
-    bucket = F.least(F.floor(F.col(score_col) * g), F.lit(g)).cast("int")
+    bucket = F.least(F.floor(F.col(score_col) * g + F.lit(1e-9)), F.lit(g)).cast("int")
     rows = (
         predictions.groupBy(bucket.alias("b"))
         .agg(

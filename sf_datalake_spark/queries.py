@@ -52,16 +52,35 @@ from sf_datalake_spark.operators.windows import (
 )
 
 
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # The caller may hand us a session we didn't build: pin UTC so
-    # timestamp→date truncation matches the (tz-naive) oracle engine.
+    # DELIBERATE session pin, part of the query contract: every query
+    # here compares timestamps against a tz-naive oracle engine, so the
+    # session timezone must be UTC for timestamp→date truncation to
+    # agree. Set idempotently (the caller may hand us a session we
+    # didn't build); callers needing another zone should not share a
+    # session with these queries.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # The events table stores TIMESTAMP(NANOS) which Spark's parquet
         # reader rejects; read nanos as long and truncate to microseconds
         # (integer division — doubles would lose precision at 1e18).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        # The legacy conf is scoped to this read (no per-read option
+        # exists): the schema is resolved eagerly at read time, and the
+        # captured bigint schema drives execution, so restoring right
+        # after the read is safe and later parquet reads in the same
+        # session see nanosecond columns with default semantics again.
+        prev = spark.conf.get(_NANOS_CONF, None)
+        spark.conf.set(_NANOS_CONF, "true")
+        try:
+            df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        finally:
+            if prev is None:
+                spark.conf.unset(_NANOS_CONF)
+            else:
+                spark.conf.set(_NANOS_CONF, prev)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df

@@ -82,6 +82,20 @@ def test_fbeta_thresholds_match_reference_algorithm(spark):
         assert abs(got[beta] - thr[int(np.argmax(fs))]) < 1e-12
 
 
+def test_threshold_histogram_exact_at_grid_scores(spark):
+    """Scores EXACTLY equal to grid thresholds (0.29, 0.57, 0.58 compute
+    score·100 as k−1e-14) must count as ≥ that threshold — the ULP guard
+    regression (a score equal to t was counted below t)."""
+    from sf_datalake_spark.ml.evaluation import _threshold_histogram
+
+    tricky = [0.29, 0.57, 0.58, 0.0, 1.0, 0.005]
+    df = spark.createDataFrame([(s, 1) for s in tricky], "probability double, failure int")
+    got = dict(
+        (b, p) for b, p, _ in _threshold_histogram(df, "probability", "failure", 101)
+    )
+    assert got == {29: 1, 57: 1, 58: 1, 0: 2, 100: 1}  # 0.005 → bucket 0
+
+
 def test_alert_levels(spark):
     df = spark.createDataFrame(
         [(0.1,), (0.5,), (0.9,)], "probability double"
