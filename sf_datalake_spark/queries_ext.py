@@ -7,6 +7,7 @@ coverage beyond the core registry in ``queries.py``. Same conventions
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1036,6 +1037,67 @@ def q_resampled_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("failure").agg(F.count("*").alias("n_rows"))
 
 
+def q_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writers driven end-to-end (reference ``io.py:41-113`` csv/orc
+    save + load + converter): customer → pipe-separated CSV (write,
+    read back with explicit schema) → ORC (write, read back) →
+    partitioned parquet (write with partition_by, read back). The
+    oracle compares the final read-back against the source table, so
+    any separator/quoting/schema/partition-encoding corruption anywhere
+    in the chain breaks the value hash."""
+    import tempfile
+
+    from sf_datalake_spark.io import load_data, write_data
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    base = tempfile.mkdtemp(prefix="sfdl_roundtrip_")
+    csv_path, orc_path, pq_path = (os.path.join(base, d) for d in ("c", "o", "p"))
+    write_data(cust, csv_path, "csv", sep="|")
+    back_csv = load_data(spark, csv_path, "csv", sep="|", schema=cust.schema)
+    write_data(back_csv, orc_path, "orc")
+    back_orc = load_data(spark, orc_path, "orc")
+    write_data(back_orc, pq_path, "parquet", partition_by=["c_mktsegment"])
+    return load_data(spark, pq_path, "parquet").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+
+
+_WRITE_ROUNDTRIP_SQL = """
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+"""
+
+
+def q_semi_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join with a range predicate (the reference's activity-
+    window perimeter filter, ``join_datasets.py:194-210`` + date clamp):
+    customers having ≥1 order inside a half-open date window. The range
+    condition rides INSIDE the semi join — no pre-aggregation, no
+    post-distinct."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    cond = (
+        (customer.c_custkey == orders.o_custkey)
+        & (orders.o_orderdate >= F.lit("1997-01-01").cast("timestamp"))
+        & (orders.o_orderdate < F.lit("1997-07-01").cast("timestamp"))
+    )
+    return customer.join(orders, cond, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+_SEMI_RANGE_SQL = """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-07-01'
+    )
+"""
+
+
 def q_tree_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-forest failure model + Saabas per-feature contributions
     (reference ``explain.py:63-107`` TreeExplainer, shap-free): per
@@ -1132,6 +1194,8 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resampled_counts": q_resampled_counts,
     "grouped_split_counts": q_grouped_split_counts,
     "tree_contributions": q_tree_contributions,
+    "write_roundtrip": q_write_roundtrip,
+    "semi_range_join": q_semi_range_join,
 }
 
 ORACLES_EXT: dict[str, str] = {
@@ -1158,6 +1222,8 @@ ORACLES_EXT: dict[str, str] = {
     "table_profile": _TABLE_PROFILE_SQL,
     "salted_supplier_agg": _SALTED_AGG_SQL,
     "streaming_sessions": _STREAMING_SESSIONS_SQL,
+    "write_roundtrip": _WRITE_ROUNDTRIP_SQL,
+    "semi_range_join": _SEMI_RANGE_SQL,
     # Rows-only by design (no SQL-expressible oracle): pca_projection,
     # sketches, ann_lsh_topk, ann_ivf_topk, embedding_near_dups,
     # multimodal_decode, ml_train_predict, resampled_counts,
