@@ -12,7 +12,7 @@ from sf_datalake_spark.ml.explain import (
     tree_contributions,
     vector_disassembler,
 )
-from sf_datalake_spark.ml.models import make_classifier
+from sf_datalake_spark.ml.models import fit_ready, make_classifier
 from sf_datalake_spark.ml.stages import encoding_scaling_stages
 
 __all__ = [
@@ -21,6 +21,7 @@ __all__ = [
     "encoding_scaling_stages",
     "feature_names_from_metadata",
     "linear_contributions",
+    "fit_ready",
     "make_classifier",
     "optimal_fbeta_thresholds",
     "tree_contributions",

@@ -1003,7 +1003,7 @@ def q_ml_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import vector_to_array
     from pyspark.ml.feature import VectorAssembler
 
-    from sf_datalake_spark.ml import make_classifier, with_alert_levels
+    from sf_datalake_spark.ml import fit_ready, make_classifier, with_alert_levels
     from sf_datalake_spark.operators.split import hash_split
     from sf_datalake_spark.operators.windows import with_lag
     from sf_datalake_spark.queries import q_target_variable
@@ -1016,7 +1016,9 @@ def q_ml_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCols=["revenue", "revenue_lag1m"], outputCol="features"
     ).transform(labeled)
     train, test = hash_split(assembled, "custkey", test_fraction=0.3)
+    train, _ = fit_ready(train)
     model = make_classifier("LogisticRegression", maxIter=10).fit(train)
+    train.unpersist()
     preds = model.transform(test).withColumn(
         "probability_1", F.round(F.element_at(vector_to_array("probability"), 2), 6)
     )
@@ -1107,7 +1109,7 @@ def q_tree_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.functions import vector_to_array
 
-    from sf_datalake_spark.ml import make_classifier, tree_contributions
+    from sf_datalake_spark.ml import fit_ready, make_classifier, tree_contributions
     from sf_datalake_spark.operators.split import hash_split
     from sf_datalake_spark.operators.windows import with_lag
     from sf_datalake_spark.queries import q_target_variable
@@ -1120,9 +1122,11 @@ def q_tree_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCols=["revenue", "revenue_lag1m"], outputCol="features"
     ).transform(labeled)
     train, test = hash_split(assembled, "custkey", test_fraction=0.3)
+    train, _ = fit_ready(train)
     model = make_classifier(
         "RandomForestClassifier", numTrees=5, maxDepth=4, seed=42
     ).fit(train)
+    train.unpersist()
     preds = model.transform(test).withColumn(
         "p1", F.element_at(vector_to_array("probability"), 2)
     )

@@ -176,3 +176,21 @@ def test_end_to_end_slice(mock_panel):
     mean_fail = alerts.groupBy("failure").agg(F.avg("alert_level").alias("a")).collect()
     by_label = {r["failure"]: r["a"] for r in mean_fail}
     assert by_label[1] > by_label[0]
+
+
+def test_fit_ready_right_sizes_partitions(spark):
+    from sf_datalake_spark.ml import fit_ready
+
+    df = spark.range(0, 1000).repartition(32)
+    out, n = fit_ready(df, target_rows_per_partition=250)
+    assert n == 1000
+    assert out.rdd.getNumPartitions() == 4
+    assert out.count() == 1000
+    out.unpersist()
+
+    # already narrow enough: returned as-is (no widening coalesce)
+    small = spark.range(0, 10).coalesce(2)
+    out2, n2 = fit_ready(small, target_rows_per_partition=1)
+    assert n2 == 10
+    assert out2.rdd.getNumPartitions() == 2
+    out2.unpersist()
