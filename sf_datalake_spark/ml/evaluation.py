@@ -24,17 +24,31 @@ def _threshold_histogram(
     """(bucket, n_pos, n_neg) histogram with bucket = floor(score·(n_thr−1)).
 
     Exact for thresholds on the even grid k/(n_thr−1): score ≥ t ⇔
-    bucket ≥ k. ONE aggregation of ≤ n_thr rows regardless of input size.
+    bucket ≥ k, where t is the ACTUAL double k/g the threshold loop and
+    downstream ``score ≥ t`` comparisons use. ONE aggregation of ≤ n_thr
+    rows regardless of input size.
 
-    The +1e-9 is a ULP guard: for g=100, scores equal to grid values
-    like 0.29 compute score·g as k−1e-14 and would floor into bucket
-    k−1, counting a score EQUAL to a threshold as below it. 1e-9 is
-    ~1e5 ULPs at score·g ≈ 100 yet 1e-7 of the bucket width, so it can
-    only repair representation error, never move a genuinely distinct
-    score across a boundary.
+    Two steps make it exact rather than merely close:
+
+    1. ``floor(score·g + 1e-9)`` — the guard repairs scores equal to
+       grid values like 0.29 whose score·g computes as k−1e-14 (they
+       would floor into bucket k−1, counting a score EQUAL to a
+       threshold as below it).
+    2. The guard alone can over-promote a score genuinely (but
+       sub-guard) below the grid point, e.g. 0.29−1e-12: score·g+1e-9
+       crosses 29 though score < double(0.29). So the candidate bucket
+       is checked against the actual double threshold k0/g — IEEE
+       division of the same integers the threshold loop divides — and
+       stepped down one bucket when score < k0/g. floor+guard is never
+       LOW by more than representation error, so a single downward
+       correction suffices and the result is bit-exact against the grid.
     """
     g = n_thr - 1
-    bucket = F.least(F.floor(F.col(score_col) * g + F.lit(1e-9)), F.lit(g)).cast("int")
+    s = F.col(score_col)
+    k0 = F.least(F.greatest(F.floor(s * g + F.lit(1e-9)), F.lit(0)), F.lit(g))
+    bucket = (
+        F.when(s < k0.cast("double") / F.lit(float(g)), k0 - 1).otherwise(k0).cast("int")
+    )
     rows = (
         predictions.groupBy(bucket.alias("b"))
         .agg(

@@ -165,15 +165,83 @@ def _decode_video_frame(
                 except Exception:
                     pass  # non-seekable container: sequential scan below
             for i, frame in enumerate(container.decode(stream)):
-                if at_ms is not None:
-                    t_ms = (frame.time or 0.0) * 1000.0
+                if at_ms is not None and frame.time is not None:
+                    t_ms = frame.time * 1000.0
                     if t_ms + 1e-6 >= at_ms:
                         return frame.to_ndarray(format="rgb24")
                 elif i >= frame_index:
+                    # sequential mode, or pts-less frame (frame.time is
+                    # None — raw elementary streams): fall back to
+                    # index counting instead of treating t as 0, which
+                    # for any at_ms > 0 could never match and silently
+                    # dropped the frame.
                     return frame.to_ndarray(format="rgb24")
         return None  # target beyond end of stream
     except Exception:
         return None  # corrupt payload: caller skips the row
+
+
+def _decode_video_frames(
+    payload: bytes,
+    n: int,
+    every_ms: int | None,
+    width: int | None,
+    height: int | None,
+) -> list:
+    """Single-pass batch twin of :func:`_decode_video_frame` for
+    :func:`sample_frames`: ONE container open and ONE sequential decode
+    emit all ``n`` sampled frames as ``[(sample_index, ndarray), …]`` —
+    per-target re-open + seek + decode-forward approaches O(n·stream)
+    work on sparse-keyframe video.
+
+    With ``every_ms`` set, target ``i`` receives the first frame whose
+    time ≥ ``i·every_ms``; one frame may satisfy several consecutive
+    targets (sparse streams), and targets beyond the last frame emit
+    nothing — both matching the per-frame seek path. Pts-less frames
+    (``frame.time is None``) fall back to index counting, serving one
+    pending target per decoded frame. ``every_ms=None`` means pure
+    index mode (first ``n`` frames). Fake path (no pyav): bit-identical
+    md5-seeded frames, one per target.
+    """
+    try:
+        import av
+    except ImportError:
+        w, h = width or 16, height or 16
+        return [
+            (
+                i,
+                _fake_rng(payload, "vid", i).randint(
+                    0, 256, size=(h, w, 3), dtype=np.uint8
+                ),
+            )
+            for i in range(n)
+        ]
+    import io
+
+    out: list = []
+    try:
+        with av.open(io.BytesIO(payload)) as container:
+            stream = container.streams.video[0]
+            ti = 0
+            for j, frame in enumerate(container.decode(stream)):
+                if ti >= n:
+                    break
+                has_time = every_ms is not None and frame.time is not None
+                if not has_time:
+                    if j >= ti:
+                        out.append((ti, frame.to_ndarray(format="rgb24")))
+                        ti += 1
+                else:
+                    t_ms = frame.time * 1000.0
+                    arr = None
+                    while ti < n and t_ms + 1e-6 >= ti * every_ms:
+                        if arr is None:
+                            arr = frame.to_ndarray(format="rgb24")
+                        out.append((ti, arr))
+                        ti += 1
+    except Exception:
+        pass  # corrupt/truncated payload: keep the frames that decoded
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -249,15 +317,13 @@ def sample_frames(
                 m = row["meta"]
                 duration = int(m["duration_ms"] or 0) if m is not None else 0
                 n = max(1, -(-duration // every_ms)) if duration else 1
-                for i in range(n):
-                    arr = _decode_video_frame(
-                        bytes(row[content_col]), i,
-                        m["width"] if m is not None else None,
-                        m["height"] if m is not None else None,
-                        at_ms=i * every_ms if duration else None,
-                    )
-                    if arr is None:  # undecodable/short payload: skip frame
-                        continue
+                frames = _decode_video_frames(
+                    bytes(row[content_col]), n,
+                    every_ms if duration else None,
+                    m["width"] if m is not None else None,
+                    m["height"] if m is not None else None,
+                )
+                for i, arr in frames:
                     out.append(
                         (row["asset_id"], i, i * every_ms, arr.shape[0],
                          arr.shape[1], arr.shape[2], arr.tobytes())

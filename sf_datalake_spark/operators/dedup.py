@@ -189,6 +189,16 @@ def ngram_jaccard_pairs(
     groupBy(shingle) + a broadcast anti-join against the (tiny) hot
     set. Default ``None`` preserves unfiltered semantics.
 
+    Plan shape: the shingle subtree (scan → explode → md5 → distinct)
+    feeds four consumers (doc-frequency count, anti-join, both
+    self-join sides), but its terminal distinct exchange is deduped by
+    ReuseExchange, so the guard costs NO extra corpus scan — measured
+    on the executed AQE plan (collect, not count — plan strings lie
+    under count): 2 scans / 2 ReusedExchange both with and without the
+    guard; an explicit ``repartition("sh")`` between dedup and the
+    consumers was tried and is strictly worse (+2 exchanges, same
+    scans).
+
     The join/shuffle key is a 60-bit md5 of the shingle, not the string
     — fixed-width numeric keys shuffle and compare far faster; a
     colliding pair of distinct shingles (P ≈ n²/2⁶¹) would only nudge

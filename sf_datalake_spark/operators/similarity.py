@@ -275,40 +275,52 @@ def sharded_topk_np(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     n_shards: int = 8,
+    n_query_blocks: int = 8,
 ) -> DataFrame:
     """EXACT cosine top-k with no driver-side corpus collect — the scale
     path for :func:`brute_force_topk_np` when the corpus outgrows a
     broadcast (> ~2M × 64-dim per executor-GB).
 
-    The corpus is hash-sharded into ``n_shards`` groups; every query is
-    replicated to every shard (explode of a literal array), each
-    (query-slice, corpus-shard) pair meets in a cogrouped Arrow BLAS
-    re-rank producing per-shard top-k, and a final window keeps the
-    global top-k of the ≤ ``n_shards·k`` survivors.  Exact because every
-    corpus vector lives in exactly one probed shard; per-pair cosine is
-    computed by the same kernel as the broadcast path, so results are
-    identical (tie-break by neighbor id included).
+    Grid (block-nested-loop) decomposition: the corpus is hash-sharded
+    into ``n_shards`` groups and the queries into ``n_query_blocks``
+    groups; each query block is replicated to every corpus shard and
+    vice versa, so each of the ``n_query_blocks·n_shards`` cogroup cells
+    holds |Q|/blocks queries × |C|/shards corpus rows — BOTH matrices
+    shrink with the grid, unlike a corpus-only sharding where every cell
+    would still materialize the full query set.  One Arrow BLAS matmul
+    per cell produces per-shard top-k; a final window keeps the global
+    top-k of the ≤ ``n_shards·k`` survivors per query.  Exact because
+    each query's block meets every corpus shard exactly once; per-pair
+    cosine is computed by the same kernel as the broadcast path, so
+    results are identical (tie-break by neighbor id included).
 
-    Shuffle cost: queries replicate ``n_shards``× (rows, not the corpus)
-    and only per-shard top-k survives the cogroup — the quadratic pair
-    space never hits the shuffle.  Size ``n_shards`` so one shard's
-    matrix fits an executor's Arrow group (~rows/n_shards × dim × 8 B).
+    Shuffle cost: queries replicate ``n_shards``× and the corpus
+    ``n_query_blocks``× — linear in both inputs; the quadratic pair
+    space never hits the shuffle (only per-cell top-k survives).  Size
+    the grid so one cell's two matrices fit an executor's Arrow group
+    (~rows/n_shards × dim × 8 B each side).
     """
-    q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv")
-    ).withColumn(
-        "__shard", F.explode(F.array(*[F.lit(i) for i in range(n_shards)]))
+    q = (
+        queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv"))
+        .withColumn(
+            "__qb", F.pmod(F.hash("query_id"), F.lit(n_query_blocks)).cast("int")
+        )
+        .withColumn("__shard", F.explode(F.array(*[F.lit(i) for i in range(n_shards)])))
     )
-    c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    ).withColumn("__shard", F.pmod(F.hash("neighbor_id"), F.lit(n_shards)).cast("int"))
+    c = (
+        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+        .withColumn("__shard", F.pmod(F.hash("neighbor_id"), F.lit(n_shards)).cast("int"))
+        .withColumn(
+            "__qb", F.explode(F.array(*[F.lit(i) for i in range(n_query_blocks)]))
+        )
+    )
 
     id_type = dict(queries.dtypes)[query_id]
     n_id_type = dict(corpus.dtypes)[corpus_id]
     out_schema = f"query_id {id_type}, neighbor_id {n_id_type}, cosine double"
     candidates = (
-        q.groupBy("__shard")
-        .cogroup(c.groupBy("__shard"))
+        q.groupBy("__qb", "__shard")
+        .cogroup(c.groupBy("__qb", "__shard"))
         .applyInPandas(_make_blas_rerank(k), schema=out_schema)
     )
     w = Window.partitionBy("query_id").orderBy(

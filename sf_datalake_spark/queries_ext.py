@@ -1046,7 +1046,14 @@ def q_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned parquet (write with partition_by, read back). The
     oracle compares the final read-back against the source table, so
     any separator/quoting/schema/partition-encoding corruption anywhere
-    in the chain breaks the value hash."""
+    in the chain breaks the value hash.
+
+    The scratch dir is a FIXED path keyed by sf_dir (writers run in
+    overwrite mode), not a fresh mkdtemp: the returned DataFrame reads
+    lazily from the parquet leg, so the files must outlive this call —
+    a fixed path bounds repeated gate/bench runs to one copy on disk
+    instead of leaking one per invocation."""
+    import hashlib
     import tempfile
 
     from sf_datalake_spark.io import load_data, write_data
@@ -1054,7 +1061,8 @@ def q_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
     )
-    base = tempfile.mkdtemp(prefix="sfdl_roundtrip_")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"sfdl_roundtrip_{tag}")
     csv_path, orc_path, pq_path = (os.path.join(base, d) for d in ("c", "o", "p"))
     write_data(cust, csv_path, "csv", sep="|")
     back_csv = load_data(spark, csv_path, "csv", sep="|", schema=cust.schema)

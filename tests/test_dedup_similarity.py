@@ -245,8 +245,22 @@ def test_sharded_topk_bit_identical_to_broadcast(spark):
     df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
 
     base = sorted(map(tuple, brute_force_topk_np(df, df, k=3).collect()))
-    shard = sorted(map(tuple, sharded_topk_np(df, df, k=3, n_shards=4).collect()))
+    shard = sorted(
+        map(tuple, sharded_topk_np(df, df, k=3, n_shards=4, n_query_blocks=3).collect())
+    )
     assert base == shard  # exact: ids, ranks, and cosine bit patterns
+
+    # grid cells actually shrink the query side: with 3 blocks no cell
+    # may see the full query set
+    from pyspark.sql import functions as F
+
+    q = (
+        df.select(F.col("vec_id").alias("query_id"))
+        .withColumn("__qb", F.pmod(F.hash("query_id"), F.lit(3)).cast("int"))
+        .groupBy("__qb")
+        .count()
+    )
+    assert all(r["count"] < df.count() for r in q.collect())
 
 
 def test_sharded_topk_single_shard(vectors):

@@ -95,6 +95,16 @@ def test_threshold_histogram_exact_at_grid_scores(spark):
     )
     assert got == {29: 1, 57: 1, 58: 1, 0: 2, 100: 1}  # 0.005 → bucket 0
 
+    # the converse trap: a score genuinely BELOW double(0.29) by less
+    # than the ULP guard must NOT be promoted into bucket 29
+    below = [0.29 - 1e-12, 0.57 - 1e-12]
+    assert all(s < t for s, t in zip(below, (0.29, 0.57)))
+    df2 = spark.createDataFrame([(s, 1) for s in below], "probability double, failure int")
+    got2 = dict(
+        (b, p) for b, p, _ in _threshold_histogram(df2, "probability", "failure", 101)
+    )
+    assert got2 == {28: 1, 56: 1}
+
 
 def test_alert_levels(spark):
     df = spark.createDataFrame(

@@ -196,3 +196,51 @@ def test_pyav_path_corrupt_payload_returns_none(monkeypatch):
     mod, _ = _fake_av([], fail_open=True)
     monkeypatch.setitem(sys.modules, "av", mod)
     assert _decode_video_frame(b"\x00garbage", 0, None, None, at_ms=0) is None
+
+
+def test_pyav_at_ms_with_ptsless_frames_falls_back_to_index(monkeypatch):
+    """at_ms > 0 on a pts-less stream (frame.time None) must not treat
+    every frame as t=0 and drop it — it falls back to index counting."""
+    import sys
+
+    from sf_datalake_spark.multimodal.assets import _decode_video_frame
+
+    arrs = [np.full((2, 2, 3), i, dtype=np.uint8) for i in range(3)]
+    mod, _ = _fake_av([(None, arrs[0]), (None, arrs[1]), (None, arrs[2])])
+    monkeypatch.setitem(sys.modules, "av", mod)
+    got = _decode_video_frame(b"payload", 2, None, None, at_ms=2000)
+    assert (got == arrs[2]).all()
+
+
+def test_pyav_batch_decode_single_pass(monkeypatch):
+    """_decode_video_frames opens the container ONCE and one sequential
+    decode serves every target; a sparse stream's frame satisfies
+    several consecutive targets, and targets beyond the stream emit
+    nothing — same semantics as the per-frame seek path."""
+    import sys
+
+    from sf_datalake_spark.multimodal.assets import _decode_video_frames
+
+    arrs = [np.full((2, 2, 3), i, dtype=np.uint8) for i in range(3)]
+    mod, container = _fake_av([(0.0, arrs[0]), (0.5, arrs[1]), (2.2, arrs[2])])
+    open_calls = []
+    orig_open = mod.open
+    mod.open = lambda buf: (open_calls.append(1), orig_open(buf))[1]
+    monkeypatch.setitem(sys.modules, "av", mod)
+
+    got = _decode_video_frames(b"payload", 6, 1000, None, None)
+    assert len(open_calls) == 1
+    # t=0 → target 0; t=2200 → targets 1000 and 2000; targets 3000+ gone
+    assert [(i, a[0, 0, 0]) for i, a in got] == [(0, 0), (1, 2), (2, 2)]
+
+
+def test_pyav_batch_decode_ptsless_index_mode(monkeypatch):
+    import sys
+
+    from sf_datalake_spark.multimodal.assets import _decode_video_frames
+
+    arrs = [np.full((2, 2, 3), i, dtype=np.uint8) for i in range(4)]
+    mod, _ = _fake_av([(None, a) for a in arrs])
+    monkeypatch.setitem(sys.modules, "av", mod)
+    got = _decode_video_frames(b"payload", 3, 1000, None, None)
+    assert [(i, a[0, 0, 0]) for i, a in got] == [(0, 0), (1, 1), (2, 2)]
