@@ -130,6 +130,21 @@ def write_bucketed(
     repeated (siren, période) joins — pay the shuffle once, reuse it in
     every downstream query. Sorted buckets additionally skip the
     sort-merge join's sort."""
+    if mode == "overwrite":
+        # With a non-persistent (in-memory) catalog the table's metadata
+        # dies with the session while its warehouse directory survives,
+        # and saveAsTable then refuses with LOCATION_ALREADY_EXISTS. Drop
+        # any registered table, then clear the orphaned location through
+        # the Hadoop FS API (portable to HDFS/S3, unlike shutil).
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        jvm = spark._jvm
+        jsc = spark._jsc
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        location = jvm.org.apache.hadoop.fs.Path(warehouse, table.lower())
+        fs = location.getFileSystem(jsc.hadoopConfiguration())
+        if fs.exists(location):
+            fs.delete(location, True)
     writer = df.write.format(file_format).mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

@@ -3,7 +3,9 @@
 from sf_datalake_spark.ml.evaluation import (
     binary_metrics,
     confusion_matrix,
+    confusion_matrix_df,
     optimal_fbeta_thresholds,
+    threshold_histogram_df,
     with_alert_levels,
 )
 from sf_datalake_spark.ml.explain import (
@@ -18,7 +20,9 @@ from sf_datalake_spark.ml.stages import encoding_scaling_stages
 __all__ = [
     "binary_metrics",
     "confusion_matrix",
+    "confusion_matrix_df",
     "encoding_scaling_stages",
+    "threshold_histogram_df",
     "feature_names_from_metadata",
     "linear_contributions",
     "fit_ready",

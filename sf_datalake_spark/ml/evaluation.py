@@ -18,9 +18,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _threshold_histogram(
-    predictions: DataFrame, score_col: str, label_col: str, n_thr: int
-) -> list[tuple[int, int, int]]:
+def threshold_histogram_df(
+    predictions: DataFrame, score_col: str, label_col: str, n_thr: int = 101
+) -> DataFrame:
     """(bucket, n_pos, n_neg) histogram with bucket = floor(score·(n_thr−1)).
 
     Exact for thresholds on the even grid k/(n_thr−1): score ≥ t ⇔
@@ -49,14 +49,17 @@ def _threshold_histogram(
     bucket = (
         F.when(s < k0.cast("double") / F.lit(float(g)), k0 - 1).otherwise(k0).cast("int")
     )
-    rows = (
-        predictions.groupBy(bucket.alias("b"))
-        .agg(
-            F.count(F.when(F.col(label_col) == 1, 1)).alias("pos"),
-            F.count(F.when(F.col(label_col) == 0, 1)).alias("neg"),
-        )
-        .collect()
+    return predictions.groupBy(bucket.alias("b")).agg(
+        F.count(F.when(F.col(label_col) == 1, 1)).alias("pos"),
+        F.count(F.when(F.col(label_col) == 0, 1)).alias("neg"),
     )
+
+
+def _threshold_histogram(
+    predictions: DataFrame, score_col: str, label_col: str, n_thr: int
+) -> list[tuple[int, int, int]]:
+    """Collected form of :func:`threshold_histogram_df` (≤ n_thr rows)."""
+    rows = threshold_histogram_df(predictions, score_col, label_col, n_thr).collect()
     return [(r["b"], r["pos"], r["neg"]) for r in rows]
 
 
@@ -131,6 +134,24 @@ def binary_metrics(
     return out
 
 
+def confusion_matrix_df(
+    predictions: DataFrame,
+    threshold: float = 0.5,
+    score_col: str = "probability",
+    label_col: str = "failure",
+) -> DataFrame:
+    """One-row (tp, fp, tn, fn) DataFrame at a threshold — the lazy
+    plan behind :func:`confusion_matrix`, usable as a query result."""
+    pred = (F.col(score_col) >= threshold).cast("int")
+    lab = F.col(label_col)
+    return predictions.agg(
+        F.count(F.when((pred == 1) & (lab == 1), 1)).alias("tp"),
+        F.count(F.when((pred == 1) & (lab == 0), 1)).alias("fp"),
+        F.count(F.when((pred == 0) & (lab == 0), 1)).alias("tn"),
+        F.count(F.when((pred == 0) & (lab == 1), 1)).alias("fn"),
+    )
+
+
 def confusion_matrix(
     predictions: DataFrame,
     threshold: float = 0.5,
@@ -138,12 +159,5 @@ def confusion_matrix(
     label_col: str = "failure",
 ) -> dict[str, int]:
     """{tp, fp, tn, fn} at a threshold — one aggregation."""
-    pred = (F.col(score_col) >= threshold).cast("int")
-    lab = F.col(label_col)
-    row = predictions.agg(
-        F.count(F.when((pred == 1) & (lab == 1), 1)).alias("tp"),
-        F.count(F.when((pred == 1) & (lab == 0), 1)).alias("fp"),
-        F.count(F.when((pred == 0) & (lab == 0), 1)).alias("tn"),
-        F.count(F.when((pred == 0) & (lab == 1), 1)).alias("fn"),
-    ).first()
+    row = confusion_matrix_df(predictions, threshold, score_col, label_col).first()
     return {k: row[k] for k in ("tp", "fp", "tn", "fn")}

@@ -1169,6 +1169,472 @@ def q_grouped_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Transformer filter battery (SURVEY §2.2: SQL-string / not-null / isin /
+# date-range predicates — the reference's PrivateCompanyFilter,
+# HasPaydexFilter, judgment-code and date-window filters)
+# ---------------------------------------------------------------------------
+
+def q_filter_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four predicate transformers chained on one scan. Each is a
+    pure Column filter, so Catalyst collapses the chain into a single
+    pushed-down conjunction over the parquet scan."""
+    from sf_datalake_spark.transformers import (
+        DateRangeFilter,
+        IsInFilter,
+        NotNullFilter,
+        SqlExprFilter,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    out = SqlExprFilter(expr="o_totalprice > 150000").transform(orders)
+    out = NotNullFilter(inputCols=["o_orderpriority"]).transform(out)
+    out = IsInFilter(inputCol="o_orderstatus", values=["F", "P"]).transform(out)
+    out = DateRangeFilter(
+        inputCol="o_orderdate", start="1996-01-01", end="1997-12-31"
+    ).transform(out)
+    return out.select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+_FILTER_BATTERY_SQL = """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 150000
+      AND o_orderpriority IS NOT NULL
+      AND o_orderstatus IN ('F', 'P')
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate <= DATE '1997-12-31'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Statistical imputation (SURVEY §2.4: Imputer mean via
+# MissingValuesHandler's delegation to pyspark.ml.feature.Imputer)
+# ---------------------------------------------------------------------------
+
+def q_imputer_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-impute deterministically injected nulls (custkey ≡ 0 mod 7).
+    Oracle twin: COALESCE against AVG() OVER () of the same nulled
+    column; round(6) absorbs double-summation-order ULP drift between
+    the two engines' aggregate means."""
+    from sf_datalake_spark.transformers import MissingValuesHandler
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("acctbal"),
+    )
+    filled = MissingValuesHandler(strategy="mean", inputCols=["acctbal"]).transform(cust)
+    return filled.select("c_custkey", F.round("acctbal", 6).alias("acctbal"))
+
+
+_IMPUTER_MEAN_SQL = """
+    WITH nulled AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS acctbal
+        FROM customer
+    )
+    SELECT c_custkey,
+           round(coalesce(acctbal, avg(acctbal) OVER ()), 6) AS acctbal
+    FROM nulled
+"""
+
+
+# ---------------------------------------------------------------------------
+# Salted join (SURVEY §2.3, beyond ref: skew-safe equi-join — result must
+# equal the plain join, which IS the oracle)
+# ---------------------------------------------------------------------------
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per supplier nation via a salted lineitem⋈supplier join:
+    the hot-key-safe plan (small side replicated ×8, big side salted)
+    must produce exactly the plain join's aggregate."""
+    from sf_datalake_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("rev"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, supp, on=["suppkey"], n_salts=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.round(F.sum("rev"), 2).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_SALTED_JOIN_SQL = """
+    SELECT s_nationkey,
+           round(sum(round(l_extendedprice * (1 - l_discount), 4)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# ML evaluation operators on deterministic scores (SURVEY §2.9: sigmoid,
+# confusion matrix, alert levels — no model fit, so SQL-oracled)
+# ---------------------------------------------------------------------------
+
+def _scored_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'probability' per order: sigmoid of scaled price —
+    drives functions.numeric.sigmoid through an oracled path."""
+    from sf_datalake_spark.functions.numeric import sigmoid
+
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.round(
+            sigmoid((F.col("o_totalprice") - 150000.0) / 50000.0), 6
+        ).alias("probability"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("failure"),
+    )
+
+
+_SCORED_SQL = """
+    SELECT o_orderkey,
+           round(1.0 / (1.0 + exp(-((o_totalprice - 150000.0) / 50000.0))), 6)
+               AS probability,
+           CAST(o_orderstatus = 'F' AS INT) AS failure
+    FROM orders
+"""
+
+
+def q_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tp/fp/tn/fn at threshold 0.5 over the deterministic scores."""
+    from sf_datalake_spark.ml import confusion_matrix_df
+
+    return confusion_matrix_df(_scored_orders(spark, sf_dir), threshold=0.5)
+
+
+_CONFUSION_SQL = f"""
+    WITH scored AS ({_SCORED_SQL})
+    SELECT CAST(count(*) FILTER (probability >= 0.5 AND failure = 1) AS BIGINT) AS tp,
+           CAST(count(*) FILTER (probability >= 0.5 AND failure = 0) AS BIGINT) AS fp,
+           CAST(count(*) FILTER (probability <  0.5 AND failure = 0) AS BIGINT) AS tn,
+           CAST(count(*) FILTER (probability <  0.5 AND failure = 1) AS BIGINT) AS fn
+    FROM scored
+"""
+
+
+def q_alert_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-threshold alert levels (reference frontend semantics:
+    level = 2 − (p < t_hi) − (p < t_lo)) over deterministic scores."""
+    from sf_datalake_spark.ml import with_alert_levels
+
+    scored = _scored_orders(spark, sf_dir)
+    out = with_alert_levels(
+        scored, {0.5: 0.75, 2.0: 0.25}, score_col="probability"
+    )
+    return out.groupBy("alert_level").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("probability"), 4).alias("sum_p"),
+    )
+
+
+_ALERT_LEVELS_SQL = f"""
+    WITH scored AS ({_SCORED_SQL})
+    SELECT (2 - CASE WHEN probability < 0.75 THEN 1 ELSE 0 END
+              - CASE WHEN probability < 0.25 THEN 1 ELSE 0 END) AS alert_level,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(probability), 4) AS sum_p
+    FROM scored
+    GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Prediction writer (SURVEY §2.1: vector→probability disassembly +
+# coalesced CSV sink, read back — reference io.py:116-162)
+# ---------------------------------------------------------------------------
+
+def q_prediction_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive ``io.write_predictions`` end-to-end: build a 2-slot
+    probability vector from the deterministic scores, write the
+    positive-class slot as single-partition CSV (the reference's
+    prediction export shape), read it back with an explicit schema.
+    Fixed overwrite path per sf_dir (same rationale as
+    :func:`q_write_roundtrip`)."""
+    import hashlib
+    import tempfile
+
+    from pyspark.ml.functions import array_to_vector
+
+    from sf_datalake_spark.io import load_data, write_predictions
+
+    scored = _scored_orders(spark, sf_dir).select(
+        "o_orderkey",
+        array_to_vector(
+            F.array(1.0 - F.col("probability"), F.col("probability"))
+        ).alias("probability"),
+    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"sfdl_predictions_{tag}")
+    write_predictions(
+        scored, path, file_format="csv", keep_cols=["o_orderkey"], num_partitions=1
+    )
+    return load_data(
+        spark, path, "csv", schema="o_orderkey bigint, probability double"
+    )
+
+
+_PREDICTION_WRITER_SQL = f"""
+    SELECT o_orderkey, probability FROM ({_SCORED_SQL})
+"""
+
+
+# ---------------------------------------------------------------------------
+# ExtractJob over a CSV source (SURVEY §2.1: CSV reader + declarative
+# extract scan→stages→aggregate→fill — the reference's extract scripts)
+# ---------------------------------------------------------------------------
+
+def q_extract_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A full ExtractJob against a CSV export of customer: filter stage
+    (market segments whitelist) → groupBy segment → sum/count → fill.
+    Drives the CSV reader (explicit schema), transformer staging, and
+    the aggregate naming convention in one oracled query."""
+    import hashlib
+    import tempfile
+
+    from sf_datalake_spark.io import write_data
+    from sf_datalake_spark.pipelines import ExtractJob
+    from sf_datalake_spark.transformers import IsInFilter
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"sfdl_extract_src_{tag}")
+    write_data(cust, path, "csv")
+
+    job = ExtractJob(
+        source_path=path,
+        file_format="csv",
+        schema="c_custkey: bigint, c_mktsegment: string, c_acctbal: double",
+        stages=[
+            IsInFilter(
+                inputCol="c_mktsegment",
+                values=["AUTOMOBILE", "BUILDING", "MACHINERY"],
+            )
+        ],
+        group_keys=("c_mktsegment",),
+        agg={"c_acctbal": "sum", "c_custkey": "count"},
+    )
+    out = job.build(spark)
+    return out.select(
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal_sum"),
+        F.col("c_custkey").alias("n_customers"),
+    )
+
+
+_EXTRACT_JOB_SQL = """
+    SELECT c_mktsegment,
+           round(sum(c_acctbal), 2) AS acctbal_sum,
+           CAST(count(c_custkey) AS BIGINT) AS n_customers
+    FROM customer
+    WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')
+    GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join (SURVEY §2.1 bucketed tables: pay the shuffle
+# at write time, join with no exchange)
+# ---------------------------------------------------------------------------
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket customer and per-customer order aggregates on custkey (8
+    buckets each), then join the two bucketed tables — the physical
+    plan has NO Exchange on either join side (asserted in
+    test_bucketing); the oracle is the plain join. This is the
+    100 TB answer to the panel's repeated (entity, period) joins:
+    shuffle once at write, reuse forever."""
+    import hashlib
+
+    from sf_datalake_spark.io import write_bucketed
+
+    # sf_dir-scoped table names: concurrent drives at different scales
+    # share one warehouse, and an unscoped name lets one process clobber
+    # the other's table between its write and read.
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    ords = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    write_bucketed(cust, f"bkt_customer_{tag}", ["c_custkey"], n_buckets=8)
+    write_bucketed(ords, f"bkt_orders_{tag}", ["c_custkey"], n_buckets=8)
+    c = spark.table(f"bkt_customer_{tag}")
+    o = spark.table(f"bkt_orders_{tag}")
+    return c.join(o, "c_custkey").select(
+        "c_custkey", "c_mktsegment", "c_acctbal", "revenue", "n_orders"
+    )
+
+
+_BUCKETED_JOIN_SQL = """
+    SELECT c_custkey, c_mktsegment, c_acctbal, revenue, n_orders
+    FROM customer
+    JOIN (SELECT o_custkey AS c_custkey,
+                 round(sum(o_totalprice), 2) AS revenue,
+                 CAST(count(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY o_custkey) USING (c_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming battery (SURVEY §2.10, beyond the reference): tumbling-window
+# aggregation, streaming dedup, and a stream-static broadcast join, each
+# replayed from the events parquet under an availableNow trigger and
+# value-hash-oracled against its batch SQL twin — the same
+# streaming≡batch proof strategy as streaming_sessions.
+# ---------------------------------------------------------------------------
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events parquet as a file stream (nanos ts → timestamp)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return (
+        spark.readStream.schema(
+            "event_id bigint, ts bigint, user_id bigint, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window count/sum per event type. Spark's
+    ``F.window`` tumbling windows are epoch-aligned (UTC), so the batch
+    twin is a group-by on ``epoch_us − epoch_us % 3600s``."""
+    from sf_datalake_spark.streaming import run_to_memory, windowed_aggregate
+
+    agg = windowed_aggregate(
+        _events_stream(spark, sf_dir),
+        "ts",
+        "1 hour",
+        aggs=[
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        ],
+        keys=["event_type"],
+    )
+    out = run_to_memory(agg, "q_streaming_windowed", output_mode="complete")
+    return out.select(
+        "event_type",
+        F.unix_micros("window_start").alias("window_start_us"),
+        "n_events",
+        "value_sum",
+    )
+
+
+_STREAMING_WINDOWED_SQL = """
+    SELECT event_type,
+           epoch_us(ts) - epoch_us(ts) % (3600 * 1000000::BIGINT) AS window_start_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on (user_id, event_type), projected to
+    the dedup keys so which physical row survives is irrelevant — the
+    result IS the distinct key set, the batch twin a DISTINCT."""
+    from sf_datalake_spark.streaming import run_to_memory, streaming_dedup
+
+    dd = streaming_dedup(
+        _events_stream(spark, sf_dir).select("user_id", "event_type"),
+        ["user_id", "event_type"],
+    )
+    return run_to_memory(dd, "q_streaming_dedup", output_mode="append")
+
+
+_STREAMING_DEDUP_SQL = """
+    SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events stream enriched by the static customer dimension
+    (broadcast per micro-batch — no stateful join state), then
+    aggregated per market segment."""
+    from sf_datalake_spark.streaming import run_to_memory
+
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = _events_stream(spark, sf_dir).join(F.broadcast(dim), "user_id")
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+    out = run_to_memory(agg, "q_stream_static_join", output_mode="complete")
+    return out.select("c_mktsegment", "n_events", "value_sum")
+
+
+_STREAM_STATIC_JOIN_SQL = """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS value_sum
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Threshold-tuning histogram (SURVEY §2.9: the distributed single-pass
+# core of optimal_fbeta_thresholds — one ≤101-row aggregation replacing
+# the reference's driver-side sklearn loop, evaluation.py:17-54)
+# ---------------------------------------------------------------------------
+
+def q_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucket histogram over deterministic scores. The oracle
+    replicates the bit-exact bucket formula (floor+guard, then one
+    downward correction against the actual double grid threshold) in
+    DuckDB — both engines run the same IEEE double arithmetic."""
+    from sf_datalake_spark.ml import threshold_histogram_df
+
+    return threshold_histogram_df(
+        _scored_orders(spark, sf_dir), "probability", "failure", n_thr=101
+    )
+
+
+_THRESHOLD_HISTOGRAM_SQL = f"""
+    WITH scored AS ({_SCORED_SQL}),
+    k AS (
+        SELECT failure, probability,
+               least(greatest(CAST(floor(probability * 100 + 1e-9) AS BIGINT), 0), 100)
+                   AS k0
+        FROM scored
+    ),
+    bucketed AS (
+        SELECT failure,
+               CAST(CASE WHEN probability < CAST(k0 AS DOUBLE) / 100.0
+                         THEN k0 - 1 ELSE k0 END AS INT) AS b
+        FROM k
+    )
+    SELECT b,
+           CAST(count(*) FILTER (failure = 1) AS BIGINT) AS pos,
+           CAST(count(*) FILTER (failure = 0) AS BIGINT) AS neg
+    FROM bucketed
+    GROUP BY b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1208,6 +1674,18 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tree_contributions": q_tree_contributions,
     "write_roundtrip": q_write_roundtrip,
     "semi_range_join": q_semi_range_join,
+    "filter_battery": q_filter_battery,
+    "imputer_mean": q_imputer_mean,
+    "salted_join_check": q_salted_join,
+    "confusion_matrix": q_confusion_matrix,
+    "alert_levels": q_alert_levels,
+    "prediction_writer": q_prediction_writer,
+    "extract_job": q_extract_job,
+    "bucketed_join": q_bucketed_join,
+    "streaming_windowed": q_streaming_windowed,
+    "streaming_dedup": q_streaming_dedup,
+    "stream_static_join": q_stream_static_join,
+    "threshold_histogram": q_threshold_histogram,
 }
 
 ORACLES_EXT: dict[str, str] = {
@@ -1236,6 +1714,18 @@ ORACLES_EXT: dict[str, str] = {
     "streaming_sessions": _STREAMING_SESSIONS_SQL,
     "write_roundtrip": _WRITE_ROUNDTRIP_SQL,
     "semi_range_join": _SEMI_RANGE_SQL,
+    "filter_battery": _FILTER_BATTERY_SQL,
+    "imputer_mean": _IMPUTER_MEAN_SQL,
+    "salted_join_check": _SALTED_JOIN_SQL,
+    "confusion_matrix": _CONFUSION_SQL,
+    "alert_levels": _ALERT_LEVELS_SQL,
+    "prediction_writer": _PREDICTION_WRITER_SQL,
+    "extract_job": _EXTRACT_JOB_SQL,
+    "bucketed_join": _BUCKETED_JOIN_SQL,
+    "streaming_windowed": _STREAMING_WINDOWED_SQL,
+    "streaming_dedup": _STREAMING_DEDUP_SQL,
+    "stream_static_join": _STREAM_STATIC_JOIN_SQL,
+    "threshold_histogram": _THRESHOLD_HISTOGRAM_SQL,
     # Rows-only by design (no SQL-expressible oracle): pca_projection,
     # sketches, ann_lsh_topk, ann_ivf_topk, embedding_near_dups,
     # multimodal_decode, ml_train_predict, resampled_counts,
