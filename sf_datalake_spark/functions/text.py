@@ -90,3 +90,51 @@ def stopword_hits(col: Column | str, words: list[str]) -> Column:
 def text_fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text."""
     return F.md5(normalize_text(col))
+
+
+def tf_idf_topk(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+    broadcast_vocab: bool = False,
+):
+    """Top-``top_k`` TF-IDF terms per document.
+
+    tfidf = tf · (ln((N+1)/(df+1)) + 1) — smoothed idf, so terms present
+    in every document still score > 0. Returns
+    ``(id_col, term, tf, tfidf)``, ``top_k`` rows per document.
+
+    Determinism across engines: ranking uses the ROUNDED score (6
+    decimals) with the term string as tiebreak — a last-ULP difference
+    in two engines' ``ln`` can perturb the 16th digit but not the
+    rounded key, so the selected top-k set is oracle-exact.
+
+    Scale design: one explode + two key-partial aggregations (doc-term
+    counts, then vocabulary document frequencies — both combine
+    map-side); the corpus size joins in as a broadcast 1-row aggregate;
+    the vocabulary join shuffles on term unless ``broadcast_vocab``
+    (set it when the vocabulary fits in memory — stopword-heavy hot
+    terms then never shuffle, removing the one skewable key).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(id_col, F.explode(tokenize(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    vocab = tf.groupBy("term").agg(F.count("*").alias("df"))
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = tf.join(vocab, "term").crossJoin(F.broadcast(n))
+    tfidf = F.round(
+        F.col("tf")
+        * (F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + 1),
+        6,
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("tfidf", tfidf)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select(id_col, "term", "tf", "tfidf")
+    )

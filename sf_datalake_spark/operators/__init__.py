@@ -2,6 +2,10 @@
 
 from sf_datalake_spark.operators.aggregates import aggregate_by_keys  # noqa: F401
 from sf_datalake_spark.operators.asof import merge_asof  # noqa: F401
+from sf_datalake_spark.operators.components import (  # noqa: F401
+    connected_components,
+    dedup_clusters,
+)
 from sf_datalake_spark.operators.dedup import (  # noqa: F401
     exact_dedup,
     lsh_candidate_pairs,

@@ -1,0 +1,112 @@
+"""Connected components over a candidate-pair graph — dedup clustering.
+
+Training-data-pipeline operator (beyond the reference's surface): the
+dedup family (``operators.dedup``) emits near-duplicate PAIRS; a real
+pipeline needs CLUSTERS — every document labeled with a canonical
+representative so one keep-decision removes the whole duplicate group.
+That label is the connected component of the pair graph.
+
+Algorithm: hash-min label propagation (the "HASH-MIN" scheme of the
+MapReduce connected-components literature — Rastogi et al., "Finding
+Connected Components in Map-Reduce in Logarithmic Rounds", ICDE 2013):
+every node starts labeled with itself; each round every node takes the
+minimum label among itself and its neighbors; fixpoint after
+O(graph diameter) rounds.  Near-duplicate clusters are dense and tiny
+(a duplicate group is near-clique shaped), so the diameter — and the
+round count — is small in practice; ``max_iter`` bounds pathological
+chains.
+
+Scale design:
+- Each round is ONE equi-join (edges ⋈ labels on dst) + ONE groupBy(src)
+  min — both shuffle on node id, and AQE coalesces as labels shrink.
+- The edge list is re-used every round; it is worth ``.persist()``-ing
+  by the caller for big graphs. Labels are ``localCheckpoint``-ed every
+  round, otherwise the iterative plan's lineage grows linearly and
+  Catalyst re-analyzes an ever-deeper tree (the classic iterative-Spark
+  trap). On a cluster with unreliable executors, swap for reliable
+  ``checkpoint()`` to a replicated store.
+- Convergence is detected with a one-scalar aggregate per round over the
+  (small) label table — never over the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_1",
+    dst: str = "id_2",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Label every node of the undirected ``edges`` graph with the
+    minimum node id of its connected component.
+
+    Returns ``(id, component)`` for every node that appears in at least
+    one edge. Nodes are whatever orderable type the edge columns hold
+    (dedup uses bigint doc ids).
+    """
+    und = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+    # Seed labels with min(id, min(neighbors)) — one aggregation that is
+    # exactly the first propagation round, minus its join.
+    labels = (
+        und.groupBy(F.col("src").alias("id"))
+        .agg(F.least(F.min("src"), F.min("dst")).alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    "component", F.coalesce("nbr_component", "component")
+                ).alias("component"),
+                (F.col("nbr_component") < F.col("component")).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = updated.agg(
+            F.count(F.when(F.col("changed"), 1)).alias("n")
+        ).first()["n"]
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    keep: str = "min",
+) -> DataFrame:
+    """Cluster-label every document given near-duplicate ``pairs``
+    (``id_1``/``id_2``).
+
+    Documents in no pair form singleton clusters (their own id). Output
+    ``(id_col, cluster_id, is_canonical)`` — ``keep="min"`` marks the
+    minimum id of each cluster canonical, the deterministic policy; a
+    quality-ranked policy is a one-line swap of the min.
+    """
+    if keep != "min":
+        raise ValueError(f"unsupported keep policy: {keep!r}")
+    comp = connected_components(pairs, "id_1", "id_2").withColumnRenamed(
+        "id", id_col
+    )
+    out = docs.select(id_col).join(comp, id_col, "left").select(
+        id_col,
+        F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+    )
+    return out.withColumn(
+        "is_canonical", (F.col(id_col) == F.col("cluster_id")).cast("int")
+    )

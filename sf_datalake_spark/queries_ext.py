@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from sf_datalake_spark.operators.asof import merge_asof
 from sf_datalake_spark.operators.dedup import simhash, simhash_near_dup_pairs
 from sf_datalake_spark.operators.windows import with_linear_interpolation
-from sf_datalake_spark.queries import _t, customer_monthly_panel, _PANEL_SQL
+from sf_datalake_spark.queries import _t, customer_monthly_panel, _LSH_PAIRS_SQL, _PANEL_SQL
 
 
 # ---------------------------------------------------------------------------
@@ -1492,6 +1492,103 @@ _BUCKETED_JOIN_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# Dedup clustering (training-data layer): LSH candidate pairs →
+# connected components → per-document cluster label + canonical flag.
+# The oracle computes the same components with a DuckDB recursive CTE
+# (transitive closure, min reachable id), feasible because duplicate
+# groups are tiny at oracle scale.
+# ---------------------------------------------------------------------------
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document labeled with its near-dup cluster (min doc id of
+    the LSH-pair connected component; singletons label themselves) and
+    a canonical flag — pairs→clusters is what makes dedup actionable:
+    one keep-decision per group instead of per pair."""
+    from sf_datalake_spark.operators.components import dedup_clusters
+    from sf_datalake_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
+    pairs = lsh_candidate_pairs(
+        sig, "doc_id", bands=4, rows_per_band=2, signature_length=8
+    )
+    pairs = pairs.persist()
+    out = dedup_clusters(docs, pairs, "doc_id")
+    # Restrict to pair-graph nodes (the labels the components algorithm
+    # actually computed): keeps the recursive-CTE oracle cheap without
+    # dropping any non-trivial cluster member.
+    nodes = (
+        pairs.select(F.col("id_1").alias("doc_id"))
+        .union(pairs.select(F.col("id_2").alias("doc_id")))
+        .distinct()
+    )
+    return out.join(nodes, "doc_id")
+
+
+_DEDUP_CLUSTERS_SQL = rf"""
+    WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),
+    edges AS (
+        SELECT id_1 AS src, id_2 AS dst FROM pairs
+        UNION
+        SELECT id_2, id_1 FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst
+    )
+    SELECT id AS doc_id,
+           min(r) AS cluster_id,
+           CAST(id = min(r) AS INT) AS is_canonical
+    FROM reach GROUP BY id
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF (training-data layer, text analysis): top-k characteristic
+# terms per document — explode → two partial aggs → vocab join →
+# windowed top-k, ranked on the ROUNDED score so engine ln() ULP drift
+# can't flip the selection.
+# ---------------------------------------------------------------------------
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf)."""
+    from sf_datalake_spark.functions.text import tf_idf_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return tf_idf_topk(docs, "doc_id", "text", top_k=3)
+
+
+_TFIDF_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+                   AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    vocab AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, term, tf,
+               round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1), 6) AS tfidf
+        FROM tf JOIN vocab USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, tf, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term ASC) AS rk
+        FROM scored
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf
+    FROM ranked WHERE rk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # Streaming battery (SURVEY §2.10, beyond the reference): tumbling-window
 # aggregation, streaming dedup, and a stream-static broadcast join, each
 # replayed from the events parquet under an availableNow trigger and
@@ -1682,6 +1779,8 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prediction_writer": q_prediction_writer,
     "extract_job": q_extract_job,
     "bucketed_join": q_bucketed_join,
+    "dedup_clusters": q_dedup_clusters,
+    "tfidf_topk": q_tfidf_topk,
     "streaming_windowed": q_streaming_windowed,
     "streaming_dedup": q_streaming_dedup,
     "stream_static_join": q_stream_static_join,
@@ -1722,6 +1821,8 @@ ORACLES_EXT: dict[str, str] = {
     "prediction_writer": _PREDICTION_WRITER_SQL,
     "extract_job": _EXTRACT_JOB_SQL,
     "bucketed_join": _BUCKETED_JOIN_SQL,
+    "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+    "tfidf_topk": _TFIDF_SQL,
     "streaming_windowed": _STREAMING_WINDOWED_SQL,
     "streaming_dedup": _STREAMING_DEDUP_SQL,
     "stream_static_join": _STREAM_STATIC_JOIN_SQL,

@@ -1,0 +1,88 @@
+"""Connected components / dedup clustering (operators/components.py)."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from sf_datalake_spark.operators.components import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _components_dict(spark, edges):
+    df = spark.createDataFrame(edges, "id_1 bigint, id_2 bigint")
+    rows = connected_components(df).collect()
+    return {r["id"]: r["component"] for r in rows}
+
+
+def _union_find(edges):
+    """Reference implementation: plain union-find, min-id labels."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_chain_and_islands(spark):
+    # A 5-chain (diameter > 1 forces multiple propagation rounds), a
+    # separate pair, and a triangle sharing no nodes.
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (20, 22)]
+    got = _components_dict(spark, edges)
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
+def test_long_chain_converges(spark):
+    # 40-node chain with ids DESCENDING so the min label must travel the
+    # whole chain length against the edge direction.
+    edges = [(i + 1, i) for i in range(1, 40)]
+    got = _components_dict(spark, edges)
+    assert set(got.values()) == {1}
+    assert len(got) == 40
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(7)
+    nodes = list(range(100))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(60)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    assert _components_dict(spark, edges) == _union_find(edges)
+
+
+def test_dedup_clusters_singletons_and_canonicals(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id bigint")
+    pairs = spark.createDataFrame([(1, 3), (3, 5), (6, 7)], "id_1 bigint, id_2 bigint")
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dedup_clusters(docs, pairs).collect()
+    }
+    # clustered: {1,3,5}→1, {6,7}→6; the rest are their own singleton cluster
+    assert out == {
+        0: (0, 1), 1: (1, 1), 2: (2, 1), 3: (1, 0), 4: (4, 1),
+        5: (1, 0), 6: (6, 1), 7: (6, 0),
+    }
+
+
+def test_cluster_label_is_component_min(spark):
+    # Every cluster id must be a member of its own cluster and its min.
+    edges = [(3, 9), (9, 27), (5, 25), (25, 125), (2, 4)]
+    df = spark.createDataFrame(edges, "id_1 bigint, id_2 bigint")
+    comp = connected_components(df)
+    mins = comp.groupBy("component").agg(F.min("id").alias("mn")).collect()
+    assert all(r["component"] == r["mn"] for r in mins)
