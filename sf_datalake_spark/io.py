@@ -130,6 +130,14 @@ def write_bucketed(
     repeated (siren, période) joins — pay the shuffle once, reuse it in
     every downstream query. Sorted buckets additionally skip the
     sort-merge join's sort."""
+    if "." in table:
+        # The overwrite cleanup below resolves the managed location as
+        # <warehouse>[/<db>.db]/<table>; a qualified name would make it
+        # guess wrong and silently no-op. Callers switch databases via
+        # spark.catalog.setCurrentDatabase instead.
+        raise ValueError(
+            f"write_bucketed takes an unqualified table name, got {table!r}"
+        )
     if mode == "overwrite":
         # With a non-persistent (in-memory) catalog the table's metadata
         # dies with the session while its warehouse directory survives,
@@ -141,7 +149,13 @@ def write_bucketed(
         jvm = spark._jvm
         jsc = spark._jsc
         warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        location = jvm.org.apache.hadoop.fs.Path(warehouse, table.lower())
+        db = spark.catalog.currentDatabase()
+        base = (
+            jvm.org.apache.hadoop.fs.Path(warehouse, f"{db.lower()}.db")
+            if db.lower() != "default"
+            else jvm.org.apache.hadoop.fs.Path(warehouse)
+        )
+        location = jvm.org.apache.hadoop.fs.Path(base, table.lower())
         fs = location.getFileSystem(jsc.hadoopConfiguration())
         if fs.exists(location):
             fs.delete(location, True)

@@ -58,6 +58,7 @@ def connected_components(
         .agg(F.least(F.min("src"), F.min("dst")).alias("component"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             und.join(labels, und.dst == labels.id)
@@ -80,7 +81,14 @@ def connected_components(
         ).first()["n"]
         labels = updated.drop("changed")
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        # Partially-propagated labels would silently split components.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "the graph's diameter exceeds max_iter; raise it"
+        )
     return labels
 
 

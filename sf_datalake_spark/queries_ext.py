@@ -777,21 +777,8 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics coincide (SURVEY.md §2.10's session-window candidate)."""
     from sf_datalake_spark.streaming import run_to_memory, session_aggregate
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    stream = (
-        spark.readStream.schema(
-            "event_id bigint, ts bigint, user_id bigint, event_type string, "
-            "value double, props string"
-        )
-        # file streams read directories: stream the sf dir, globbed to
-        # the events file
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
     agg = session_aggregate(
-        stream, "ts", "30 minutes",
+        _events_stream(spark, sf_dir), "ts", "30 minutes",
         aggs=[F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("session_value")],
         keys=["user_id"],
     )
@@ -1260,14 +1247,14 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = salted_join(li, supp, on=["suppkey"], n_salts=8)
     return joined.groupBy("s_nationkey").agg(
-        F.round(F.sum("rev"), 2).alias("revenue"),
+        F.round(F.sum("rev"), 4).alias("revenue"),
         F.count("*").alias("n_items"),
     )
 
 
 _SALTED_JOIN_SQL = """
     SELECT s_nationkey,
-           round(sum(round(l_extendedprice * (1 - l_discount), 4)), 2) AS revenue,
+           round(sum(round(l_extendedprice * (1 - l_discount), 4)), 4) AS revenue,
            CAST(count(*) AS BIGINT) AS n_items
     FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
     GROUP BY s_nationkey
@@ -1331,7 +1318,7 @@ def q_alert_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.groupBy("alert_level").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("probability"), 4).alias("sum_p"),
+        F.round(F.sum("probability"), 6).alias("sum_p"),
     )
 
 
@@ -1340,7 +1327,7 @@ _ALERT_LEVELS_SQL = f"""
     SELECT (2 - CASE WHEN probability < 0.75 THEN 1 ELSE 0 END
               - CASE WHEN probability < 0.25 THEN 1 ELSE 0 END) AS alert_level,
            CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(probability), 4) AS sum_p
+           round(sum(probability), 6) AS sum_p
     FROM scored
     GROUP BY 1
 """
@@ -1515,17 +1502,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh_candidate_pairs(
         sig, "doc_id", bands=4, rows_per_band=2, signature_length=8
     )
+    # Persist the pair graph: the components loop re-reads it every
+    # round. The final labels are localCheckpoint-ed inside
+    # connected_components (lineage truncated), so the cache can be
+    # released as soon as the loop finishes.
     pairs = pairs.persist()
     out = dedup_clusters(docs, pairs, "doc_id")
-    # Restrict to pair-graph nodes (the labels the components algorithm
-    # actually computed): keeps the recursive-CTE oracle cheap without
-    # dropping any non-trivial cluster member.
-    nodes = (
-        pairs.select(F.col("id_1").alias("doc_id"))
-        .union(pairs.select(F.col("id_2").alias("doc_id")))
-        .distinct()
-    )
-    return out.join(nodes, "doc_id")
+    pairs.unpersist()
+    return out
 
 
 _DEDUP_CLUSTERS_SQL = rf"""
@@ -1539,11 +1523,12 @@ _DEDUP_CLUSTERS_SQL = rf"""
         SELECT src, src FROM edges
         UNION
         SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst
-    )
-    SELECT id AS doc_id,
-           min(r) AS cluster_id,
-           CAST(id = min(r) AS INT) AS is_canonical
-    FROM reach GROUP BY id
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS cluster_id,
+           CAST(d.doc_id = coalesce(c.component, d.doc_id) AS INT) AS is_canonical
+    FROM documents d LEFT JOIN comp c USING (doc_id)
 """
 
 
