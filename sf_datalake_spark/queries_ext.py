@@ -1502,14 +1502,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh_candidate_pairs(
         sig, "doc_id", bands=4, rows_per_band=2, signature_length=8
     )
-    # Persist the pair graph: the components loop re-reads it every
-    # round. The final labels are localCheckpoint-ed inside
-    # connected_components (lineage truncated), so the cache can be
-    # released as soon as the loop finishes.
-    pairs = pairs.persist()
-    out = dedup_clusters(docs, pairs, "doc_id")
-    pairs.unpersist()
-    return out
+    # connected_components persists (and right-sizes) the edge list
+    # internally and returns localCheckpoint-ed labels, so no caller-side
+    # cache management is needed.
+    return dedup_clusters(docs, pairs, "doc_id")
 
 
 _DEDUP_CLUSTERS_SQL = rf"""

@@ -56,3 +56,28 @@ def test_python_stage_detection(spark):
 
     rep = plan_report(brute_force_topk_np(emb, emb, k=2))
     assert rep["n_python_evals"] == 1       # exactly the one mapInPandas
+
+
+def test_filter_battery_single_pushed_conjunction(spark):
+    """The four chained predicate transformers must collapse into ONE
+    filter over the scan with every conjunct pushed to parquet."""
+    from sf_datalake_spark.queries_ext import q_filter_battery
+
+    rep = plan_report(q_filter_battery(spark, SF_DIR))
+    pushed = " ".join(rep["pushed_filters"])
+    for col in ("o_totalprice", "o_orderpriority", "o_orderstatus", "o_orderdate"):
+        assert col in pushed, f"{col} not pushed to the scan"
+    # column pruning survives the transformer chain
+    schema = rep["read_schemas"][0]
+    assert "o_comment" not in schema and "o_clerk" not in schema
+
+
+def test_tfidf_broadcast_vocab_join(spark):
+    """broadcast_vocab=True turns the vocabulary join into a broadcast
+    hash join — the skewable term-key shuffle disappears."""
+    from sf_datalake_spark.functions.text import tf_idf_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rep = plan_report(tf_idf_topk(docs, broadcast_vocab=True))
+    assert rep["n_broadcasts"] >= 2  # vocabulary + the 1-row corpus size
+    assert rep["n_nested_loop_joins"] <= 1  # only the 1-row scalar cross join
