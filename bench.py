@@ -29,13 +29,30 @@ def main() -> int:
 
     qs = entry_mod.queries()
 
-    # Warm up: JVM codegen, parquet footers, and the Arrow python
-    # workers (so the first mapInPandas query doesn't pay worker spawn).
+    # Warm up: JVM codegen, parquet footers, the Arrow python workers
+    # (so the first mapInPandas query doesn't pay worker spawn), the
+    # MLlib optimizer path (class loading + BLAS + JIT is worth tens of
+    # seconds on the first .fit of a session), and the Structured
+    # Streaming machinery.
     try:
         next(iter(qs.values()))(spark, sf_dir).limit(1).collect()
         spark.range(32).repartition(32).mapInPandas(
             lambda it: it, schema="id long"
         ).count()
+        from pyspark.ml.classification import LogisticRegression
+        from pyspark.ml.linalg import Vectors
+
+        tiny = spark.createDataFrame(
+            [(Vectors.dense([0.0, 1.0]), 0.0), (Vectors.dense([1.0, 0.0]), 1.0)]
+            * 8,
+            ["features", "label"],
+        )
+        LogisticRegression(maxIter=2).fit(tiny)
+        (
+            spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+            .writeStream.format("memory").queryName("_bench_warmup")
+            .trigger(availableNow=True).start().awaitTermination()
+        )
     except Exception:
         pass
 
@@ -51,6 +68,9 @@ def main() -> int:
         except Exception as e:
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
+        # A query that leaks persisted frames would tax every later
+        # timing; clearing between queries keeps them independent.
+        spark.catalog.clearCache()
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
     sf = None
