@@ -34,11 +34,16 @@ def main() -> int:
     # MLlib optimizer path (class loading + BLAS + JIT is worth tens of
     # seconds on the first .fit of a session), and the Structured
     # Streaming machinery.
-    try:
-        next(iter(qs.values()))(spark, sf_dir).limit(1).collect()
-        spark.range(32).repartition(32).mapInPandas(
-            lambda it: it, schema="id long"
-        ).count()
+    def _warm(label, fn):
+        # Independent try per step: a failure in one warmup must not
+        # silently skip the others (the skipped JIT cost would land on
+        # whichever timed query touches that machinery first).
+        try:
+            fn()
+        except Exception as e:
+            print(f"bench warmup '{label}' failed: {e}", file=sys.stderr)
+
+    def _warm_ml():
         from pyspark.ml.classification import LogisticRegression
         from pyspark.ml.linalg import Vectors
 
@@ -48,13 +53,16 @@ def main() -> int:
             ["features", "label"],
         )
         LogisticRegression(maxIter=2).fit(tiny)
-        (
-            spark.readStream.format("rate").option("rowsPerSecond", 1).load()
-            .writeStream.format("memory").queryName("_bench_warmup")
-            .trigger(availableNow=True).start().awaitTermination()
-        )
-    except Exception:
-        pass
+
+    _warm("first query", lambda: next(iter(qs.values()))(spark, sf_dir).limit(1).collect())
+    _warm("arrow workers", lambda: spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, schema="id long").count())
+    _warm("mllib fit", _warm_ml)
+    _warm("streaming", lambda: (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .writeStream.format("memory").queryName("_bench_warmup")
+        .trigger(availableNow=True).start().awaitTermination()
+    ))
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
@@ -69,8 +77,14 @@ def main() -> int:
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
         # A query that leaks persisted frames would tax every later
-        # timing; clearing between queries keeps them independent.
-        spark.catalog.clearCache()
+        # timing; clearing between queries keeps CacheManager entries
+        # independent (localCheckpoint blocks are outside its reach and
+        # only fall to the ContextCleaner after JVM GC). Never let the
+        # cleanup itself kill the harness before the JSON line prints.
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
     sf = None

@@ -63,23 +63,44 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
         .persist()
     )
-    n_edges = und.count()
-    parts = max(1, math.ceil(n_edges / edges_per_partition))
-    if parts < und.rdd.getNumPartitions():
-        resized = und.repartition(parts).persist()
-        resized.count()
+    try:
+        n_edges = und.count()
+        parts = max(1, math.ceil(n_edges / edges_per_partition))
+        if parts < und.rdd.getNumPartitions():
+            resized = und.repartition(parts).persist()
+            resized.count()
+            und.unpersist()
+            und = resized
+        labels, converged = _propagate(und, parts, max_iter)
+    finally:
+        # und is a genuine persist(): release it even when a round's
+        # action throws (task failure, interrupt) — the caller never
+        # sees this frame and could not clean it up otherwise.
         und.unpersist()
-        und = resized
+    if not converged:
+        # Partially-propagated labels would silently split components.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "the graph's diameter exceeds max_iter; raise it"
+        )
+    return labels
+
+
+def _propagate(und: DataFrame, parts: int, max_iter: int):
+    """The label-propagation loop: returns (labels, converged)."""
     # Seed labels with min(id, min(neighbors)) — one aggregation that is
     # exactly the first propagation round, minus its join.
+    # coalesce (not repartition): caps the reduce-side width of the
+    # upstream shuffle at the data-proportional count with NO extra
+    # exchange; a no-op when parts exceeds the shuffle width.
     labels = (
         und.groupBy(F.col("src").alias("id"))
         .agg(F.least(F.min("src"), F.min("dst")).alias("component"))
-        .repartition(parts)
+        .coalesce(parts)
         .localCheckpoint(eager=True)
     )
     converged = False
-    for _ in range(max_iter):
+    for round_no in range(max_iter):
         # Per round, from the SAME materialized label snapshot:
         #   (a) neighbor min      — min component over the adjacency
         #   (b) pointer jump      — component of my component
@@ -103,37 +124,36 @@ def connected_components(
         updated = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .join(cmap, labels.component == cmap.cid, "left")
+            # Sibling select expressions resolve against the input
+            # schema, so "component" can be re-aliased directly while
+            # "changed" still reads the pre-update value.
             .select(
                 "id",
-                best.alias("new_component"),
+                best.alias("component"),
                 (best < F.col("component")).alias("changed"),
             )
-            .withColumnRenamed("new_component", "component")
-            # Checkpoint at the edge list's partition count: the loop's
-            # joins otherwise inherit spark.sql.shuffle.partitions-wide
-            # outputs, and a tiny label table materialized across many
-            # partitions makes every round scheduler-bound.
-            .repartition(parts)
+            # Checkpoint at the data-proportional width (no-op beyond
+            # the shuffle width): a tiny label table materialized across
+            # spark.sql.shuffle.partitions-wide outputs makes every
+            # round scheduler-bound.
+            .coalesce(parts)
             .localCheckpoint(eager=True)
         )
         n_changed = updated.agg(
             F.count(F.when(F.col("changed"), 1)).alias("n")
         ).first()["n"]
-        # The superseded snapshot's blocks otherwise sit in the block
-        # manager until py4j GC — explicit release keeps the loop flat.
-        labels.unpersist()
         labels = updated.drop("changed")
+        # Superseded snapshots' blocks are freed by the ContextCleaner
+        # only after the JVM Datasets holding them are GC'd (DataFrame
+        # .unpersist() is a CacheManager call and does NOT release
+        # localCheckpoint blocks). The Python refs drop each rebind; a
+        # periodic GC nudge bounds the in-flight snapshots on long loops.
+        if (round_no + 1) % 8 == 0:
+            und.sparkSession.sparkContext._jvm.System.gc()
         if n_changed == 0:
             converged = True
             break
-    und.unpersist()
-    if not converged:
-        # Partially-propagated labels would silently split components.
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds — "
-            "the graph's diameter exceeds max_iter; raise it"
-        )
-    return labels
+    return labels, converged
 
 
 def dedup_clusters(

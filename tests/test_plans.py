@@ -64,7 +64,9 @@ def test_filter_battery_single_pushed_conjunction(spark):
     from sf_datalake_spark.queries_ext import q_filter_battery
 
     rep = plan_report(q_filter_battery(spark, SF_DIR))
-    pushed = " ".join(rep["pushed_filters"])
+    # exactly one scan: the chain collapsed instead of layering filters
+    assert len(rep["pushed_filters"]) == 1
+    pushed = rep["pushed_filters"][0]
     for col in ("o_totalprice", "o_orderpriority", "o_orderstatus", "o_orderdate"):
         assert col in pushed, f"{col} not pushed to the scan"
     # column pruning survives the transformer chain
