@@ -106,6 +106,12 @@ def brute_force_topk_np(
             q_norm = np.linalg.norm(q_mat, axis=1)
             q_norm[q_norm == 0] = np.nan
             sims = (q_mat @ mat.T) / np.outer(q_norm, norms)
+            # Quantize before ranking: BLAS reduction order varies with
+            # matrix shape, so the same pair can differ by 1 ULP between
+            # batch decompositions (broadcast vs sharded). Round-12 makes
+            # exact-duplicate vectors tie exactly again → tie-break by
+            # neighbor id is deterministic across paths and engines.
+            sims = np.round(sims, 12)
             # exclude self-matches; stable sort on -cosine → ties break
             # by neighbor id (corpus is id-sorted); NaN/self sort last
             sims[q_ids[:, None] == ids[None, :]] = -np.inf
@@ -248,6 +254,11 @@ def _make_blas_rerank(k: int):
         qn[qn == 0] = np.nan
         cn[cn == 0] = np.nan
         sims = (qm @ cm.T) / np.outer(qn, cn)
+        # Same round-12 quantization as brute_force_topk_np: per-cell
+        # matmul shapes differ from the broadcast path's, so raw values
+        # can drift by 1 ULP; ranking on quantized cosines keeps the
+        # neighbor sets and tie-breaks identical across decompositions.
+        sims = np.round(sims, 12)
         q_ids = qpdf["query_id"].to_numpy()
         c_ids = cpdf["neighbor_id"].to_numpy()
         order = np.argsort(c_ids, kind="stable")
@@ -290,9 +301,11 @@ def sharded_topk_np(
     would still materialize the full query set.  One Arrow BLAS matmul
     per cell produces per-shard top-k; a final window keeps the global
     top-k of the ≤ ``n_shards·k`` survivors per query.  Exact because
-    each query's block meets every corpus shard exactly once; per-pair
-    cosine is computed by the same kernel as the broadcast path, so
-    results are identical (tie-break by neighbor id included).
+    each query's block meets every corpus shard exactly once; cosines
+    are quantized to 12 decimals before ranking (BLAS reduction order
+    is shape-dependent, so raw values can differ by 1 ULP between
+    decompositions), so neighbor sets, ranks, and tie-breaks match the
+    broadcast path.
 
     Shuffle cost: queries replicate ``n_shards``× and the corpus
     ``n_query_blocks``× — linear in both inputs; the quadratic pair

@@ -231,9 +231,11 @@ def test_ivf_topk_recall_vs_exact(spark):
 
 
 def test_sharded_topk_bit_identical_to_broadcast(spark):
-    """Forced 4-shard split must reproduce the broadcast BLAS path
-    bit-for-bit (same kernel per pair, same neighbor-id tie-break),
-    including duplicate vectors (cosine ties)."""
+    """Forced 4-shard split must reproduce the broadcast BLAS path:
+    identical neighbor ids, ranks, and tie-breaks (both paths rank on
+    round-12 quantized cosines, so shape-dependent BLAS ULP noise can't
+    flip duplicate-vector ties), cosines equal to within one round-12
+    quantum."""
     import numpy as np
 
     from sf_datalake_spark.operators.similarity import sharded_topk_np
@@ -248,7 +250,11 @@ def test_sharded_topk_bit_identical_to_broadcast(spark):
     shard = sorted(
         map(tuple, sharded_topk_np(df, df, k=3, n_shards=4, n_query_blocks=3).collect())
     )
-    assert base == shard  # exact: ids, ranks, and cosine bit patterns
+    assert [(q, n, r) for q, n, c, r in base] == [(q, n, r) for q, n, c, r in shard]
+    for (_, _, cb, _), (_, _, cs, _) in zip(base, shard):
+        # both sides are round-12 quantized; a residual 1-quantum gap is
+        # only possible when the raw ULP noise straddles a boundary
+        assert abs(cb - cs) <= 1.1e-12
 
     # grid cells actually shrink the query side: with 3 blocks no cell
     # may see the full query set
