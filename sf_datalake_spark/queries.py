@@ -64,25 +64,37 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session with these queries.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # The events table stores TIMESTAMP(NANOS) which Spark's parquet
-        # reader rejects; read nanos as long and truncate to microseconds
-        # (integer division — doubles would lose precision at 1e18).
-        # The legacy conf is scoped to this read (no per-read option
-        # exists): the schema is resolved eagerly at read time, and the
-        # captured bigint schema drives execution, so restoring right
-        # after the read is safe and later parquet reads in the same
-        # session see nanosecond columns with default semantics again.
-        prev = spark.conf.get(_NANOS_CONF, None)
-        spark.conf.set(_NANOS_CONF, "true")
+        # The events table stores parquet TIMESTAMP(NANOS), which Spark
+        # builds surface differently: native-nanos readers return
+        # timestamp_ntz (nanos floor-truncated to micros — exactly
+        # DuckDB's epoch_us), older readers reject the type unless
+        # spark.sql.legacy.parquet.nanosAsLong=true, which yields bigint
+        # nanoseconds. Try the native read first, fall back to the
+        # legacy conf scoped to this one read (restored right after:
+        # the captured schema drives execution), and normalize both
+        # shapes to a UTC TIMESTAMP column.
+        path = os.path.join(sf_dir, "events.parquet")
         try:
-            df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        finally:
-            if prev is None:
-                spark.conf.unset(_NANOS_CONF)
-            else:
-                spark.conf.set(_NANOS_CONF, prev)
-        if dict(df.dtypes).get("ts") == "bigint":
+            df = spark.read.parquet(path)
+        except Exception:
+            prev = spark.conf.get(_NANOS_CONF, None)
+            spark.conf.set(_NANOS_CONF, "true")
+            try:
+                df = spark.read.parquet(path)
+            finally:
+                if prev is None:
+                    spark.conf.unset(_NANOS_CONF)
+                else:
+                    spark.conf.set(_NANOS_CONF, prev)
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            # nanos-as-long → truncate to micros (integer division —
+            # doubles would lose precision at 1e18)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dt == "timestamp_ntz":
+            # session tz is pinned UTC above, so this cast relabels the
+            # naive micros as UTC instants without shifting them
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -1578,11 +1578,43 @@ _TFIDF_SQL = r"""
 # ---------------------------------------------------------------------------
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events parquet as a file stream (nanos ts → timestamp)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """The events parquet as a file stream, ``ts`` normalized to a UTC
+    TIMESTAMP.
+
+    ``readStream`` needs a user-declared schema, and the right
+    declaration for the TIMESTAMP(NANOS) column depends on the Spark
+    build (see ``queries._t``): probe the batch reader's view of the
+    file once (footer-only) and mirror it. On native-nanos builds the
+    column must be declared ``timestamp_ntz`` (declaring ``bigint``
+    there silently yields MICROseconds that a ``div 1000`` would smear
+    into 1970); on legacy builds it must be declared ``bigint`` with
+    ``nanosAsLong`` set for the stream's lifetime.
+    """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        raw_dt = dict(
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes
+        )["ts"]
+    except Exception:  # legacy reader rejects TIMESTAMP(NANOS) outright
+        raw_dt = "bigint"
+    base = spark.readStream
+    if raw_dt == "timestamp_ntz":
+        return (
+            base.schema(
+                "event_id bigint, ts timestamp_ntz, user_id bigint, "
+                "event_type string, value double, props string"
+            )
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            # session tz pinned UTC above → relabel, not shift
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+    # Legacy build: nanos arrive as long; the conf must stay set while
+    # the stream runs (micro-batches re-read the files), so it is
+    # session-level here, not scoped.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return (
-        spark.readStream.schema(
+        base.schema(
             "event_id bigint, ts bigint, user_id bigint, event_type string, "
             "value double, props string"
         )

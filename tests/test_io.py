@@ -76,3 +76,31 @@ def test_compound_condition_semi_join(spark):
         "left_semi",
     )
     assert [(r["siren"], r["période"]) for r in out.collect()] == [("1", d("2023-01-01"))]
+
+
+def test_events_loader_normalizes_nanos_timestamp(spark):
+    """The events parquet stores TIMESTAMP(NANOS); ``queries._t`` must
+    surface it as a UTC TIMESTAMP with floor-to-micros values on every
+    Spark build (native-nanos readers hand back timestamp_ntz, legacy
+    readers bigint nanos — both shapes caught environment drift once).
+    Pinned against DuckDB's epoch_us of the same file."""
+    import duckdb
+
+    from sf_datalake_spark.queries import _t
+
+    df = _t(spark, "/root/testdata/sf0.001", "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = {
+        r["event_id"]: r["us"]
+        for r in df.orderBy("event_id")
+        .limit(3)
+        .select("event_id", F.unix_micros("ts").alias("us"))
+        .collect()
+    }
+    want = dict(
+        duckdb.sql(
+            "SELECT event_id, epoch_us(ts) FROM "
+            "'/root/testdata/sf0.001/events.parquet' ORDER BY event_id LIMIT 3"
+        ).fetchall()
+    )
+    assert got == want
