@@ -18,9 +18,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sf_datalake_spark.queries import ORACLES, QUERIES  # noqa: E402
 from sf_datalake_spark.queries_ext import ORACLES_EXT, QUERIES_EXT  # noqa: E402
+from sf_datalake_spark.queries_rel import ORACLES_REL, QUERIES_REL  # noqa: E402
 
-QUERIES = {**QUERIES, **QUERIES_EXT}
-ORACLES = {**ORACLES, **ORACLES_EXT}
+QUERIES = {**QUERIES, **QUERIES_EXT, **QUERIES_REL}
+ORACLES = {**ORACLES, **ORACLES_EXT, **ORACLES_REL}
 
 
 def entry(spark: SparkSession) -> DataFrame:

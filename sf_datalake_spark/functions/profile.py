@@ -9,7 +9,9 @@ in long format (one row per column) so the report itself is queryable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import MapType, NumericType
 
@@ -58,3 +60,57 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         for i, c in enumerate(cols)
     ]
     return wide.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+
+
+def check_constraints(
+    df: DataFrame,
+    row_checks: dict[str, Column] | None = None,
+    unique_keys: Sequence[Sequence[str] | str] = (),
+) -> DataFrame:
+    """Declarative data-quality verification (deequ-style) in ONE
+    aggregation pass — the gate a training-data pipeline runs before
+    admitting a new source (extends :func:`profile_table` from metrics
+    to assertions).
+
+    ``row_checks`` maps a constraint name to a boolean Column; a row
+    where the predicate is not TRUE (FALSE **or** NULL) counts as a
+    violation. ``unique_keys`` lists columns (or column tuples) that
+    must be unique; violations = ``n_rows − exact distinct`` (rows with
+    a NULL key component are excluded from the distinct count, so NULL
+    keys surface as violations too).
+
+    Output: one row per constraint — (constraint, n_rows,
+    n_violations, satisfied). All checks share a single wide
+    aggregation (map-side combined, one shuffle to 1 row), so the cost
+    is one table scan regardless of how many constraints are declared.
+    """
+    row_checks = dict(row_checks or {})
+    uniq = [[u] if isinstance(u, str) else list(u) for u in unique_keys]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, pred in enumerate(row_checks.values()):
+        aggs.append(
+            F.count(F.when(~F.coalesce(pred, F.lit(False)), 1)).alias(f"__v_{i}")
+        )
+    for j, cols in enumerate(uniq):
+        aggs.append(F.countDistinct(*[df[c] for c in cols]).alias(f"__d_{j}"))
+    wide = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(name).alias("constraint"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__v_{i}").alias("n_violations"),
+        )
+        for i, name in enumerate(row_checks)
+    ] + [
+        F.struct(
+            F.lit("unique(" + ", ".join(cols) + ")").alias("constraint"),
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - F.col(f"__d_{j}")).alias("n_violations"),
+        )
+        for j, cols in enumerate(uniq)
+    ]
+    return (
+        wide.select(F.explode(F.array(*rows)).alias("c"))
+        .select("c.*")
+        .withColumn("satisfied", (F.col("n_violations") == 0).cast("int"))
+    )

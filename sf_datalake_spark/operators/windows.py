@@ -106,6 +106,48 @@ def with_moving_average(
     return out
 
 
+def with_ewma(
+    df: DataFrame,
+    cols: str | Sequence[str],
+    keys: Sequence[str] = ("siren",),
+    period_col: str = "période",
+    half_life_months: int = 1,
+    suffix_fmt: str = "{col}_ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average over the panel (extends the
+    reference's MovingAverage family with recency weighting).
+
+    Closed form over a cumulative frame — no recursion, no Python:
+    ``ewma_t = Σᵢ xᵢ·d^(t−i) / Σᵢ d^(t−i)`` with ``d = 0.5^(1/h)``;
+    dividing numerator and denominator by ``d^t`` gives two ordinary
+    running sums of ``xᵢ·d^(−i)`` — one shuffle on the entity keys,
+    whole-stage codegen'd, identical plan shape to the other window ops.
+
+    ``half_life_months=1`` (d=½) keeps ``d^(−i) = 2^i`` EXACT in
+    binary floating point (scaling by powers of two only touches the
+    exponent), so results are bit-reproducible across engines — the
+    property the DuckDB oracle relies on.  Panel depth bounds the
+    weights: 2^i stays finite past 1000 months, and the ratio is
+    dominated by recent terms by construction.  Weights restart per
+    entity (row_number), so magnitudes never grow with corpus size —
+    scale-safe at any entity count.
+    """
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    d_inv = 2.0 ** (1.0 / half_life_months)  # 1/d; exact when h=1
+    w_ord = Window.partitionBy(*keys).orderBy(month_index(period_col))
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    idx = F.row_number().over(w_ord)
+    weight = F.pow(F.lit(d_inv), idx)
+    out = df.withColumn("__ewma_w", weight)
+    for c in cols:
+        out = out.withColumn(
+            suffix_fmt.format(col=c),
+            F.sum(F.col(c) * F.col("__ewma_w")).over(w_cum)
+            / F.sum("__ewma_w").over(w_cum),
+        )
+    return out.drop("__ewma_w")
+
+
 def with_ffill(
     df: DataFrame,
     cols: str | Sequence[str],

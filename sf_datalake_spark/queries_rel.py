@@ -1,0 +1,457 @@
+"""Third query/oracle registry: classic relational shapes the first two
+registries don't cover — correlated subqueries (decorrelated to
+window/join plans), EXISTS semi-joins, two-level aggregations,
+count-distinct with exclusion, CUBE, ranking-function batteries,
+array/HOF batteries, plus the EWMA and constraint-check operators.
+Same conventions as ``queries.py`` (identical aliases in Spark and
+DuckDB SQL, exact-decimal rounding, deterministic total orders).
+
+TPC-H query *shapes* cited below name the public query class being
+exercised (the schemas here are the driver's TPC-H-ish testdata, so
+the queries are adapted, not verbatim TPC-H).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sf_datalake_spark.queries import _t, customer_monthly_panel, _PANEL_SQL
+
+
+# ---------------------------------------------------------------------------
+# Correlated-subquery argmin (TPC-H Q2 shape: min-cost supplier per
+# part). Spark-first: the correlated scalar subquery decorrelates into
+# ONE window pass — no self-join, no subquery re-execution per row.
+# ---------------------------------------------------------------------------
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest supplier per part (argmin via row_number, ties by
+    suppkey). The oracle expresses the same thing as the classic
+    double-correlated subquery, proving the window plan IS the
+    decorrelated form."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_sup = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min("l_extendedprice").alias("min_price"))
+    w = Window.partitionBy("partkey").orderBy("min_price", "suppkey")
+    return (
+        per_sup.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("partkey", "suppkey", "min_price")
+    )
+
+
+_MIN_COST_SQL = """
+    WITH per_sup AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               min(l_extendedprice) AS min_price
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT partkey, suppkey, min_price
+    FROM per_sup p
+    WHERE min_price = (SELECT min(min_price) FROM per_sup q
+                       WHERE q.partkey = p.partkey)
+      AND suppkey = (SELECT min(suppkey) FROM per_sup q
+                     WHERE q.partkey = p.partkey
+                       AND q.min_price = p.min_price)
+"""
+
+
+# ---------------------------------------------------------------------------
+# EXISTS semi-join aggregate (TPC-H Q4 shape: order priority counts
+# over orders with at least one late shipment)
+# ---------------------------------------------------------------------------
+
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with any lineitem shipped > 90 days after the order date,
+    counted per priority. EXISTS becomes a compound-condition left-semi
+    join: each order row passes at most once regardless of how many
+    late lineitems it has."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+_LATE_SHIPMENT_SQL = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o.o_orderkey
+                    AND l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Two-level aggregation over a left outer join (TPC-H Q13 shape:
+# customer order-count distribution, keeping zero-order customers)
+# ---------------------------------------------------------------------------
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customers placed exactly N non-urgent orders — the left
+    outer join keeps 0-order customers (count(o_orderkey) counts
+    non-null keys only, so they land in the N=0 bucket)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+_ORDER_DISTRIBUTION_SQL = """
+    WITH per_cust AS (
+        SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY 1
+    )
+    SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+    FROM per_cust GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-distinct with anti-join exclusion (TPC-H Q16 shape: supplier
+# variety per part class, excluding flagged suppliers)
+# ---------------------------------------------------------------------------
+
+def q_brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers per (brand, type, size), excluding suppliers
+    in deficit (negative balance) via a broadcast anti-join — the
+    NOT-IN subquery decorrelated."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_BRAND_SUPPLIER_SQL = """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar aggregate (TPC-H Q17 shape: revenue from
+# small-quantity lineitems, threshold = per-part average). The per-part
+# avg is a window — the correlated subquery never re-executes.
+# l_quantity is integral, so sums (hence the avg and the 0.2·avg
+# threshold) are EXACT doubles in every engine — no boundary drift.
+# ---------------------------------------------------------------------------
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total revenue of lineitems with quantity below 20% of their
+    part's average quantity."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    small = li.withColumn("__avg_qty", F.avg("l_quantity").over(w)).filter(
+        F.col("l_quantity") < 0.2 * F.col("__avg_qty")
+    )
+    return small.agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("small_qty_revenue"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+_SMALL_QTY_SQL = """
+    SELECT round(sum(l_extendedprice), 2) AS small_qty_revenue,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l
+    WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem
+                        WHERE l_partkey = l.l_partkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# EWMA over the monthly panel (time-series feature beyond the
+# reference's MovingAverage; see operators/windows.py::with_ewma for
+# why half-life 1 month is engine-exact)
+# ---------------------------------------------------------------------------
+
+def q_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted revenue per customer month (half-life =
+    1 month), as two running sums — closed form, no recursion."""
+    from sf_datalake_spark.operators.windows import with_ewma
+
+    panel = customer_monthly_panel(spark, sf_dir)
+    out = with_ewma(
+        panel, "revenue", keys=["custkey"], period_col="periode",
+        half_life_months=1, suffix_fmt="{col}_ewma",
+    )
+    return out.select(
+        "custkey", "periode", F.round("revenue_ewma", 4).alias("revenue_ewma")
+    )
+
+
+_EWMA_SQL = f"""
+    WITH panel AS ({_PANEL_SQL}),
+    indexed AS (
+        SELECT custkey, periode, revenue,
+               pow(2.0, row_number() OVER (PARTITION BY custkey
+                                           ORDER BY periode)) AS w
+        FROM panel
+    )
+    SELECT custkey, periode,
+           round(sum(revenue * w) OVER cum / sum(w) OVER cum, 4) AS revenue_ewma
+    FROM indexed
+    WINDOW cum AS (PARTITION BY custkey ORDER BY periode
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Constraint verification (training-data admission gate; one-pass
+# deequ-style checks — functions/profile.py::check_constraints)
+# ---------------------------------------------------------------------------
+
+def q_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality assertions on the customer table: completeness,
+    key uniqueness, a numeric bound, and a domain check — all in one
+    aggregation pass."""
+    from sf_datalake_spark.functions.profile import check_constraints
+
+    cust = _t(spark, sf_dir, "customer")
+    segments = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    return check_constraints(
+        cust,
+        row_checks={
+            "complete(c_name)": F.col("c_name").isNotNull(),
+            "bound(c_acctbal >= -1000)": F.col("c_acctbal") >= -1000,
+            "domain(c_mktsegment)": F.col("c_mktsegment").isin(segments),
+        },
+        unique_keys=["c_custkey"],
+    )
+
+
+_CONSTRAINT_SQL = """
+    WITH agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) FILTER (c_name IS NULL) AS BIGINT) AS v_name,
+               CAST(count(*) FILTER (NOT coalesce(c_acctbal >= -1000, FALSE))
+                    AS BIGINT) AS v_bal,
+               CAST(count(*) FILTER (NOT coalesce(c_mktsegment IN
+                    ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY'),
+                    FALSE)) AS BIGINT) AS v_seg,
+               CAST(count(DISTINCT c_custkey) AS BIGINT) AS d_key
+        FROM customer
+    )
+    SELECT u."constraint", u.n_rows, u.n_violations,
+           CAST(u.n_violations = 0 AS INT) AS satisfied
+    FROM agg, LATERAL (VALUES
+        ('complete(c_name)', n, v_name),
+        ('bound(c_acctbal >= -1000)', n, v_bal),
+        ('domain(c_mktsegment)', n, v_seg),
+        ('unique(c_custkey)', n, n - d_key)
+    ) AS u("constraint", n_rows, n_violations)
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUBE with grouping_id (completes the rollup/pivot family of
+# queries_ext — all four grouping-set shapes now covered)
+# ---------------------------------------------------------------------------
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue cube over (market segment, order year): all four
+    grouping combinations in one pass, tagged by grouping_id."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        j.cube("c_mktsegment", F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.grouping_id().cast("int").alias("grp"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select("c_mktsegment", "order_year", "grp", "revenue", "n_orders")
+    )
+
+
+_CUBE_SQL = """
+    SELECT c_mktsegment,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(GROUPING(c_mktsegment, year(o_orderdate)) AS INT) AS grp,
+           round(sum(o_totalprice), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE (c_mktsegment, year(o_orderdate))
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ranking-function battery (completes §2.5 beyond rank/dense_rank/
+# ntile: percent_rank, cume_dist, nth_value, first/last over explicit
+# full frames — every ordering is a total order, so results are
+# deterministic under any partitioning)
+# ---------------------------------------------------------------------------
+
+def q_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier account-balance analytics per nation: relative rank,
+    cumulative distribution, 2nd-lowest, extremes."""
+    sup = _t(spark, sf_dir, "supplier")
+    order_w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    full_w = order_w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return sup.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.round(F.percent_rank().over(order_w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(order_w), 9).alias("cume"),
+        F.nth_value("s_acctbal", 2).over(full_w).alias("second_lowest"),
+        F.first("s_acctbal").over(full_w).alias("nation_min"),
+        F.last("s_acctbal").over(full_w).alias("nation_max"),
+    )
+
+
+_WINDOW_BATTERY_SQL = """
+    SELECT s_suppkey, s_nationkey, s_acctbal,
+           round(percent_rank() OVER w, 9) AS pct_rank,
+           round(cume_dist() OVER w, 9) AS cume,
+           nth_value(s_acctbal, 2) OVER wf AS second_lowest,
+           first_value(s_acctbal) OVER wf AS nation_min,
+           last_value(s_acctbal) OVER wf AS nation_max
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey),
+           wf AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Array / higher-order-function battery (§2.8 widener over the
+# documents table; scalar outputs only so the cross-engine comparator
+# never sees engine-specific list renderings)
+# ---------------------------------------------------------------------------
+
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize each document and exercise the array stack: size,
+    distinct, filter, transform+max, aggregate-fold, sort+slice."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 6)).alias("n_long_tokens"),
+        F.array_max(F.transform(toks, F.length)).alias("longest_token_len"),
+        F.aggregate(
+            toks, F.lit(0), lambda acc, t: acc + F.length(t)
+        ).alias("total_token_chars"),
+        F.concat_ws("|", F.slice(F.array_sort(toks), 1, 3)).alias("first3_sorted"),
+    )
+
+
+_ARRAY_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(t) AS INT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS INT) AS n_distinct_tokens,
+           CAST(len(list_filter(t, x -> length(x) > 6)) AS INT) AS n_long_tokens,
+           CAST(list_max(list_transform(t, x -> length(x))) AS INT)
+               AS longest_token_len,
+           CAST(list_sum(list_transform(t, x -> length(x))) AS INT)
+               AS total_token_chars,
+           array_to_string(list_sort(t)[1:3], '|') AS first3_sorted
+    FROM toks
+"""
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance battery (string similarity beyond exact equality —
+# levenshtein is the one edit-distance primitive both engines share)
+# ---------------------------------------------------------------------------
+
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein distances of customer names against a canonical
+    pattern and against their own reversal (palindromicity proxy)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.levenshtein(F.col("c_name"), F.lit("Customer#000000000")).alias(
+            "lev_canonical"
+        ),
+        F.levenshtein(F.col("c_name"), F.reverse(F.col("c_name"))).alias(
+            "lev_reversed"
+        ),
+        F.levenshtein(
+            F.upper(F.col("c_mktsegment")), F.lit("HOUSEHOLD")
+        ).alias("lev_segment"),
+    )
+
+
+_EDIT_DISTANCE_SQL = """
+    SELECT c_custkey,
+           CAST(levenshtein(c_name, 'Customer#000000000') AS INT)
+               AS lev_canonical,
+           CAST(levenshtein(c_name, reverse(c_name)) AS INT) AS lev_reversed,
+           CAST(levenshtein(upper(c_mktsegment), 'HOUSEHOLD') AS INT)
+               AS lev_segment
+    FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "min_cost_supplier": q_min_cost_supplier,
+    "late_shipment_priority": q_late_shipment_priority,
+    "customer_order_distribution": q_customer_order_distribution,
+    "brand_supplier_counts": q_brand_supplier_counts,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "ewma_revenue": q_ewma_revenue,
+    "constraint_check": q_constraint_check,
+    "cube_revenue": q_cube_revenue,
+    "window_battery": q_window_battery,
+    "array_functions": q_array_functions,
+    "edit_distance": q_edit_distance,
+}
+
+ORACLES_REL: dict[str, str] = {
+    "min_cost_supplier": _MIN_COST_SQL,
+    "late_shipment_priority": _LATE_SHIPMENT_SQL,
+    "customer_order_distribution": _ORDER_DISTRIBUTION_SQL,
+    "brand_supplier_counts": _BRAND_SUPPLIER_SQL,
+    "small_quantity_revenue": _SMALL_QTY_SQL,
+    "ewma_revenue": _EWMA_SQL,
+    "constraint_check": _CONSTRAINT_SQL,
+    "cube_revenue": _CUBE_SQL,
+    "window_battery": _WINDOW_BATTERY_SQL,
+    "array_functions": _ARRAY_SQL,
+    "edit_distance": _EDIT_DISTANCE_SQL,
+}

@@ -134,3 +134,36 @@ def test_unicode_column_names_roundtrip(spark, tmp_path):
     back = spark.read.parquet(p)
     assert set(back.columns) == {"siren", "période", "dette_sociale_ouvrière"}
     assert back.first()["dette_sociale_ouvrière"] == 1.5
+
+
+def test_check_constraints_one_pass(spark):
+    from sf_datalake_spark.functions.profile import check_constraints
+
+    df = spark.createDataFrame(
+        [(1, "x", 5.0), (2, None, -3.0), (2, "y", None), (3, "z", 10.0)],
+        "id int, name string, v double",
+    )
+    out = {
+        r["constraint"]: (r["n_rows"], r["n_violations"], r["satisfied"])
+        for r in check_constraints(
+            df,
+            row_checks={
+                "complete(name)": F.col("name").isNotNull(),
+                "bound(v >= 0)": F.col("v") >= 0,  # NULL v counts as violation
+            },
+            unique_keys=["id"],
+        ).collect()
+    }
+    assert out["complete(name)"] == (4, 1, 0)
+    assert out["bound(v >= 0)"] == (4, 2, 0)  # -3.0 and NULL
+    assert out["unique(id)"] == (4, 1, 0)  # id=2 twice
+
+
+def test_check_constraints_all_green_single_job(spark):
+    from sf_datalake_spark.functions.profile import check_constraints
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    res = check_constraints(
+        df, row_checks={"complete(s)": F.col("s").isNotNull()}, unique_keys=["id"]
+    )
+    assert [r["satisfied"] for r in res.collect()] == [1, 1]

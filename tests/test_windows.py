@@ -113,3 +113,45 @@ def test_dedup_by_rank_deterministic(spark):
     out = dedup_by_rank(df, ["k"], [F.col("v").desc(), F.col("id").asc()]).collect()
     got = {r["k"]: (r["id"], r["v"]) for r in out}
     assert got == {"k1": (2, 9.0), "k2": (4, 1.0)}
+
+
+def test_ewma_matches_pandas(spark):
+    """with_ewma (closed-form running sums) equals pandas
+    ``ewm(halflife=1, adjust=True).mean()`` per entity, including
+    across a month gap (the index is row-positional, like the lag
+    family)."""
+    import pandas as pd
+
+    from sf_datalake_spark.operators.windows import with_ewma
+
+    rows = [
+        ("a", d("2023-01-01"), 10.0),
+        ("a", d("2023-02-01"), 20.0),
+        ("a", d("2023-04-01"), 40.0),  # gap
+        ("b", d("2023-01-01"), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, `période` date, v double")
+    out = {
+        (r["k"], r["période"]): r["v_ewma"]
+        for r in with_ewma(df, "v", keys=["k"]).collect()
+    }
+    for k, grp in pd.DataFrame(rows, columns=["k", "p", "v"]).groupby("k"):
+        want = grp["v"].ewm(halflife=1, adjust=True).mean()
+        for (_, row), w in zip(grp.iterrows(), want):
+            assert abs(out[(k, row["p"])] - w) < 1e-9
+
+
+def test_ewma_weights_restart_per_entity(spark):
+    """Weights are row_number-based per entity, so a long panel in one
+    entity cannot overflow/poison another's weights."""
+    from sf_datalake_spark.operators.windows import with_ewma
+
+    rows = [("long", d(f"20{10 + y:02d}-{m:02d}-01"), 1.0)
+            for y in range(8) for m in range(1, 13)] + [("short", d("2023-01-01"), 7.0)]
+    df = spark.createDataFrame(rows, "k string, `période` date, v double")
+    out = with_ewma(df, "v", keys=["k"]).collect()
+    by_k = {}
+    for r in out:
+        by_k.setdefault(r["k"], []).append(r["v_ewma"])
+    assert all(abs(v - 1.0) < 1e-12 for v in by_k["long"])  # constant series
+    assert by_k["short"] == [7.0]
