@@ -11,6 +11,7 @@ from sf_datalake_spark.ml.evaluation import (
 from sf_datalake_spark.ml.explain import (
     feature_names_from_metadata,
     linear_contributions,
+    shap_explanations,
     tree_contributions,
     vector_disassembler,
 )
@@ -25,6 +26,7 @@ __all__ = [
     "threshold_histogram_df",
     "feature_names_from_metadata",
     "linear_contributions",
+    "shap_explanations",
     "fit_ready",
     "make_classifier",
     "optimal_fbeta_thresholds",

@@ -7,13 +7,16 @@ Reference behavior replaced:
   ``vector_to_array`` (SURVEY.md §2.11's designated replacement)
 - SHAP explanations — ``explain.py:13-107``: the reference collects a
   sample to the driver and runs ``shap.LinearExplainer`` /
-  ``TreeExplainer``. shap is not available in this container, so the
-  shap path is gated behind an import-try; what ships distributed is
+  ``TreeExplainer``. This engine computes the same additive
+  attributions natively and distributed, no shap dependency:
   :func:`linear_contributions` — for linear models the per-feature
   log-odds contribution coef·x IS the exact additive explanation (what
   ``shap.LinearExplainer(feature_perturbation="interventional")``
   returns, up to the expected-value offset), computed as Column
-  arithmetic at any scale, no driver round-trip.
+  arithmetic at any scale, no driver round-trip — and
+  :func:`tree_contributions` (Saabas path attributions for
+  RF/GBT/DecisionTree, Arrow-batched). :func:`shap_explanations`
+  dispatches between them by model type.
 """
 
 from __future__ import annotations
@@ -60,8 +63,8 @@ def linear_contributions(
 
     Fully distributed (Column arithmetic over ``vector_to_array``) —
     the 100 TB-safe replacement for driver-side SHAP on linear models.
-    For tree ensembles, use :func:`shap_explanations` where shap is
-    installed.
+    For tree ensembles, use :func:`tree_contributions` (or the
+    :func:`shap_explanations` dispatcher, which routes by model type).
     """
     names = feature_names or feature_names_from_metadata(predictions, features_col)
     coefs = list(model.coefficients)
@@ -277,14 +280,44 @@ def tree_contributions(
     return in_df.select(*keep, "_fx").mapInPandas(score, out_schema)
 
 
-def shap_explanations(*args, **kwargs):  # pragma: no cover
-    """Driver-side SHAP (reference ``explain.py``) — requires the shap
-    package, which is not part of this engine's pinned environment."""
-    try:
-        import shap  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "shap is not installed in this environment; use "
-            "linear_contributions for linear models"
-        ) from e
-    raise NotImplementedError("wire shap.LinearExplainer/TreeExplainer here")
+def shap_explanations(
+    predictions: DataFrame,
+    model,
+    features_col: str = "features",
+    keep: list[str] | None = None,
+    feature_names: list[str] | None = None,
+) -> DataFrame:
+    """Additive per-feature attributions for any supported model — the
+    engine-native replacement for the reference's driver-side shap calls
+    (``/root/reference/src/sf_datalake/explain.py:13-107``).
+
+    The reference collects a sample to the driver and runs
+    ``shap.LinearExplainer`` / ``TreeExplainer``; this dispatcher
+    computes the same additive attributions distributed and shap-free:
+    linear models route to :func:`linear_contributions` (coef·x is
+    exactly the interventional LinearExplainer attribution, up to the
+    expected-value offset) and tree ensembles to
+    :func:`tree_contributions` (Saabas path attributions — the
+    per-tree decomposition TreeExplainer refines; identical additivity
+    contract ``base + Σ contrib = prediction``). Both return
+    ``keep + [base] + contrib_*`` columns consumable by
+    :func:`topic_contributions` and the frontend layer.
+    """
+    if hasattr(model, "coefficients"):
+        out = linear_contributions(
+            predictions, model, features_col, keep, feature_names
+        )
+        # align with tree_contributions' output contract (base column)
+        return out.select(
+            *(keep or []),
+            F.lit(float(getattr(model, "intercept", 0.0))).alias("base"),
+            *[c for c in out.columns if c.startswith("contrib_")],
+        )
+    if hasattr(model, "trees") or type(model).__name__.startswith("DecisionTree"):
+        return tree_contributions(
+            predictions, model, features_col, keep, feature_names
+        )
+    raise ValueError(
+        f"unsupported model type {type(model).__name__}: expected a linear "
+        "model (coefficients) or a tree model/ensemble (trees)"
+    )

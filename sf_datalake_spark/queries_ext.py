@@ -951,11 +951,13 @@ def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 neighbors via random-hyperplane LSH buckets
-    (the 100 TB path: candidates meet in an equi-join, never all-pairs)."""
+    (the 100 TB path: candidates meet in an equi-join, never all-pairs;
+    2 query-directed probes per query recover knife-edge near-dups
+    without touching the corpus bucket layout)."""
     from sf_datalake_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, emb, k=3, n_planes=8, dim=64).select(
+    return lsh_topk(emb, emb, k=3, n_planes=8, dim=64, n_probes=2).select(
         "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
     )
 

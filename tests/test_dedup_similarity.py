@@ -281,3 +281,55 @@ def test_embedding_near_dup_pairs(vectors):
     pairs = embedding_near_dup_pairs(vectors, threshold=0.95, n_planes=4, dim=4)
     got = {(r["id_1"], r["id_2"]) for r in pairs.collect()}
     assert got == {(1, 2)}
+
+
+def test_lsh_multiprobe_raises_recall(spark):
+    """Multi-probe recall is monotone in n_probes, and probing every
+    bucket behind each plane plus the base covers at least what fewer
+    probes cover; n_probes=1 equals the original single-probe result."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from sf_datalake_spark.operators.similarity import lsh_topk
+
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk_np(emb, emb, k=3).collect()}
+
+    def recall(n_probes):
+        got = {(r["query_id"], r["neighbor_id"])
+               for r in lsh_topk(emb, emb, k=3, n_planes=6, dim=64,
+                                 n_probes=n_probes).collect()}
+        return len(got & exact) / len(exact)
+
+    r1, r3, r7 = recall(1), recall(3), recall(7)
+    assert r1 <= r3 <= r7
+    assert r7 > r1  # probing genuinely finds cross-bucket neighbors
+
+
+def test_multiprobe_buckets_contract(spark):
+    """n_probes=1 reproduces hyperplane_buckets_np exactly; probe j
+    flips exactly one plane bit of the base bucket."""
+    from sf_datalake_spark.operators.similarity import (
+        hyperplane_buckets_multiprobe_np,
+        hyperplane_buckets_np,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    base = {r["vec_id"]: r["__bkt"]
+            for r in hyperplane_buckets_np(emb, "vec_id", "embedding",
+                                           n_planes=5, dim=64).collect()}
+    single = {r["vec_id"]: r["__bkt"]
+              for r in hyperplane_buckets_multiprobe_np(
+                  emb, "vec_id", "embedding", n_planes=5, dim=64, n_probes=1
+              ).collect()}
+    assert single == base
+    multi = hyperplane_buckets_multiprobe_np(
+        emb, "vec_id", "embedding", n_planes=5, dim=64, n_probes=3
+    ).collect()
+    per_id = {}
+    for r in multi:
+        per_id.setdefault(r["vec_id"], []).append(r["__bkt"])
+    for vid, bkts in per_id.items():
+        assert len(bkts) == 3
+        assert bkts[0] == base[vid]
+        for b in bkts[1:]:
+            x = b ^ base[vid]
+            assert x != 0 and (x & (x - 1)) == 0  # exactly one bit flipped

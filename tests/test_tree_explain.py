@@ -84,3 +84,29 @@ def test_tree_contribs_feed_topic_layer(assembled):
     topics = topic_contributions(out, {"all": ["x1", "x2"]}, keep=["id"]).first()
     row = out.filter(F.col("id") == topics["id"]).first()
     assert abs(topics["topic_all"] - (row["contrib_x1"] + row["contrib_x2"])) < 1e-12
+
+
+def test_shap_explanations_dispatches_by_model_type(assembled):
+    """The shap-named parity entry point routes linear models to exact
+    coef·x contributions (plus intercept base) and tree ensembles to
+    Saabas contributions — no shap package involved."""
+    from pyspark.ml.classification import LogisticRegression
+
+    from sf_datalake_spark.ml.explain import shap_explanations
+
+    lr = LogisticRegression(labelCol="failure", maxIter=10).fit(assembled)
+    lin = shap_explanations(lr.transform(assembled), lr, keep=["id"])
+    assert {"id", "base", "contrib_x1", "contrib_x2"} == set(lin.columns)
+    row = lin.filter(F.col("id") == 3).collect()[0]
+    assert abs(row["base"] - lr.intercept) < 1e-12
+
+    rf = RandomForestRegressor(labelCol="failure", numTrees=3, seed=5).fit(assembled)
+    preds = rf.transform(assembled)
+    tree = shap_explanations(preds, rf, keep=["id"]).join(
+        preds.select("id", "prediction"), "id"
+    )
+    for r in tree.collect():
+        assert abs(r["base"] + r["contrib_x1"] + r["contrib_x2"] - r["prediction"]) < 1e-9
+
+    with pytest.raises(ValueError, match="unsupported model"):
+        shap_explanations(assembled, object())
