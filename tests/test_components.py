@@ -12,8 +12,15 @@ from sf_datalake_spark.operators.components import (
 
 def _components_dict(spark, edges):
     df = spark.createDataFrame(edges, "id_1 bigint, id_2 bigint")
-    rows = connected_components(df).collect()
-    return {r["id"]: r["component"] for r in rows}
+    small = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    # driver_threshold=0 forces the distributed hash-min loop; the
+    # adaptive small-graph union-find must agree exactly on every case
+    dist = {
+        r["id"]: r["component"]
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    assert dist == small
+    return small
 
 
 def _union_find(edges):
