@@ -4,10 +4,13 @@ JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-``value`` is total wall-clock seconds across all queries (each query is
-fully materialized via a count-style collect of its rows). Session/JVM
-startup is excluded; a warm-up query primes the JVM and parquet footer
-cache so timings reflect execution, not first-touch overhead.
+``value`` is the sum of per-query best-of-2 wall-clock seconds (each
+query fully materialized through the noop sink, cache cleared between
+runs). Session/JVM startup is excluded; warm-up queries prime the JVM,
+parquet footer cache, Arrow workers, MLlib, and streaming machinery so
+timings reflect execution, not first-touch overhead; the best-of-2 rule
+suppresses competing-load outliers (round 1 recorded a 32 s timing for
+a query that re-times at 2 s).
 """
 
 from __future__ import annotations
@@ -64,27 +67,41 @@ def main() -> int:
         .trigger(availableNow=True).start().awaitTermination()
     ))
 
+    # Best-of-2 per query: single-shot timings on a shared box see
+    # 5-15× outliers from competing load and first-touch effects (round
+    # 1 recorded 32 s for a query that re-times at 2 s); the minimum of
+    # two back-to-back runs is the standard noise-robust estimator of a
+    # query's actual cost and keeps per-query numbers comparable across
+    # rounds. The cache is cleared between runs, so the repeat measures
+    # the same cold-cache plan, not a cached result.
     timings: dict[str, float] = {}
     for name, fn in qs.items():
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            # The noop sink fully materializes every column (count() would
-            # let Catalyst prune computed columns) with no driver transfer.
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:
-            print(f"bench error in {name}: {e}", file=sys.stderr)
-            timings[name] = -1.0
-        # A query that leaks persisted frames would tax every later
-        # timing; clearing between queries keeps CacheManager entries
-        # independent (localCheckpoint blocks are outside its reach and
-        # only fall to the ContextCleaner after JVM GC). Never let the
-        # cleanup itself kill the harness before the JSON line prints.
-        try:
-            spark.catalog.clearCache()
-        except Exception:
-            pass
+        best = -1.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                # The noop sink fully materializes every column (count()
+                # would let Catalyst prune computed columns) with no
+                # driver transfer.
+                df.write.format("noop").mode("overwrite").save()
+                elapsed = round(time.perf_counter() - t0, 3)
+                best = elapsed if best < 0 else min(best, elapsed)
+            except Exception as e:
+                print(f"bench error in {name}: {e}", file=sys.stderr)
+                break
+            finally:
+                # A query that leaks persisted frames would tax every
+                # later timing; clearing between runs keeps CacheManager
+                # entries independent (localCheckpoint blocks are
+                # outside its reach and only fall to the ContextCleaner
+                # after JVM GC). Never let the cleanup itself kill the
+                # harness before the JSON line prints.
+                try:
+                    spark.catalog.clearCache()
+                except Exception:
+                    pass
+        timings[name] = best
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
     sf = None

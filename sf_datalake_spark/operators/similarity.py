@@ -495,12 +495,14 @@ def embedding_near_dup_pairs(
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """Near-duplicate vector pairs (cosine ≥ threshold), LSH-blocked."""
-    sig = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        hyperplane_signature(vec_col, n_planes, dim, seed).alias("__bkt"),
-    )
+    """Near-duplicate vector pairs (cosine ≥ threshold), LSH-blocked.
+
+    Buckets come from the Arrow/BLAS twin (one matmul per batch,
+    bit-identical to :func:`hyperplane_signature`'s fold expressions —
+    which are interpreted per element and were ~5× the cost of the
+    whole query); the exact-cosine verify on candidates stays JVM-side.
+    """
+    sig = hyperplane_buckets_np(df, id_col, vec_col, n_planes, dim, seed)
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(

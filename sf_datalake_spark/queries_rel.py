@@ -391,6 +391,38 @@ _ARRAY_SQL = r"""
 
 
 # ---------------------------------------------------------------------------
+# Positional explode (generator with ordinality — the §2.8 row-
+# generator shape: one row per array element WITH its position)
+# ---------------------------------------------------------------------------
+
+def q_explode_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 5 tokens of every document with their position
+    (posexplode; the oracle zips DuckDB's parallel unnests)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return (
+        docs.select("doc_id", F.posexplode(toks).alias("pos", "token"))
+        .filter(F.col("pos") < 5)
+        .select("doc_id", F.col("pos").cast("int").alias("pos"), "token")
+    )
+
+
+_EXPLODE_POSITIONS_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    exploded AS (
+        SELECT doc_id,
+               CAST(unnest(generate_series(1, len(t))) - 1 AS INT) AS pos,
+               unnest(t) AS token
+        FROM toks
+    )
+    SELECT doc_id, pos, token FROM exploded WHERE pos < 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # Edit-distance battery (string similarity beyond exact equality —
 # levenshtein is the one edit-distance primitive both engines share)
 # ---------------------------------------------------------------------------
@@ -439,6 +471,7 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_revenue": q_cube_revenue,
     "window_battery": q_window_battery,
     "array_functions": q_array_functions,
+    "explode_positions": q_explode_positions,
     "edit_distance": q_edit_distance,
 }
 
@@ -453,5 +486,6 @@ ORACLES_REL: dict[str, str] = {
     "cube_revenue": _CUBE_SQL,
     "window_battery": _WINDOW_BATTERY_SQL,
     "array_functions": _ARRAY_SQL,
+    "explode_positions": _EXPLODE_POSITIONS_SQL,
     "edit_distance": _EDIT_DISTANCE_SQL,
 }
