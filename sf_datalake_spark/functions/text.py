@@ -39,6 +39,27 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokenize(col))
 
 
+# GPT-2-style pre-tokenizer classes, simplified to the lookahead-free
+# subset shared by Java regex (Spark) and RE2 (DuckDB): contractions,
+# space-prefixed letter runs, digit runs, punctuation runs, residual
+# whitespace. A real BPE pass only ever SPLITS these pieces further, so
+# this count is the standard cheap lower bound used for corpus budgeting.
+BPE_PRETOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+)
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish token count: matches of the GPT-2 pre-tokenizer classes
+    (word pieces, digit runs, punctuation runs; trailing whitespace runs
+    excluded) — the budgeting twin of :func:`token_count` for LLM
+    training data, pure JVM regex, no vocabulary needed."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_PATTERN), F.lit(0))
+    return F.size(F.filter(pieces, lambda p: p.rlike(r"\S")))
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Array of word n-gram shingles (space-joined), for MinHash/Jaccard.
 

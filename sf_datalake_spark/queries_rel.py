@@ -391,6 +391,36 @@ _ARRAY_SQL = r"""
 
 
 # ---------------------------------------------------------------------------
+# BPE-ish token budgeting (training-data layer: the corpus-size
+# estimate an LLM pipeline runs before tokenizing for real)
+# ---------------------------------------------------------------------------
+
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs GPT-2-pre-tokenizer token counts per document —
+    both engines run the identical lookahead-free regex."""
+    from sf_datalake_spark.functions.text import bpe_token_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_ws_tokens"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+_BPE_TOKENS_SQL = r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')) AS INT) AS n_ws_tokens,
+           CAST(len(list_filter(
+                regexp_extract_all(text,
+                    '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'),
+                x -> regexp_matches(x, '\S'))) AS INT) AS n_bpe_tokens
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # Positional explode (generator with ordinality — the §2.8 row-
 # generator shape: one row per array element WITH its position)
 # ---------------------------------------------------------------------------
@@ -457,11 +487,131 @@ _EDIT_DISTANCE_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# Table maintenance (operators/merge.py): MERGE upsert and SCD2
+# interval versioning, driven end-to-end against SQL twins
+# ---------------------------------------------------------------------------
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert a deterministic change batch into orders (every 10th
+    order re-priced +10%, plus synthetic new orders), then summarize
+    the merged table per status — proving matched rows were replaced,
+    unmatched inserted, and the rest untouched."""
+    from sf_datalake_spark.operators.merge import merge_upsert
+
+    orders = _t(spark, sf_dir, "orders")
+    repriced = orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2)
+    )
+    new_rows = (
+        orders.filter(F.col("o_orderkey") % 1000 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    merged = merge_upsert(orders, repriced.unionByName(new_rows), ["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+_MERGE_UPSERT_SQL = """
+    WITH src AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               round(o_totalprice * 1.1, 2) AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, 'N',
+               o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 1000 = 0
+    ),
+    merged AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM src
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.o_orderkey = o.o_orderkey)
+    )
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM merged GROUP BY 1
+"""
+
+
+def q_scd2_track(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history after one change batch: every 7th customer switches
+    market segment on 2023-06-15 (no-op when already MACHINERY — no
+    empty interval), every 100000th key above the key space inserts as
+    a first version. Output: the full versioned dimension."""
+    from sf_datalake_spark.operators.merge import scd2_apply
+
+    cust = _t(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.to_date(F.lit("2020-01-01")).alias("date_debut"),
+        F.lit(None).cast("date").alias("date_fin"),
+    )
+    changes = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            F.lit("MACHINERY").alias("segment"),
+            F.to_date(F.lit("2023-06-15")).alias("effective_date"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 500 == 0).select(
+                (F.col("c_custkey") + F.lit(10_000_000)).alias("c_custkey"),
+                F.lit("AEROSPACE").alias("segment"),
+                F.to_date(F.lit("2023-06-15")).alias("effective_date"),
+            )
+        )
+    )
+    out = scd2_apply(
+        dim, changes, keys=["c_custkey"], value_cols=["segment"]
+    )
+    return out.select("c_custkey", "segment", "date_debut", "date_fin")
+
+
+_SCD2_SQL = """
+    WITH chg AS (
+        SELECT c_custkey, 'MACHINERY' AS new_segment,
+               DATE '2023-06-15' AS eff
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey + 10000000, 'AEROSPACE', DATE '2023-06-15'
+        FROM customer WHERE c_custkey % 500 = 0
+    ),
+    cur AS (
+        SELECT c_custkey, c_mktsegment AS segment,
+               DATE '2020-01-01' AS date_debut, CAST(NULL AS DATE) AS date_fin
+        FROM customer
+    )
+    -- current rows, closed when a differing change arrives
+    SELECT cur.c_custkey, cur.segment, cur.date_debut,
+           CASE WHEN chg.new_segment IS NOT NULL
+                     AND chg.new_segment <> cur.segment
+                THEN chg.eff ELSE cur.date_fin END AS date_fin
+    FROM cur LEFT JOIN chg USING (c_custkey)
+    UNION ALL
+    -- successor versions for genuinely changed keys
+    SELECT cur.c_custkey, chg.new_segment, chg.eff, CAST(NULL AS DATE)
+    FROM cur JOIN chg USING (c_custkey)
+    WHERE chg.new_segment <> cur.segment
+    UNION ALL
+    -- first versions for unknown keys
+    SELECT chg.c_custkey, chg.new_segment, chg.eff, CAST(NULL AS DATE)
+    FROM chg
+    WHERE NOT EXISTS (SELECT 1 FROM cur WHERE cur.c_custkey = chg.c_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "min_cost_supplier": q_min_cost_supplier,
+    "bpe_tokens": q_bpe_tokens,
     "late_shipment_priority": q_late_shipment_priority,
     "customer_order_distribution": q_customer_order_distribution,
     "brand_supplier_counts": q_brand_supplier_counts,
@@ -473,10 +623,13 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "array_functions": q_array_functions,
     "explode_positions": q_explode_positions,
     "edit_distance": q_edit_distance,
+    "merge_upsert": q_merge_upsert,
+    "scd2_track": q_scd2_track,
 }
 
 ORACLES_REL: dict[str, str] = {
     "min_cost_supplier": _MIN_COST_SQL,
+    "bpe_tokens": _BPE_TOKENS_SQL,
     "late_shipment_priority": _LATE_SHIPMENT_SQL,
     "customer_order_distribution": _ORDER_DISTRIBUTION_SQL,
     "brand_supplier_counts": _BRAND_SUPPLIER_SQL,
@@ -488,4 +641,6 @@ ORACLES_REL: dict[str, str] = {
     "array_functions": _ARRAY_SQL,
     "explode_positions": _EXPLODE_POSITIONS_SQL,
     "edit_distance": _EDIT_DISTANCE_SQL,
+    "merge_upsert": _MERGE_UPSERT_SQL,
+    "scd2_track": _SCD2_SQL,
 }

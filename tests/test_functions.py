@@ -167,3 +167,27 @@ def test_check_constraints_all_green_single_job(spark):
         df, row_checks={"complete(s)": F.col("s").isNotNull()}, unique_keys=["id"]
     )
     assert [r["satisfied"] for r in res.collect()] == [1, 1]
+
+
+def test_bpe_token_count_classes(spark):
+    """Contractions split off, letter/digit/punct runs are separate
+    pieces, whitespace never counts."""
+    from sf_datalake_spark.functions.text import bpe_token_count, token_count
+
+    rows = [
+        (1, "I'll go"),          # I | 'll | _go                     → 3
+        (2, "abc123!?"),         # abc | 123 | !?                    → 3
+        (3, "  spaced   out "),  # _spaced | _out (+ws runs dropped) → 2
+        (4, "don't"),            # don | 't                          → 2
+        (5, ""),                 # empty                             → 0
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r["id"]: (r["bpe"], r["ws"])
+        for r in df.select(
+            "id",
+            bpe_token_count("text").alias("bpe"),
+            token_count("text").alias("ws"),
+        ).collect()
+    }
+    assert got == {1: (3, 2), 2: (3, 1), 3: (2, 2), 4: (2, 1), 5: (0, 0)}

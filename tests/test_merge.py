@@ -1,0 +1,88 @@
+"""MERGE upsert + SCD2 interval versioning (operators/merge.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sf_datalake_spark.operators.merge import merge_upsert, scd2_apply
+from tests.conftest import d
+
+
+def test_merge_upsert_update_insert_keep(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id int, name string, v double",
+    )
+    source = spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)], "id int, name string, v double"
+    )
+    got = {r["id"]: (r["name"], r["v"])
+           for r in merge_upsert(target, source, ["id"]).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_merge_upsert_schema_mismatch_raises(spark):
+    t = spark.createDataFrame([(1, "a")], "id int, x string")
+    s = spark.createDataFrame([(1,)], "id int")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        merge_upsert(t, s, ["id"])
+
+
+def test_merge_upsert_duplicate_source_deterministic(spark):
+    t = spark.createDataFrame([(1, 0.0)], "id int, v double")
+    s = spark.createDataFrame([(1, 5.0), (1, 7.0)], "id int, v double")
+    # max-struct policy: the larger source row wins, deterministically
+    assert merge_upsert(t, s, ["id"]).collect()[0]["v"] == 7.0
+
+
+def _scd2_fixture(spark):
+    dim = spark.createDataFrame(
+        [
+            (1, "A", d("2020-01-01"), d("2022-01-01")),  # closed history
+            (1, "B", d("2022-01-01"), None),             # current
+            (2, "A", d("2020-01-01"), None),
+            (3, "C", d("2020-01-01"), None),
+        ],
+        "k int, seg string, date_debut date, date_fin date",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "Z", d("2023-06-15")),  # real change → close + open
+            (2, "A", d("2023-06-15")),  # no-op (same value)
+            (9, "N", d("2023-06-15")),  # brand-new key
+        ],
+        "k int, seg string, effective_date date",
+    )
+    return dim, changes
+
+
+def test_scd2_apply_semantics(spark):
+    dim, changes = _scd2_fixture(spark)
+    out = scd2_apply(dim, changes, keys=["k"], value_cols=["seg"])
+    rows = {(r["k"], r["seg"], r["date_debut"]): r["date_fin"] for r in out.collect()}
+    assert rows == {
+        (1, "A", d("2020-01-01")): d("2022-01-01"),  # history untouched
+        (1, "B", d("2022-01-01")): d("2023-06-15"),  # closed by the change
+        (1, "Z", d("2023-06-15")): None,             # successor opened
+        (2, "A", d("2020-01-01")): None,             # no-op stays current
+        (3, "C", d("2020-01-01")): None,             # unchanged key
+        (9, "N", d("2023-06-15")): None,             # first version
+    }
+
+
+def test_scd2_intervals_partition_time_per_key(spark):
+    """Per key: exactly one current row, and [start, end) intervals
+    never overlap (end of one version = start of the next)."""
+    dim, changes = _scd2_fixture(spark)
+    out = scd2_apply(dim, changes, keys=["k"], value_cols=["seg"])
+    per_key = {}
+    for r in out.collect():
+        per_key.setdefault(r["k"], []).append((r["date_debut"], r["date_fin"]))
+    for k, spans in per_key.items():
+        assert sum(1 for _, e in spans if e is None) == 1, k
+        closed = sorted([s for s in spans if s[1] is not None])
+        start_of_current = next(s for s, e in spans if e is None)
+        seq = closed + [(start_of_current, None)]
+        for (s1, e1), (s2, _) in zip(seq, seq[1:]):
+            assert e1 == s2, f"gap/overlap in key {k}: {seq}"
