@@ -606,6 +606,41 @@ _SCD2_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# Z-order clustering key (functions/zorder.py): bit-interleave of two
+# scan dimensions — both engines run the identical overflow-free
+# shift/and arithmetic
+# ---------------------------------------------------------------------------
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton Z-values over (customer key, days since 1992-01-01) for a
+    deterministic slice of orders — the clustering key
+    ``io``'s ``write_zordered`` sorts files by."""
+    from sf_datalake_spark.functions.zorder import z_value
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    days = F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1992-01-01")))
+    return orders.select(
+        "o_orderkey",
+        z_value(F.col("o_custkey"), days).alias("z"),
+    )
+
+
+def _zorder_sql() -> str:
+    from sf_datalake_spark.functions.zorder import z_value_sql
+
+    z = z_value_sql(
+        "o_custkey", "date_diff('day', DATE '1992-01-01', o_orderdate)"
+    )
+    return f"""
+        SELECT o_orderkey, CAST({z} AS BIGINT) AS z
+        FROM orders WHERE o_orderkey % 100 = 0
+    """
+
+
+_ZORDER_SQL = _zorder_sql()
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -625,6 +660,7 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_distance": q_edit_distance,
     "merge_upsert": q_merge_upsert,
     "scd2_track": q_scd2_track,
+    "zorder_key": q_zorder_key,
 }
 
 ORACLES_REL: dict[str, str] = {
@@ -643,4 +679,5 @@ ORACLES_REL: dict[str, str] = {
     "edit_distance": _EDIT_DISTANCE_SQL,
     "merge_upsert": _MERGE_UPSERT_SQL,
     "scd2_track": _SCD2_SQL,
+    "zorder_key": _ZORDER_SQL,
 }

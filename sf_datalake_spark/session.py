@@ -41,6 +41,14 @@ def get_spark_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime filtering: build a bloom filter from a join's selective
+        # side and push it into the other side's scan — at 100 TB this
+        # prunes shuffle input the static optimizer can't see. Pinned on
+        # explicitly (the default has flipped across Spark minors).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # MIN/MAX/COUNT over parquet answer from footer statistics
+        # without touching a data page (off by default).
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

@@ -191,3 +191,59 @@ def test_bpe_token_count_classes(spark):
         ).collect()
     }
     assert got == {1: (3, 2), 2: (3, 1), 3: (2, 2), 4: (2, 1), 5: (0, 0)}
+
+
+def test_z_value_interleaves_bits(spark):
+    from sf_datalake_spark.functions.zorder import z_value
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)], "a int, b int"
+    )
+    got = [r["z"] for r in df.select(z_value("a", "b").alias("z")).collect()]
+
+    def ref(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == [ref(a, b) for a, b in [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)]]
+    assert got[1] == 1 and got[2] == 2  # a in even bits, b in odd bits
+
+
+def test_write_zordered_tightens_file_boxes(spark, tmp_path):
+    """Z-ordered files each cover a small min/max box in BOTH dimensions
+    — the property parquet footer pruning exploits. Compare the mean box
+    area against a layout sorted by only one dimension."""
+    import pyarrow.parquet as pq
+
+    from sf_datalake_spark.functions.zorder import write_zordered
+
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x int, y int")
+
+    z_dir, lin_dir = str(tmp_path / "z"), str(tmp_path / "lin")
+    write_zordered(df, z_dir, ("x", "y"), n_files=16)
+    df.repartitionByRange(16, "x").write.mode("overwrite").parquet(lin_dir)
+
+    def y_ranges(d):
+        import glob
+
+        out = []
+        for f in glob.glob(f"{d}/*.parquet"):
+            t = pq.read_table(f)
+            ys = t["y"].to_pylist()
+            if ys:
+                out.append((min(ys), max(ys)))
+        return out
+
+    # Pruning for a predicate on y ALONE (the dimension the linear
+    # layout ignores): which files' [min,max] boxes intersect y == 17?
+    z_hit = sum(1 for lo, hi in y_ranges(z_dir) if lo <= 17 <= hi)
+    lin_rngs = y_ranges(lin_dir)
+    lin_hit = sum(1 for lo, hi in lin_rngs if lo <= 17 <= hi)
+    # x-only sort leaves y unconstrained: EVERY file spans all of y
+    assert lin_hit == len(lin_rngs)
+    # Z-order tiles bound y per file: most files are pruned
+    assert z_hit * 2 <= lin_hit, (z_hit, lin_hit)
