@@ -606,6 +606,47 @@ _SCD2_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# Pairwise correlation matrix (ML exploration beyond ANOVA/PCA): every
+# numeric-column pair in ONE aggregation pass, long format
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlations between all lineitem numeric pairs — six
+    ``F.corr`` aggregates sharing one scan/shuffle, exploded to
+    (col_1, col_2, corr) rows so the matrix itself is queryable."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = [
+        (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1:]
+    ]
+    wide = li.agg(
+        *[
+            F.round(F.corr(a, b), 9).alias(f"__c_{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    structs = [
+        F.struct(
+            F.lit(a).alias("col_1"),
+            F.lit(b).alias("col_2"),
+            F.col(f"__c_{i}").alias("corr"),
+        )
+        for i, (a, b) in enumerate(pairs)
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+_CORRELATION_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{a}' AS col_1, '{b}' AS col_2, round(corr({a}, {b}), 9) AS corr "
+    "FROM lineitem"
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1:]
+)
+
+
+# ---------------------------------------------------------------------------
 # Z-order clustering key (functions/zorder.py): bit-interleave of two
 # scan dimensions — both engines run the identical overflow-free
 # shift/and arithmetic
@@ -661,6 +702,7 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_upsert": q_merge_upsert,
     "scd2_track": q_scd2_track,
     "zorder_key": q_zorder_key,
+    "correlation_matrix": q_correlation_matrix,
 }
 
 ORACLES_REL: dict[str, str] = {
@@ -680,4 +722,5 @@ ORACLES_REL: dict[str, str] = {
     "merge_upsert": _MERGE_UPSERT_SQL,
     "scd2_track": _SCD2_SQL,
     "zorder_key": _ZORDER_SQL,
+    "correlation_matrix": _CORRELATION_SQL,
 }

@@ -83,3 +83,70 @@ def test_tfidf_broadcast_vocab_join(spark):
     rep = plan_report(tf_idf_topk(docs, broadcast_vocab=True))
     assert rep["n_broadcasts"] >= 2  # vocabulary + the 1-row corpus size
     assert rep["n_nested_loop_joins"] <= 1  # only the 1-row scalar cross join
+
+
+def test_merge_upsert_single_exchange(spark, orders):
+    """The union+window merge shuffles ONCE on the merge keys — the
+    full-outer-join formulation would exchange both sides."""
+    from sf_datalake_spark.operators.merge import merge_upsert
+
+    source = orders.filter(F.col("o_orderkey") % 10 == 0)
+    rep = plan_report(merge_upsert(orders, source, ["o_orderkey"]), execute=True)
+    assert rep["n_exchanges"] == 1
+    assert rep["n_python_evals"] == 0
+
+
+def test_scd2_broadcasts_change_batch(spark):
+    from sf_datalake_spark.operators.merge import scd2_apply
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    dim = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.to_date(F.lit("2020-01-01")).alias("date_debut"),
+        F.lit(None).cast("date").alias("date_fin"),
+    )
+    changes = cust.limit(10).select(
+        "c_custkey",
+        F.lit("MACHINERY").alias("segment"),
+        F.to_date(F.lit("2023-06-15")).alias("effective_date"),
+    )
+    rep = plan_report(scd2_apply(dim, changes, ["c_custkey"], ["segment"]))
+    assert rep["n_broadcasts"] >= 1
+    assert rep["n_nested_loop_joins"] == 0
+
+
+def test_correlated_window_decorrelation_single_exchange(spark):
+    """small_quantity_revenue's per-part average is ONE window exchange,
+    not a re-executed correlated subquery."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["small_quantity_revenue"](spark, SF_DIR)
+    rep = plan_report(df, execute=True)
+    # one exchange for the window partition + the final single-row agg
+    assert rep["n_exchanges"] <= 2
+    assert rep["n_python_evals"] == 0
+
+
+def test_ewma_shares_one_exchange_with_lag_stack(spark):
+    """EWMA windows partition on the same entity key as the lag family,
+    so stacking them adds NO exchange."""
+    from sf_datalake_spark.operators.windows import with_ewma, with_lag
+
+    panel = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.trunc(F.col("o_orderdate"), "month").alias("periode"),
+        )
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    stacked = with_ewma(
+        with_lag(panel, "revenue", [1, 3], keys=["custkey"], period_col="periode"),
+        "revenue",
+        keys=["custkey"],
+        period_col="periode",
+    )
+    rep = plan_report(stacked, execute=True)
+    # one exchange for the groupBy, one for the shared window key
+    assert rep["n_exchanges"] == 2
