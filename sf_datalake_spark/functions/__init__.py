@@ -13,7 +13,12 @@ from sf_datalake_spark.functions.numeric import (  # noqa: F401
     count_nan_values,
     sigmoid,
 )
+from sf_datalake_spark.functions.profile import (  # noqa: F401
+    check_constraints,
+    profile_table,
+)
 from sf_datalake_spark.functions.text import (  # noqa: F401
+    bpe_token_count,
     char_ngrams,
     normalize_text,
     stopword_hits,
@@ -21,6 +26,10 @@ from sf_datalake_spark.functions.text import (  # noqa: F401
     token_count,
     tokenize,
     word_shingles,
+)
+from sf_datalake_spark.functions.zorder import (  # noqa: F401
+    write_zordered,
+    z_value,
 )
 from sf_datalake_spark.functions.vector import (  # noqa: F401
     array_cosine_similarity,

@@ -19,6 +19,10 @@ from sf_datalake_spark.operators.intervals import (  # noqa: F401
     union_intervals,
     with_interval_ids,
 )
+from sf_datalake_spark.operators.merge import (  # noqa: F401
+    merge_upsert,
+    scd2_apply,
+)
 from sf_datalake_spark.operators.resample import resample_classes  # noqa: F401
 from sf_datalake_spark.operators.similarity import (  # noqa: F401
     brute_force_topk,
@@ -39,6 +43,7 @@ from sf_datalake_spark.operators.windows import (  # noqa: F401
     dedup_by_rank,
     with_bfill,
     with_diff,
+    with_ewma,
     with_ffill,
     with_lag,
     with_linear_interpolation,
