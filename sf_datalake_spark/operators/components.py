@@ -210,6 +210,117 @@ def _propagate(und: DataFrame, parts: int, max_iter: int):
     return labels, converged
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "id_1",
+    dst: str = "id_2",
+    n_iter: int = 10,
+    damping: float = 0.85,
+    driver_threshold: int = 2_000_000,
+) -> DataFrame:
+    """PageRank over a DIRECTED edge list, fixed ``n_iter`` power
+    iterations (fixed rounds, not convergence-tested ⇒ deterministic
+    row counts and reproducible values).
+
+    Returns ``(id, rank)`` for every node appearing in an edge; ranks
+    sum to 1. Dangling nodes (no out-edges) redistribute their mass
+    uniformly, the standard correction.
+
+    Same adaptive shape as :func:`connected_components`: at or under
+    ``driver_threshold`` edges, one bounded collect + numpy power
+    iteration; above it, each round is one join (edges ⋈ ranks on src)
+    + one groupBy(dst) sum — both shuffling node ids only — with the
+    rank table ``localCheckpoint``-ed per round to keep the iterative
+    lineage flat (the identical discipline and caveats as the
+    components loop).
+    """
+    directed = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).persist()
+    try:
+        n_edges = directed.count()
+        if n_edges <= driver_threshold:
+            return _pagerank_driver(directed, n_iter, damping)
+        nodes = (
+            directed.select(F.col("src").alias("id"))
+            .union(directed.select(F.col("dst").alias("id")))
+            .distinct()
+            .persist()
+        )
+        try:
+            n = nodes.count()
+            # alias the degree key at its source: deg shares lineage
+            # with `directed`, and a same-attribute join would trip the
+            # ambiguous-self-join check
+            deg = (
+                directed.select(F.col("src").alias("__deg_id"))
+                .groupBy("__deg_id")
+                .agg(F.count("*").alias("__deg"))
+            )
+            ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
+                eager=True
+            )
+            for _ in range(n_iter):
+                with_deg = ranks.join(
+                    deg, ranks.id == deg["__deg_id"], "left"
+                ).select("id", "rank", "__deg")
+                dangling = with_deg.filter(F.col("__deg").isNull()).agg(
+                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m")
+                ).first()["m"]
+                contribs = (
+                    directed.join(with_deg, directed.src == with_deg.id)
+                    .select("dst", (F.col("rank") / F.col("__deg")).alias("__c"))
+                    .groupBy("dst")
+                    .agg(F.sum("__c").alias("__in"))
+                )
+                base = (1.0 - damping) / n + damping * dangling / n
+                ranks = (
+                    nodes.join(contribs, nodes.id == contribs.dst, "left")
+                    .select(
+                        "id",
+                        (
+                            F.lit(base)
+                            + F.lit(damping) * F.coalesce("__in", F.lit(0.0))
+                        ).alias("rank"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+            return ranks
+        finally:
+            nodes.unpersist()
+    finally:
+        directed.unpersist()
+
+
+def _pagerank_driver(directed: DataFrame, n_iter: int, damping: float) -> DataFrame:
+    """Small-graph path: numpy power iteration, same formula (uniform
+    init, dangling redistribution)."""
+    import numpy as np
+
+    rows = directed.collect()
+    ids = sorted({r[0] for r in rows} | {r[1] for r in rows})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    if n == 0:
+        id_type = dict(directed.dtypes)["src"]
+        return directed.sparkSession.createDataFrame(
+            [], f"id {id_type}, rank double"
+        )
+    src_i = np.array([idx[r[0]] for r in rows])
+    dst_i = np.array([idx[r[1]] for r in rows])
+    deg = np.bincount(src_i, minlength=n)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        dangling = rank[deg == 0].sum()
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst_i, rank[src_i] / deg[src_i])
+        rank = (1.0 - damping) / n + damping * (contrib + dangling / n)
+    id_type = dict(directed.dtypes)["src"]
+    return directed.sparkSession.createDataFrame(
+        [(v, float(rank[idx[v]])) for v in ids], f"id {id_type}, rank double"
+    )
+
+
 def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,

@@ -682,6 +682,37 @@ _ZORDER_SQL = _zorder_sql()
 
 
 # ---------------------------------------------------------------------------
+# PageRank over the near-dup pair graph (iterative numeric algorithm,
+# fixed rounds — rows-only: per-round float summation order is engine-
+# specific, so values carry no SQL oracle; determinism of the node set
+# and mass conservation are pinned by unit tests instead)
+# ---------------------------------------------------------------------------
+
+def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality of documents inside their near-duplicate
+    neighborhoods: PageRank (5 fixed iterations) over the symmetrized
+    MinHash-LSH pair graph."""
+    from sf_datalake_spark.operators.components import pagerank
+    from sf_datalake_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
+    pairs = lsh_candidate_pairs(
+        sig, "doc_id", bands=4, rows_per_band=2, signature_length=8
+    )
+    sym = pairs.unionByName(
+        pairs.select(F.col("id_2").alias("id_1"), F.col("id_1").alias("id_2"))
+    )
+    out = pagerank(sym, "id_1", "id_2", n_iter=5)
+    return out.select(
+        F.col("id").alias("doc_id"), F.round("rank", 9).alias("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -703,6 +734,7 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_track": q_scd2_track,
     "zorder_key": q_zorder_key,
     "correlation_matrix": q_correlation_matrix,
+    "pagerank_docs": q_pagerank_docs,
 }
 
 ORACLES_REL: dict[str, str] = {

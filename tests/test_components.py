@@ -93,3 +93,36 @@ def test_cluster_label_is_component_min(spark):
     comp = connected_components(df)
     mins = comp.groupBy("component").agg(F.min("id").alias("mn")).collect()
     assert all(r["component"] == r["mn"] for r in mins)
+
+
+def _pagerank_dict(spark, edges, **kw):
+    from sf_datalake_spark.operators.components import pagerank
+
+    df = spark.createDataFrame(edges, "id_1 bigint, id_2 bigint")
+    small = {r["id"]: r["rank"] for r in pagerank(df, **kw).collect()}
+    dist = {r["id"]: r["rank"]
+            for r in pagerank(df, driver_threshold=0, **kw).collect()}
+    assert small.keys() == dist.keys()
+    for k in small:
+        assert abs(small[k] - dist[k]) < 1e-12, k
+    return small
+
+
+def test_pagerank_ring_is_uniform(spark):
+    # A directed ring: perfect symmetry → uniform ranks, sum 1.
+    edges = [(i, (i + 1) % 5) for i in range(5)]
+    got = _pagerank_dict(spark, edges)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for v in got.values():
+        assert abs(v - 0.2) < 1e-12
+
+
+def test_pagerank_hub_attracts_mass(spark):
+    # Star pointing at node 0: 0 outranks every leaf; mass conserved
+    # (0 is dangling → its mass redistributes uniformly).
+    edges = [(i, 0) for i in range(1, 6)]
+    got = _pagerank_dict(spark, edges)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert all(got[0] > got[i] for i in range(1, 6))
+    leaf = [got[i] for i in range(1, 6)]
+    assert max(leaf) - min(leaf) < 1e-12  # symmetric leaves tie
