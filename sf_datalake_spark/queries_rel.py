@@ -713,6 +713,43 @@ def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Recursive CTE (hierarchy traversal — Spark 4 WITH RECURSIVE, the
+# same UNION ALL recursion DuckDB runs; the hierarchy is the implicit
+# binary tree on supplier keys, so the recursion is acyclic with
+# log-depth termination)
+# ---------------------------------------------------------------------------
+
+def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth of every supplier in the k → k÷2 ancestor tree, computed
+    with a native recursive CTE (no driver loop)."""
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("__rh_supplier")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(node, up, depth) AS (
+            SELECT s_suppkey, s_suppkey DIV 2, 1
+            FROM __rh_supplier WHERE s_suppkey > 1
+            UNION ALL
+            SELECT node, up DIV 2, depth + 1 FROM anc WHERE up > 1
+        )
+        SELECT node AS s_suppkey, CAST(max(depth) AS INT) AS depth_to_root
+        FROM anc GROUP BY node
+        """
+    )
+
+
+_RECURSIVE_SQL = """
+    WITH RECURSIVE anc(node, up, depth) AS (
+        SELECT s_suppkey, s_suppkey // 2, 1
+        FROM supplier WHERE s_suppkey > 1
+        UNION ALL
+        SELECT node, up // 2, depth + 1 FROM anc WHERE up > 1
+    )
+    SELECT node AS s_suppkey, CAST(max(depth) AS INT) AS depth_to_root
+    FROM anc GROUP BY node
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -735,6 +772,7 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_key": q_zorder_key,
     "correlation_matrix": q_correlation_matrix,
     "pagerank_docs": q_pagerank_docs,
+    "recursive_hierarchy": q_recursive_hierarchy,
 }
 
 ORACLES_REL: dict[str, str] = {
@@ -755,4 +793,5 @@ ORACLES_REL: dict[str, str] = {
     "scd2_track": _SCD2_SQL,
     "zorder_key": _ZORDER_SQL,
     "correlation_matrix": _CORRELATION_SQL,
+    "recursive_hierarchy": _RECURSIVE_SQL,
 }
