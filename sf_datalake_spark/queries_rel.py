@@ -713,6 +713,44 @@ def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-group OLS trend (grouped regression as pure aggregation: slope =
+# covar_pop/var_pop — thousands of tiny models in one shuffle, no
+# Python; the SQL twin uses regr_slope/regr_intercept)
+# ---------------------------------------------------------------------------
+
+def q_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue trend (OLS slope/intercept over the month index) per
+    customer — one model per entity, computed entirely with algebraic
+    aggregates."""
+    panel = customer_monthly_panel(spark, sf_dir)
+    x = F.months_between(F.col("periode"), F.to_date(F.lit("1992-01-01")))
+    d = panel.select("custkey", x.alias("x"), F.col("revenue").alias("y"))
+    # try_divide: a single-month group has var_pop = 0 — NULL slope
+    # (matching DuckDB's regr_slope) instead of an ANSI-mode error
+    slope = F.try_divide(F.covar_pop("x", "y"), F.var_pop("x"))
+    return d.groupBy("custkey").agg(
+        F.count("*").alias("n_months"),
+        F.round(slope, 6).alias("slope"),
+        F.round(F.avg("y") - slope * F.avg("x"), 6).alias("intercept"),
+    )
+
+
+_TREND_SQL = f"""
+    WITH panel AS ({_PANEL_SQL}),
+    d AS (
+        SELECT custkey,
+               date_diff('month', DATE '1992-01-01', periode)::DOUBLE AS x,
+               revenue AS y
+        FROM panel
+    )
+    SELECT custkey, CAST(count(*) AS BIGINT) AS n_months,
+           round(regr_slope(y, x), 6) AS slope,
+           round(regr_intercept(y, x), 6) AS intercept
+    FROM d GROUP BY custkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # Recursive CTE (hierarchy traversal — Spark 4 WITH RECURSIVE, the
 # same UNION ALL recursion DuckDB runs; the hierarchy is the implicit
 # binary tree on supplier keys, so the recursion is acyclic with
@@ -773,6 +811,7 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "correlation_matrix": q_correlation_matrix,
     "pagerank_docs": q_pagerank_docs,
     "recursive_hierarchy": q_recursive_hierarchy,
+    "trend_slopes": q_trend_slopes,
 }
 
 ORACLES_REL: dict[str, str] = {
@@ -794,4 +833,5 @@ ORACLES_REL: dict[str, str] = {
     "zorder_key": _ZORDER_SQL,
     "correlation_matrix": _CORRELATION_SQL,
     "recursive_hierarchy": _RECURSIVE_SQL,
+    "trend_slopes": _TREND_SQL,
 }
