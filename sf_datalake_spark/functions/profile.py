@@ -86,6 +86,11 @@ def check_constraints(
     """
     row_checks = dict(row_checks or {})
     uniq = [[u] if isinstance(u, str) else list(u) for u in unique_keys]
+    if not row_checks and not uniq:
+        # explode(array()) of zero structs is an unexpandable Catalyst
+        # plan — fail with the real reason instead
+        raise ValueError("no constraints declared (row_checks and "
+                         "unique_keys are both empty)")
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, pred in enumerate(row_checks.values()):
         aggs.append(

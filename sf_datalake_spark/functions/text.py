@@ -44,9 +44,13 @@ def token_count(col: Column | str) -> Column:
 # space-prefixed letter runs, digit runs, punctuation runs, residual
 # whitespace. A real BPE pass only ever SPLITS these pieces further, so
 # this count is the standard cheap lower bound used for corpus budgeting.
+# Whitespace is the EXPLICIT class [ \t\n\f\r], not \s — Java's \s
+# includes \x0B (vertical tab) while RE2's does not, and a shorthand
+# divergence would silently shift counts between engines.
+_WS = " \\t\\n\\f\\r"
 BPE_PRETOKEN_PATTERN = (
     r"'s|'t|'re|'ve|'m|'ll|'d"
-    r"| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+    rf"| ?[A-Za-z]+| ?[0-9]+| ?[^{_WS}A-Za-z0-9]+|[{_WS}]+"
 )
 
 
@@ -57,7 +61,7 @@ def bpe_token_count(col: Column | str) -> Column:
     training data, pure JVM regex, no vocabulary needed."""
     c = F.col(col) if isinstance(col, str) else col
     pieces = F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_PATTERN), F.lit(0))
-    return F.size(F.filter(pieces, lambda p: p.rlike(r"\S")))
+    return F.size(F.filter(pieces, lambda p: p.rlike(f"[^{_WS}]")))
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:

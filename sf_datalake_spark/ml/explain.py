@@ -303,14 +303,23 @@ def shap_explanations(
     ``keep + [base] + contrib_*`` columns consumable by
     :func:`topic_contributions` and the frontend layer.
     """
-    if hasattr(model, "coefficients"):
+    # Probe with try/except, not hasattr: MLlib model properties are
+    # py4j calls, and e.g. multinomial LogisticRegressionModel raises a
+    # SparkException (not AttributeError) from `.coefficients` — hasattr
+    # would propagate it as an opaque Py4JJavaError.
+    try:
+        coefs = model.coefficients
+        intercept = float(model.intercept)
+    except Exception:
+        coefs = None
+    if coefs is not None:
         out = linear_contributions(
             predictions, model, features_col, keep, feature_names
         )
         # align with tree_contributions' output contract (base column)
         return out.select(
             *(keep or []),
-            F.lit(float(getattr(model, "intercept", 0.0))).alias("base"),
+            F.lit(intercept).alias("base"),
             *[c for c in out.columns if c.startswith("contrib_")],
         )
     if hasattr(model, "trees") or type(model).__name__.startswith("DecisionTree"):
@@ -318,6 +327,8 @@ def shap_explanations(
             predictions, model, features_col, keep, feature_names
         )
     raise ValueError(
-        f"unsupported model type {type(model).__name__}: expected a linear "
-        "model (coefficients) or a tree model/ensemble (trees)"
+        f"unsupported model type {type(model).__name__}: expected a binomial "
+        "linear model (coefficients/intercept; multinomial models expose "
+        "coefficientMatrix and are not supported here) or a tree "
+        "model/ensemble (trees)"
     )

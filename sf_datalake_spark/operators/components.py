@@ -41,7 +41,7 @@ def connected_components(
     dst: str = "id_2",
     max_iter: int = 50,
     edges_per_partition: int = 4_000_000,
-    driver_threshold: int = 2_000_000,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Label every node of the undirected ``edges`` graph with the
     minimum node id of its connected component.
@@ -52,12 +52,14 @@ def connected_components(
 
     Adaptive execution, same spirit as broadcast-vs-shuffle joins: a
     graph of at most ``driver_threshold`` edges is solved with one
-    driver-side union-find (a single bounded collect — ~50 MB at the
-    default 2M edges — replaces ~10 rounds × 4 distributed jobs of
-    pure scheduling overhead); anything larger runs the distributed
-    hash-min loop. Both paths produce the identical min-label result
-    (equivalence is unit-tested). Pass ``driver_threshold=0`` to force
-    the distributed path.
+    driver-side union-find, replacing ~10 rounds × 4 distributed jobs
+    of pure scheduling overhead; anything larger runs the distributed
+    hash-min loop. Budget ~350 B of driver heap per collected edge
+    (pyspark Row + union-find dict entries) — the default 1M-edge
+    threshold costs ~350 MB peak, sized for this engine's multi-GB
+    driver default; lower it for thin drivers. Both paths produce the
+    identical min-label result (equivalence is unit-tested). Pass
+    ``driver_threshold=0`` to force the distributed path.
 
     For the distributed path the edge list is persisted internally (it
     drives every round) and right-sized to
@@ -216,7 +218,7 @@ def pagerank(
     dst: str = "id_2",
     n_iter: int = 10,
     damping: float = 0.85,
-    driver_threshold: int = 2_000_000,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """PageRank over a DIRECTED edge list, fixed ``n_iter`` power
     iterations (fixed rounds, not convergence-tested ⇒ deterministic
@@ -251,19 +253,25 @@ def pagerank(
             n = nodes.count()
             # alias the degree key at its source: deg shares lineage
             # with `directed`, and a same-attribute join would trip the
-            # ambiguous-self-join check
+            # ambiguous-self-join check. Loop-invariant → persisted
+            # once, not re-aggregated every round.
             deg = (
                 directed.select(F.col("src").alias("__deg_id"))
                 .groupBy("__deg_id")
                 .agg(F.count("*").alias("__deg"))
+                .persist()
             )
             ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
                 eager=True
             )
-            for _ in range(n_iter):
-                with_deg = ranks.join(
-                    deg, ranks.id == deg["__deg_id"], "left"
-                ).select("id", "rank", "__deg")
+            for round_no in range(n_iter):
+                # with_deg feeds two actions per round (dangling mass,
+                # contribs) — persist so the ranks⋈deg join runs once
+                with_deg = (
+                    ranks.join(deg, ranks.id == deg["__deg_id"], "left")
+                    .select("id", "rank", "__deg")
+                    .persist()
+                )
                 dangling = with_deg.filter(F.col("__deg").isNull()).agg(
                     F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m")
                 ).first()["m"]
@@ -285,6 +293,13 @@ def pagerank(
                     )
                     .localCheckpoint(eager=True)
                 )
+                with_deg.unpersist()
+                # same superseded-snapshot discipline as _propagate:
+                # localCheckpoint blocks fall to the ContextCleaner only
+                # after JVM GC of the old Dataset refs
+                if (round_no + 1) % 8 == 0:
+                    directed.sparkSession.sparkContext._jvm.System.gc()
+            deg.unpersist()
             return ranks
         finally:
             nodes.unpersist()

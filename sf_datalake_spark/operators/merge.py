@@ -43,7 +43,10 @@ def merge_upsert(
     Both inputs must share a schema. If ``source`` carries several rows
     per key, the merge is made deterministic by preferring the larger
     row (struct comparison) — pre-deduplicate the source when another
-    policy is wanted.
+    policy is wanted. Duplicate-key TARGET rows pass through untouched
+    when no source row matches their key; when one does, the key's
+    rows collapse to the single winning source row (every duplicate
+    "updates" to the same full-row image, so one row remains).
     """
     keys = list(keys)
     cols = target.columns
@@ -54,14 +57,18 @@ def merge_upsert(
     tagged = target.select(*cols).withColumn("__src", F.lit(0)).unionByName(
         source.select(*cols).withColumn("__src", F.lit(1))
     )
-    w = Window.partitionBy(*keys).orderBy(
+    w_key = Window.partitionBy(*keys)
+    w = w_key.orderBy(
         F.col("__src").desc(),
         # deterministic among duplicate source rows: max struct wins
         F.struct(*[F.col(c) for c in cols if c not in keys]).desc(),
     )
     return (
         tagged.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        .withColumn("__matched", F.max("__src").over(w_key))
+        # matched key → exactly the winning source row; unmatched key →
+        # every target row passes through (duplicates included)
+        .filter((F.col("__matched") == 0) | (F.col("__rn") == 1))
         .select(*cols)
     )
 
@@ -89,7 +96,12 @@ def scd2_apply(
     - a change equal to the current values is a no-op (no empty
       interval is created);
     - a key unknown to ``dim`` simply inserts its first version;
-    - historical (already closed) rows pass through untouched.
+    - historical (already closed) rows pass through untouched;
+    - a BACKDATED change (effective before the current row's start) is
+      clamped to that start, so intervals never invert: the current
+      row degenerates to the empty ``[start, start)`` and the
+      successor replaces it from ``start`` on — late-arriving batches
+      keep the per-key interval partition well-formed.
 
     Plan shape: one left join of the current slice against the (small,
     broadcastable) change batch + a union of three branches — no
@@ -107,7 +119,16 @@ def scd2_apply(
         *[F.col(v).alias(f"__new_{v}") for v in value_cols],
         F.col(effective_col).alias("__eff"),
     )
-    joined = current.join(F.broadcast(chg), keys, "left")
+    joined = current.join(F.broadcast(chg), keys, "left").withColumn(
+        # backdated-change clamp (see docstring); only for real matches —
+        # greatest() skips NULLs, so an unconditional clamp would turn an
+        # unmatched row's NULL __eff into a phantom change at start_col
+        "__eff",
+        F.when(
+            F.col("__eff").isNotNull(),
+            F.greatest("__eff", F.col(start_col)),
+        ),
+    )
     # Struct comparison follows ORDERING semantics (a null field sorts
     # first rather than nulling the whole comparison), so an unmatched
     # row's all-null change struct would compare as "different" — gate

@@ -123,29 +123,58 @@ def with_ewma(
     running sums of ``xᵢ·d^(−i)`` — one shuffle on the entity keys,
     whole-stage codegen'd, identical plan shape to the other window ops.
 
-    ``half_life_months=1`` (d=½) keeps ``d^(−i) = 2^i`` EXACT in
-    binary floating point (scaling by powers of two only touches the
+    ``half_life_months=1`` (d=½) keeps the weights EXACT in binary
+    floating point (scaling by powers of two only touches the
     exponent), so results are bit-reproducible across engines — the
-    property the DuckDB oracle relies on.  Panel depth bounds the
-    weights: 2^i stays finite past 1000 months, and the ratio is
-    dominated by recent terms by construction.  Weights restart per
-    entity (row_number), so magnitudes never grow with corpus size —
-    scale-safe at any entity count.
+    property the DuckDB oracle relies on.
+
+    Overflow-safety: weights are anchored to the per-entity MAX row
+    index, ``w_i = d^(m−i) ∈ (0, 1]`` — dividing numerator and
+    denominator by the same ``d^(−m)`` leaves every ratio bit-identical
+    to the naive ``d^(−i)`` form (for d=½ the rescale is exact), while
+    the naive form's ``2^i`` weight overflows to inf past row 1023 and
+    poisons the rest of the series with inf/inf = NaN.  With the
+    anchor, terms older than ~1075 half-lives UNDERFLOW to 0.0 instead
+    — below one double ulp of the result, i.e. exactly the terms EWMA
+    is designed to forget — so arbitrarily deep panels stay finite.
+    Rows whose entire frame underflows (early rows of an entity deeper
+    than ~1075 half-lives) fall back to the naive ascending form,
+    which is exact there (its weights only overflow past row ~1023):
+    together the two forms cover any entity up to ~2097 rows deep, and
+    beyond that the uncovered middle rows return NULL — loud-by-
+    absence instead of silently-NaN. Two extra running sums over the
+    SAME window partition: still a single shuffle.
     """
     cols = [cols] if isinstance(cols, str) else list(cols)
     d_inv = 2.0 ** (1.0 / half_life_months)  # 1/d; exact when h=1
     w_ord = Window.partitionBy(*keys).orderBy(month_index(period_col))
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     idx = F.row_number().over(w_ord)
-    weight = F.pow(F.lit(d_inv), idx)
-    out = df.withColumn("__ewma_w", weight)
+    out = (
+        df.withColumn("__ewma_i", idx)
+        .withColumn(
+            "__ewma_wb",
+            F.pow(F.lit(d_inv), F.col("__ewma_i") - F.max("__ewma_i").over(w_all)),
+        )
+        .withColumn("__ewma_wa", F.pow(F.lit(d_inv), F.col("__ewma_i")))
+    )
     for c in cols:
+        anchored = F.try_divide(
+            F.sum(F.col(c) * F.col("__ewma_wb")).over(w_cum),
+            F.sum("__ewma_wb").over(w_cum),
+        )
+        naive = F.try_divide(
+            F.sum(F.col(c) * F.col("__ewma_wa")).over(w_cum),
+            F.sum("__ewma_wa").over(w_cum),
+        )
         out = out.withColumn(
             suffix_fmt.format(col=c),
-            F.sum(F.col(c) * F.col("__ewma_w")).over(w_cum)
-            / F.sum("__ewma_w").over(w_cum),
+            F.coalesce(
+                anchored, F.when(F.col("__ewma_i") <= 1023, naive)
+            ),
         )
-    return out.drop("__ewma_w")
+    return out.drop("__ewma_i", "__ewma_wa", "__ewma_wb")
 
 
 def with_ffill(

@@ -414,8 +414,8 @@ _BPE_TOKENS_SQL = r"""
                                 x -> x <> '')) AS INT) AS n_ws_tokens,
            CAST(len(list_filter(
                 regexp_extract_all(text,
-                    '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'),
-                x -> regexp_matches(x, '\S'))) AS INT) AS n_bpe_tokens
+                    '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^ \t\n\f\rA-Za-z0-9]+|[ \t\n\f\r]+'),
+                x -> regexp_matches(x, '[^ \t\n\f\r]'))) AS INT) AS n_bpe_tokens
     FROM documents
 """
 

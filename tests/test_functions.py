@@ -247,3 +247,31 @@ def test_write_zordered_tightens_file_boxes(spark, tmp_path):
     assert lin_hit == len(lin_rngs)
     # Z-order tiles bound y per file: most files are pruned
     assert z_hit * 2 <= lin_hit, (z_hit, lin_hit)
+
+
+def test_check_constraints_empty_raises(spark):
+    import pytest
+
+    from sf_datalake_spark.functions.profile import check_constraints
+
+    df = spark.createDataFrame([(1,)], "id int")
+    with pytest.raises(ValueError, match="no constraints"):
+        check_constraints(df)
+
+
+def test_bpe_token_count_vertical_tab_cross_engine(spark):
+    """Java \\s includes \\x0B, RE2's does not — the pattern pins an
+    explicit whitespace class so both engines count identically."""
+    import duckdb
+
+    from sf_datalake_spark.functions.text import BPE_PRETOKEN_PATTERN, bpe_token_count
+
+    text = "a\x0bb c"
+    df = spark.createDataFrame([(1, text)], "id int, text string")
+    spark_n = df.select(bpe_token_count("text").alias("n")).collect()[0]["n"]
+    duck_n = duckdb.sql(
+        "SELECT len(list_filter(regexp_extract_all(?, ?), "
+        "x -> regexp_matches(x, '[^ \\t\\n\\f\\r]')))",
+        params=[text, BPE_PRETOKEN_PATTERN],
+    ).fetchone()[0]
+    assert spark_n == duck_n

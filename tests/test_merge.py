@@ -86,3 +86,34 @@ def test_scd2_intervals_partition_time_per_key(spark):
         seq = closed + [(start_of_current, None)]
         for (s1, e1), (s2, _) in zip(seq, seq[1:]):
             assert e1 == s2, f"gap/overlap in key {k}: {seq}"
+
+
+def test_merge_upsert_keeps_unmatched_duplicate_targets(spark):
+    """Duplicate-key target rows with NO matching source row must pass
+    through untouched (regression: the keyed window used to collapse
+    them); a matched duplicate key collapses to its source row."""
+    t = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "x"), (2, "y")], "id int, s string"
+    )
+    s = spark.createDataFrame([(2, "z")], "id int, s string")
+    got = sorted((r["id"], r["s"]) for r in merge_upsert(t, s, ["id"]).collect())
+    assert got == [(1, "a"), (1, "b"), (2, "z")]
+
+
+def test_scd2_backdated_change_clamps(spark):
+    """A change effective BEFORE the current row's start must not
+    invert the interval: it clamps to the start (degenerate close +
+    successor from the start)."""
+    dim = spark.createDataFrame(
+        [(1, "A", d("2023-01-01"), None)],
+        "k int, seg string, date_debut date, date_fin date",
+    )
+    changes = spark.createDataFrame(
+        [(1, "B", d("2022-06-15"))], "k int, seg string, effective_date date"
+    )
+    rows = {(r["seg"], r["date_debut"]): r["date_fin"]
+            for r in scd2_apply(dim, changes, ["k"], ["seg"]).collect()}
+    assert rows == {
+        ("A", d("2023-01-01")): d("2023-01-01"),  # degenerate [s, s)
+        ("B", d("2023-01-01")): None,             # successor from s, not 2022
+    }

@@ -155,3 +155,20 @@ def test_ewma_weights_restart_per_entity(spark):
         by_k.setdefault(r["k"], []).append(r["v_ewma"])
     assert all(abs(v - 1.0) < 1e-12 for v in by_k["long"])  # constant series
     assert by_k["short"] == [7.0]
+
+
+def test_ewma_deep_panel_stays_finite(spark):
+    """Regression: the naive 2^row_number weight overflows to inf past
+    row 1023 and poisons the tail with NaN; the max-anchored weights
+    must stay finite at any depth."""
+    import math
+
+    from sf_datalake_spark.operators.windows import with_ewma
+
+    rows = [("a", d(f"{1900 + i // 12}-{i % 12 + 1:02d}-01"), 1.0)
+            for i in range(1100)]
+    df = spark.createDataFrame(rows, "k string, `période` date, v double")
+    vals = [r["v_ewma"] for r in with_ewma(df, "v", keys=["k"]).collect()]
+    assert len(vals) == 1100
+    assert all(v is not None and math.isfinite(v) for v in vals)
+    assert all(abs(v - 1.0) < 1e-12 for v in vals)  # constant series
