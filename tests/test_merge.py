@@ -117,3 +117,44 @@ def test_scd2_backdated_change_clamps(spark):
         ("A", d("2023-01-01")): d("2023-01-01"),  # degenerate [s, s)
         ("B", d("2023-01-01")): None,             # successor from s, not 2022
     }
+
+
+def test_merge_upsert_idempotent(spark):
+    """Merging the same source twice equals merging it once."""
+    t = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id int, s string")
+    s = spark.createDataFrame([(2, "B"), (4, "D")], "id int, s string")
+    once = merge_upsert(t, s, ["id"])
+    twice = merge_upsert(once, s, ["id"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_scd2_empty_and_noop_batches_are_identity(spark):
+    dim = spark.createDataFrame(
+        [(1, "A", d("2020-01-01"), d("2021-01-01")),
+         (1, "B", d("2021-01-01"), None)],
+        "k int, seg string, date_debut date, date_fin date",
+    )
+    empty = spark.createDataFrame([], "k int, seg string, effective_date date")
+    out = scd2_apply(dim, empty, ["k"], ["seg"])
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, dim.collect()))
+    # a batch whose values equal current state is also identity
+    noop = spark.createDataFrame(
+        [(1, "B", d("2023-01-01"))], "k int, seg string, effective_date date"
+    )
+    out2 = scd2_apply(dim, noop, ["k"], ["seg"])
+    assert sorted(map(tuple, out2.collect())) == sorted(map(tuple, dim.collect()))
+
+
+def test_scd2_apply_twice_converges(spark):
+    """Re-applying the same change batch is a no-op the second time
+    (the successor row already carries the new values)."""
+    dim = spark.createDataFrame(
+        [(1, "A", d("2020-01-01"), None)],
+        "k int, seg string, date_debut date, date_fin date",
+    )
+    chg = spark.createDataFrame(
+        [(1, "Z", d("2023-06-15"))], "k int, seg string, effective_date date"
+    )
+    once = scd2_apply(dim, chg, ["k"], ["seg"])
+    twice = scd2_apply(once, chg, ["k"], ["seg"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
