@@ -171,6 +171,53 @@ def _convert(args: argparse.Namespace) -> int:
     return 0
 
 
+def _profile(args: argparse.Namespace) -> int:
+    """One-pass data-quality report for any parquet/csv/orc table."""
+    from sf_datalake_spark.functions.profile import profile_table
+    from sf_datalake_spark.io import load_data
+    from sf_datalake_spark.session import get_spark_session
+
+    spark = get_spark_session("profile")
+    df = load_data(spark, args.input, args.format)
+    report = profile_table(df)
+    if args.output:
+        report.write.mode("overwrite").parquet(args.output)
+    else:
+        for r in report.collect():
+            print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
+def _dedup(args: argparse.Namespace) -> int:
+    """Cluster near-duplicate documents (MinHash → LSH bands →
+    connected components) and write (id, cluster_id, is_canonical)."""
+    from sf_datalake_spark.io import load_data
+    from sf_datalake_spark.operators.components import dedup_clusters
+    from sf_datalake_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from sf_datalake_spark.session import get_spark_session
+
+    spark = get_spark_session("dedup")
+    docs = load_data(spark, args.input, args.format)
+    sig = minhash_signature(
+        docs, args.id_col, args.text_col,
+        num_hashes=args.bands * args.rows_per_band, shingle_n=args.shingle_n,
+    )
+    pairs = lsh_candidate_pairs(
+        sig, args.id_col, bands=args.bands, rows_per_band=args.rows_per_band,
+        signature_length=args.bands * args.rows_per_band,
+    )
+    out = dedup_clusters(docs, pairs, args.id_col)
+    out.write.mode("overwrite").parquet(args.output)
+    n = out.count()
+    kept = out.filter("is_canonical = 1").count()
+    print(json.dumps({"rows": n, "canonical": kept,
+                      "duplicates_removed": n - kept}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="sf_datalake_spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -190,11 +237,31 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--output", required=True)
     c.add_argument("--sep", default=",")
 
+    pr = sub.add_parser("profile")
+    pr.add_argument("--input", required=True)
+    pr.add_argument("--output", default=None,
+                    help="write the report as parquet (default: print JSON lines)")
+    pr.add_argument("--format", default="parquet")
+
+    dd = sub.add_parser("dedup")
+    dd.add_argument("--input", required=True)
+    dd.add_argument("--output", required=True)
+    dd.add_argument("--format", default="parquet")
+    dd.add_argument("--id-col", dest="id_col", default="doc_id")
+    dd.add_argument("--text-col", dest="text_col", default="text")
+    dd.add_argument("--bands", type=int, default=4)
+    dd.add_argument("--rows-per-band", dest="rows_per_band", type=int, default=2)
+    dd.add_argument("--shingle-n", dest="shingle_n", type=int, default=3)
+
     args = parser.parse_args(argv)
     if args.command == "train":
         return _train(args)
     if args.command == "predict":
         return _predict(args)
+    if args.command == "profile":
+        return _profile(args)
+    if args.command == "dedup":
+        return _dedup(args)
     return _convert(args)
 
 

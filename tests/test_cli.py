@@ -66,3 +66,33 @@ def test_train_command_end_to_end(spark, tmp_path, capsys):
     assert preds2.count() > 0
     docs2 = spark.read.json(f"{out2}/alert_documents")
     assert {"siren", "score", "alert"} <= set(docs2.columns)
+
+
+def test_cli_profile_prints_report(capsys):
+    import json as _json
+
+    from sf_datalake_spark.__main__ import main
+
+    rc = main(["profile", "--input", "/root/testdata/sf0.001/nation.parquet"])
+    assert rc == 0
+    lines = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    cols = {r["column"] for r in lines}
+    assert "n_name" in cols and all(r["n_rows"] == 25 for r in lines)
+
+
+def test_cli_dedup_writes_clusters(tmp_path, capsys, spark):
+    import json as _json
+
+    from sf_datalake_spark.__main__ import main
+
+    out = str(tmp_path / "clusters")
+    rc = main([
+        "dedup", "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out,
+    ])
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows"] == summary["canonical"] + summary["duplicates_removed"]
+    back = spark.read.parquet(out)
+    assert set(back.columns) == {"doc_id", "cluster_id", "is_canonical"}
+    assert back.count() == summary["rows"]
