@@ -713,6 +713,41 @@ def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Robust statistics (median + median-absolute-deviation per group —
+# the outlier-resistant twin of supplier_stats' mean/stddev; exact
+# interpolating percentile in both engines)
+# ---------------------------------------------------------------------------
+
+def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median and MAD of supplier balances per nation: the per-group
+    median joins back (broadcast — one row per nation) for the
+    deviation pass."""
+    sup = _t(spark, sf_dir, "supplier")
+    med = sup.groupBy("s_nationkey").agg(
+        F.expr("percentile(s_acctbal, 0.5)").alias("__med")
+    )
+    return (
+        sup.join(F.broadcast(med), "s_nationkey")
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.min("__med"), 6).alias("median_bal"),
+            F.round(
+                F.expr("percentile(abs(s_acctbal - __med), 0.5)"), 6
+            ).alias("mad_bal"),
+        )
+    )
+
+
+_ROBUST_SQL = """
+    SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(median(s_acctbal), 6) AS median_bal,
+           round(mad(s_acctbal), 6) AS mad_bal
+    FROM supplier GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Per-group OLS trend (grouped regression as pure aggregation: slope =
 # covar_pop/var_pop — thousands of tiny models in one shuffle, no
 # Python; the SQL twin uses regr_slope/regr_intercept)
@@ -812,6 +847,7 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank_docs": q_pagerank_docs,
     "recursive_hierarchy": q_recursive_hierarchy,
     "trend_slopes": q_trend_slopes,
+    "robust_stats": q_robust_stats,
 }
 
 ORACLES_REL: dict[str, str] = {
@@ -834,4 +870,5 @@ ORACLES_REL: dict[str, str] = {
     "correlation_matrix": _CORRELATION_SQL,
     "recursive_hierarchy": _RECURSIVE_SQL,
     "trend_slopes": _TREND_SQL,
+    "robust_stats": _ROBUST_SQL,
 }
