@@ -1679,6 +1679,36 @@ _STREAMING_DEDUP_SQL = """
 """
 
 
+def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE: per-user event aggregates maintained through a
+    foreachBatch upsert into a parquet target (the lakehouse
+    streaming-MERGE pattern wired to ``operators.merge.merge_upsert``);
+    the final table must equal the batch GROUP BY — the same
+    streaming≡batch proof strategy as the other streaming oracles."""
+    import tempfile
+
+    from sf_datalake_spark.streaming import run_upsert_sink
+
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+    )
+    target = tempfile.mkdtemp(prefix="q_streaming_upsert_") + "/state"
+    run_upsert_sink(agg, target, ["user_id"], query_name="q_streaming_upsert")
+    return spark.read.parquet(target)
+
+
+_STREAMING_UPSERT_SQL = """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS value_sum
+    FROM events GROUP BY user_id
+"""
+
+
 def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events stream enriched by the static customer dimension
     (broadcast per micro-batch — no stateful join state), then
@@ -1798,6 +1828,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topk": q_tfidf_topk,
     "streaming_windowed": q_streaming_windowed,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_upsert": q_streaming_upsert,
     "stream_static_join": q_stream_static_join,
     "threshold_histogram": q_threshold_histogram,
 }
@@ -1840,6 +1871,7 @@ ORACLES_EXT: dict[str, str] = {
     "tfidf_topk": _TFIDF_SQL,
     "streaming_windowed": _STREAMING_WINDOWED_SQL,
     "streaming_dedup": _STREAMING_DEDUP_SQL,
+    "streaming_upsert": _STREAMING_UPSERT_SQL,
     "stream_static_join": _STREAM_STATIC_JOIN_SQL,
     "threshold_histogram": _THRESHOLD_HISTOGRAM_SQL,
     # Rows-only by design (no SQL-expressible oracle): pca_projection,

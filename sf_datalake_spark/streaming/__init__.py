@@ -3,6 +3,7 @@
 from sf_datalake_spark.streaming.streams import (
     read_file_stream,
     run_to_memory,
+    run_upsert_sink,
     running_total_alerts,
     session_aggregate,
     streaming_dedup,
@@ -12,6 +13,7 @@ from sf_datalake_spark.streaming.streams import (
 __all__ = [
     "read_file_stream",
     "run_to_memory",
+    "run_upsert_sink",
     "running_total_alerts",
     "session_aggregate",
     "streaming_dedup",

@@ -181,3 +181,55 @@ def run_to_memory(
     )
     q.awaitTermination()
     return stream.sparkSession.table(query_name)
+
+
+def run_upsert_sink(
+    stream: DataFrame,
+    target_path: str,
+    keys: Sequence[str],
+    query_name: str = "upsert_sink",
+) -> None:
+    """Maintain a keyed table under a stream with MERGE semantics: each
+    micro-batch upserts into the parquet target via
+    ``operators.merge.merge_upsert`` inside ``foreachBatch`` — the
+    standard lakehouse streaming-MERGE pattern.
+
+    ``stream`` must be an aggregated streaming frame in update/complete
+    mode semantics (one row per key per batch). The target here is
+    rewritten per batch (plain parquet has no transactional row
+    updates); at production scale the same ``foreachBatch`` body writes
+    through a transactional table format or partition-overwrites only
+    the touched partitions — the merge PLAN is the part this engine
+    owns, and it is one shuffle either way.
+    """
+    import os
+    import shutil
+
+    from sf_datalake_spark.operators.merge import merge_upsert
+
+    keys = list(keys)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cols = batch_df.columns
+        if os.path.exists(target_path):
+            target = spark.read.parquet(target_path).select(*cols)
+            merged = merge_upsert(target, batch_df, keys)
+        else:
+            merged = batch_df
+        # stage-and-swap: the merge reads the path it will replace, so
+        # write the new version next to it and move it into place (the
+        # local-FS stand-in for a table format's atomic commit)
+        staging = f"{target_path}.staging-{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(target_path, ignore_errors=True)
+        os.replace(staging, target_path)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

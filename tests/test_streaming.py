@@ -124,3 +124,29 @@ def test_streaming_dedup(spark, tmp_path):
     # key-only dedup: one row per uid
     out2 = run_to_memory(streaming_dedup(stream, ["uid"], ts_col="t"), "dedup_test2")
     assert out2.count() == 2
+
+
+def test_upsert_sink_merges_across_micro_batches(spark, tmp_path):
+    """Three source files replayed one per micro-batch: the foreachBatch
+    MERGE must accumulate the per-key aggregate across batches (update
+    branch, not just the first-write branch) and converge to the batch
+    GROUP BY."""
+    from sf_datalake_spark.streaming import read_file_stream, run_upsert_sink
+
+    src = str(tmp_path / "src")
+    for i, rows in enumerate([[(1, 1.0), (2, 2.0)], [(1, 3.0)], [(2, 5.0), (3, 7.0)]]):
+        spark.createDataFrame(rows, "k int, v double").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = read_file_stream(
+        spark, src, "k int, v double", max_files_per_trigger=1
+    )
+    agg = stream.groupBy("k").agg(
+        F.count("*").alias("n"), F.round(F.sum("v"), 2).alias("s")
+    )
+    target = str(tmp_path / "state")
+    run_upsert_sink(agg, target, ["k"], query_name="t_upsert_multi")
+
+    got = {r["k"]: (r["n"], r["s"]) for r in spark.read.parquet(target).collect()}
+    assert got == {1: (2, 4.0), 2: (2, 7.0), 3: (1, 7.0)}
