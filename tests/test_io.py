@@ -104,3 +104,22 @@ def test_events_loader_normalizes_nanos_timestamp(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_compact_files_reduces_file_count(spark, tmp_path):
+    from sf_datalake_spark.io import compact_files
+
+    p = str(tmp_path / "frag")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(40).write.parquet(p)  # 40 tiny files
+
+    stats = compact_files(spark, p, target_mb=128)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] == 1  # 10k rows << 128 MB
+
+    back = spark.read.parquet(p)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).first()[0] == 2 * sum(range(10_000))
+    import glob
+
+    assert len(glob.glob(f"{p}/*.parquet")) == 1
