@@ -218,6 +218,33 @@ def _dedup(args: argparse.Namespace) -> int:
     return 0
 
 
+def _compact(args: argparse.Namespace) -> int:
+    from sf_datalake_spark.io import compact_files
+    from sf_datalake_spark.session import get_spark_session
+
+    stats = compact_files(
+        get_spark_session("compact"), args.input,
+        target_mb=args.target_mb, file_format=args.format,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
+def _zorder(args: argparse.Namespace) -> int:
+    from sf_datalake_spark.functions.zorder import write_zordered
+    from sf_datalake_spark.io import load_data
+    from sf_datalake_spark.session import get_spark_session
+
+    spark = get_spark_session("zorder")
+    cols = args.cols.split(",")
+    if len(cols) != 2:
+        raise SystemExit("--cols takes exactly two comma-separated columns")
+    df = load_data(spark, args.input, args.format)
+    write_zordered(df, args.output, (cols[0], cols[1]), n_files=args.n_files)
+    print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="sf_datalake_spark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -253,6 +280,19 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--rows-per-band", dest="rows_per_band", type=int, default=2)
     dd.add_argument("--shingle-n", dest="shingle_n", type=int, default=3)
 
+    cp = sub.add_parser("compact")
+    cp.add_argument("--input", required=True)
+    cp.add_argument("--target-mb", dest="target_mb", type=int, default=128)
+    cp.add_argument("--format", default="parquet")
+
+    zo = sub.add_parser("zorder")
+    zo.add_argument("--input", required=True)
+    zo.add_argument("--output", required=True)
+    zo.add_argument("--cols", required=True,
+                    help="two comma-separated numeric columns to interleave")
+    zo.add_argument("--n-files", dest="n_files", type=int, default=None)
+    zo.add_argument("--format", default="parquet")
+
     args = parser.parse_args(argv)
     if args.command == "train":
         return _train(args)
@@ -262,6 +302,10 @@ def main(argv: list[str] | None = None) -> int:
         return _profile(args)
     if args.command == "dedup":
         return _dedup(args)
+    if args.command == "compact":
+        return _compact(args)
+    if args.command == "zorder":
+        return _zorder(args)
     return _convert(args)
 
 

@@ -6,6 +6,7 @@ from __future__ import annotations
 import json
 
 import numpy as np
+from pyspark.sql import functions as F
 import pytest
 
 from sf_datalake_spark.__main__ import main
@@ -96,3 +97,24 @@ def test_cli_dedup_writes_clusters(tmp_path, capsys, spark):
     back = spark.read.parquet(out)
     assert set(back.columns) == {"doc_id", "cluster_id", "is_canonical"}
     assert back.count() == summary["rows"]
+
+
+def test_cli_compact_and_zorder(tmp_path, capsys, spark):
+    import json as _json
+
+    from sf_datalake_spark.__main__ import main
+
+    frag = str(tmp_path / "frag")
+    spark.range(5000).withColumn("a", F.col("id") % 64).withColumn(
+        "b", F.col("id") % 97
+    ).repartition(20).write.parquet(frag)
+
+    assert main(["compact", "--input", frag]) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["files_before"] == 20 and stats["files_after"] == 1
+
+    zout = str(tmp_path / "z")
+    assert main(["zorder", "--input", frag, "--output", zout,
+                 "--cols", "a,b", "--n-files", "4"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 5000
