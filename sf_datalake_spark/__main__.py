@@ -211,8 +211,16 @@ def _dedup(args: argparse.Namespace) -> int:
     )
     out = dedup_clusters(docs, pairs, args.id_col)
     out.write.mode("overwrite").parquet(args.output)
-    n = out.count()
-    kept = out.filter("is_canonical = 1").count()
+    # summarize from the written files — re-counting `out` would re-run
+    # the whole MinHash→LSH→components lineage per action
+    from pyspark.sql import functions as F
+
+    row = (
+        spark.read.parquet(args.output)
+        .agg(F.count("*").alias("n"), F.sum("is_canonical").alias("kept"))
+        .first()
+    )
+    n, kept = row["n"], int(row["kept"] or 0)
     print(json.dumps({"rows": n, "canonical": kept,
                       "duplicates_removed": n - kept}))
     return 0

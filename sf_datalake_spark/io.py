@@ -112,12 +112,21 @@ def compact_files(
     whose open/footer overhead dominates scans at 100 TB scale).
 
     Sizing reads the actual on-disk bytes through the Hadoop FS API
-    (portable to HDFS/S3), then ``coalesce`` — no shuffle — to
-    ``ceil(bytes / target)`` files, written next to the input and
-    swapped in (the local-FS stand-in for a table format's atomic
-    commit; on object stores, commit by pointer swap instead).
+    (portable to HDFS/S3), then coalesces (or repartitions, when the
+    target implies MORE files than the scan's parallelism — coalesce
+    cannot split partitions) to ``ceil(bytes / target)`` files, written
+    next to the input and swapped in (the local-FS stand-in for a table
+    format's atomic commit; on object stores, commit by pointer swap).
+    Reads and writes go through :func:`load_data` / :func:`write_data`
+    so format options (CSV headers!) round-trip.
 
-    Returns ``{"files_before": n, "files_after": m, "bytes": b}``.
+    Hive-partitioned layouts (``key=value`` subdirectories) are
+    REFUSED: a flat rewrite would silently destroy the partition
+    pruning the layout exists for — compact each partition directory
+    instead.
+
+    Returns ``{"files_before": n, "files_after": m, "bytes": b}`` with
+    ``files_after`` counted from the actual output listing.
     """
     import math
     import os
@@ -127,24 +136,45 @@ def compact_files(
     jsc = spark._jsc
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(jsc.hadoopConfiguration())
-    summary = fs.getContentSummary(hpath)
-    total_bytes = summary.getLength()
-    files_before = sum(
-        1
-        for status in fs.listStatus(hpath)
-        if not status.getPath().getName().startswith("_")
-        and status.isFile()
-    )
+    statuses = list(fs.listStatus(hpath))
+    part_dirs = [
+        s.getPath().getName()
+        for s in statuses
+        if s.isDirectory() and "=" in s.getPath().getName()
+    ]
+    if part_dirs:
+        raise ValueError(
+            f"{path} is hive-partitioned ({part_dirs[0]}, ...): compact each "
+            "partition directory, not the root — a flat rewrite would drop "
+            "the partition layout"
+        )
+
+    def data_files(sts):
+        return [
+            s
+            for s in sts
+            if s.isFile() and not s.getPath().getName().startswith("_")
+        ]
+
+    before = data_files(statuses)
+    files_before = len(before)
+    total_bytes = sum(s.getLen() for s in before)
     n_files = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
 
-    df = spark.read.format(file_format).load(path)
+    df = load_data(spark, path, file_format)
+    if n_files > df.rdd.getNumPartitions():
+        df = df.repartition(n_files)
+        n_out = None  # write_data coalesce arg unused; already sized
+    else:
+        n_out = n_files
     staging = f"{path}.compacting"
-    df.coalesce(n_files).write.mode("overwrite").format(file_format).save(staging)
+    write_data(df, staging, file_format, num_partitions=n_out)
     shutil.rmtree(path)
     os.replace(staging, path)
+    files_after = len(data_files(list(fs.listStatus(hpath))))
     return {
         "files_before": files_before,
-        "files_after": n_files,
+        "files_after": files_after,
         "bytes": int(total_bytes),
     }
 

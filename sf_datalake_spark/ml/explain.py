@@ -306,11 +306,17 @@ def shap_explanations(
     # Probe with try/except, not hasattr: MLlib model properties are
     # py4j calls, and e.g. multinomial LogisticRegressionModel raises a
     # SparkException (not AttributeError) from `.coefficients` — hasattr
-    # would propagate it as an opaque Py4JJavaError.
+    # would propagate it as an opaque Py4JJavaError. Catch only the
+    # not-a-binomial-linear-model shapes; infrastructure failures
+    # (dead JVM, network) must surface as themselves.
+    from py4j.protocol import Py4JJavaError
+
+    from pyspark.errors import PySparkException
+
     try:
         coefs = model.coefficients
         intercept = float(model.intercept)
-    except Exception:
+    except (AttributeError, Py4JJavaError, PySparkException):
         coefs = None
     if coefs is not None:
         out = linear_contributions(

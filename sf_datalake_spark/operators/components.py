@@ -264,42 +264,51 @@ def pagerank(
             ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
                 eager=True
             )
-            for round_no in range(n_iter):
-                # with_deg feeds two actions per round (dangling mass,
-                # contribs) — persist so the ranks⋈deg join runs once
-                with_deg = (
-                    ranks.join(deg, ranks.id == deg["__deg_id"], "left")
-                    .select("id", "rank", "__deg")
-                    .persist()
-                )
-                dangling = with_deg.filter(F.col("__deg").isNull()).agg(
-                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m")
-                ).first()["m"]
-                contribs = (
-                    directed.join(with_deg, directed.src == with_deg.id)
-                    .select("dst", (F.col("rank") / F.col("__deg")).alias("__c"))
-                    .groupBy("dst")
-                    .agg(F.sum("__c").alias("__in"))
-                )
-                base = (1.0 - damping) / n + damping * dangling / n
-                ranks = (
-                    nodes.join(contribs, nodes.id == contribs.dst, "left")
-                    .select(
-                        "id",
-                        (
-                            F.lit(base)
-                            + F.lit(damping) * F.coalesce("__in", F.lit(0.0))
-                        ).alias("rank"),
+            try:
+                for round_no in range(n_iter):
+                    # with_deg feeds two actions per round (dangling
+                    # mass, contribs) — persist so the ranks⋈deg join
+                    # runs once; released per round even on failure
+                    with_deg = (
+                        ranks.join(deg, ranks.id == deg["__deg_id"], "left")
+                        .select("id", "rank", "__deg")
+                        .persist()
                     )
-                    .localCheckpoint(eager=True)
-                )
-                with_deg.unpersist()
-                # same superseded-snapshot discipline as _propagate:
-                # localCheckpoint blocks fall to the ContextCleaner only
-                # after JVM GC of the old Dataset refs
-                if (round_no + 1) % 8 == 0:
-                    directed.sparkSession.sparkContext._jvm.System.gc()
-            deg.unpersist()
+                    try:
+                        dangling = with_deg.filter(F.col("__deg").isNull()).agg(
+                            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m")
+                        ).first()["m"]
+                        contribs = (
+                            directed.join(with_deg, directed.src == with_deg.id)
+                            .select(
+                                "dst",
+                                (F.col("rank") / F.col("__deg")).alias("__c"),
+                            )
+                            .groupBy("dst")
+                            .agg(F.sum("__c").alias("__in"))
+                        )
+                        base = (1.0 - damping) / n + damping * dangling / n
+                        ranks = (
+                            nodes.join(contribs, nodes.id == contribs.dst, "left")
+                            .select(
+                                "id",
+                                (
+                                    F.lit(base)
+                                    + F.lit(damping)
+                                    * F.coalesce("__in", F.lit(0.0))
+                                ).alias("rank"),
+                            )
+                            .localCheckpoint(eager=True)
+                        )
+                    finally:
+                        with_deg.unpersist()
+                    # same superseded-snapshot discipline as _propagate:
+                    # localCheckpoint blocks fall to the ContextCleaner
+                    # only after JVM GC of the old Dataset refs
+                    if (round_no + 1) % 8 == 0:
+                        directed.sparkSession.sparkContext._jvm.System.gc()
+            finally:
+                deg.unpersist()
             return ranks
         finally:
             nodes.unpersist()

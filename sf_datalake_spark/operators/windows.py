@@ -137,13 +137,14 @@ def with_ewma(
     anchor, terms older than ~1075 half-lives UNDERFLOW to 0.0 instead
     — below one double ulp of the result, i.e. exactly the terms EWMA
     is designed to forget — so arbitrarily deep panels stay finite.
-    Rows whose entire frame underflows (early rows of an entity deeper
-    than ~1075 half-lives) fall back to the naive ascending form,
-    which is exact there (its weights only overflow past row ~1023):
-    together the two forms cover any entity up to ~2097 rows deep, and
-    beyond that the uncovered middle rows return NULL — loud-by-
-    absence instead of silently-NaN. Two extra running sums over the
-    SAME window partition: still a single shuffle.
+    The anchored form is trusted only while its dominant weight is a
+    NORMAL double (within 1022 half-lives of the entity's last row —
+    subnormal weights would silently shed mantissa bits); earlier rows
+    fall back to the naive ascending form, exact up to row 1023.
+    Together the two forms cover any entity to ~2045 rows deep; beyond
+    that the uncovered middle rows return NULL — loud-by-absence
+    instead of silently-NaN or silently-imprecise. Two extra running
+    sums over the SAME window partition: still a single shuffle.
     """
     cols = [cols] if isinstance(cols, str) else list(cols)
     d_inv = 2.0 ** (1.0 / half_life_months)  # 1/d; exact when h=1
@@ -159,6 +160,7 @@ def with_ewma(
         )
         .withColumn("__ewma_wa", F.pow(F.lit(d_inv), F.col("__ewma_i")))
     )
+    dist_from_end = F.max("__ewma_i").over(w_all) - F.col("__ewma_i")
     for c in cols:
         anchored = F.try_divide(
             F.sum(F.col(c) * F.col("__ewma_wb")).over(w_cum),
@@ -170,9 +172,8 @@ def with_ewma(
         )
         out = out.withColumn(
             suffix_fmt.format(col=c),
-            F.coalesce(
-                anchored, F.when(F.col("__ewma_i") <= 1023, naive)
-            ),
+            F.when(dist_from_end * (1.0 / half_life_months) <= 1022, anchored)
+            .when(F.col("__ewma_i") <= 1023, naive),
         )
     return out.drop("__ewma_i", "__ewma_wa", "__ewma_wb")
 

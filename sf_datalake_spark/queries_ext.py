@@ -1685,6 +1685,7 @@ def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming-MERGE pattern wired to ``operators.merge.merge_upsert``);
     the final table must equal the batch GROUP BY — the same
     streaming≡batch proof strategy as the other streaming oracles."""
+    import shutil
     import tempfile
 
     from sf_datalake_spark.streaming import run_upsert_sink
@@ -1697,7 +1698,14 @@ def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("value_sum"),
         )
     )
-    target = tempfile.mkdtemp(prefix="q_streaming_upsert_") + "/state"
+    # fixed per-sf location, cleared on entry: repeated runs (bench
+    # best-of-2, repeated drives) reuse ONE directory instead of
+    # leaking a state table per invocation
+    target = (
+        f"{tempfile.gettempdir()}/sf_datalake_spark_streaming_upsert/"
+        f"{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(target, ignore_errors=True)
     run_upsert_sink(agg, target, ["user_id"], query_name="q_streaming_upsert")
     return spark.read.parquet(target)
 
