@@ -23,6 +23,41 @@ from sf_datalake_spark.queries_rel import ORACLES_REL, QUERIES_REL  # noqa: E402
 QUERIES = {**QUERIES, **QUERIES_EXT, **QUERIES_REL}
 ORACLES = {**ORACLES, **ORACLES_EXT, **ORACLES_REL}
 
+# Names the driver's 50-entry CORRECTNESS_r02 snapshot already attested.
+# The driver caps correctness snapshots at the first 50 registry entries,
+# so we rotate: queries it has never checked go first (oracled ones ahead
+# of rows-only ones), previously-attested ones last.  The union of
+# CORRECTNESS_r02 + r03 then covers essentially the whole registry.
+_R02_ATTESTED = frozenset({
+    "pricing_summary", "revenue_by_nation", "monthly_panel", "panel_lag",
+    "panel_diff", "panel_moving_avg", "target_variable", "semi_join_active",
+    "anti_join_inactive", "range_join_months", "spread_over_months",
+    "key_aggregate", "clip_values", "null_counts", "dedup_keep_best",
+    "json_extract", "hash_split", "daily_ffill", "asof_backward",
+    "sessionize", "interval_union", "token_stats", "quality_score",
+    "language_id", "exact_dedup", "fingerprint", "minhash_signature",
+    "minhash_lsh_pairs", "ngram_jaccard", "ngram_jaccard_capped",
+    "embedding_topk", "embedding_topk_sharded", "set_ops",
+    "outer_join_activity", "rollup_revenue", "pivot_priority",
+    "cumulative_revenue", "supplier_stats", "date_arithmetic",
+    "daily_interpolation", "simhash", "simhash_pairs", "multimodal_meta",
+    "asof_forward", "anova_f", "quantile_summary", "pca_projection",
+    "top_unshipped_orders", "forecast_revenue_change", "asof_nearest",
+})
+
+
+def _rotated(allq: dict) -> dict:
+    """Order the registry so the driver's 50-entry snapshot attests the
+    queries CORRECTNESS_r02 never saw: unattested+oracled first, then
+    unattested rows-only, then the already-attested tail."""
+    fresh_oracled = [k for k in allq if k not in _R02_ATTESTED and k in ORACLES]
+    fresh_rows_only = [k for k in allq if k not in _R02_ATTESTED and k not in ORACLES]
+    attested = [k for k in allq if k in _R02_ATTESTED]
+    return {k: allq[k] for k in fresh_oracled + fresh_rows_only + attested}
+
+
+QUERIES = _rotated(QUERIES)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the (entity, period) monthly panel with lagged /

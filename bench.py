@@ -75,9 +75,10 @@ def main() -> int:
     # rounds. The cache is cleared between runs, so the repeat measures
     # the same cold-cache plan, not a cached result.
     timings: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     for name, fn in qs.items():
         best = -1.0
-        for _ in range(2):
+        for run_i in range(2):
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
@@ -86,6 +87,8 @@ def main() -> int:
                 # driver transfer.
                 df.write.format("noop").mode("overwrite").save()
                 elapsed = round(time.perf_counter() - t0, 3)
+                if run_i == 0:
+                    first_run[name] = elapsed
                 best = elapsed if best < 0 else min(best, elapsed)
             except Exception as e:
                 print(f"bench error in {name}: {e}", file=sys.stderr)
@@ -112,17 +115,36 @@ def main() -> int:
     except ValueError:
         pass
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    # Methodology tag: best-of-2 mechanically lowers numbers versus a
+    # single-shot run, so cross-round comparisons must be like-for-like
+    # on the estimator.  first_run preserves the single-shot timing for
+    # anyone comparing against a runs=1 round.
+    payload = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs": 2,
+        "estimator": "min",
+    }
+    # Keep the printed line compact (the driver's capture truncates long
+    # lines); the full record with single-shot timings goes to the
+    # sidecar only.
+    print(json.dumps(payload))
+    payload = {**payload, "first_run": first_run}
+    # Durable sidecar (atomic rename): the driver's BENCH file tail can
+    # truncate the printed line; bench_last.json keeps the full
+    # per-query map for every round.
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_last.json")
+    tmp = sidecar + ".tmp"
+    try:
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=1)
+        os.replace(tmp, sidecar)
+    except OSError as e:
+        print(f"bench sidecar write failed: {e}", file=sys.stderr)
     return 0
 
 

@@ -248,7 +248,8 @@ def _zorder(args: argparse.Namespace) -> int:
     if len(cols) != 2:
         raise SystemExit("--cols takes exactly two comma-separated columns")
     df = load_data(spark, args.input, args.format)
-    write_zordered(df, args.output, (cols[0], cols[1]), n_files=args.n_files)
+    write_zordered(df, args.output, (cols[0], cols[1]),
+                   n_bits=args.n_bits, n_files=args.n_files)
     print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
     return 0
 
@@ -299,6 +300,12 @@ def main(argv: list[str] | None = None) -> int:
     zo.add_argument("--cols", required=True,
                     help="two comma-separated numeric columns to interleave")
     zo.add_argument("--n-files", dest="n_files", type=int, default=None)
+    zo.add_argument(
+        "--n-bits", dest="n_bits", type=int, default=16,
+        help="bits kept per column before interleaving; must satisfy "
+        "max(col) < 2^n_bits or keys alias (rule of thumb: "
+        "ceil(log2(max_id + 1)); the writer probes and errors if too small)",
+    )
     zo.add_argument("--format", default="parquet")
 
     args = parser.parse_args(argv)

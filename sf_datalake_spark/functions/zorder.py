@@ -53,6 +53,7 @@ def write_zordered(
     n_files: int | None = None,
     file_format: str = "parquet",
     mode: str = "overwrite",
+    validate: bool = True,
 ) -> None:
     """Write ``df`` clustered by the Z-order of two columns:
     range-partition on the Z-value (contiguous Z-ranges per file), sort
@@ -63,7 +64,32 @@ def write_zordered(
     ``n_files`` bounds the layout (default: current shuffle
     parallelism). The range exchange samples the Z distribution, so
     skewed dimensions still yield balanced files.
+
+    ``validate`` (default on) runs a column-pruned max() probe and
+    RAISES when either column exceeds ``2^n_bits - 1``: the interleave
+    masks to the low ``n_bits``, so out-of-range ids (e.g. TPC-H
+    custkey at sf >= 1 with the 16-bit default) would alias across the
+    key space and per-file min/max boxes would quietly stop being tight
+    — clustering quality degrades with no signal.  The error message
+    names the n_bits that fits.  Pass ``validate=False`` only when the
+    domain is known to fit (the probe is one footer-stat-friendly
+    two-column scan, cheap next to the full rewrite that follows).
     """
+    if validate:
+        hi = df.select(
+            F.max(F.col(cols[0]).cast("long")).alias("a"),
+            F.max(F.col(cols[1]).cast("long")).alias("b"),
+        ).first()
+        observed = max(hi["a"] or 0, hi["b"] or 0)
+        if observed >= (1 << n_bits):
+            needed = max(observed, 1).bit_length()
+            raise ValueError(
+                f"write_zordered: max({cols[0]},{cols[1]}) = {observed} "
+                f"exceeds 2^{n_bits}-1; keys would alias after the "
+                f"n_bits mask and destroy clustering. Use "
+                f"n_bits={min(needed, 31)} (Z fits in {2 * min(needed, 31)} "
+                "bits) or pre-scale the columns."
+            )
     zed = df.withColumn("__z", z_value(cols[0], cols[1], n_bits))
     parts = n_files or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")

@@ -129,8 +129,6 @@ def compact_files(
     ``files_after`` counted from the actual output listing.
     """
     import math
-    import os
-    import shutil
 
     jvm = spark._jvm
     jsc = spark._jsc
@@ -169,8 +167,18 @@ def compact_files(
         n_out = n_files
     staging = f"{path}.compacting"
     write_data(df, staging, file_format, num_partitions=n_out)
-    shutil.rmtree(path)
-    os.replace(staging, path)
+    # Commit through the SAME Hadoop FileSystem handle used for sizing,
+    # so the swap works on HDFS/S3A too, not just local paths.  rename
+    # after delete is the narrowest window the raw-FS swap allows; a
+    # table format's pointer commit is the fully-atomic upgrade path.
+    staging_hpath = jvm.org.apache.hadoop.fs.Path(staging)
+    if not fs.delete(hpath, True):
+        raise IOError(f"compact_files: could not delete {path} for swap")
+    if not fs.rename(staging_hpath, hpath):
+        raise IOError(
+            f"compact_files: rename {staging} -> {path} failed; compacted "
+            f"data is intact at {staging}"
+        )
     files_after = len(data_files(list(fs.listStatus(hpath))))
     return {
         "files_before": files_before,

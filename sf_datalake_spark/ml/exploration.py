@@ -7,7 +7,8 @@ Reference behaviors replaced (``src/sf_datalake/exploration.py``):
 - one-way ANOVA with two Python UDFs for the squared terms
   (``exploration.py:103-152``) → pure Column arithmetic (the UDFs were
   flagged replaceable in SURVEY.md §2.11); F statistic computed
-  distributed, p-value gated behind scipy (not in the pinned env);
+  distributed, p-value always emitted via the scipy-free regularized
+  incomplete beta (:func:`f_sf`);
 - quantile summaries (``exploration.py:392-401``) → exact
   ``F.percentile`` (distributed) instead of ``df.summary`` strings.
 """
@@ -41,13 +42,134 @@ def pca_project(
     )
 
 
+def pca_trajectories(
+    df: DataFrame,
+    features: Sequence[str],
+    start: str,
+    end: str,
+    entity_col: str = "siren",
+    period_col: str = "période",
+    k: int = 2,
+) -> DataFrame:
+    """Entity trajectories through a FIXED eigenspace over time
+    (reference ``exploration.py:234-284``): fit the PCA basis on the
+    FIRST period inside ``[start, end)``, then project EVERY period's
+    observations through that one basis, yielding per-entity
+    ``(cp1..cpk)`` coordinates per period — how each entity drifts in
+    the first period's principal plane.
+
+    The reference filters per period in a driver loop and unions one
+    DataFrame per period (linear in #periods, all plans serialized
+    through the driver).  Here the loop disappears: ONE fit on the
+    first-period slice, then ONE distributed ``model.transform`` over
+    the whole range — the projection is a per-row matrix multiply, so
+    no groupBy, no union, no driver data path; scales to any number of
+    periods and rows.
+    """
+    from pyspark.ml.functions import vector_to_array
+
+    # df[...] resolution (not F.col): period columns like "période"
+    # contain non-ASCII chars the SQL identifier parser rejects unquoted
+    sliced = df.filter(
+        (df[period_col] >= F.lit(start)) & (df[period_col] < F.lit(end))
+    )
+    first = sliced.agg(F.min(sliced[period_col]).alias("p0")).first()["p0"]
+    if first is None:
+        raise ValueError(f"pca_trajectories: no rows in [{start}, {end})")
+    assembled = VectorAssembler(
+        inputCols=list(features), outputCol="__pca_input"
+    ).transform(sliced)
+    model = PCA(k=k, inputCol="__pca_input", outputCol="__pca_out").fit(
+        assembled.filter(assembled[period_col] == F.lit(first))
+    )
+    arr = vector_to_array(F.col("__pca_out"))
+    return model.transform(assembled).select(
+        entity_col,
+        period_col,
+        *[arr.getItem(i).alias(f"cp{i + 1}") for i in range(k)],
+    )
+
+
+def _betacf(a: float, b: float, x: float) -> float:
+    """Continued fraction for the incomplete beta (modified Lentz) —
+    the standard public-numerics evaluation (Numerical Recipes §6.4 /
+    DLMF 8.17.22); converges in O(√(max(a,b))) iterations for
+    x < (a+1)/(a+b+2)."""
+    max_it, eps, fpmin = 500, 3e-16, 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    if abs(d) < fpmin:
+        d = fpmin
+    d = 1.0 / d
+    h = d
+    for m in range(1, max_it + 1):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < fpmin:
+            d = fpmin
+        c = 1.0 + aa / c
+        if abs(c) < fpmin:
+            c = fpmin
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < fpmin:
+            d = fpmin
+        c = 1.0 + aa / c
+        if abs(c) < fpmin:
+            c = fpmin
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < eps:
+            break
+    return h
+
+
+def reg_inc_beta(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b), pure stdlib math — no
+    scipy.  Continued fraction on the rapidly-convergent side of the
+    mean, symmetry I_x(a,b) = 1 − I_{1−x}(b,a) on the other."""
+    import math
+
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_bt = (
+        math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+        + a * math.log(x) + b * math.log1p(-x)
+    )
+    bt = math.exp(ln_bt)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return bt * _betacf(a, b, x) / a
+    return 1.0 - bt * _betacf(b, a, 1.0 - x) / b
+
+
+def f_sf(f_stat: float, df1: float, df2: float) -> float:
+    """Survival function (1 − CDF) of the F distribution:
+    ``P(F > f) = I_{d2/(d2 + d1·f)}(d2/2, d1/2)`` — the p-value of an
+    ANOVA F test, computable without scipy (the reference's
+    ``exploration.py:103-152`` always emits it via driver scipy)."""
+    if f_stat <= 0.0:
+        return 1.0
+    x = df2 / (df2 + df1 * f_stat)
+    return reg_inc_beta(df2 / 2.0, df1 / 2.0, x)
+
+
 def one_way_anova(
     df: DataFrame, group_col: str, value_col: str
 ) -> dict[str, float]:
     """One-way ANOVA F statistic across groups, fully distributed.
 
     Two aggregations (per-group stats, then the scalar combine on ≤
-    n_groups rows); p-value only if scipy is importable.
+    n_groups rows).  Always emits ``p_value`` — via :func:`f_sf`'s
+    pure-python regularized incomplete beta, matching the reference's
+    scipy-based output (``exploration.py:103-152``) without the scipy
+    dependency.
     """
     stats = (
         df.groupBy(group_col)
@@ -70,18 +192,12 @@ def one_way_anova(
     ss_within = sum((r["n"] - 1) * (r["var"] or 0.0) for r in stats)
     df_between, df_within = k - 1, n_total - k
     f_stat = (ss_between / df_between) / (ss_within / df_within)
-    out = {
+    return {
         "f_stat": f_stat,
         "df_between": float(df_between),
         "df_within": float(df_within),
+        "p_value": f_sf(f_stat, float(df_between), float(df_within)),
     }
-    try:  # pragma: no cover - scipy not in the pinned environment
-        from scipy.stats import f as f_dist
-
-        out["p_value"] = float(f_dist.sf(f_stat, df_between, df_within))
-    except ImportError:
-        pass
-    return out
 
 
 def quantile_summary(

@@ -15,12 +15,15 @@ Design for 100 TB of media:
   These are narrow transformations — no shuffle; parallelism = input
   partitions, so ``spark.sql.files.maxPartitionBytes`` (not row count)
   controls batch memory. Keep it ≲128 MB when payloads are large.
-- The actual codecs (PIL/libsndfile/ffmpeg) are NOT in this container:
-  each stage calls a ``_decode_*`` hook that tries the real library and
-  otherwise falls back to a **deterministic fake** decoder (md5-seeded)
-  so the plumbing — schemas, batch shapes, UDF signatures, row
-  explosion — is fully exercised and testable. Swap the hook for the
-  real codec in production; the Spark plan is unchanged.
+- Codec strategy, three tiers: (1) the real library (PIL/soundfile/
+  pyav) when importable; (2) REAL pure-Python parsers that need no
+  library — uncompressed BMP (:func:`_decode_bmp`, numpy) and PCM WAV
+  (:func:`_decode_wav`, struct) — exercised in-container with exact
+  pixel/sample assertions; (3) a **deterministic fake** decoder
+  (md5-seeded) for payloads neither tier can read, so the plumbing —
+  schemas, batch shapes, UDF signatures, row explosion — is fully
+  testable on synthetic blobs. Swap tiers freely; the Spark plan is
+  unchanged.
 """
 
 from __future__ import annotations
@@ -96,14 +99,61 @@ def _fake_rng(payload: bytes, *salt: object) -> np.random.RandomState:
     return np.random.RandomState(int.from_bytes(h[:4], "big"))
 
 
+def _decode_bmp(payload: bytes):
+    """REAL in-container decode path: uncompressed 24/32-bit BMP
+    (BITMAPINFOHEADER), pure numpy — no codec library.  Returns an
+    (H, W, 3) uint8 RGB array, or None if the payload is not a
+    well-formed uncompressed BMP.
+
+    Format facts (public spec): 14-byte file header (``BM`` magic +
+    pixel-data offset at byte 10), 40+-byte info header (width int32 at
+    18, height int32 at 22 — positive means bottom-up row order), bpp
+    uint16 at 28, compression uint32 at 30 (0 = BI_RGB only here), rows
+    padded to 4-byte boundaries, channels stored BGR(A)."""
+    import struct
+
+    try:
+        if len(payload) < 54 or payload[:2] != b"BM":
+            return None
+        (data_offset,) = struct.unpack_from("<I", payload, 10)
+        (hdr_size,) = struct.unpack_from("<I", payload, 14)
+        if hdr_size < 40:
+            return None  # BITMAPCOREHEADER etc. not supported
+        width, height = struct.unpack_from("<ii", payload, 18)
+        (bpp,) = struct.unpack_from("<H", payload, 28)
+        (compression,) = struct.unpack_from("<I", payload, 30)
+        if compression != 0 or bpp not in (24, 32) or width <= 0 or height == 0:
+            return None
+        bottom_up = height > 0
+        height = abs(height)
+        nch = bpp // 8
+        stride = (width * nch + 3) & ~3
+        end = data_offset + stride * height
+        if data_offset < 14 + hdr_size or end > len(payload):
+            return None
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * height, offset=data_offset
+        ).reshape(height, stride)[:, : width * nch].reshape(height, width, nch)
+        if bottom_up:
+            rows = rows[::-1]
+        return np.ascontiguousarray(rows[:, :, 2::-1])  # BGR(A) → RGB
+    except Exception:
+        return None
+
+
 def _decode_image(payload: bytes, width: int | None, height: int | None):
-    """→ (H, W, 3) uint8 array. Tries PIL; falls back to a deterministic
-    md5-seeded fake so pipelines are testable without codecs."""
+    """→ (H, W, 3) uint8 array. Tries PIL; without PIL, well-formed
+    uncompressed BMP payloads take the REAL pure-numpy parser
+    (:func:`_decode_bmp`); anything else falls back to a deterministic
+    md5-seeded fake so pipelines stay testable without codecs."""
     try:  # pragma: no cover - PIL absent in this container
         import io
 
         from PIL import Image
     except ImportError:
+        bmp = _decode_bmp(payload)
+        if bmp is not None:
+            return bmp
         w, h = width or 16, height or 16
         return _fake_rng(payload, "img").randint(0, 256, size=(h, w, 3), dtype=np.uint8)
     try:  # pragma: no cover
@@ -112,14 +162,63 @@ def _decode_image(payload: bytes, width: int | None, height: int | None):
         return None  # corrupt payload: caller skips the row
 
 
+def _decode_wav(payload: bytes):
+    """REAL in-container decode path: RIFF/WAVE PCM, hand-parsed with
+    struct — no codec library, no stdlib ``wave`` (so the test's
+    hand-built bytes exercise an independent parser).  Supports
+    format 1 (integer PCM) at 8/16/32 bit and format 3 (float32);
+    multi-channel is mixed down by mean.  Returns (float32 samples in
+    [-1, 1], rate) or None if not well-formed PCM WAV."""
+    import struct
+
+    try:
+        if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            return None
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(payload):
+            cid, size = payload[pos:pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+            body = payload[pos + 8: pos + 8 + size]
+            if cid == b"fmt " and len(body) >= 16:
+                fmt = struct.unpack_from("<HHIIHH", body, 0)
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            return None
+        audio_format, n_channels, rate, _, _, bits = fmt
+        if n_channels < 1 or rate <= 0:
+            return None
+        if audio_format == 1 and bits == 16:
+            samples = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+        elif audio_format == 1 and bits == 8:  # unsigned by spec
+            samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        elif audio_format == 1 and bits == 32:
+            samples = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
+        elif audio_format == 3 and bits == 32:
+            samples = np.frombuffer(data, dtype="<f4").astype(np.float32)
+        else:
+            return None
+        if n_channels > 1:
+            samples = samples[: len(samples) - len(samples) % n_channels]
+            samples = samples.reshape(-1, n_channels).mean(axis=1).astype(np.float32)
+        return samples, int(rate)
+    except Exception:
+        return None
+
+
 def _decode_audio(payload: bytes, sample_rate: int | None):
-    """→ (float32 samples, rate). Tries soundfile; deterministic fake
-    fallback (1 s of md5-seeded noise at the declared rate)."""
+    """→ (float32 samples, rate). Tries soundfile; without it,
+    well-formed PCM WAV payloads take the REAL struct parser
+    (:func:`_decode_wav`); anything else gets the deterministic fake
+    (1 s of md5-seeded noise at the declared rate)."""
     try:  # pragma: no cover - soundfile absent in this container
         import io
 
         import soundfile as sf
     except ImportError:
+        wav = _decode_wav(payload)
+        if wav is not None:
+            return wav
         rate = sample_rate or 16000
         return _fake_rng(payload, "aud").uniform(-1, 1, size=rate).astype(np.float32), rate
     try:  # pragma: no cover

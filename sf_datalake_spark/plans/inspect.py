@@ -74,6 +74,9 @@ def plan_report(df: DataFrame, execute: bool = False) -> dict:
             + plan.count("MapInPandas")
         ),
         "n_codegen_spans": n_codegen,
+        "n_cartesian_products": plan.count("CartesianProduct"),
+        "n_reused_exchanges": plan.count("ReusedExchange"),
+        "n_scans": len(re.findall(r"Scan (?:parquet|orc|csv|ExistingRDD|json)", plan)),
         "pushed_filters": re.findall(r"PushedFilters: \[([^\]]*)\]", formatted),
         "read_schemas": re.findall(r"ReadSchema: (struct<[^\n]*)", formatted),
     }

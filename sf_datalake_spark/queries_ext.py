@@ -495,7 +495,7 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_total"),
         F.count("*").alias("k"),
     )
-    return (
+    out = (
         stats.crossJoin(F.broadcast(grand))
         .agg(
             F.round(
@@ -513,6 +513,23 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.first("n_total") - F.first("k")).alias("df_within"),
         )
     )
+    # p-value — deterministic given the ROUNDED f_stat, so both engines
+    # round f first and agree bit-for-bit at 6 decimals.  The general
+    # F survival function needs the incomplete beta (ml.exploration.f_sf
+    # computes it scipy-free for the Python API); in SQL we use the
+    # closed form valid when df_between is EVEN — here df1 = 4 (5 event
+    # types), b = df1/2 = 2:  I_x(a, 2) = x^a (a + 1 − a·x) with
+    # a = df2/2, x = df2/(df2 + df1·f).  Guarded by CASE so a testdata
+    # change to an odd df1 yields NULL in both engines, never a wrong p.
+    a = F.col("df_within") / 2.0
+    x0 = F.col("df_within") / (F.col("df_within") + F.col("df_between") * F.col("f_stat"))
+    return out.withColumn(
+        "p_value",
+        F.when(
+            F.col("df_between") == 4,
+            F.round(F.pow(x0, a) * (a + 1.0 - a * x0), 6),
+        ),
+    )
 
 
 _ANOVA_SQL = """
@@ -524,13 +541,25 @@ _ANOVA_SQL = """
     grand AS (
         SELECT sum(n * mean) / sum(n) AS gm, sum(n) AS n_total, count(*) AS k
         FROM stats
+    ),
+    base AS (
+        SELECT round((sum(n * (mean - gm) ^ 2) / (any_value(k) - 1))
+                     / (sum((n - 1) * var) / (any_value(n_total) - any_value(k))),
+                     4) AS f_stat,
+               CAST(any_value(k) - 1 AS BIGINT) AS df_between,
+               CAST(any_value(n_total) - any_value(k) AS BIGINT) AS df_within
+        FROM stats CROSS JOIN grand
     )
-    SELECT round((sum(n * (mean - gm) ^ 2) / (any_value(k) - 1))
-                 / (sum((n - 1) * var) / (any_value(n_total) - any_value(k))),
-                 4) AS f_stat,
-           CAST(any_value(k) - 1 AS BIGINT) AS df_between,
-           CAST(any_value(n_total) - any_value(k) AS BIGINT) AS df_within
-    FROM stats CROSS JOIN grand
+    SELECT f_stat, df_between, df_within,
+           CASE WHEN df_between = 4 THEN
+               round(pow(df_within / (df_within + df_between * f_stat),
+                         df_within / 2.0)
+                     * (df_within / 2.0 + 1.0
+                        - (df_within / 2.0)
+                          * (df_within / (df_within + df_between * f_stat))),
+                     6)
+           END AS p_value
+    FROM base
 """
 
 
@@ -581,6 +610,32 @@ def q_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.element_at(arr, 1).alias("pc1"),
         F.element_at(arr, 2).alias("pc2"),
+    )
+
+
+def q_pca_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer trajectories through the first period's PCA plane
+    (reference ``exploration.py:234-284``, minus its per-period driver
+    union loop — one fit, one distributed transform). Rows-only:
+    deterministic row count (= panel rows in the window), float
+    eigenbasis not oracle-expressible."""
+    from sf_datalake_spark.ml.exploration import pca_trajectories
+    from sf_datalake_spark.operators.windows import with_lag, with_moving_average
+
+    panel = customer_monthly_panel(spark, sf_dir)
+    panel = with_lag(panel, "revenue", [1], keys=["custkey"], period_col="periode",
+                     suffix_fmt="revenue_lag{n}m")
+    panel = with_moving_average(panel, "revenue", [3], keys=["custkey"],
+                                period_col="periode", suffix_fmt="revenue_mean{n}m")
+    panel = panel.fillna({"revenue_lag1m": 0.0, "revenue_mean3m": 0.0})
+    out = pca_trajectories(
+        panel, ["revenue", "revenue_lag1m", "revenue_mean3m"],
+        start="1995-01-01", end="1996-01-01",
+        entity_col="custkey", period_col="periode", k=2,
+    )
+    return out.select(
+        "custkey", "periode",
+        F.round("cp1", 6).alias("cp1"), F.round("cp2", 6).alias("cp2"),
     )
 
 
@@ -1014,6 +1069,65 @@ def q_ml_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_alert_levels(
         preds, {0.5: 0.6, 2.0: 0.3}, score_col="probability_1"
     ).select("custkey", "periode", "failure", "probability_1", "alert_level")
+
+
+def q_linear_shap_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation-dependent vs interventional linear explanations,
+    checked against each other and the model (reference
+    ``explain.py:45-62`` semantics, shap-free and distributed).
+
+    Trains the flagship logistic regression, computes BOTH attribution
+    flavours, and returns one row of exact algebraic invariants —
+    additivity (``base + Σ contrib = log-odds``) holds for the
+    conditional path by construction (the Shapley ordering sum
+    telescopes), and both flavours must attribute the same total.
+    Counts are invariant to fit-level floating-point noise because each
+    check is an identity of the SAME fitted model, not a magic number.
+    Rows-only: covariance/SHAP matrices are not oracle-expressible."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    from sf_datalake_spark.ml import fit_ready, make_classifier
+    from sf_datalake_spark.ml.explain import (
+        linear_conditional_contributions,
+        linear_contributions,
+    )
+    from sf_datalake_spark.operators.windows import with_lag
+    from sf_datalake_spark.queries import q_target_variable
+
+    panel = customer_monthly_panel(spark, sf_dir)
+    panel = with_lag(panel, "revenue", [1], keys=["custkey"], period_col="periode",
+                     suffix_fmt="revenue_lag{n}m").fillna({"revenue_lag1m": 0.0})
+    labeled = panel.join(q_target_variable(spark, sf_dir), ["custkey", "periode"])
+    feats = ["revenue", "revenue_lag1m"]
+    assembled = VectorAssembler(inputCols=feats, outputCol="features").transform(labeled)
+    train, _ = fit_ready(assembled)
+    model = make_classifier("LogisticRegression", maxIter=10).fit(train)
+    train.unpersist()
+    preds = model.transform(assembled).withColumn(
+        "logodds", F.element_at(vector_to_array("rawPrediction"), 2)
+    )
+    cond = linear_conditional_contributions(
+        preds, model, keep=["custkey", "periode", "logodds"],
+        feature_names=feats,
+    )
+    intv = linear_contributions(
+        preds, model, keep=["custkey", "periode"], feature_names=feats,
+    ).withColumnsRenamed({f"contrib_{f}": f"int_{f}" for f in feats})
+    both = cond.join(intv, ["custkey", "periode"])
+    cond_total = F.col("base") + sum(F.col(f"contrib_{f}") for f in feats)
+    int_total = F.lit(float(model.intercept)) + sum(F.col(f"int_{f}") for f in feats)
+    return both.agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.abs(cond_total - F.col("logodds")) < 1e-6).cast("long"))
+        .alias("n_additive_ok"),
+        F.sum((F.abs(cond_total - int_total) < 1e-6).cast("long"))
+        .alias("n_totals_match"),
+        F.sum(
+            (F.abs(F.col(f"contrib_{feats[0]}") - F.col(f"int_{feats[0]}")) > 1e-9)
+            .cast("long")
+        ).alias("n_credit_shifted"),
+    )
 
 
 def q_resampled_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1698,12 +1812,15 @@ def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("value_sum"),
         )
     )
-    # fixed per-sf location, cleared on entry: repeated runs (bench
-    # best-of-2, repeated drives) reuse ONE directory instead of
-    # leaking a state table per invocation
+    # per-session location, cleared on entry: repeated runs within one
+    # driver (bench best-of-2, repeated drives) reuse ONE directory, but
+    # two concurrent drivers on the same box (bench + correctness) get
+    # distinct roots — a shared path would let one rmtree the target
+    # while the other's foreachBatch is mid-swap
+    app_id = spark.sparkContext.applicationId
     target = (
         f"{tempfile.gettempdir()}/sf_datalake_spark_streaming_upsert/"
-        f"{os.path.basename(sf_dir.rstrip('/'))}"
+        f"{app_id}/{os.path.basename(sf_dir.rstrip('/'))}"
     )
     shutil.rmtree(target, ignore_errors=True)
     run_upsert_sink(agg, target, ["user_id"], query_name="q_streaming_upsert")
@@ -1804,6 +1921,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anova_f": q_anova_f,
     "quantile_summary": q_quantile_summary,
     "pca_projection": q_pca_projection,
+    "pca_trajectories": q_pca_trajectories,
     "top_unshipped_orders": q_top_unshipped_orders,
     "forecast_revenue_change": q_forecast_revenue_change,
     "asof_nearest": q_asof_nearest,
@@ -1819,6 +1937,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "ml_train_predict": q_ml_train_predict,
+    "linear_shap_parity": q_linear_shap_parity,
     "resampled_counts": q_resampled_counts,
     "grouped_split_counts": q_grouped_split_counts,
     "tree_contributions": q_tree_contributions,

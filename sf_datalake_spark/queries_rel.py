@@ -13,6 +13,7 @@ the queries are adapted, not verbatim TPC-H).
 
 from __future__ import annotations
 
+import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -794,20 +795,30 @@ _TREND_SQL = f"""
 
 def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Depth of every supplier in the k → k÷2 ancestor tree, computed
-    with a native recursive CTE (no driver loop)."""
-    _t(spark, sf_dir, "supplier").createOrReplaceTempView("__rh_supplier")
-    return spark.sql(
-        """
-        WITH RECURSIVE anc(node, up, depth) AS (
-            SELECT s_suppkey, s_suppkey DIV 2, 1
-            FROM __rh_supplier WHERE s_suppkey > 1
-            UNION ALL
-            SELECT node, up DIV 2, depth + 1 FROM anc WHERE up > 1
+    with a native recursive CTE (no driver loop).
+
+    The temp view exists only for the duration of analysis: ``spark.sql``
+    resolves it eagerly into the returned DataFrame's plan, so it is
+    dropped in ``finally`` — an otherwise-pure query function must not
+    leak session-global catalog state (it could shadow or be shadowed
+    across repeated drives in one session)."""
+    view = f"__rh_supplier_{uuid.uuid4().hex[:8]}"
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
+            WITH RECURSIVE anc(node, up, depth) AS (
+                SELECT s_suppkey, s_suppkey DIV 2, 1
+                FROM {view} WHERE s_suppkey > 1
+                UNION ALL
+                SELECT node, up DIV 2, depth + 1 FROM anc WHERE up > 1
+            )
+            SELECT node AS s_suppkey, CAST(max(depth) AS INT) AS depth_to_root
+            FROM anc GROUP BY node
+            """
         )
-        SELECT node AS s_suppkey, CAST(max(depth) AS INT) AS depth_to_root
-        FROM anc GROUP BY node
-        """
-    )
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 _RECURSIVE_SQL = """

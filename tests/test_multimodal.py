@@ -244,3 +244,150 @@ def test_pyav_batch_decode_ptsless_index_mode(monkeypatch):
     monkeypatch.setitem(sys.modules, "av", mod)
     got = _decode_video_frames(b"payload", 3, 1000, None, None)
     assert [(i, a[0, 0, 0]) for i, a in got] == [(0, 0), (1, 1), (2, 2)]
+
+
+# ---------------------------------------------------------------------------
+# Real in-container codec paths: hand-built BMP / WAV bytes decoded by
+# the pure-numpy/struct parsers through the full Spark stages
+# ---------------------------------------------------------------------------
+
+def _bmp_bytes(pixels_rgb, bottom_up=True):
+    """Serialize an (H, W, 3) uint8 RGB array as an uncompressed 24-bit
+    BMP — built with raw struct packing, independent of the parser."""
+    import struct
+
+    h, w, _ = pixels_rgb.shape
+    stride = (w * 3 + 3) & ~3
+    img = bytearray()
+    row_order = range(h - 1, -1, -1) if bottom_up else range(h)
+    for y in row_order:
+        row = bytearray()
+        for x in range(w):
+            r, g, b = pixels_rgb[y, x]
+            row += bytes((b, g, r))  # BGR on disk
+        row += b"\x00" * (stride - len(row))
+        img += row
+    data_offset = 14 + 40
+    file_size = data_offset + len(img)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h if bottom_up else -h, 1, 24, 0,
+        len(img), 2835, 2835, 0, 0,
+    )
+    return bytes(header + info + img)
+
+
+def _wav_bytes(samples_i16, rate, n_channels=1):
+    """Serialize int16 PCM as a canonical RIFF/WAVE file via struct."""
+    import struct
+
+    data = b"".join(struct.pack("<h", int(s)) for s in samples_i16)
+    fmt = struct.pack("<HHIIHH", 1, n_channels, rate,
+                      rate * n_channels * 2, n_channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_real_bmp_decode_exact_pixels(spark):
+    """A generated BMP decodes to its EXACT pixel values through the
+    full decode_images Spark stage — the real (non-fake) path."""
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    rows = [asset(10, "image", _bmp_bytes(px), "bmp", 3, 5)]
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    out = decode_images(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["height"], r["width"], r["channels"]) == (5, 3, 3)
+    got = np.frombuffer(r["pixels"], dtype=np.uint8).reshape(5, 3, 3)
+    assert np.array_equal(got, px)
+
+
+def test_real_bmp_top_down_and_padding(spark):
+    """Top-down BMPs (negative height) and 4-byte row padding both
+    round-trip exactly; width 3 forces a padded stride."""
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    rows = [
+        asset(11, "image", _bmp_bytes(px, bottom_up=False), "bmp", 3, 2),
+        asset(12, "image", _bmp_bytes(px, bottom_up=True), "bmp", 3, 2),
+    ]
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    out = {r["asset_id"]: r for r in decode_images(df).collect()}
+    for aid in (11, 12):
+        got = np.frombuffer(out[aid]["pixels"], dtype=np.uint8).reshape(2, 3, 3)
+        assert np.array_equal(got, px)
+
+
+def test_real_bmp_resize_chain(spark):
+    """Real decode feeds the resize stage: 4x4 checkerboard -> 2x2."""
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[::2, ::2] = 255
+    px[1::2, 1::2] = 255
+    df = spark.createDataFrame([asset(13, "image", _bmp_bytes(px), "bmp", 4, 4)],
+                               ASSET_SCHEMA)
+    out = resize_images(decode_images(df), 2, 2).collect()[0]
+    got = np.frombuffer(out["pixels"], dtype=np.uint8).reshape(2, 2, 3)
+    # nearest-neighbor with index floor: picks rows/cols 0 and 2 -> all 255
+    assert np.array_equal(got, np.full((2, 2, 3), 255, dtype=np.uint8))
+
+
+def test_real_wav_decode_exact_features(spark):
+    """A struct-built WAV decodes through extract_audio_features with
+    exactly predictable sample count, duration, RMS and zero crossings."""
+    # alternating +/-16384: rms = 0.5 exactly, zero crossing at every step
+    samples = [16384, -16384] * 500  # 1000 samples @ 1000 Hz -> 1000 ms
+    rows = [asset(20, "audio", _wav_bytes(samples, 1000), "wav", rate=1000)]
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    out = extract_audio_features(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_samples"] == 1000
+    assert r["sample_rate"] == 1000
+    assert r["duration_ms"] == 1000
+    assert r["rms"] == pytest.approx(0.5, rel=1e-12)
+    assert r["zero_crossings"] == 999
+
+
+def test_wav_parser_formats_and_fallback():
+    """Direct parser coverage: 8-bit PCM, float32, stereo mixdown,
+    malformed payloads -> None (callers then use the fake)."""
+    import struct
+
+    from sf_datalake_spark.multimodal.assets import _decode_wav
+
+    # 8-bit unsigned: 128 -> 0.0, 255 -> ~1.0, 0 -> -1.0
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt8)) + fmt8 \
+        + b"data" + struct.pack("<I", 3) + bytes([0, 128, 255]) + b"\x00"
+    out = _decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert out is not None
+    s, rate = out
+    assert rate == 8000
+    assert s[0] == pytest.approx(-1.0) and s[1] == 0.0 and s[2] == pytest.approx(0.9921875)
+
+    # float32 stereo: chunks word-aligned, mean mixdown
+    fmtf = struct.pack("<HHIIHH", 3, 2, 44100, 44100 * 8, 8, 32)
+    dataf = struct.pack("<4f", 0.5, -0.5, 1.0, 0.0)
+    bodyf = b"WAVE" + b"fmt " + struct.pack("<I", len(fmtf)) + fmtf \
+        + b"data" + struct.pack("<I", len(dataf)) + dataf
+    s2, rate2 = _decode_wav(b"RIFF" + struct.pack("<I", len(bodyf)) + bodyf)
+    assert rate2 == 44100
+    assert np.allclose(s2, [0.0, 0.5])
+
+    assert _decode_wav(b"RIFX1234WAVE") is None  # big-endian RIFX: refused
+    assert _decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE") is None  # no chunks
+
+
+def test_bmp_parser_rejects_malformed():
+    from sf_datalake_spark.multimodal.assets import _decode_bmp
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = _bmp_bytes(px)
+    assert _decode_bmp(good) is not None
+    assert _decode_bmp(good[:30]) is None                      # truncated header
+    assert _decode_bmp(good[:-3]) is None                      # truncated pixels
+    assert _decode_bmp(b"PNG" + good[3:]) is None              # wrong magic
+    bad_comp = bytearray(good)
+    bad_comp[30] = 1  # BI_RLE8
+    assert _decode_bmp(bytes(bad_comp)) is None

@@ -150,3 +150,64 @@ def test_ewma_shares_one_exchange_with_lag_stack(spark):
     rep = plan_report(stacked, execute=True)
     # one exchange for the groupBy, one for the shared window key
     assert rep["n_exchanges"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Plan-shape regression tests for the top-cost queries (the plans are
+# the product: a refactor must not silently de-optimize these)
+# ---------------------------------------------------------------------------
+
+def _entry_query(spark, name):
+    import __spark_entry__ as entry
+
+    return entry.queries()[name](spark, SF_DIR)
+
+
+def test_simhash_pairs_plan_shape(spark):
+    """Manku multi-block design: ONE corpus scan reused across the
+    4-block self-join (ReusedExchange), equi-join only — never a
+    cartesian/nested-loop pair enumeration."""
+    rep = plan_report(_entry_query(spark, "simhash_pairs"), execute=True)
+    assert rep["n_cartesian_products"] == 0
+    assert rep["n_nested_loop_joins"] == 0
+    assert rep["n_scans"] == 1
+    assert rep["n_reused_exchanges"] >= 1
+    assert rep["n_exchanges"] <= 3       # signature agg + pair groupBy
+    assert rep["n_python_evals"] == 0
+
+
+def test_ngram_jaccard_capped_plan_shape(spark):
+    """The hot-shingle DF cap must keep its two load-bearing plan
+    facts: the guard's broadcast anti-join exists, and ReuseExchange
+    dedupes the shingle subtree so the guard costs no extra corpus
+    scan versus the uncapped variant."""
+    from sf_datalake_spark.operators.dedup import ngram_jaccard_pairs
+    from sf_datalake_spark.queries import _t
+
+    capped = _entry_query(spark, "ngram_jaccard_capped")
+    rep = plan_report(capped, execute=True)
+    assert rep["n_cartesian_products"] == 0
+    assert rep["n_nested_loop_joins"] == 0
+    assert rep["n_reused_exchanges"] >= 1
+    assert rep["n_python_evals"] == 0
+    # the guard is IN the plan: dropping max_doc_frequency would remove
+    # the broadcast anti-join and this assertion fails
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+
+    # no extra corpus scan vs the uncapped variant (ReuseExchange dedupe)
+    docs = _t(spark, SF_DIR, "documents")
+    uncapped = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.4)
+    rep_uncapped = plan_report(uncapped, execute=True)
+    assert rep["n_scans"] <= rep_uncapped["n_scans"] + 1
+
+
+def test_embedding_topk_sharded_plan_shape(spark):
+    """Grid-cogroup exact ANN: the quadratic kernel lives INSIDE the
+    per-cell Python stage — the Spark plan itself must stay linear
+    (equi-cogroup, no cartesian, bounded exchanges)."""
+    rep = plan_report(_entry_query(spark, "embedding_topk_sharded"), execute=True)
+    assert rep["n_cartesian_products"] == 0
+    assert rep["n_nested_loop_joins"] == 0
+    assert rep["n_exchanges"] <= 4
+    assert rep["n_scans"] <= 2

@@ -150,3 +150,58 @@ def test_upsert_sink_merges_across_micro_batches(spark, tmp_path):
 
     got = {r["k"]: (r["n"], r["s"]) for r in spark.read.parquet(target).collect()}
     assert got == {1: (2, 4.0), 2: (2, 7.0), 3: (1, 7.0)}
+
+
+def test_upsert_sink_schema_reorder_and_empty_batch(spark, tmp_path):
+    """Robustness of the staged-swap MERGE sink: (a) a later stream
+    whose aggregate projects the SAME columns in a DIFFERENT order
+    upserts cleanly (the target is aligned to the batch's column order
+    by name, not position); (b) an empty micro-batch leaves the target
+    intact rather than truncating it; (c) after every invocation the
+    target directory is fully swapped — no .staging-* residue, parquet
+    always readable."""
+    import glob
+    import os
+
+    from sf_datalake_spark.streaming import read_file_stream, run_upsert_sink
+
+    target = str(tmp_path / "state")
+
+    # batch 1: columns (k, n, s)
+    src1 = str(tmp_path / "src1")
+    spark.createDataFrame([(1, 1.0), (2, 2.0)], "k int, v double").coalesce(1) \
+        .write.parquet(src1)
+    agg1 = read_file_stream(spark, src1, "k int, v double").groupBy("k").agg(
+        F.count("*").alias("n"), F.round(F.sum("v"), 2).alias("s")
+    )
+    run_upsert_sink(agg1, target, ["k"], query_name="t_reorder_1")
+
+    # batch 2 comes from a stream whose projection REORDERS the columns:
+    # (s, k, n) — schema-compatible by name, different positions
+    src2 = str(tmp_path / "src2")
+    spark.createDataFrame([(1, 10.0), (3, 30.0)], "k int, v double").coalesce(1) \
+        .write.parquet(src2)
+    agg2 = read_file_stream(spark, src2, "k int, v double").groupBy("k").agg(
+        F.count("*").alias("n"), F.round(F.sum("v"), 2).alias("s")
+    ).select("s", "k", "n")
+    run_upsert_sink(agg2, target, ["k"], query_name="t_reorder_2")
+
+    got = {r["k"]: (r["n"], r["s"]) for r in spark.read.parquet(target).collect()}
+    assert got == {1: (1, 10.0), 2: (1, 2.0), 3: (1, 30.0)}
+
+    # (b) empty micro-batch: a filter that matches nothing still runs
+    # the foreachBatch body with an empty frame; the merge must keep
+    # every existing row and the swap must not corrupt the directory
+    agg3 = read_file_stream(spark, src2, "k int, v double").filter(
+        F.col("k") > 999
+    ).groupBy("k").agg(
+        F.count("*").alias("n"), F.round(F.sum("v"), 2).alias("s")
+    )
+    run_upsert_sink(agg3, target, ["k"], query_name="t_empty_batch")
+
+    got2 = {r["k"]: (r["n"], r["s"]) for r in spark.read.parquet(target).collect()}
+    assert got2 == got
+
+    # (c) staged-swap hygiene: no half-written staging dirs anywhere
+    assert glob.glob(f"{target}.staging-*") == []
+    assert os.path.isdir(target)
