@@ -17,11 +17,12 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sf_datalake_spark.queries import ORACLES, QUERIES  # noqa: E402
+from sf_datalake_spark.queries_corpus import ORACLES_CORPUS, QUERIES_CORPUS  # noqa: E402
 from sf_datalake_spark.queries_ext import ORACLES_EXT, QUERIES_EXT  # noqa: E402
 from sf_datalake_spark.queries_rel import ORACLES_REL, QUERIES_REL  # noqa: E402
 
-QUERIES = {**QUERIES, **QUERIES_EXT, **QUERIES_REL}
-ORACLES = {**ORACLES, **ORACLES_EXT, **ORACLES_REL}
+QUERIES = {**QUERIES, **QUERIES_EXT, **QUERIES_REL, **QUERIES_CORPUS}
+ORACLES = {**ORACLES, **ORACLES_EXT, **ORACLES_REL, **ORACLES_CORPUS}
 
 # Names the driver's 50-entry CORRECTNESS_r02 snapshot already attested.
 # The driver caps correctness snapshots at the first 50 registry entries,

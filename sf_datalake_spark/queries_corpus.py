@@ -1,0 +1,218 @@
+"""Corpus-preparation queries (operators/corpus.py) with DuckDB oracles.
+
+Each query drives one corpus operator on the synthetic ``documents``
+table; the oracle replays the exact semantics in ANSI-ish DuckDB SQL —
+including the md5 arithmetic for the deterministic sampler, so even the
+"random" sampling is value-hash-comparable across engines.
+
+Rounding/typing conventions follow ``queries.py``'s docstring: every
+aggregate/derived column is aliased identically in both engines and
+cast to a stable type (BIGINT counts, INT indexes, DOUBLE ratios
+rounded at 6).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sf_datalake_spark.queries import _t
+
+# Whitespace tokens, as the shingle oracle builds them (queries.py
+# _SHINGLE_SQL): split on \s+, drop empties.
+_TOKS_SQL = r"""
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+    FROM documents
+"""
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-token chunks with 16-token overlap over every document —
+    1 doc → ceil-ish rows, all inside the scan stage (no shuffle)."""
+    from sf_datalake_spark.operators.corpus import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
+
+
+# stride = 48; n_chunks = 1 for n <= 64 else (n - 64 + 95) // 48
+_CHUNK_SQL = rf"""
+    WITH toks AS ({_TOKS_SQL}),
+    sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+    idx AS (
+        SELECT doc_id, t, n,
+               unnest(generate_series(0,
+                   CASE WHEN n <= 64 THEN 0
+                        ELSE (n - 64 + 95) // 48 - 1 END)) AS i
+        FROM sized
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_index,
+           array_to_string(list_slice(t, i * 48 + 1, least(i * 48 + 64, n)), ' ')
+               AS chunk_text,
+           CAST(least(i * 48 + 64, n) - i * 48 AS INT) AS n_tokens
+    FROM idx
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sequence packing of documents into 2000-char bins,
+    parallel per source shard (one window exchange)."""
+    from sf_datalake_spark.operators.corpus import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, "n_chars", budget=2000,
+                          partition_col="source", id_col="doc_id")
+
+
+_PACK_SQL = """
+    WITH c AS (
+        SELECT source, doc_id, n_chars,
+               CAST(coalesce(sum(n_chars) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS ce
+        FROM documents
+    )
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight,
+           CAST(ce // 2000 AS BIGINT) AS bin_id,
+           CAST(ce % 2000 AS BIGINT) AS bin_offset
+    FROM c
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing: keep 100% of src0, 25% of src1,
+    10% of everything else — a pure md5-bucket filter, zero shuffle,
+    reproduced bit-for-bit by the oracle."""
+    from sf_datalake_spark.operators.corpus import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "source", {"src0": 1.0, "src1": 0.25},
+        key_col="doc_id", default_fraction=0.10,
+    )
+    return out.select("doc_id", "source", "lang")
+
+
+_STRATIFIED_SQL = """
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+          AS INT)
+          < CASE source WHEN 'src0' THEN 10000
+                        WHEN 'src1' THEN 2500
+                        ELSE 1000 END
+"""
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination screen: non-src0 documents sharing any word
+    3-gram with the src0 'benchmark' set, scored by overlap fraction
+    (min_common=5 ≈ the p75 of the shared-vocab noise floor, so the
+    screen actually discriminates on this corpus)."""
+    from sf_datalake_spark.operators.corpus import contamination_check
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination_check(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        id_col="doc_id", text_col="text", shingle_n=3, min_common=5,
+    )
+
+
+_CONTAMINATION_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, source, sh FROM (
+            SELECT doc_id, source,
+                   unnest(CASE WHEN len(t) < 3 THEN []::varchar[]
+                          ELSE list_transform(generate_series(1, len(t) - 2),
+                               i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END) AS sh
+            FROM toks
+        )
+    ),
+    bench AS (SELECT DISTINCT sh FROM sh WHERE source = 'src0'),
+    corpus AS (SELECT doc_id, sh FROM sh WHERE source <> 'src0'),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1),
+    common AS (
+        SELECT doc_id, count(*) AS n_common
+        FROM corpus JOIN bench USING (sh) GROUP BY 1
+    )
+    SELECT doc_id, CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           round(CAST(n_common AS DOUBLE) / n_shingles, 6) AS contamination
+    FROM sizes JOIN common USING (doc_id)
+    WHERE n_common >= 5
+"""
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction parity: inject a deterministic e-mail + phone into
+    each document (the synthetic corpus has none), redact, and compare
+    counts plus the md5 of the redacted text across engines."""
+    from sf_datalake_spark.operators.corpus import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    out = redact_pii(docs, "text", output_col="redacted")
+    return out.select(
+        "doc_id",
+        F.col("n_emails").cast("int").alias("n_emails"),
+        F.col("n_phones").cast("int").alias("n_phones"),
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+_REDACT_SQL = r"""
+    WITH injected AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id::VARCHAR
+                    || '@example.com or call 555-'
+                    || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '\b555-[0-9]{4}\b')) AS INT)
+               AS n_phones,
+           md5(regexp_replace(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\b555-[0-9]{4}\b', '<PHONE>', 'g')) AS redacted_md5
+    FROM injected
+"""
+
+
+QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "chunk_documents": q_chunk_documents,
+    "pack_sequences": q_pack_sequences,
+    "stratified_sample": q_stratified_sample,
+    "contamination_check": q_contamination_check,
+    "redact_pii": q_redact_pii,
+}
+
+ORACLES_CORPUS: dict[str, str] = {
+    "chunk_documents": _CHUNK_SQL,
+    "pack_sequences": _PACK_SQL,
+    "stratified_sample": _STRATIFIED_SQL,
+    "contamination_check": _CONTAMINATION_SQL,
+    "redact_pii": _REDACT_SQL,
+}

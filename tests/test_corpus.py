@@ -1,0 +1,148 @@
+"""Tests for the corpus-preparation operators (operators/corpus.py):
+chunking, packing, stratified sampling, contamination, PII redaction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sf_datalake_spark.operators.corpus import (
+    chunk_documents,
+    contamination_check,
+    pack_sequences,
+    redact_pii,
+    stratified_sample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    # 10 tokens, chunk 4, overlap 1 -> stride 3 -> chunks at 0,3,6 + tail
+    text = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    out = chunk_documents(
+        _docs(spark, [(1, text)]), chunk_tokens=4, overlap=1
+    ).orderBy("chunk_index").collect()
+    got = [(r["chunk_index"], r["chunk_text"], r["n_tokens"]) for r in out]
+    assert got == [
+        (0, "t0 t1 t2 t3", 4),
+        (1, "t3 t4 t5 t6", 4),
+        (2, "t6 t7 t8 t9", 4),
+    ]
+    # consecutive chunks share exactly `overlap` boundary tokens
+    assert got[0][1].split()[-1] == got[1][1].split()[0]
+
+
+def test_chunk_documents_short_and_empty(spark):
+    out = chunk_documents(
+        _docs(spark, [(1, "a b"), (2, ""), (3, "   ")]),
+        chunk_tokens=4, overlap=1,
+    ).collect()
+    # short doc -> one whole chunk; empty/whitespace docs -> no rows
+    assert [(r["doc_id"], r["chunk_text"], r["n_tokens"]) for r in out] == [
+        (1, "a b", 2)
+    ]
+
+
+def test_chunk_documents_ragged_tail(spark):
+    # 6 tokens, chunk 4, overlap 2 -> stride 2 -> starts 0, 2 -> the
+    # formula stops once the window covers the tail (no empty chunk)
+    out = chunk_documents(
+        _docs(spark, [(1, "a b c d e f")]), chunk_tokens=4, overlap=2
+    ).orderBy("chunk_index").collect()
+    assert [(r["chunk_text"], r["n_tokens"]) for r in out] == [
+        ("a b c d", 4), ("c d e f", 4),
+    ]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(_docs(spark, [(1, "a")]), chunk_tokens=4, overlap=4)
+
+
+def test_pack_sequences_contiguous_bins(spark):
+    rows = [(i, "g", w) for i, w in enumerate([30, 30, 30, 30, 50])]
+    df = spark.createDataFrame(rows, "doc_id long, src string, w long")
+    out = {r["doc_id"]: (r["bin_id"], r["bin_offset"])
+           for r in pack_sequences(df, "w", budget=100,
+                                   partition_col="src").collect()}
+    # exclusive cumsums: 0,30,60,90,120 -> bins 0,0,0,0,1
+    assert out == {0: (0, 0), 1: (0, 30), 2: (0, 60), 3: (0, 90), 4: (1, 20)}
+
+
+def test_pack_sequences_parallel_per_partition(spark):
+    rows = [(1, "a", 80), (2, "a", 80), (3, "b", 80), (4, "b", 80)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, w long")
+    out = {r["doc_id"]: r["bin_id"]
+           for r in pack_sequences(df, "w", budget=100,
+                                   partition_col="src").collect()}
+    # each source packs independently from bin 0
+    assert out == {1: 0, 2: 0, 3: 0, 4: 0}
+
+
+def test_stratified_sample_deterministic_and_exact_strata(spark):
+    rows = [(i, "keep_all" if i % 2 else "thin") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = stratified_sample(df, "src", {"keep_all": 1.0, "thin": 0.2},
+                            key_col="doc_id")
+    got = out.groupBy("src").count().collect()
+    counts = {r["src"]: r["count"] for r in got}
+    assert counts["keep_all"] == 100          # fraction 1.0 keeps every row
+    assert 5 <= counts.get("thin", 0) <= 40   # ~20 of 100, md5-spread
+    # determinism: identical output on a second run
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(r["doc_id"] for r in out.collect())
+    assert ids1 == ids2
+
+
+def test_stratified_sample_default_fraction_drops_unlisted(spark):
+    df = spark.createDataFrame([(i, "other") for i in range(50)],
+                               "doc_id long, src string")
+    assert stratified_sample(df, "src", {"x": 1.0}, key_col="doc_id").count() == 0
+
+
+def test_contamination_check_finds_known_overlap(spark):
+    corpus = _docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog"),  # contains bench trigram
+        (2, "completely different words nothing shared here at all"),
+    ])
+    bench = _docs(spark, [(100, "quick brown fox runs away")])
+    out = contamination_check(corpus, bench, min_common=1).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    r = out[0]
+    assert r["n_common"] == 1          # "quick brown fox"
+    assert r["n_shingles"] == 7        # 9 tokens -> 7 distinct trigrams
+    assert r["contamination"] == pytest.approx(1 / 7, abs=1e-6)
+
+
+def test_redact_pii_counts_and_text(spark):
+    df = _docs(spark, [
+        (1, "mail alice@example.org or bob.smith@corp.co.uk, call 555-1234"),
+        (2, "no pii here"),
+    ])
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["n_emails"] == 2
+    assert out[1]["n_phones"] == 1
+    assert out[1]["redacted"] == "mail <EMAIL> or <EMAIL>, call <PHONE>"
+    assert out[2]["n_emails"] == 0 and out[2]["n_phones"] == 0
+    assert out[2]["redacted"] == "no pii here"
+
+
+def test_chunk_and_pack_plan_shapes(spark):
+    """Chunking is narrow (no exchange); packing adds exactly one hash
+    exchange for its per-group window."""
+    from sf_datalake_spark.plans import plan_report
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rep = plan_report(chunk_documents(docs), execute=True)
+    assert rep["n_exchanges"] == 0
+    assert rep["n_python_evals"] == 0
+
+    rep2 = plan_report(
+        pack_sequences(docs, "n_chars", 2000, partition_col="source"),
+        execute=True,
+    )
+    assert rep2["n_exchanges"] == 1
+    assert rep2["n_python_evals"] == 0
