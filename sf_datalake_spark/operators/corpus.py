@@ -204,6 +204,167 @@ def contamination_check(
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 2,
+) -> DataFrame:
+    """Per-document repetition metrics in the style of the Gopher /
+    MassiveText quality filters (Rae et al. 2021, §A1.1): documents
+    dominated by repeated lines or n-grams are boilerplate / spam and
+    get filtered before training.
+
+    Returns (id, n_tokens, dup_token_frac, top_ngram_frac,
+    dup_ngram_char_frac):
+
+    - ``dup_token_frac``   = 1 − distinct_tokens / n_tokens (pure
+      higher-order-function arithmetic, computed inside the scan stage);
+    - ``top_ngram_frac``   = count of the modal word n-gram / total
+      n-grams (count-based, so ties in the modal gram cannot make the
+      metric nondeterministic);
+    - ``dup_ngram_char_frac`` = Σ count·len(gram) over grams with
+      count > 1, divided by the normalized text length.  Overlapping
+      grams can push this past 1.0 on degenerate documents — it is a
+      filter signal, not a probability; threshold accordingly.
+
+    Plan: one explode + one groupBy(id, gram) with map-side combine +
+    one groupBy(id) — keys are (doc, gram) pairs so cardinality grows
+    with corpus size, never quadratically; per-doc skew is bounded by
+    document length.  The token-level stats ride along on the base scan
+    and join back on ``id`` (AQE broadcasts the small aggregated side
+    at test scale; at 100 TB both sides hash-partition on ``id``).
+    """
+    if ngram_n < 1:
+        raise ValueError(f"ngram_n must be >= 1, got {ngram_n}")
+    toks = tokenize(text_col)
+    base = (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .filter(F.size("__t") >= ngram_n)
+        .select(
+            id_col,
+            F.size("__t").cast("int").alias("n_tokens"),
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct("__t")) / F.size("__t"), 6
+            ).alias("dup_token_frac"),
+            F.length(F.concat_ws(" ", "__t")).cast("bigint").alias("__norm_len"),
+            F.col("__t"),
+        )
+    )
+    grams = base.select(
+        id_col,
+        "n_tokens",
+        "dup_token_frac",
+        "__norm_len",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t") - (ngram_n - 1)),
+                lambda i: F.concat_ws(" ", F.slice("__t", i, ngram_n)),
+            )
+        ).alias("__g"),
+    )
+    counts = grams.groupBy(id_col, "n_tokens", "dup_token_frac", "__norm_len",
+                           "__g").agg(F.count("*").alias("__c"))
+    return counts.groupBy(id_col, "n_tokens", "dup_token_frac").agg(
+        F.round(F.max("__c") / F.sum("__c"), 6).alias("top_ngram_frac"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("__c") > 1, F.col("__c") * F.length("__g"))),
+                F.lit(0),
+            )
+            / F.first("__norm_len"),
+            6,
+        ).alias("dup_ngram_char_frac"),
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_tokens: int = 3,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Corpus-level boilerplate removal in the style of C4 (Raffel et
+    al. 2020, §2.2): drop every "line" that occurs in at least
+    ``min_docs`` DISTINCT documents (navigation chrome, cookie notices,
+    license footers), then reassemble each document from its surviving
+    lines in order.
+
+    The synthetic corpus has no newlines, so a "line" here is a
+    non-overlapping window of ``line_tokens`` tokens (the ragged tail
+    window included) — swap the line splitter for ``split(text, '\\n')``
+    on real text; the plan shape is identical.
+
+    Returns (id, n_lines, n_kept, clean_text); documents whose every
+    line was boilerplate keep a row with ``n_kept = 0`` and an empty
+    ``clean_text``.
+
+    Plan, 100 TB shape: lines explode inside the scan stage; the
+    document-frequency count groups by a 60-bit md5 line key (text
+    never shuffles into the count), the boilerplate set — tiny by
+    definition, lines repeated across ≥ ``min_docs`` docs — broadcasts
+    back as a left-anti join, and one final groupBy(id) restores
+    per-document order via sort_array over (index, line) structs.  Net:
+    two shuffles of (key, count) pairs plus one of the surviving lines.
+    """
+    if line_tokens < 1:
+        raise ValueError(f"line_tokens must be >= 1, got {line_tokens}")
+    toks = tokenize(text_col)
+    lines = (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .filter(F.size("__t") > 0)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("__t") / F.lit(line_tokens)).cast("int") - 1,
+                )
+            ).alias("line_index"),
+            F.col("__t"),
+        )
+        .select(
+            id_col,
+            "line_index",
+            F.concat_ws(
+                " ", F.slice("__t", F.col("line_index") * line_tokens + 1, line_tokens)
+            ).alias("__line"),
+        )
+        .withColumn(
+            "__lh",
+            F.conv(F.substring(F.md5("__line"), 1, 15), 16, 10).cast("bigint"),
+        )
+    )
+    boiler = (
+        lines.groupBy("__lh")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__lh")
+    )
+    kept = lines.join(F.broadcast(boiler), "__lh", "left_anti")
+    n_lines = lines.groupBy(id_col).agg(F.count("*").cast("int").alias("n_lines"))
+    reassembled = kept.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("line_index", "__line"))),
+                lambda s: s["__line"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        n_lines.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 #: Email / simple phone patterns shared verbatim by Java regex (Spark)
 #: and RE2 (DuckDB) — no lookarounds, no shorthand classes that diverge.
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

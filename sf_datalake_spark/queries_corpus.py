@@ -201,15 +201,116 @@ _REDACT_SQL = r"""
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document repetition metrics (duplicate-token
+    fraction, modal-bigram fraction, duplicated-bigram char fraction) —
+    one explode + two grouped aggregations, nothing quadratic."""
+    from sf_datalake_spark.operators.corpus import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text", ngram_n=2)
+
+
+_REPETITION_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, len(t) AS n_tokens,
+               round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+                   AS dup_token_frac,
+               length(array_to_string(t, ' ')) AS norm_len, t
+        FROM toks WHERE len(t) >= 2
+    ),
+    grams AS (
+        SELECT doc_id, n_tokens, dup_token_frac, norm_len,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                      i -> concat_ws(' ', t[i], t[i+1]))) AS g
+        FROM base
+    ),
+    cnt AS (
+        SELECT doc_id, n_tokens, dup_token_frac, norm_len, g, count(*) AS c
+        FROM grams GROUP BY ALL
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, dup_token_frac,
+           round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+               AS top_ngram_frac,
+           round(CAST(coalesce(sum(CASE WHEN c > 1 THEN c * length(g) END), 0)
+                 AS DOUBLE) / CAST(any_value(norm_len) AS DOUBLE), 6)
+               AS dup_ngram_char_frac
+    FROM cnt GROUP BY doc_id, n_tokens, dup_token_frac
+"""
+
+
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus boilerplate removal: drop 3-token 'lines' present
+    in >= 3 distinct documents, reassemble the survivors in order;
+    compared across engines by md5 of the cleaned text."""
+    from sf_datalake_spark.operators.corpus import remove_boilerplate_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    out = remove_boilerplate_lines(docs, "doc_id", "text",
+                                   line_tokens=3, min_docs=3)
+    return out.select(
+        "doc_id", "n_lines", "n_kept", F.md5("clean_text").alias("clean_md5")
+    )
+
+
+_BOILERPLATE_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, i AS line_index,
+               array_to_string(
+                   list_slice(t, i * 3 + 1, least(i * 3 + 3, len(t))), ' ')
+                   AS line
+        FROM toks, unnest(generate_series(0,
+                 CAST(ceil(len(t) / 3.0) AS INT) - 1)) AS g(i)
+        WHERE len(t) > 0
+    ),
+    hashed AS (
+        SELECT doc_id, line_index, line,
+               ('0x' || substr(md5(line), 1, 15))::BIGINT AS lh
+        FROM lines
+    ),
+    boiler AS (
+        SELECT lh FROM hashed GROUP BY lh
+        HAVING count(DISTINCT doc_id) >= 3
+    ),
+    kept AS (
+        SELECT h.* FROM hashed h ANTI JOIN boiler b ON h.lh = b.lh
+    ),
+    n_all AS (SELECT doc_id, count(*) AS n_lines FROM hashed GROUP BY 1),
+    reass AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(line, ' ' ORDER BY line_index) AS clean_text
+        FROM kept GROUP BY 1
+    )
+    SELECT a.doc_id, CAST(a.n_lines AS INT) AS n_lines,
+           CAST(coalesce(r.n_kept, 0) AS INT) AS n_kept,
+           md5(coalesce(r.clean_text, '')) AS clean_md5
+    FROM n_all a LEFT JOIN reass r ON a.doc_id = r.doc_id
+"""
+
+
 QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
     "stratified_sample": q_stratified_sample,
     "contamination_check": q_contamination_check,
     "redact_pii": q_redact_pii,
+    "repetition_stats": q_repetition_stats,
+    "boilerplate_removal": q_boilerplate_removal,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
+    "repetition_stats": _REPETITION_SQL,
+    "boilerplate_removal": _BOILERPLATE_SQL,
     "chunk_documents": _CHUNK_SQL,
     "pack_sequences": _PACK_SQL,
     "stratified_sample": _STRATIFIED_SQL,

@@ -146,3 +146,66 @@ def test_chunk_and_pack_plan_shapes(spark):
     )
     assert rep2["n_exchanges"] == 1
     assert rep2["n_python_evals"] == 0
+
+
+def test_repetition_stats_hand_case(spark):
+    from sf_datalake_spark.operators.corpus import repetition_stats
+
+    # "a b a b c": tokens 5, distinct 3 -> dup_token_frac = 0.4
+    # bigrams: "a b"(2) "b a"(1) "b c"(1) -> top 2/4 = 0.5
+    # duplicated grams: "a b" count 2, len 3 -> 2*3=6; norm_len 9 -> 0.666667
+    out = repetition_stats(_docs(spark, [(1, "a b a b c")])).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_tokens"] == 5
+    assert r["dup_token_frac"] == pytest.approx(0.4, abs=1e-6)
+    assert r["top_ngram_frac"] == pytest.approx(0.5, abs=1e-6)
+    assert r["dup_ngram_char_frac"] == pytest.approx(6 / 9, abs=1e-6)
+
+
+def test_repetition_stats_no_repeats_and_short(spark):
+    from sf_datalake_spark.operators.corpus import repetition_stats
+
+    out = {r["doc_id"]: r for r in repetition_stats(
+        _docs(spark, [(1, "w x y z"), (2, "solo")])  # doc 2 has < 2 tokens
+    ).collect()}
+    assert set(out) == {1}
+    assert out[1]["dup_token_frac"] == 0.0
+    assert out[1]["top_ngram_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[1]["dup_ngram_char_frac"] == 0.0
+
+
+def test_remove_boilerplate_lines(spark):
+    from sf_datalake_spark.operators.corpus import remove_boilerplate_lines
+
+    # "x y" appears as a full 2-token line in docs 1,2,3 -> boilerplate;
+    # every other line is unique. Doc 4 is entirely boilerplate.
+    df = _docs(spark, [
+        (1, "x y a b c d"),
+        (2, "x y e f"),
+        (3, "p q x y"),
+        (4, "x y"),
+    ])
+    out = {r["doc_id"]: r for r in remove_boilerplate_lines(
+        df, line_tokens=2, min_docs=3
+    ).collect()}
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 2
+    assert out[1]["clean_text"] == "a b c d"
+    assert out[2]["clean_text"] == "e f"
+    assert out[3]["clean_text"] == "p q"          # "x y" dropped mid-doc
+    assert out[4]["n_kept"] == 0 and out[4]["clean_text"] == ""
+
+
+def test_remove_boilerplate_ragged_tail_distinct_docs(spark):
+    from sf_datalake_spark.operators.corpus import remove_boilerplate_lines
+
+    # "z" tail line repeated WITHIN doc 1 (via its two windows? no —
+    # within-doc repeats must not count toward the distinct-doc
+    # threshold): "m n z" -> lines "m n", "z"; doc 2 "z z z" -> "z z","z".
+    # Line "z" occurs in 2 distinct docs < min_docs=3 -> everything kept.
+    df = _docs(spark, [(1, "m n z"), (2, "z z z")])
+    out = {r["doc_id"]: r for r in remove_boilerplate_lines(
+        df, line_tokens=2, min_docs=3
+    ).collect()}
+    assert out[1]["clean_text"] == "m n z"
+    assert out[2]["clean_text"] == "z z z"
