@@ -371,3 +371,42 @@ def dedup_clusters(
     return out.withColumn(
         "is_canonical", (F.col(id_col) == F.col("cluster_id")).cast("int")
     )
+
+
+def resolve_duplicates(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Turn cluster labels into keep/drop decisions: within each
+    near-dup cluster keep the highest-``quality_col`` document
+    (ties broken by minimum id), drop the rest — the last step that
+    makes a dedup pipeline actionable as a corpus filter.
+
+    Output ``(id_col, cluster_id, quality, keep, kept_id)``: ``keep``
+    flags the survivor, ``kept_id`` points every member at it (the
+    redirect table a downstream join uses to remap citations /
+    references onto surviving documents).
+
+    Plan: one equi-join of labels to quality (both sides hash-partition
+    on ``id_col``) and one window over ``cluster_id`` — cluster sizes
+    are bounded by the candidate generator's band width, so the window
+    partition never skews beyond a duplicate group.  Unlike
+    ``dedup_clusters``'s fixed min-id policy this ranks on data
+    quality, which is the policy large corpus dedups actually run
+    (keep the longest / highest-scoring copy).
+    """
+    from pyspark.sql import Window
+
+    joined = clusters.join(docs.select(id_col, quality_col), id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(quality_col), F.col(id_col)
+    )
+    return joined.select(
+        id_col,
+        "cluster_id",
+        F.col(quality_col).alias("quality"),
+        (F.row_number().over(w) == 1).cast("int").alias("keep"),
+        F.first(F.col(id_col)).over(w).alias("kept_id"),
+    )

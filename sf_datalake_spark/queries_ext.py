@@ -1644,6 +1644,55 @@ _DEDUP_CLUSTERS_SQL = rf"""
 """
 
 
+def q_dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup pipeline: MinHash → LSH pairs → connected
+    components → quality-ranked keep/drop — each cluster keeps its
+    longest document (ties to min id), every member gets a redirect to
+    the survivor. The full 100 TB dedup shape in one query."""
+    from sf_datalake_spark.operators.components import (
+        dedup_clusters,
+        resolve_duplicates,
+    )
+    from sf_datalake_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
+    pairs = lsh_candidate_pairs(
+        sig, "doc_id", bands=4, rows_per_band=2, signature_length=8
+    )
+    clusters = dedup_clusters(docs, pairs, "doc_id").drop("is_canonical")
+    return resolve_duplicates(docs, clusters, "doc_id", "n_chars")
+
+
+_DEDUP_RESOLUTION_SQL = rf"""
+    WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),
+    edges AS (
+        SELECT id_1 AS src, id_2 AS dst FROM pairs
+        UNION
+        SELECT id_2, id_1 FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+    labeled AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id,
+               d.n_chars AS quality
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, cluster_id, CAST(quality AS BIGINT) AS quality,
+           CAST(row_number() OVER w = 1 AS INT) AS keep,
+           first_value(doc_id) OVER w AS kept_id
+    FROM labeled
+    WINDOW w AS (PARTITION BY cluster_id ORDER BY quality DESC, doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF (training-data layer, text analysis): top-k characteristic
 # terms per document — explode → two partial aggs → vocab join →
@@ -1952,6 +2001,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_job": q_extract_job,
     "bucketed_join": q_bucketed_join,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_resolution": q_dedup_resolution,
     "tfidf_topk": q_tfidf_topk,
     "streaming_windowed": q_streaming_windowed,
     "streaming_dedup": q_streaming_dedup,
@@ -1995,6 +2045,7 @@ ORACLES_EXT: dict[str, str] = {
     "extract_job": _EXTRACT_JOB_SQL,
     "bucketed_join": _BUCKETED_JOIN_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+    "dedup_resolution": _DEDUP_RESOLUTION_SQL,
     "tfidf_topk": _TFIDF_SQL,
     "streaming_windowed": _STREAMING_WINDOWED_SQL,
     "streaming_dedup": _STREAMING_DEDUP_SQL,

@@ -126,3 +126,22 @@ def test_pagerank_hub_attracts_mass(spark):
     assert all(got[0] > got[i] for i in range(1, 6))
     leaf = [got[i] for i in range(1, 6)]
     assert max(leaf) - min(leaf) < 1e-12  # symmetric leaves tie
+
+
+def test_resolve_duplicates_quality_policy(spark):
+    from sf_datalake_spark.operators.components import resolve_duplicates
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5)], "doc_id long, n_chars long"
+    )
+    # clusters: {1,2,3} labeled 1; singleton 4
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "doc_id long, cluster_id long"
+    )
+    out = {r["doc_id"]: r for r in resolve_duplicates(
+        docs, clusters, "doc_id", "n_chars"
+    ).collect()}
+    # longest wins; 30-char tie between 2 and 3 breaks to min id 2
+    assert out[2]["keep"] == 1 and out[1]["keep"] == 0 and out[3]["keep"] == 0
+    assert {out[i]["kept_id"] for i in (1, 2, 3)} == {2}
+    assert out[4]["keep"] == 1 and out[4]["kept_id"] == 4
