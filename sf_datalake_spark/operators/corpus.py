@@ -204,6 +204,79 @@ def contamination_check(
     )
 
 
+def shuffle_key(
+    col: Column | str, salt: str = "", epoch: int = 0
+) -> Column:
+    """Deterministic 60-bit shuffle key: md5 of ``salt:epoch:key``.
+
+    Ordering a corpus by this key IS the training-data shuffle — bit
+    reproducible across engines and re-runs (unlike ``F.rand``), and a
+    new ``epoch`` value re-derives an independent permutation without
+    materializing anything.  Sorting by it is a Spark range exchange
+    (sampled range partitioning), the scalable global sort.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    key = F.concat(
+        F.lit(f"{salt}:{epoch}:"), F.coalesce(c.cast("string"), F.lit("__null__"))
+    )
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+
+
+def training_order(
+    df: DataFrame,
+    key_col: str,
+    epoch: int = 0,
+    source_col: str | None = None,
+    weights: Mapping[str, float] | None = None,
+    default_weight: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """One training epoch's view of the corpus: per-source subsampling
+    at ``weights`` (epoch-salted, so each epoch sees an independent
+    draw of the downweighted sources) plus a deterministic shuffle key.
+
+    This is the corpus-mixing schedule of large LLM runs (e.g. weight
+    curated sources at 1.0 and keep web crawl under-sampled per epoch)
+    expressed as a PURE FILTER + key derivation: no shuffle at all
+    until the consumer sorts by ``shuffle_key`` — and that sort is a
+    range exchange, the one unavoidable cost of a global order.  Epoch
+    reproducibility needs no stored state: the (salt, epoch) pair fully
+    determines membership and order.
+    """
+    out = df
+    if weights:
+        if source_col is None:
+            raise ValueError("weights given but source_col is None")
+        out = stratified_sample(
+            out, source_col, weights, key_col=key_col,
+            default_fraction=default_weight, salt=f"{salt}:{epoch}",
+        )
+    return out.withColumn("shuffle_key", shuffle_key(key_col, salt, epoch))
+
+
+def exact_k_sample(
+    df: DataFrame, k: int, key_col: str, salt: str = ""
+) -> DataFrame:
+    """Exactly-k uniform sample: the k smallest ``shuffle_key`` values.
+
+    ``df.sample(fraction)`` returns a BINOMIAL row count and resamples
+    per retry; this is exact, deterministic, and engine-portable.  The
+    plan is orderBy+limit, which Spark executes as TakeOrderedAndProject
+    — each partition keeps its local top-k and only k·n_partitions rows
+    reach the driver-side merge, so it scales to any corpus for the
+    k ≪ corpus sizes a sample means.  Ties are impossible at distinct
+    keys (the key includes ``key_col``); duplicate ``key_col`` values
+    share a hash and are disambiguated by the secondary sort on the raw
+    key, keeping the result set deterministic.
+    """
+    return (
+        df.withColumn("__sk", shuffle_key(key_col, salt))
+        .orderBy("__sk", key_col)
+        .limit(k)
+        .drop("__sk")
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -298,6 +298,54 @@ _BOILERPLATE_SQL = r"""
 """
 
 
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-1 corpus mixture (100% src0, 50% src1, 20% rest) with the
+    deterministic per-epoch shuffle key — membership and order fully
+    determined by (salt, epoch), no RNG state anywhere."""
+    from sf_datalake_spark.operators.corpus import training_order
+
+    docs = _t(spark, sf_dir, "documents")
+    out = training_order(
+        docs, "doc_id", epoch=1, source_col="source",
+        weights={"src0": 1.0, "src1": 0.5}, default_weight=0.2, salt="mix",
+    )
+    return out.select("doc_id", "source", "shuffle_key")
+
+
+_TRAINING_ORDER_SQL = """
+    SELECT doc_id, source,
+           ('0x' || substr(md5('mix:1:' || doc_id::VARCHAR), 1, 15))::BIGINT
+               AS shuffle_key
+    FROM documents
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'mix:1'), 1, 8))::BIGINT
+          % 10000
+          < CASE source WHEN 'src0' THEN 10000
+                        WHEN 'src1' THEN 5000
+                        ELSE 2000 END
+"""
+
+
+def q_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-100-document uniform sample via the k smallest shuffle
+    keys — executed as TakeOrderedAndProject (per-partition local
+    top-k), never a global sort of the corpus."""
+    from sf_datalake_spark.operators.corpus import exact_k_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_k_sample(docs, 100, "doc_id", salt="s").select(
+        "doc_id", "source", "lang"
+    )
+
+
+_EXACT_K_SQL = """
+    SELECT doc_id, source, lang
+    FROM documents
+    ORDER BY ('0x' || substr(md5('s:0:' || doc_id::VARCHAR), 1, 15))::BIGINT,
+             doc_id
+    LIMIT 100
+"""
+
+
 QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
@@ -306,11 +354,15 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redact_pii": q_redact_pii,
     "repetition_stats": q_repetition_stats,
     "boilerplate_removal": q_boilerplate_removal,
+    "training_order": q_training_order,
+    "exact_k_sample": q_exact_k_sample,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
     "repetition_stats": _REPETITION_SQL,
     "boilerplate_removal": _BOILERPLATE_SQL,
+    "training_order": _TRAINING_ORDER_SQL,
+    "exact_k_sample": _EXACT_K_SQL,
     "chunk_documents": _CHUNK_SQL,
     "pack_sequences": _PACK_SQL,
     "stratified_sample": _STRATIFIED_SQL,

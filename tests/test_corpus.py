@@ -209,3 +209,56 @@ def test_remove_boilerplate_ragged_tail_distinct_docs(spark):
     ).collect()}
     assert out[1]["clean_text"] == "m n z"
     assert out[2]["clean_text"] == "z z z"
+
+
+def test_training_order_epochs_differ_and_reproduce(spark):
+    from sf_datalake_spark.operators.corpus import training_order
+
+    df = spark.createDataFrame(
+        [(i, "web" if i % 2 else "curated") for i in range(200)],
+        "doc_id long, source string",
+    )
+    kw = dict(source_col="source", weights={"curated": 1.0},
+              default_weight=0.3, salt="t")
+    e0 = training_order(df, "doc_id", epoch=0, **kw)
+    e0b = training_order(df, "doc_id", epoch=0, **kw)
+    e1 = training_order(df, "doc_id", epoch=1, **kw)
+    rows0 = sorted((r["doc_id"], r["shuffle_key"]) for r in e0.collect())
+    # bit-reproducible within an epoch
+    assert rows0 == sorted((r["doc_id"], r["shuffle_key"]) for r in e0b.collect())
+    # curated kept at 100% in every epoch
+    assert e0.filter("source = 'curated'").count() == 100
+    assert e1.filter("source = 'curated'").count() == 100
+    # epochs draw different web subsets and different orders
+    web0 = {r["doc_id"] for r in e0.filter("source = 'web'").collect()}
+    web1 = {r["doc_id"] for r in e1.filter("source = 'web'").collect()}
+    assert web0 != web1
+    k0 = {r["doc_id"]: r["shuffle_key"] for r in e0.collect()}
+    k1 = {r["doc_id"]: r["shuffle_key"] for r in e1.collect()}
+    common = web0 & web1
+    assert any(k0[d] != k1[d] for d in common)
+
+
+def test_training_order_requires_source_col(spark):
+    from sf_datalake_spark.operators.corpus import training_order
+
+    with pytest.raises(ValueError, match="source_col"):
+        training_order(_docs(spark, [(1, "x")]), "doc_id", weights={"a": 1.0})
+
+
+def test_exact_k_sample_exact_and_scalable_plan(spark):
+    from sf_datalake_spark.operators.corpus import exact_k_sample
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    out = exact_k_sample(df, 37, "doc_id", salt="z")
+    assert out.count() == 37
+    # deterministic across runs
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in exact_k_sample(df, 37, "doc_id", salt="z").collect())
+    assert a == b
+    # different salt -> different sample
+    c = sorted(r["doc_id"] for r in exact_k_sample(df, 37, "doc_id", salt="y").collect())
+    assert a != c
+    # global-sort-free plan: TakeOrderedAndProject, no range Exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
