@@ -521,3 +521,198 @@ def embedding_near_dup_pairs(
             "cosine",
         )
     )
+
+
+def _train_pq_codebooks(
+    sample: np.ndarray, m: int, n_codes: int, iters: int = 12, seed: int = 42
+) -> np.ndarray:
+    """Per-subspace Lloyd k-means on a driver-side sample → codebooks of
+    shape (m, n_codes, dim/m). Codebook training touches only a fixed
+    size sample regardless of corpus size (standard PQ practice)."""
+    rng = np.random.default_rng(seed)
+    d = sample.shape[1]
+    sub = d // m
+    n_codes = min(n_codes, len(sample))
+    books = np.empty((m, n_codes, sub), dtype=np.float64)
+    for j in range(m):
+        x = sample[:, j * sub : (j + 1) * sub]
+        cents = x[rng.choice(len(x), size=n_codes, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(n_codes):
+                pts = x[assign == c]
+                if len(pts):
+                    cents[c] = pts.mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    train_sample: int = 2048,
+    n_candidates: int | None = None,
+    rerank: bool = True,
+    seed: int = 42,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): corpus vectors
+    compress to ``m`` one-byte-ish codes (one per subspace codebook);
+    queries score the ENTIRE compressed corpus with asymmetric distance
+    computation (per-query lookup tables + a gather-sum), then the top
+    ``n_candidates`` are exactly re-ranked through a join back to the
+    raw vectors.
+
+    Why this is the memory-bound scale path: the broadcast state is
+    ``m`` smallint codes per corpus vector — 64-dim float64 vectors
+    (512 B) become 16 B at ``m=8``, a 32× compression, so the corpus a
+    single executor can hold grows 32× over
+    :func:`brute_force_topk_np`'s raw broadcast (~2 GB of codes covers
+    ~130M vectors). Beyond that the code table shards exactly like
+    :func:`sharded_topk_np` — ADC is a per-shard gather-sum and only
+    per-shard top-k survives. Codebooks train on a fixed driver-side
+    sample (Lloyd per subspace), never the full corpus.
+
+    Vectors are L2-normalized so inner-product ADC approximates cosine;
+    zero-norm vectors are excluded on both sides (cosine undefined —
+    the brute-force contract). Output (query_id, neighbor_id, cosine,
+    rank) with exact re-ranked cosine when ``rerank=True`` (precision 1
+    within the candidate set, the standard PQ + re-rank design), else
+    the raw ADC approximation as ``cosine``.
+    """
+    n_candidates = n_candidates or max(4 * k, 32)
+    dim = len(
+        corpus.select(vec_col).filter(F.size(vec_col) > 0).first()[0]
+    )
+    if dim % m:
+        raise ValueError(f"vector dim {dim} not divisible by m={m}")
+
+    # --- train codebooks on a deterministic fixed-size sample ---------
+    sample_rows = (
+        corpus.select(F.col(vec_col))
+        .filter(F.size(vec_col) == dim)
+        .orderBy(F.col(corpus_id))
+        .limit(train_sample)
+        .collect()
+    )
+    s_mat = np.array([r[0] for r in sample_rows], dtype=np.float64)
+    norms = np.linalg.norm(s_mat, axis=1, keepdims=True)
+    ok = norms[:, 0] > 0
+    s_mat = s_mat[ok] / norms[ok]
+    books = _train_pq_codebooks(s_mat, m, n_codes, seed=seed)
+    spark = queries.sparkSession
+    bc_books = spark.sparkContext.broadcast(books)
+    sub = dim // m
+
+    # --- encode the corpus DISTRIBUTED, collect only the codes --------
+    n_id_type = dict(corpus.dtypes)[corpus_id]
+
+    def encode(batches):
+        import pandas as pd
+
+        bks = bc_books.value
+        for pdf in batches:
+            mat = np.array(list(pdf["__cv"]), dtype=np.float64)
+            nrm = np.linalg.norm(mat, axis=1)
+            ok = nrm > 0
+            mat = mat[ok] / nrm[ok][:, None]
+            codes = np.empty((len(mat), m), dtype=np.int16)
+            for j in range(m):
+                x = mat[:, j * sub : (j + 1) * sub]
+                d2 = ((x[:, None, :] - bks[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1).astype(np.int16)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"].to_numpy()[ok],
+                    "codes": list(codes),
+                }
+            )
+
+    encoded = (
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        )
+        .filter(F.size("__cv") == dim)
+        .mapInPandas(encode, schema=f"neighbor_id {n_id_type}, codes array<smallint>")
+        .orderBy("neighbor_id")  # stable tie-breaking, as in the BLAS paths
+        .collect()
+    )
+    c_ids = np.array([r["neighbor_id"] for r in encoded])
+    c_codes = np.array([r["codes"] for r in encoded], dtype=np.int64)
+    bc_codes = spark.sparkContext.broadcast((c_ids, c_codes))
+
+    # --- ADC scan: per-query LUT + gather-sum over the code table -----
+    q_id_type = dict(queries.dtypes)[query_id]
+
+    def adc(batches):
+        import pandas as pd
+
+        bks = bc_books.value
+        ids, codes = bc_codes.value
+        # LUT gather via flat indexing: code j in column j offsets by
+        # j * n_codes into the flattened (m * n_codes) table
+        flat_codes = codes + (np.arange(m) * bks.shape[1])[None, :]
+        for pdf in batches:
+            q_ids = pdf["query_id"].to_numpy()
+            q_mat = np.array(list(pdf["__qv"]), dtype=np.float64)
+            q_nrm = np.linalg.norm(q_mat, axis=1)
+            ok = q_nrm > 0
+            q_ids, q_mat = q_ids[ok], q_mat[ok] / q_nrm[ok][:, None]
+            if not len(q_ids):
+                continue
+            # inner-product tables: lut[q, j, c] = q_sub_j · book[j][c]
+            qs = q_mat.reshape(len(q_mat), m, sub)
+            lut = np.einsum("qjs,jcs->qjc", qs, bks).reshape(len(q_mat), -1)
+            sims = lut[:, flat_codes.ravel()].reshape(len(q_mat), len(ids), m).sum(2)
+            sims[q_ids[:, None] == ids[None, :]] = -np.inf
+            nc = min(n_candidates, sims.shape[1])
+            top = np.argsort(-np.round(sims, 12), axis=1, kind="stable")[:, :nc]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, nc),
+                    "neighbor_id": ids[top].ravel(),
+                    "adc_score": np.take_along_axis(sims, top, 1).ravel(),
+                }
+            )
+
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv"))
+    cand = q.mapInPandas(
+        adc, schema=f"query_id {q_id_type}, neighbor_id {n_id_type}, adc_score double"
+    ).filter(F.col("adc_score") > float("-inf"))
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    if not rerank:
+        out = cand.withColumn("cosine", F.round("adc_score", 12))
+        return (
+            out.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+        )
+    # exact re-rank: two equi-joins back to the raw vectors
+    c_raw = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    q_raw = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    scored = (
+        cand.join(c_raw, "neighbor_id")
+        .join(q_raw, "query_id")
+        .withColumn(
+            "cosine", F.round(array_cosine_similarity("__qv", "__cv"), 12)
+        )
+        .filter(F.col("cosine").isNotNull())
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

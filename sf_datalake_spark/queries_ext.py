@@ -1028,6 +1028,20 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-3: 8-subspace 16-code ADC
+    scan of the compressed corpus + exact re-rank of 64 candidates
+    (rows-only: codebook training is iterative/seeded, not SQL).
+    Measured recall@3 on this adversarial uniform corpus: 0.85 at 64
+    candidates, 0.94 at 128 (SCALE.md)."""
+    from sf_datalake_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk(emb, emb, k=3, m=8, n_codes=16, n_candidates=64).select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by hyperplane LSH
     buckets — the vector-space twin of MinHash dedup. Threshold 0.3 sits
@@ -1984,6 +1998,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode": q_multimodal_decode,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_pq_topk": q_ann_pq_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "ml_train_predict": q_ml_train_predict,
     "linear_shap_parity": q_linear_shap_parity,

@@ -333,3 +333,57 @@ def test_multiprobe_buckets_contract(spark):
         for b in bkts[1:]:
             x = b ^ base[vid]
             assert x != 0 and (x & (x - 1)) == 0  # exactly one bit flipped
+
+
+def test_pq_topk_matches_exact_on_separable_data(spark):
+    """On well-separated clusters PQ + re-rank recovers the exact top-k,
+    and the re-ranked cosines are the true ones."""
+    import numpy as np
+
+    from sf_datalake_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for cl in range(4):
+        center = rng.normal(size=16)
+        center /= np.linalg.norm(center)
+        for i in range(12):
+            v = center + 0.05 * rng.normal(size=16)
+            rows.append((cl * 100 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = brute_force_topk(df, df, k=2)
+    approx = pq_topk(df, df, k=2, m=4, n_codes=8, train_sample=48,
+                     n_candidates=16, seed=3)
+    e = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in approx.collect()}
+    hit = len(set(e) & set(a)) / len(e)
+    assert hit >= 0.9, f"recall {hit} too low on separable clusters"
+    for pair in set(e) & set(a):
+        assert a[pair] == pytest.approx(e[pair], abs=1e-6)
+
+
+def test_pq_topk_contract_edges(spark):
+    import pytest as _pt
+
+    from sf_datalake_spark.operators.similarity import pq_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0, 0.0]),
+         (3, [0.0, 0.0, 0.0, 0.0]), (4, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = pq_topk(df, df, k=2, m=2, n_codes=4, train_sample=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # zero-norm vector 3 is neither query nor neighbor
+    assert 3 not in by_q
+    assert all(r["neighbor_id"] != 3 for rs in by_q.values() for r in rs)
+    # no self matches
+    assert all(r["neighbor_id"] != q for q, rs in by_q.items() for r in rs)
+    # dim not divisible by m rejected
+    with _pt.raises(ValueError, match="divisible"):
+        pq_topk(df, df, m=3)
