@@ -277,6 +277,40 @@ def exact_k_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly-k sample with probability proportional to ``weight_col``
+    — Efraimidis–Spirakis (2006) weighted reservoir sampling, made
+    deterministic: each row's exponential race key is ``−ln(u)/w`` with
+    ``u`` derived from the md5 of the row key instead of an RNG, and
+    the k smallest keys win.
+
+    Same plan shape as :func:`exact_k_sample` (TakeOrderedAndProject,
+    per-partition local top-k — never a global sort), same
+    reproducibility story (no RNG state, bit-stable across engines).
+    The race key is rounded at 9 decimals before ranking with a
+    ``key_col`` tie-break, so cross-engine ``ln`` ULP drift cannot flip
+    the selection boundary.  Rows with non-positive or null weight
+    never win (they get an infinite race key), matching the w=0
+    semantics of the paper.
+    """
+    u = (shuffle_key(key_col, salt).cast("double") + 1.0) / float((1 << 60) + 1)
+    w = F.col(weight_col).cast("double")
+    race = F.when(w > 0, F.round(-F.log(u) / w, 9))
+    return (
+        df.withColumn("__race", race)
+        .filter(F.col("__race").isNotNull())
+        .orderBy("__race", key_col)
+        .limit(k)
+        .drop("__race")
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     id_col: str = "doc_id",

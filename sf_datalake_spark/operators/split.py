@@ -72,3 +72,26 @@ def train_test_split_grouped(
         df.join(train_g, on=group_col, how="left_semi"),
         df.join(test_g, on=group_col, how="left_semi"),
     )
+
+
+def split_by_cluster(
+    labeled: DataFrame,
+    cluster_col: str = "cluster_id",
+    test_fraction: float = 0.2,
+    salt: str = "",
+) -> DataFrame:
+    """Contamination-safe train/test assignment: hash-split on the
+    near-dup CLUSTER label, so near-duplicate documents can never
+    straddle the boundary (a plain per-document split leaks test
+    content into training through its duplicates — the exact failure
+    benchmark decontamination exists to prevent).
+
+    Input is the output of ``dedup_clusters`` (or anything carrying a
+    cluster label); output adds ``is_test``.  A pure md5-bucket filter
+    column — zero shuffle on top of the labeling, deterministic across
+    engines and re-runs.
+    """
+    cut = int(round(test_fraction * 10_000))
+    return labeled.withColumn(
+        "is_test", (hash_bucket(cluster_col, 10_000, salt) < cut).cast("int")
+    )

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sf_datalake_spark.queries import _t
+from sf_datalake_spark.queries_ext import _LSH_PAIRS_SQL
 
 # Whitespace tokens, as the shingle oracle builds them (queries.py
 # _SHINGLE_SQL): split on \s+, drop empties.
@@ -346,6 +347,73 @@ _EXACT_K_SQL = """
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-100 sample with probability ∝ n_chars — deterministic
+    Efraimidis–Spirakis race keys from md5, TakeOrderedAndProject plan."""
+    from sf_datalake_spark.operators.corpus import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, 100, "n_chars", "doc_id", salt="ws").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+_WEIGHTED_SAMPLE_SQL = """
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY round(
+        -ln((('0x' || substr(md5('ws:0:' || doc_id::VARCHAR), 1, 15))::BIGINT
+             + 1.0) / 1152921504606846977.0)
+        / CAST(n_chars AS DOUBLE), 9), doc_id
+    LIMIT 100
+"""
+
+
+def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-safe train/test split: hash-split on the near-dup
+    cluster label so duplicates never straddle the boundary — the
+    dedup pipeline's labels feeding the ML layer's grouped split."""
+    from sf_datalake_spark.operators.components import dedup_clusters
+    from sf_datalake_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from sf_datalake_spark.operators.split import split_by_cluster
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
+    pairs = lsh_candidate_pairs(
+        sig, "doc_id", bands=4, rows_per_band=2, signature_length=8
+    )
+    labeled = dedup_clusters(docs, pairs, "doc_id").drop("is_canonical")
+    return split_by_cluster(labeled, "cluster_id", 0.25, salt="cs")
+
+
+_CLUSTER_SPLIT_SQL = rf"""
+    WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),
+    edges AS (
+        SELECT id_1 AS src, id_2 AS dst FROM pairs
+        UNION
+        SELECT id_2, id_1 FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+    labeled AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, cluster_id,
+           CAST(('0x' || substr(md5(cluster_id::VARCHAR || 'cs'), 1, 8))::BIGINT
+                % 10000 < 2500 AS INT) AS is_test
+    FROM labeled
+"""
+
+
 QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
@@ -356,6 +424,8 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_removal": q_boilerplate_removal,
     "training_order": q_training_order,
     "exact_k_sample": q_exact_k_sample,
+    "weighted_sample": q_weighted_sample,
+    "cluster_safe_split": q_cluster_safe_split,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -363,6 +433,8 @@ ORACLES_CORPUS: dict[str, str] = {
     "boilerplate_removal": _BOILERPLATE_SQL,
     "training_order": _TRAINING_ORDER_SQL,
     "exact_k_sample": _EXACT_K_SQL,
+    "weighted_sample": _WEIGHTED_SAMPLE_SQL,
+    "cluster_safe_split": _CLUSTER_SPLIT_SQL,
     "chunk_documents": _CHUNK_SQL,
     "pack_sequences": _PACK_SQL,
     "stratified_sample": _STRATIFIED_SQL,

@@ -262,3 +262,37 @@ def test_exact_k_sample_exact_and_scalable_plan(spark):
     # global-sort-free plan: TakeOrderedAndProject, no range Exchange
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_bias_and_exactness(spark):
+    from sf_datalake_spark.operators.corpus import weighted_sample
+
+    # 500 light docs (w=1) + 500 heavy (w=100): heavy docs should
+    # dominate the sample; zero/negative weights never win.
+    rows = [(i, 1) for i in range(500)] + [(i, 100) for i in range(500, 1000)]
+    rows += [(1000, 0), (1001, -5)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = [r["doc_id"] for r in weighted_sample(df, 50, "w", "doc_id", salt="b").collect()]
+    assert len(out) == 50 and len(set(out)) == 50
+    assert 1000 not in out and 1001 not in out
+    heavy = sum(1 for d in out if 500 <= d < 1000)
+    # E[heavy] ≈ 49.5 under w=100:1 odds; even 3 sigma keeps it > 40
+    assert heavy > 40, f"only {heavy}/50 heavy docs sampled"
+    # deterministic
+    again = [r["doc_id"] for r in weighted_sample(df, 50, "w", "doc_id", salt="b").collect()]
+    assert out == again
+
+
+def test_split_by_cluster_never_splits_a_cluster(spark):
+    from sf_datalake_spark.operators.split import split_by_cluster
+
+    labeled = spark.createDataFrame(
+        [(i, i % 17) for i in range(200)], "doc_id long, cluster_id long"
+    )
+    out = split_by_cluster(labeled, "cluster_id", 0.3, salt="t").collect()
+    sides = {}
+    for r in out:
+        sides.setdefault(r["cluster_id"], set()).add(r["is_test"])
+    assert all(len(s) == 1 for s in sides.values()), "cluster straddles split"
+    test_clusters = {c for c, s in sides.items() if s == {1}}
+    assert 0 < len(test_clusters) < 17
