@@ -410,3 +410,90 @@ def resolve_duplicates(
         (F.row_number().over(w) == 1).cast("int").alias("keep"),
         F.first(F.col(id_col)).over(w).alias("kept_id"),
     )
+
+
+def triangle_stats(
+    pairs: DataFrame,
+    id_col_1: str = "id_1",
+    id_col_2: str = "id_2",
+) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficients over
+    an undirected pair graph — the standard quality diagnostics for a
+    near-duplicate graph (high clustering = dense duplicate cliques the
+    LSH banding found consistently; triangles ≈ 0 = noisy pairs).
+
+    Output (id, degree, triangles, clustering) with ``clustering =
+    2·T / (d·(d−1))`` (0.0 for degree < 2), rounded at 6.
+
+    Algorithm: degree-ordered edge orientation (Cohen 2009 / the
+    MapReduce-folklore triangle count) — each undirected edge directs
+    from its lower-(degree, id) endpoint to the higher one, wedges pair
+    the out-neighbors of each node, and a final equi-join against the
+    oriented edge set closes them.  Orientation bounds every node's
+    out-degree by O(√m) on any graph (arboricity), so the wedge join —
+    the quadratic danger — is skew-safe even when a hub document pairs
+    with everything: the hub's edges all point INTO it, producing no
+    wedges at the hub.  Three shuffles (degree count, wedge join,
+    closing join), all on node ids.
+    """
+    e = (
+        pairs.select(
+            F.least(id_col_1, id_col_2).alias("a"),
+            F.greatest(id_col_1, id_col_2).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("degree"))
+    )
+    # orient by (degree, id): src = lower endpoint under that order
+    withdeg = (
+        e.join(deg.select(F.col("id").alias("a"), F.col("degree").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("degree").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    d = withdeg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
+    )
+    d1, d2 = d.alias("d1"), d.alias("d2")
+    wedge_order = (F.col("d1.dst_deg") < F.col("d2.dst_deg")) | (
+        (F.col("d1.dst_deg") == F.col("d2.dst_deg"))
+        & (F.col("d1.dst") < F.col("d2.dst"))
+    )
+    wedges = d1.join(d2, (F.col("d1.src") == F.col("d2.src")) & wedge_order).select(
+        F.col("d1.src").alias("u"),
+        F.col("d1.dst").alias("v"),
+        F.col("d2.dst").alias("w"),
+    )
+    tri = wedges.join(
+        d.select(F.col("src").alias("v"), F.col("dst").alias("w")), ["v", "w"]
+    )
+    per_node = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "id", "left")
+        .select(
+            "id",
+            F.col("degree").cast("bigint").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0 * F.coalesce("triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("clustering"),
+        )
+    )

@@ -1707,6 +1707,72 @@ _DEDUP_RESOLUTION_SQL = rf"""
 """
 
 
+def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + clustering coefficients of the LSH near-dup
+    graph (degree-ordered orientation, so the wedge join is bounded by
+    arboricity even at hub nodes) — the graph-quality diagnostic for a
+    dedup pipeline."""
+    from sf_datalake_spark.operators.components import triangle_stats
+    from sf_datalake_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
+    pairs = lsh_candidate_pairs(
+        sig, "doc_id", bands=4, rows_per_band=2, signature_length=8
+    )
+    return triangle_stats(pairs, "id_1", "id_2")
+
+
+_TRIANGLE_SQL = rf"""
+    WITH pairs AS ({_LSH_PAIRS_SQL}),
+    e AS (
+        SELECT DISTINCT least(id_1, id_2) AS a, greatest(id_1, id_2) AS b
+        FROM pairs WHERE id_1 <> id_2
+    ),
+    deg AS (
+        SELECT id, count(*) AS degree FROM (
+            SELECT a AS id FROM e UNION ALL SELECT b FROM e
+        ) GROUP BY id
+    ),
+    oriented AS (
+        SELECT CASE WHEN (da.degree, e.a) < (db.degree, e.b)
+                    THEN e.a ELSE e.b END AS src,
+               CASE WHEN (da.degree, e.a) < (db.degree, e.b)
+                    THEN e.b ELSE e.a END AS dst,
+               CASE WHEN (da.degree, e.a) < (db.degree, e.b)
+                    THEN db.degree ELSE da.degree END AS dst_deg
+        FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b
+    ),
+    wedges AS (
+        SELECT d1.src AS u, d1.dst AS v, d2.dst AS w
+        FROM oriented d1 JOIN oriented d2
+          ON d1.src = d2.src
+         AND (d1.dst_deg, d1.dst) < (d2.dst_deg, d2.dst)
+    ),
+    tri AS (
+        SELECT u, v, w FROM wedges
+        JOIN oriented d3 ON d3.src = wedges.v AND d3.dst = wedges.w
+    ),
+    per_node AS (
+        SELECT id, count(*) AS triangles FROM (
+            SELECT u AS id FROM tri
+            UNION ALL SELECT v FROM tri
+            UNION ALL SELECT w FROM tri
+        ) GROUP BY id
+    )
+    SELECT deg.id, CAST(deg.degree AS BIGINT) AS degree,
+           CAST(coalesce(per_node.triangles, 0) AS BIGINT) AS triangles,
+           CASE WHEN deg.degree >= 2
+                THEN round(2.0 * coalesce(per_node.triangles, 0)
+                           / (deg.degree * (deg.degree - 1)), 6)
+                ELSE 0.0 END AS clustering
+    FROM deg LEFT JOIN per_node ON deg.id = per_node.id
+"""
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF (training-data layer, text analysis): top-k characteristic
 # terms per document — explode → two partial aggs → vocab join →
@@ -2017,6 +2083,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bucketed_join": q_bucketed_join,
     "dedup_clusters": q_dedup_clusters,
     "dedup_resolution": q_dedup_resolution,
+    "triangle_stats": q_triangle_stats,
     "tfidf_topk": q_tfidf_topk,
     "streaming_windowed": q_streaming_windowed,
     "streaming_dedup": q_streaming_dedup,
@@ -2061,6 +2128,7 @@ ORACLES_EXT: dict[str, str] = {
     "bucketed_join": _BUCKETED_JOIN_SQL,
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "dedup_resolution": _DEDUP_RESOLUTION_SQL,
+    "triangle_stats": _TRIANGLE_SQL,
     "tfidf_topk": _TFIDF_SQL,
     "streaming_windowed": _STREAMING_WINDOWED_SQL,
     "streaming_dedup": _STREAMING_DEDUP_SQL,

@@ -145,3 +145,24 @@ def test_resolve_duplicates_quality_policy(spark):
     assert out[2]["keep"] == 1 and out[1]["keep"] == 0 and out[3]["keep"] == 0
     assert {out[i]["kept_id"] for i in (1, 2, 3)} == {2}
     assert out[4]["keep"] == 1 and out[4]["kept_id"] == 4
+
+
+def test_triangle_stats_known_graph(spark):
+    from sf_datalake_spark.operators.components import triangle_stats
+
+    # K4 on {1,2,3,4} (4 triangles, clustering 1.0 everywhere) plus a
+    # pendant 5-6 edge and a path node 7 hanging off 1.
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 6), (1, 7)]
+    # duplicates / reversed duplicates must not double-count
+    edges += [(2, 1), (3, 1)]
+    df = spark.createDataFrame(edges, "id_1 long, id_2 long")
+    out = {r["id"]: r for r in triangle_stats(df).collect()}
+    assert out[2]["degree"] == 3 and out[2]["triangles"] == 3
+    assert out[2]["clustering"] == 1.0
+    assert out[1]["degree"] == 4 and out[1]["triangles"] == 3
+    # 1 has degree 4 incl. pendant 7: clustering 2*3/(4*3) = 0.5
+    assert out[1]["clustering"] == 0.5
+    assert out[5]["triangles"] == 0 and out[5]["clustering"] == 0.0
+    assert out[7]["degree"] == 1 and out[7]["clustering"] == 0.0
+    # total triangle mass: each triangle counted once per member
+    assert sum(r["triangles"] for r in out.values()) == 3 * 4
