@@ -163,3 +163,92 @@ def tf_idf_topk(
         .filter(F.col("rk") <= top_k)
         .select(id_col, "term", "tf", "tfidf")
     )
+
+
+def text_entropy(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unit: str = "token",
+):
+    """Per-document Shannon entropy of the token (or character)
+    distribution, in bits — the information-density quality signal:
+    near-zero entropy means a degenerate repeated-symbol document,
+    unusually high char-entropy flags binary junk in a text corpus.
+
+    Returns ``(id_col, n_units, n_distinct, entropy)`` with ``entropy =
+    −Σ (c/n)·log2(c/n)`` rounded at 6 (cross-engine log ULP drift is
+    ~1e-16 relative and cannot move a 6-decimal rounding).
+
+    Scale: one explode + groupBy(doc, unit) with map-side combine +
+    groupBy(doc) — the exact shape of every other per-doc distribution
+    op here; for ``unit="char"`` the exploded row count is the corpus
+    character count, which is why the aggregation combines map-side
+    before any exchange.
+    """
+    if unit == "token":
+        units = F.explode(tokenize(text_col)).alias("__u")
+    elif unit == "char":
+        units = F.explode(F.split(F.col(text_col), "")).alias("__u")
+    else:
+        raise ValueError(f"unit must be 'token' or 'char', got {unit!r}")
+    counts = (
+        docs.select(id_col, units)
+        .filter(F.col("__u") != "")
+        .groupBy(id_col, "__u")
+        .agg(F.count("*").alias("__c"))
+    )
+    n = F.sum("__c")
+    return counts.groupBy(id_col).agg(
+        n.cast("bigint").alias("n_units"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.round(
+            F.log2(n) - F.sum(F.col("__c") * F.log2("__c")) / n, 6
+        ).alias("entropy"),
+    )
+
+
+def compression_ratio(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+):
+    """Per-document zlib compression ratio — the Gopher-style
+    "compressibility" quality signal: highly compressible text is
+    repetitive boilerplate; incompressible "text" is often binary junk
+    or ciphertext. Returns ``(id_col, n_bytes, n_compressed, ratio)``
+    with ``ratio = n_compressed / n_bytes`` rounded at 6 (empty
+    documents are skipped — the ratio is undefined).
+
+    A justified Python stage: DEFLATE is a codec, not a Column
+    expression. Runs as a narrow Arrow ``mapInPandas`` (no shuffle, no
+    state; batch memory bounded by maxPartitionBytes) with a fixed
+    compression level, so output is deterministic for a given zlib.
+    """
+
+    def compress(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = [t.encode("utf-8") for t in pdf[text_col].fillna("")]
+            n_bytes = [len(b) for b in raw]
+            n_comp = [len(zlib.compress(b, level)) for b in raw]
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": n_bytes,
+                    "n_compressed": n_comp,
+                }
+            )
+            out = out[out["n_bytes"] > 0]
+            out["ratio"] = (out["n_compressed"] / out["n_bytes"]).round(6)
+            yield out
+
+    id_type = dict(docs.dtypes)[id_col]
+    return docs.select(id_col, text_col).mapInPandas(
+        compress,
+        schema=f"{id_col} {id_type}, n_bytes bigint, n_compressed bigint, ratio double",
+    )

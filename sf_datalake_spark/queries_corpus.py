@@ -414,6 +414,42 @@ _CLUSTER_SPLIT_SQL = rf"""
 """
 
 
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per document (bits) — the
+    information-density quality filter."""
+    from sf_datalake_spark.functions.text import text_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return text_entropy(docs, "doc_id", "text", unit="token")
+
+
+_ENTROPY_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) AS u
+        FROM documents
+    ),
+    cnt AS (SELECT doc_id, u, count(*) AS c FROM toks GROUP BY 1, 2)
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_units,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(log2(CAST(sum(c) AS DOUBLE))
+                 - sum(c * log2(CAST(c AS DOUBLE)))
+                   / CAST(sum(c) AS DOUBLE), 6) AS entropy
+    FROM cnt GROUP BY doc_id
+"""
+
+
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compressibility per document — rows-only (DEFLATE is not
+    SQL-expressible); determinism pinned by a fixed level and verified
+    by the round-trip test."""
+    from sf_datalake_spark.functions.text import compression_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    return compression_ratio(docs, "doc_id", "text", level=6)
+
+
 QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
@@ -426,6 +462,8 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_k_sample": q_exact_k_sample,
     "weighted_sample": q_weighted_sample,
     "cluster_safe_split": q_cluster_safe_split,
+    "text_entropy": q_text_entropy,
+    "compression_ratio": q_compression_ratio,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -435,6 +473,7 @@ ORACLES_CORPUS: dict[str, str] = {
     "exact_k_sample": _EXACT_K_SQL,
     "weighted_sample": _WEIGHTED_SAMPLE_SQL,
     "cluster_safe_split": _CLUSTER_SPLIT_SQL,
+    "text_entropy": _ENTROPY_SQL,
     "chunk_documents": _CHUNK_SQL,
     "pack_sequences": _PACK_SQL,
     "stratified_sample": _STRATIFIED_SQL,

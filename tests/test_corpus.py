@@ -296,3 +296,48 @@ def test_split_by_cluster_never_splits_a_cluster(spark):
     assert all(len(s) == 1 for s in sides.values()), "cluster straddles split"
     test_clusters = {c for c, s in sides.items() if s == {1}}
     assert 0 < len(test_clusters) < 17
+
+
+def test_text_entropy_hand_cases(spark):
+    import math
+
+    from sf_datalake_spark.functions.text import text_entropy
+
+    df = _docs(spark, [
+        (1, "a a a a"),            # degenerate: H = 0
+        (2, "a b c d"),            # uniform over 4: H = 2 bits
+        (3, "a a b"),              # H = -(2/3)lg(2/3) - (1/3)lg(1/3)
+    ])
+    out = {r["doc_id"]: r for r in text_entropy(df).collect()}
+    assert out[1]["entropy"] == 0.0 and out[1]["n_distinct"] == 1
+    assert out[2]["entropy"] == pytest.approx(2.0, abs=1e-6)
+    expect = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert out[3]["entropy"] == pytest.approx(expect, abs=1e-6)
+    # char mode counts characters, not tokens (spaces excluded by split)
+    ch = {r["doc_id"]: r for r in text_entropy(df, unit="char").collect()}
+    assert ch[1]["n_units"] == 7  # "a a a a" = 4 a's + 3 spaces
+    with pytest.raises(ValueError, match="unit"):
+        text_entropy(df, unit="word")
+
+
+def test_compression_ratio_signal_direction(spark):
+    from sf_datalake_spark.functions.text import compression_ratio
+
+    import random
+    rng = random.Random(5)
+    junk = " ".join(
+        "".join(chr(rng.randrange(33, 127)) for _ in range(8)) for _ in range(100)
+    )
+    df = _docs(spark, [
+        (1, "spam " * 500),        # boilerplate: compresses hard
+        (2, junk),                 # high-entropy: barely compresses
+        (3, ""),                   # empty: skipped
+    ])
+    out = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["ratio"] < 0.05 < out[2]["ratio"]
+    assert out[1]["n_bytes"] == 2500
+    # deterministic across runs (fixed level)
+    again = {r["doc_id"]: r["n_compressed"]
+             for r in compression_ratio(df).collect()}
+    assert again == {k: v["n_compressed"] for k, v in out.items()}
