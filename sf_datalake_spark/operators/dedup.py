@@ -114,6 +114,35 @@ def lsh_candidate_pairs(
     bands into a single all-pairs bucket (null ``element_at`` →
     ``concat_ws`` skips → every doc shares ``md5('')``).
     """
+    banded = _band_keys(
+        signatures, id_col, bands, rows_per_band, signature_length
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2")
+        )
+        .distinct()
+    )
+
+
+def _band_keys(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+    signature_length: int | None = None,
+) -> DataFrame:
+    """(id, band, bucket) banding rows shared by the self-join and the
+    incremental (new-vs-base) LSH paths; validates the banding against
+    the signature length (see :func:`lsh_candidate_pairs`)."""
     n = signature_length
     if n is None:
         row = signatures.select(F.size("signature").alias("n")).head(1)
@@ -124,7 +153,7 @@ def lsh_candidate_pairs(
             f"signature length {n} — out-of-range slots would collapse "
             "those bands into one all-pairs bucket"
         )
-    banded = signatures.select(
+    return signatures.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -148,19 +177,80 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+
+
+def lsh_pairs_against(
+    new_sigs: DataFrame,
+    base_sigs: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    signature_length: int | None = None,
+    include_new_pairs: bool = True,
+) -> DataFrame:
+    """Incremental dedup: candidate near-dup pairs of an INCOMING batch
+    against an EXISTING corpus — plus (by default) within-batch pairs —
+    with the signature-agreement Jaccard estimate attached.
+
+    Output ``(new_id, match_id, match_side, est_jaccard)``:
+    ``match_side`` is ``'base'`` for batch-vs-corpus hits and ``'new'``
+    for within-batch hits (emitted once, ``new_id < match_id``);
+    ``est_jaccard`` is the fraction of agreeing signature slots — the
+    unbiased MinHash estimate of Jaccard similarity, the standard
+    pre-verification score.  Ids must be disjoint across the two inputs
+    (they identify which side a document lives on).
+
+    This is the continuous-ingest shape at 100 TB: the corpus side's
+    ``(id, band, bucket)`` table and signatures are computed ONCE and
+    stored (bucketed by ``(band, bucket)``); each incoming batch
+    computes only its own signatures, and the band equi-join prunes the
+    corpus to matching buckets — cost scales with the batch, not the
+    corpus.  Within-batch pairs reuse :func:`lsh_candidate_pairs`.
+    """
+    new_b = _band_keys(new_sigs, id_col, bands, rows_per_band, signature_length)
+    base_b = _band_keys(base_sigs, id_col, bands, rows_per_band, signature_length)
+    n = new_b.alias("n")
+    e = base_b.alias("e")
+    cross = (
+        n.join(
+            e,
+            (F.col("n.band") == F.col("e.band"))
+            & (F.col("n.bucket") == F.col("e.bucket")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2")
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"e.{id_col}").alias("match_id"),
+            F.lit("base").alias("match_side"),
         )
         .distinct()
+    )
+    pairs = cross
+    if include_new_pairs:
+        within = lsh_candidate_pairs(
+            new_sigs, id_col, bands, rows_per_band, signature_length
+        ).select(
+            F.col("id_1").alias("new_id"),
+            F.col("id_2").alias("match_id"),
+            F.lit("new").alias("match_side"),
+        )
+        pairs = cross.unionAll(within)
+    sigs = new_sigs.unionAll(base_sigs)
+    s1 = sigs.select(F.col(id_col).alias("new_id"), F.col("signature").alias("__s1"))
+    s2 = sigs.select(F.col(id_col).alias("match_id"), F.col("signature").alias("__s2"))
+    agree = F.size(
+        F.filter(
+            F.zip_with("__s1", "__s2", lambda x, y: x == y), lambda v: v
+        )
+    )
+    return (
+        pairs.join(s1, "new_id")
+        .join(s2, "match_id")
+        .select(
+            "new_id",
+            "match_id",
+            "match_side",
+            F.round(agree / F.size("__s1"), 6).alias("est_jaccard"),
+        )
     )
 
 

@@ -16,7 +16,8 @@ from pyspark.sql import functions as F
 from sf_datalake_spark.operators.asof import merge_asof
 from sf_datalake_spark.operators.dedup import simhash, simhash_near_dup_pairs
 from sf_datalake_spark.operators.windows import with_linear_interpolation
-from sf_datalake_spark.queries import _t, customer_monthly_panel, _LSH_PAIRS_SQL, _PANEL_SQL
+from sf_datalake_spark.queries import (_t, customer_monthly_panel, _LSH_PAIRS_SQL,
+                                       _PANEL_SQL, _SHINGLE_SQL, _minhash_family_sql)
 
 
 # ---------------------------------------------------------------------------
@@ -1707,6 +1708,78 @@ _DEDUP_RESOLUTION_SQL = rf"""
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup: src3 documents as the incoming batch
+    against the rest of the corpus — batch-vs-corpus and within-batch
+    LSH candidates with the MinHash Jaccard estimate. Cost scales with
+    the batch (the corpus banding table is precomputed/stored at
+    100 TB), not the corpus."""
+    from sf_datalake_spark.operators.dedup import (
+        lsh_pairs_against,
+        minhash_signature,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    new_sigs = minhash_signature(
+        docs.filter(F.col("source") == "src3"), "doc_id", "text",
+        num_hashes=8, shingle_n=3,
+    )
+    base_sigs = minhash_signature(
+        docs.filter(F.col("source") != "src3"), "doc_id", "text",
+        num_hashes=8, shingle_n=3,
+    )
+    return lsh_pairs_against(
+        new_sigs, base_sigs, "doc_id",
+        bands=4, rows_per_band=2, signature_length=8,
+    )
+
+
+_INCREMENTAL_DEDUP_SQL = rf"""
+    WITH shingles AS ({_SHINGLE_SQL}),
+    fam AS {_minhash_family_sql(8)},
+    xs AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS x
+        FROM shingles
+    ),
+    hashed AS (
+        SELECT doc_id, seed, (c * x + d) % (SELECT p FROM p) AS h
+        FROM xs CROSS JOIN fam
+    ),
+    sig AS (SELECT doc_id, seed, min(h) AS mh FROM hashed GROUP BY 1, 2),
+    banded AS (
+        SELECT doc_id, seed // 2 AS band,
+               md5(string_agg(mh::varchar, ',' ORDER BY seed)) AS bucket
+        FROM sig GROUP BY doc_id, seed // 2
+    ),
+    new_b AS (
+        SELECT b.* FROM banded b JOIN documents d USING (doc_id)
+        WHERE d.source = 'src3'
+    ),
+    base_b AS (
+        SELECT b.* FROM banded b JOIN documents d USING (doc_id)
+        WHERE d.source <> 'src3'
+    ),
+    pairs AS (
+        SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS match_id,
+               'base' AS match_side
+        FROM new_b n JOIN base_b e
+          ON n.band = e.band AND n.bucket = e.bucket
+        UNION ALL
+        SELECT DISTINCT a.doc_id, b.doc_id, 'new'
+        FROM new_b a JOIN new_b b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+    )
+    SELECT p.new_id, p.match_id, p.match_side,
+           round(sum(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END) / 8.0, 6)
+               AS est_jaccard
+    FROM pairs p
+    JOIN sig s1 ON s1.doc_id = p.new_id
+    JOIN sig s2 ON s2.doc_id = p.match_id AND s2.seed = s1.seed
+    GROUP BY 1, 2, 3
+"""
+
+
 def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counts + clustering coefficients of the LSH near-dup
     graph (degree-ordered orientation, so the wedge join is bounded by
@@ -2084,6 +2157,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_resolution": q_dedup_resolution,
     "triangle_stats": q_triangle_stats,
+    "incremental_dedup": q_incremental_dedup,
     "tfidf_topk": q_tfidf_topk,
     "streaming_windowed": q_streaming_windowed,
     "streaming_dedup": q_streaming_dedup,
@@ -2129,6 +2203,7 @@ ORACLES_EXT: dict[str, str] = {
     "dedup_clusters": _DEDUP_CLUSTERS_SQL,
     "dedup_resolution": _DEDUP_RESOLUTION_SQL,
     "triangle_stats": _TRIANGLE_SQL,
+    "incremental_dedup": _INCREMENTAL_DEDUP_SQL,
     "tfidf_topk": _TFIDF_SQL,
     "streaming_windowed": _STREAMING_WINDOWED_SQL,
     "streaming_dedup": _STREAMING_DEDUP_SQL,

@@ -387,3 +387,43 @@ def test_pq_topk_contract_edges(spark):
     # dim not divisible by m rejected
     with _pt.raises(ValueError, match="divisible"):
         pq_topk(df, df, m=3)
+
+
+def test_lsh_pairs_against_incremental_contract(spark):
+    from sf_datalake_spark.operators.dedup import (
+        lsh_pairs_against,
+        minhash_signature,
+    )
+
+    base_rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "one two three four five six seven eight nine"),
+    ]
+    new_rows = [
+        # near-copy of base doc 1 -> base match
+        (10, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        # two identical new docs -> within-batch match
+        (11, "red green blue cyan magenta yellow black white"),
+        (12, "red green blue cyan magenta yellow black white"),
+        # unrelated
+        (13, "q w e r t y u i o p"),
+    ]
+    mk = lambda rows: minhash_signature(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        "doc_id", "text", num_hashes=8, shingle_n=3)
+    out = lsh_pairs_against(mk(new_rows), mk(base_rows), "doc_id",
+                            bands=4, rows_per_band=2, signature_length=8)
+    rows = {(r["new_id"], r["match_id"]): r for r in out.collect()}
+    assert (10, 1) in rows and rows[(10, 1)]["match_side"] == "base"
+    assert rows[(10, 1)]["est_jaccard"] > 0.4
+    assert (11, 12) in rows and rows[(11, 12)]["match_side"] == "new"
+    assert rows[(11, 12)]["est_jaccard"] == 1.0  # identical docs
+    # within-batch pairs emitted once, new_id < match_id
+    assert (12, 11) not in rows
+    assert all(nid != 13 and mid != 13 for nid, mid in rows)
+    # flag off: only base matches remain
+    only_base = lsh_pairs_against(mk(new_rows), mk(base_rows), "doc_id",
+                                  bands=4, rows_per_band=2,
+                                  signature_length=8,
+                                  include_new_pairs=False)
+    assert {r["match_side"] for r in only_base.collect()} == {"base"}
