@@ -204,6 +204,65 @@ def contamination_check(
     )
 
 
+def gopher_quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_dup_token_frac: float = 0.5,
+    min_stopword_hits: int = 2,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """The Gopher rule battery (Rae et al. 2021 §A1.1) as a ZERO-SHUFFLE
+    quality gate: every rule is a higher-order-function expression over
+    the token array, so the whole battery runs inside the scan stage
+    and composes with parquet pushdown — the cheapest possible first
+    pass before any shuffling filter (repetition n-grams, dedup).
+
+    Output: (id, n_tokens, mean_word_len, dup_token_frac,
+    stopword_hits, r_token_count, r_word_len, r_dup_tokens,
+    r_stopwords, keep) — one 0/1 column per rule so downstream can
+    report WHY documents were dropped, plus the conjunction ``keep``.
+    """
+    stopwords = stopwords or ["the", "a", "and", "of", "to", "in", "is"]
+    toks = tokenize(text_col)
+    n = F.size("__t")
+    sum_len = F.aggregate(
+        F.transform(F.col("__t"), F.length),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    base = df.select(F.col(id_col), toks.alias("__t")).filter(n > 0).select(
+        id_col,
+        n.cast("int").alias("n_tokens"),
+        F.round(sum_len / n, 6).alias("mean_word_len"),
+        F.round(F.lit(1.0) - F.size(F.array_distinct("__t")) / n, 6).alias(
+            "dup_token_frac"
+        ),
+        F.size(
+            F.filter(F.col("__t"), lambda t: F.lower(t).isin(stopwords))
+        ).cast("int").alias("stopword_hits"),
+    )
+    rules = {
+        "r_token_count": F.col("n_tokens").between(min_tokens, max_tokens),
+        "r_word_len": F.col("mean_word_len").between(
+            min_mean_word_len, max_mean_word_len
+        ),
+        "r_dup_tokens": F.col("dup_token_frac") <= max_dup_token_frac,
+        "r_stopwords": F.col("stopword_hits") >= min_stopword_hits,
+    }
+    out = base
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond.cast("int"))
+    keep = F.lit(True)
+    for name in rules:
+        keep = keep & (F.col(name) == 1)
+    return out.withColumn("keep", keep.cast("int"))
+
+
 def shuffle_key(
     col: Column | str, salt: str = "", epoch: int = 0
 ) -> Column:

@@ -450,6 +450,52 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_ratio(docs, "doc_id", "text", level=6)
 
 
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule battery as a zero-shuffle scan-stage gate: per-rule
+    0/1 verdicts plus the conjunction — the first pass of corpus
+    curation, before any shuffling filter runs."""
+    from sf_datalake_spark.operators.corpus import gopher_quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_quality_filter(
+        docs, "doc_id", "text",
+        min_tokens=40, max_tokens=90,
+        min_mean_word_len=3.0, max_mean_word_len=6.0,
+        max_dup_token_frac=0.8, min_stopword_hits=1,
+    )
+
+
+_QUALITY_GATE_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, len(t) AS n_tokens,
+               round(CAST(list_sum(list_transform(t, x -> length(x)))
+                     AS DOUBLE) / len(t), 6) AS mean_word_len,
+               round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+                   AS dup_token_frac,
+               len(list_filter(t, x -> list_contains(
+                   ['the', 'a', 'and', 'of', 'to', 'in', 'is'], lower(x))))
+                   AS stopword_hits
+        FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, mean_word_len,
+           dup_token_frac, CAST(stopword_hits AS INT) AS stopword_hits,
+           CAST(n_tokens BETWEEN 40 AND 90 AS INT) AS r_token_count,
+           CAST(mean_word_len BETWEEN 3.0 AND 6.0 AS INT) AS r_word_len,
+           CAST(dup_token_frac <= 0.8 AS INT) AS r_dup_tokens,
+           CAST(stopword_hits >= 1 AS INT) AS r_stopwords,
+           CAST(n_tokens BETWEEN 40 AND 90
+                AND mean_word_len BETWEEN 3.0 AND 6.0
+                AND dup_token_frac <= 0.8
+                AND stopword_hits >= 1 AS INT) AS keep
+    FROM base
+"""
+
+
 QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
@@ -464,6 +510,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_safe_split": q_cluster_safe_split,
     "text_entropy": q_text_entropy,
     "compression_ratio": q_compression_ratio,
+    "quality_gate": q_quality_gate,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -474,6 +521,7 @@ ORACLES_CORPUS: dict[str, str] = {
     "weighted_sample": _WEIGHTED_SAMPLE_SQL,
     "cluster_safe_split": _CLUSTER_SPLIT_SQL,
     "text_entropy": _ENTROPY_SQL,
+    "quality_gate": _QUALITY_GATE_SQL,
     "chunk_documents": _CHUNK_SQL,
     "pack_sequences": _PACK_SQL,
     "stratified_sample": _STRATIFIED_SQL,

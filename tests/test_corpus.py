@@ -341,3 +341,37 @@ def test_compression_ratio_signal_direction(spark):
     again = {r["doc_id"]: r["n_compressed"]
              for r in compression_ratio(df).collect()}
     assert again == {k: v["n_compressed"] for k, v in out.items()}
+
+
+def test_gopher_quality_filter_rules(spark):
+    from sf_datalake_spark.operators.corpus import gopher_quality_filter
+
+    df = _docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog near town"),  # passes
+        (2, "spam spam spam spam spam spam spam spam spam spam"),      # dup
+        (3, "a b c d e f g h i j"),                                    # word len
+        (4, "short text here"),                                        # too few
+        (5, "qqq www eee rrr ttt yyy uuu iii ooo ppp"),                # stopwords
+    ])
+    out = {r["doc_id"]: r for r in gopher_quality_filter(
+        df, min_tokens=10, max_tokens=20,
+        min_mean_word_len=2.0, max_mean_word_len=6.0,
+        max_dup_token_frac=0.5, min_stopword_hits=1,
+    ).collect()}
+    assert out[1]["keep"] == 1
+    assert out[2]["keep"] == 0 and out[2]["r_dup_tokens"] == 0
+    assert out[3]["keep"] == 0 and out[3]["r_word_len"] == 0
+    assert out[4]["keep"] == 0 and out[4]["r_token_count"] == 0
+    assert out[5]["keep"] == 0 and out[5]["r_stopwords"] == 0
+    # each failing doc fails for exactly the expected rule(s)
+    assert out[2]["r_token_count"] == 1 and out[2]["r_stopwords"] == 0
+
+
+def test_gopher_quality_filter_zero_shuffle_plan(spark):
+    from sf_datalake_spark.operators.corpus import gopher_quality_filter
+    from sf_datalake_spark.plans import plan_report
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rep = plan_report(gopher_quality_filter(docs), execute=True)
+    assert rep["n_exchanges"] == 0
+    assert rep["n_python_evals"] == 0
