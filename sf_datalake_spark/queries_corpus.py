@@ -496,6 +496,58 @@ _QUALITY_GATE_SQL = r"""
 """
 
 
+def q_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zero-shuffle Gopher gate running UNCHANGED on a document
+    file stream (stateless Column expressions stream for free) —
+    streaming corpus ingest, oracled against the batch twin: the
+    availableNow drain must equal the batch gate exactly."""
+    from sf_datalake_spark.operators.corpus import gopher_quality_filter
+    from sf_datalake_spark.streaming import run_to_memory
+
+    # the file source wants a directory; glob-filter to the one table
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    gated = gopher_quality_filter(
+        stream, "doc_id", "text",
+        min_tokens=40, max_tokens=90,
+        min_mean_word_len=3.0, max_mean_word_len=6.0,
+        max_dup_token_frac=0.8, min_stopword_hits=1,
+    ).select("doc_id", "n_tokens", "keep")
+    return run_to_memory(gated, "q_streaming_quality", output_mode="append")
+
+
+_STREAMING_QUALITY_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, len(t) AS n_tokens,
+               round(CAST(list_sum(list_transform(t, x -> length(x)))
+                     AS DOUBLE) / len(t), 6) AS mean_word_len,
+               round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+                   AS dup_token_frac,
+               len(list_filter(t, x -> list_contains(
+                   ['the', 'a', 'and', 'of', 'to', 'in', 'is'], lower(x))))
+                   AS stopword_hits
+        FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(n_tokens BETWEEN 40 AND 90
+                AND mean_word_len BETWEEN 3.0 AND 6.0
+                AND dup_token_frac <= 0.8
+                AND stopword_hits >= 1 AS INT) AS keep
+    FROM base
+"""
+
+
 QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
@@ -511,6 +563,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_entropy": q_text_entropy,
     "compression_ratio": q_compression_ratio,
     "quality_gate": q_quality_gate,
+    "streaming_quality_gate": q_streaming_quality_gate,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -522,6 +575,7 @@ ORACLES_CORPUS: dict[str, str] = {
     "cluster_safe_split": _CLUSTER_SPLIT_SQL,
     "text_entropy": _ENTROPY_SQL,
     "quality_gate": _QUALITY_GATE_SQL,
+    "streaming_quality_gate": _STREAMING_QUALITY_SQL,
     "chunk_documents": _CHUNK_SQL,
     "pack_sequences": _PACK_SQL,
     "stratified_sample": _STRATIFIED_SQL,
