@@ -161,3 +161,106 @@ def confusion_matrix(
     """{tp, fp, tn, fn} at a threshold — one aggregation."""
     row = confusion_matrix_df(predictions, threshold, score_col, label_col).first()
     return {k: row[k] for k in ("tp", "fp", "tn", "fn")}
+
+
+def calibration_buckets(
+    predictions: DataFrame,
+    n_bins: int = 10,
+    score_col: str = "probability",
+    label_col: str = "failure",
+) -> DataFrame:
+    """Reliability-diagram buckets: scores binned into ``n_bins`` equal
+    widths over [0, 1], each with its count, mean predicted score, and
+    observed positive rate — a well-calibrated model has
+    ``mean_score ≈ frac_positive`` per bucket.  One grouped aggregation
+    (the bin id is integer arithmetic, score 1.0 clamped into the top
+    bin); emits the per-bucket Brier contribution so the summed score
+    decomposes over buckets.
+    """
+    s = F.col(score_col)
+    bin_id = F.least(
+        F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    lab = F.col(label_col).cast("double")
+    return (
+        predictions.select(bin_id.alias("bin"), s.alias("__s"), lab.alias("__y"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.avg("__s"), 6).alias("mean_score"),
+            F.round(F.avg("__y"), 6).alias("frac_positive"),
+            F.round(F.sum((F.col("__s") - F.col("__y")) ** 2), 6).alias(
+                "brier_sum"
+            ),
+        )
+    )
+
+
+def population_stability(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    base_group: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Population stability index of ``value_col``'s distribution in
+    every group against ``base_group`` — the standard drift monitor
+    between a model's training population and live traffic
+    (rule of thumb: PSI < 0.1 stable, > 0.25 investigate).
+
+    ``PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i)`` over ``n_bins`` fixed
+    equal-width bins spanning [lo, hi] (outliers clamp into the edge
+    bins — explicit edges keep the binning engine-portable, unlike
+    quantile edges); ``smoothing`` pseudo-counts per bin keep empty
+    bins finite, deterministically.
+
+    Plan: one groupBy(group, bin) count + a broadcast join of the base
+    group's (tiny, ≤ n_bins rows) distribution onto every other
+    group's, + one groupBy(group) sum — nothing scans twice.
+    """
+    v = F.col(value_col).cast("double")
+    width = (hi - lo) / n_bins
+    bin_id = F.least(
+        F.greatest(F.floor((v - lo) / width), F.lit(0)).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    counts = (
+        df.select(F.col(group_col).alias("grp"), bin_id.alias("bin"))
+        .groupBy("grp", "bin")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = counts.groupBy("grp").agg(F.sum("c").alias("t"))
+    # densify: every (grp, bin) pair exists so empty bins get the
+    # smoothed floor instead of silently dropping out of the sum
+    grps = totals.select("grp", "t")
+    bins = df.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    full = (
+        grps.crossJoin(F.broadcast(bins))
+        .join(counts, ["grp", "bin"], "left")
+        .select(
+            "grp",
+            "bin",
+            (
+                (F.coalesce(F.col("c"), F.lit(0)) + smoothing)
+                / (F.col("t") + smoothing * n_bins)
+            ).alias("p"),
+        )
+    )
+    base = full.filter(F.col("grp") == base_group).select(
+        "bin", F.col("p").alias("q")
+    )
+    return (
+        full.filter(F.col("grp") != base_group)
+        .join(F.broadcast(base), "bin")
+        .groupBy("grp")
+        .agg(
+            F.round(
+                F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))),
+                6,
+            ).alias("psi")
+        )
+        .select(F.col("grp").alias(group_col), "psi")
+    )

@@ -1086,6 +1086,75 @@ def q_ml_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("custkey", "periode", "failure", "probability_1", "alert_level")
 
 
+def q_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram buckets of the flagship model's test-set
+    scores (rows-only: model coefficients are iterative). Well
+    calibrated ⇔ mean_score ≈ frac_positive per bucket; brier_sum
+    decomposes the Brier score over buckets."""
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.ml.feature import VectorAssembler
+
+    from sf_datalake_spark.ml import fit_ready, make_classifier
+    from sf_datalake_spark.ml.evaluation import calibration_buckets
+    from sf_datalake_spark.operators.split import hash_split
+    from sf_datalake_spark.operators.windows import with_lag
+    from sf_datalake_spark.queries import q_target_variable
+
+    panel = customer_monthly_panel(spark, sf_dir)
+    panel = with_lag(panel, "revenue", [1], keys=["custkey"], period_col="periode",
+                     suffix_fmt="revenue_lag{n}m").fillna({"revenue_lag1m": 0.0})
+    labeled = panel.join(q_target_variable(spark, sf_dir), ["custkey", "periode"])
+    assembled = VectorAssembler(
+        inputCols=["revenue", "revenue_lag1m"], outputCol="features"
+    ).transform(labeled)
+    train, test = hash_split(assembled, "custkey", test_fraction=0.3)
+    train, _ = fit_ready(train)
+    model = make_classifier("LogisticRegression", maxIter=10).fit(train)
+    train.unpersist()
+    preds = model.transform(test).withColumn(
+        "probability_1", F.element_at(vector_to_array("probability"), 2)
+    )
+    return calibration_buckets(
+        preds, n_bins=10, score_col="probability_1", label_col="failure"
+    )
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability drift of the document-length distribution:
+    every source scored against src0 over 10 fixed bins — the standard
+    train-vs-live monitoring metric, one pass + a broadcast of the
+    (≤ n_bins-row) baseline distribution."""
+    from sf_datalake_spark.ml.evaluation import population_stability
+
+    docs = _t(spark, sf_dir, "documents")
+    return population_stability(
+        docs, "n_chars", "source", "src0", lo=0.0, hi=600.0,
+        n_bins=10, smoothing=0.5,
+    )
+
+
+_PSI_SQL = """
+    WITH counts AS (
+        SELECT source AS grp,
+               least(greatest(CAST(floor(n_chars / 60.0) AS INT), 0), 9) AS bin,
+               count(*) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    totals AS (SELECT grp, CAST(sum(c) AS BIGINT) AS t FROM counts GROUP BY 1),
+    bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+    full_d AS (
+        SELECT g.grp, b.bin,
+               (coalesce(c.c, 0) + 0.5) / (g.t + 5.0) AS p
+        FROM totals g CROSS JOIN bins b
+        LEFT JOIN counts c ON c.grp = g.grp AND c.bin = b.bin
+    ),
+    base AS (SELECT bin, p AS q FROM full_d WHERE grp = 'src0')
+    SELECT f.grp AS source, round(sum((p - q) * ln(p / q)), 6) AS psi
+    FROM full_d f JOIN base USING (bin)
+    WHERE f.grp <> 'src0' GROUP BY 1
+"""
+
+
 def q_linear_shap_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlation-dependent vs interventional linear explanations,
     checked against each other and the model (reference
@@ -2158,6 +2227,8 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_resolution": q_dedup_resolution,
     "triangle_stats": q_triangle_stats,
     "incremental_dedup": q_incremental_dedup,
+    "psi_drift": q_psi_drift,
+    "calibration_curve": q_calibration_curve,
     "tfidf_topk": q_tfidf_topk,
     "streaming_windowed": q_streaming_windowed,
     "streaming_dedup": q_streaming_dedup,
@@ -2204,6 +2275,7 @@ ORACLES_EXT: dict[str, str] = {
     "dedup_resolution": _DEDUP_RESOLUTION_SQL,
     "triangle_stats": _TRIANGLE_SQL,
     "incremental_dedup": _INCREMENTAL_DEDUP_SQL,
+    "psi_drift": _PSI_SQL,
     "tfidf_topk": _TFIDF_SQL,
     "streaming_windowed": _STREAMING_WINDOWED_SQL,
     "streaming_dedup": _STREAMING_DEDUP_SQL,

@@ -204,3 +204,39 @@ def test_fit_ready_right_sizes_partitions(spark):
     assert n2 == 10
     assert out2.rdd.getNumPartitions() == 2
     out2.unpersist()
+
+
+def test_calibration_buckets_hand_case(spark):
+    from sf_datalake_spark.ml.evaluation import calibration_buckets
+
+    rows = [(0.05, 0), (0.08, 0), (0.55, 1), (0.52, 0), (1.0, 1)]
+    df = spark.createDataFrame(rows, "probability double, failure int")
+    out = {r["bin"]: r for r in calibration_buckets(df, n_bins=10).collect()}
+    assert out[0]["n"] == 2 and out[0]["frac_positive"] == 0.0
+    assert out[5]["n"] == 2 and out[5]["frac_positive"] == 0.5
+    # score exactly 1.0 clamps into the top bin, not bin 10
+    assert out[9]["n"] == 1 and out[9]["mean_score"] == 1.0
+    # brier decomposition: sum of bucket sums equals total brier
+    total = sum(r["brier_sum"] for r in out.values())
+    expect = sum((p - y) ** 2 for p, y in rows)
+    assert total == pytest.approx(expect, abs=1e-5)
+
+
+def test_population_stability_properties(spark):
+    from sf_datalake_spark.ml.evaluation import population_stability
+
+    rows = (
+        [("base", float(v % 100)) for v in range(1000)]
+        + [("same", float(v % 100)) for v in range(1000)]
+        + [("shifted", 50.0 + (v % 50)) for v in range(1000)]
+    )
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = {r["grp"]: r["psi"] for r in population_stability(
+        df, "v", "grp", "base", lo=0.0, hi=100.0, n_bins=10
+    ).collect()}
+    assert "base" not in out
+    # identical distribution -> PSI ~ 0; half-range shift -> PSI >> 0.25
+    assert out["same"] == pytest.approx(0.0, abs=1e-6)
+    assert out["shifted"] > 0.25
+    # PSI is finite even when a group has empty bins (smoothing)
+    assert all(abs(v) < float("inf") for v in out.values())
