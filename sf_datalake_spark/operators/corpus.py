@@ -263,6 +263,38 @@ def gopher_quality_filter(
     return out.withColumn("keep", keep.cast("int"))
 
 
+def quality_prune(
+    df: DataFrame,
+    score_col: str,
+    keep_fraction: float,
+    id_col: str = "doc_id",
+    by: str | None = None,
+) -> DataFrame:
+    """Keep the top ``keep_fraction`` of rows by ``score_col`` within
+    each ``by`` group (or globally) — relative pruning, the curation
+    step after scoring: "keep the best 30% of each source" survives
+    distribution shift between sources where an absolute threshold
+    does not.
+
+    Deterministic: rank is ``row_number`` over (score desc, id), the
+    cut is ``ceil(keep_fraction · group_size)`` so a non-empty group
+    always keeps ≥ 1 row.  One window exchange on the group key; the
+    global form (``by=None``) is a single-partition window — documented
+    small-set-only, like global ``pack_sequences``.
+    """
+    if not 0 < keep_fraction <= 1:
+        raise ValueError(f"keep_fraction must be in (0, 1], got {keep_fraction}")
+    part = [by] if by else []
+    w = Window.partitionBy(*part).orderBy(F.desc(score_col), id_col)
+    wc = Window.partitionBy(*part)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(wc))
+        .filter(F.col("__rn") <= F.ceil(F.col("__n") * keep_fraction))
+        .drop("__rn", "__n")
+    )
+
+
 def shuffle_key(
     col: Column | str, salt: str = "", epoch: int = 0
 ) -> Column:

@@ -548,6 +548,30 @@ _STREAMING_QUALITY_SQL = r"""
 """
 
 
+def q_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the longest 30% of documents per source — relative pruning
+    that survives per-source distribution shift (one window exchange)."""
+    from sf_datalake_spark.operators.corpus import quality_prune
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_prune(docs, "n_chars", 0.3, "doc_id", by="source").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+_QUALITY_PRUNE_SQL = """
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rn,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars
+    FROM ranked WHERE rn <= ceil(n * 0.3)
+"""
+
+
 QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
@@ -564,6 +588,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compression_ratio": q_compression_ratio,
     "quality_gate": q_quality_gate,
     "streaming_quality_gate": q_streaming_quality_gate,
+    "quality_prune": q_quality_prune,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -576,6 +601,7 @@ ORACLES_CORPUS: dict[str, str] = {
     "text_entropy": _ENTROPY_SQL,
     "quality_gate": _QUALITY_GATE_SQL,
     "streaming_quality_gate": _STREAMING_QUALITY_SQL,
+    "quality_prune": _QUALITY_PRUNE_SQL,
     "chunk_documents": _CHUNK_SQL,
     "pack_sequences": _PACK_SQL,
     "stratified_sample": _STRATIFIED_SQL,

@@ -375,3 +375,21 @@ def test_gopher_quality_filter_zero_shuffle_plan(spark):
     rep = plan_report(gopher_quality_filter(docs), execute=True)
     assert rep["n_exchanges"] == 0
     assert rep["n_python_evals"] == 0
+
+
+def test_quality_prune_per_group_cut(spark):
+    from sf_datalake_spark.operators.corpus import quality_prune
+
+    rows = [(i, "a", i) for i in range(10)] + [(100 + i, "b", i) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, score long")
+    out = quality_prune(df, "score", 0.3, "doc_id", by="src").collect()
+    got = {r["src"]: sorted(r2["doc_id"] for r2 in out if r2["src"] == r["src"])
+           for r in out}
+    # ceil(10*0.3)=3 best of a; ceil(4*0.3)=2 best of b
+    assert got["a"] == [7, 8, 9]
+    assert got["b"] == [102, 103]
+    # non-empty group always keeps at least one row
+    tiny = spark.createDataFrame([(1, "x", 5)], "doc_id long, src string, score long")
+    assert quality_prune(tiny, "score", 0.01, "doc_id", by="src").count() == 1
+    with pytest.raises(ValueError, match="keep_fraction"):
+        quality_prune(df, "score", 0.0, "doc_id")
