@@ -655,33 +655,50 @@ def pq_topk(
 
         bks = bc_books.value
         ids, codes = bc_codes.value
-        # LUT gather via flat indexing: code j in column j offsets by
-        # j * n_codes into the flattened (m * n_codes) table
-        flat_codes = codes + (np.arange(m) * bks.shape[1])[None, :]
+        code_cols = [codes[:, j] for j in range(m)]
+        # chunk queries so the (chunk × corpus) score matrix stays
+        # ~tens of MB regardless of Arrow batch size
+        chunk = max(1, 20_000_000 // max(len(ids), 1))
         for pdf in batches:
-            q_ids = pdf["query_id"].to_numpy()
-            q_mat = np.array(list(pdf["__qv"]), dtype=np.float64)
-            q_nrm = np.linalg.norm(q_mat, axis=1)
+            q_ids_all = pdf["query_id"].to_numpy()
+            q_mat_all = np.array(list(pdf["__qv"]), dtype=np.float64)
+            q_nrm = np.linalg.norm(q_mat_all, axis=1)
             ok = q_nrm > 0
-            q_ids, q_mat = q_ids[ok], q_mat[ok] / q_nrm[ok][:, None]
-            if not len(q_ids):
-                continue
-            # inner-product tables: lut[q, j, c] = q_sub_j · book[j][c]
-            qs = q_mat.reshape(len(q_mat), m, sub)
-            lut = np.einsum("qjs,jcs->qjc", qs, bks).reshape(len(q_mat), -1)
-            sims = lut[:, flat_codes.ravel()].reshape(len(q_mat), len(ids), m).sum(2)
-            sims[q_ids[:, None] == ids[None, :]] = -np.inf
-            nc = min(n_candidates, sims.shape[1])
-            top = np.argsort(-np.round(sims, 12), axis=1, kind="stable")[:, :nc]
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(q_ids, nc),
-                    "neighbor_id": ids[top].ravel(),
-                    "adc_score": np.take_along_axis(sims, top, 1).ravel(),
-                }
-            )
+            q_ids_all = q_ids_all[ok]
+            q_mat_all = q_mat_all[ok] / q_nrm[ok][:, None]
+            for s in range(0, len(q_ids_all), chunk):
+                q_ids = q_ids_all[s : s + chunk]
+                q_mat = q_mat_all[s : s + chunk]
+                if not len(q_ids):
+                    continue
+                # inner-product tables: lut[q, j, c] = q_sub_j · book[j][c];
+                # scores accumulate per subspace as m (chunk × corpus)
+                # gathers — never an (chunk × corpus·m) intermediate
+                qs = q_mat.reshape(len(q_mat), m, sub)
+                lut = np.einsum("qjs,jcs->qjc", qs, bks)
+                sims = lut[:, 0, :][:, code_cols[0]]
+                for j in range(1, m):
+                    sims += lut[:, j, :][:, code_cols[j]]
+                sims[q_ids[:, None] == ids[None, :]] = -np.inf
+                nc = min(n_candidates, sims.shape[1])
+                top = np.argsort(-np.round(sims, 12), axis=1, kind="stable")[:, :nc]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(q_ids, nc),
+                        "neighbor_id": ids[top].ravel(),
+                        "adc_score": np.take_along_axis(sims, top, 1).ravel(),
+                    }
+                )
 
     q = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv"))
+    # The ADC scan parallelizes over QUERY partitions; a small query set
+    # read from one parquet file arrives as a single partition and would
+    # pin the whole scan to one core — spread it. (At scale the query
+    # side is already many partitions and this coalesces to a no-op
+    # number.)
+    par = queries.sparkSession.sparkContext.defaultParallelism
+    if q.rdd.getNumPartitions() < max(2, par // 2):
+        q = q.repartition(par)
     cand = q.mapInPandas(
         adc, schema=f"query_id {q_id_type}, neighbor_id {n_id_type}, adc_score double"
     ).filter(F.col("adc_score") > float("-inf"))
@@ -696,20 +713,43 @@ def pq_topk(
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank")
         )
-    # exact re-rank: two equi-joins back to the raw vectors
+    # exact re-rank: two equi-joins back to the raw vectors, cosine as
+    # one batched-numpy Arrow stage (an interpreted per-element HOF over
+    # |Q|·n_candidates pair rows would dominate the whole operator)
     c_raw = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     )
     q_raw = queries.select(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv")
     )
+
+    def exact_cos(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            a = np.array(list(pdf["__qv"]), dtype=np.float64)
+            b = np.array(list(pdf["__cv"]), dtype=np.float64)
+            na = np.linalg.norm(a, axis=1)
+            nb = np.linalg.norm(b, axis=1)
+            den = na * nb
+            den[den == 0] = np.nan
+            cosine = np.round((a * b).sum(axis=1) / den, 12)
+            out = pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "cosine": cosine,
+                }
+            )
+            yield out[np.isfinite(out["cosine"])]
+
     scored = (
         cand.join(c_raw, "neighbor_id")
         .join(q_raw, "query_id")
-        .withColumn(
-            "cosine", F.round(array_cosine_similarity("__qv", "__cv"), 12)
+        .mapInPandas(
+            exact_cos,
+            schema=f"query_id {q_id_type}, neighbor_id {n_id_type}, cosine double",
         )
-        .filter(F.col("cosine").isNotNull())
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
