@@ -211,3 +211,24 @@ def test_embedding_topk_sharded_plan_shape(spark):
     assert rep["n_nested_loop_joins"] == 0
     assert rep["n_exchanges"] <= 4
     assert rep["n_scans"] <= 2
+
+
+def test_round3_query_plan_shapes(spark):
+    """Plan regression facts for the round-3 corpus/graph queries: no
+    cartesian products anywhere, no Python in the oracled corpus ops,
+    and the quality gate stays fully inside the scan stage."""
+    import __spark_entry__ as entry_mod
+
+    from sf_datalake_spark.plans import plan_report
+
+    sf = "/root/testdata/sf0.001"
+    qs = entry_mod.queries()
+    for name in ("dedup_resolution", "triangle_stats", "incremental_dedup",
+                 "psi_drift", "repetition_stats", "boilerplate_removal",
+                 "weighted_sample", "quality_prune"):
+        rep = plan_report(qs[name](spark, sf), execute=True)
+        assert rep["n_cartesian_products"] == 0, name
+        assert rep["n_python_evals"] == 0, name
+    gate = plan_report(qs["quality_gate"](spark, sf), execute=True)
+    assert gate["n_exchanges"] == 0
+    assert gate["n_cartesian_products"] == 0
