@@ -2064,6 +2064,42 @@ _STREAMING_DEDUP_SQL = """
 """
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermark-bounded state: each
+    user's clicks matched to their purchases within the following 30
+    minutes (the attribution shape). Both sides are the events file
+    stream; the batch twin is the identical time-range self-join, and
+    the availableNow drain must reproduce it exactly — watermarks bound
+    STATE, and may not drop rows on a bounded replay."""
+    from sf_datalake_spark.streaming import run_to_memory, stream_stream_join
+
+    ev = _events_stream(spark, sf_dir).select("ts", "user_id", "event_type", "event_id")
+    clicks = ev.filter(F.col("event_type") == "click").drop("event_type")
+    buys = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    joined = stream_stream_join(
+        clicks, buys, ["user_id"], ts_col="ts",
+        watermark="1 hour", max_delay="30 minutes",
+    ).select(
+        "user_id",
+        F.col("event_id_l").alias("click_id"),
+        F.col("event_id_r").alias("purchase_id"),
+        (F.unix_timestamp("ts_r") - F.unix_timestamp("ts_l")).alias("secs_between"),
+    )
+    return run_to_memory(joined, "q_stream_stream_join", output_mode="append")
+
+
+_STREAM_STREAM_JOIN_SQL = """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS secs_between
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
 def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MERGE: per-user event aggregates maintained through a
     foreachBatch upsert into a parquet target (the lakehouse
@@ -2234,6 +2270,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dedup": q_streaming_dedup,
     "streaming_upsert": q_streaming_upsert,
     "stream_static_join": q_stream_static_join,
+    "stream_stream_join": q_stream_stream_join,
     "threshold_histogram": q_threshold_histogram,
 }
 
@@ -2281,6 +2318,7 @@ ORACLES_EXT: dict[str, str] = {
     "streaming_dedup": _STREAMING_DEDUP_SQL,
     "streaming_upsert": _STREAMING_UPSERT_SQL,
     "stream_static_join": _STREAM_STATIC_JOIN_SQL,
+    "stream_stream_join": _STREAM_STREAM_JOIN_SQL,
     "threshold_histogram": _THRESHOLD_HISTOGRAM_SQL,
     # Rows-only by design (no SQL-expressible oracle): pca_projection,
     # sketches, ann_lsh_topk, ann_ivf_topk, embedding_near_dups,

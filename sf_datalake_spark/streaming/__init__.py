@@ -6,6 +6,7 @@ from sf_datalake_spark.streaming.streams import (
     run_upsert_sink,
     running_total_alerts,
     session_aggregate,
+    stream_stream_join,
     streaming_dedup,
     windowed_aggregate,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "run_upsert_sink",
     "running_total_alerts",
     "session_aggregate",
+    "stream_stream_join",
     "streaming_dedup",
     "windowed_aggregate",
 ]

@@ -233,3 +233,55 @@ def run_upsert_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    max_delay: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: each left event matches right events
+    with the same keys whose timestamp falls in
+    ``[left.ts, left.ts + max_delay]`` — the click→purchase attribution
+    shape.  Both sides carry a watermark so Spark can bound the join
+    state: a buffered left row is dropped once the right watermark
+    passes ``left.ts + max_delay`` (and vice versa), which is what
+    makes the operator runnable forever at 100 TB/day rather than
+    accumulating both streams.
+
+    Output columns: key cols, ``ts_l``, ``ts_r`` and the non-key
+    payload columns of each side suffixed ``_l`` / ``_r``.
+    """
+    lw = left.withWatermark(ts_col, watermark)
+    rw = right.withWatermark(ts_col, watermark)
+    key_set = set(key_cols)
+    lsel = [F.col(c).alias(c) for c in key_cols] + [
+        F.col(c).alias(f"{c}_l") for c in left.columns if c not in key_set
+    ]
+    rsel = [F.col(c).alias(c) for c in key_cols] + [
+        F.col(c).alias(f"{c}_r") for c in right.columns if c not in key_set
+    ]
+    lw, rw = lw.select(*lsel), rw.select(*rsel)
+    cond = F.lit(True)
+    for c in key_cols:
+        cond = cond & (lw[c] == rw[c])
+    cond = (
+        cond
+        & (F.col(f"{ts_col}_r") >= F.col(f"{ts_col}_l"))
+        & (
+            F.col(f"{ts_col}_r")
+            <= F.col(f"{ts_col}_l") + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return (
+        lw.alias("l")
+        .join(rw.alias("r"), cond, "inner")
+        .select(
+            *[F.col(f"l.{c}") for c in key_cols],
+            *[F.col(c) for c in lw.columns if c not in key_set],
+            *[F.col(c) for c in rw.columns if c not in key_set],
+        )
+    )

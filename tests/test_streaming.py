@@ -205,3 +205,44 @@ def test_upsert_sink_schema_reorder_and_empty_batch(spark, tmp_path):
     # (c) staged-swap hygiene: no half-written staging dirs anywhere
     assert glob.glob(f"{target}.staging-*") == []
     assert os.path.isdir(target)
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Deterministic micro-case: clicks joined to purchases within 10
+    minutes per user; late-side events beyond the delay never match;
+    the availableNow drain equals the hand-computed pairs."""
+    import datetime as dt
+
+    from sf_datalake_spark.streaming import run_to_memory, stream_stream_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: click at 12:00 -> purchase at 12:05 (match) and
+        # purchase at 12:20 (too late)
+        (1, t0, "click", 100),
+        (1, t0 + dt.timedelta(minutes=5), "purchase", 101),
+        (1, t0 + dt.timedelta(minutes=20), "purchase", 102),
+        # user 2: purchase BEFORE the click -> no match
+        (2, t0 + dt.timedelta(minutes=1), "purchase", 200),
+        (2, t0 + dt.timedelta(minutes=2), "click", 201),
+        # user 3: two clicks share one purchase (both match)
+        (3, t0, "click", 300),
+        (3, t0 + dt.timedelta(minutes=3), "click", 301),
+        (3, t0 + dt.timedelta(minutes=8), "purchase", 302),
+    ]
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_type string, event_id long"
+    ).parquet(src)
+    clicks = stream.filter("event_type = 'click'").drop("event_type")
+    buys = stream.filter("event_type = 'purchase'").drop("event_type")
+    out = run_to_memory(
+        stream_stream_join(clicks, buys, ["user_id"], watermark="1 hour",
+                           max_delay="10 minutes"),
+        "t_ssj", output_mode="append",
+    )
+    got = {(r["user_id"], r["event_id_l"], r["event_id_r"]) for r in out.collect()}
+    assert got == {(1, 100, 101), (3, 300, 302), (3, 301, 302)}
