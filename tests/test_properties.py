@@ -172,3 +172,91 @@ def test_salted_aggregate_equals_plain(spark, values, n_salts):
     for k, (s, n) in plain.items():
         assert salted[k][1] == n
         assert abs(salted[k][0] - s) < 1e-6 * max(1.0, abs(s))
+
+
+@st.composite
+def corpora(draw):
+    vocab = ["aa", "bb", "cc", "dd", "longword", "x"]
+    n_docs = draw(st.integers(1, 8))
+    docs = []
+    for i in range(n_docs):
+        n_tok = draw(st.integers(0, 30))
+        docs.append((i, " ".join(draw(st.sampled_from(vocab)) for _ in range(n_tok))))
+    return docs
+
+
+@given(corpora(), st.integers(2, 8))
+@SLOW
+def test_chunks_reassemble_to_document(spark, docs, chunk):
+    """With overlap=0, concatenating a doc's chunks in order restores
+    its exact token sequence; every chunk except the last is full."""
+    from sf_datalake_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=chunk, overlap=0)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_index"], r["chunk_text"], r["n_tokens"])
+         for r in out.collect())
+    )
+    by_doc = {}
+    for d, i, t, n in rows:
+        by_doc.setdefault(d, []).append((i, t, n))
+    for d, text in docs:
+        toks = text.split()
+        if not toks:
+            assert d not in by_doc
+            continue
+        parts = by_doc[d]
+        assert [i for i, _, _ in parts] == list(range(len(parts)))
+        rebuilt = " ".join(t for _, t, _ in parts).split()
+        assert rebuilt == toks
+        assert all(n == chunk for _, _, n in parts[:-1])
+
+
+@given(corpora())
+@SLOW
+def test_entropy_bounds(spark, docs):
+    """0 ≤ H ≤ log2(n_distinct), with equality at the degenerate and
+    uniform extremes."""
+    import math
+
+    from sf_datalake_spark.functions.text import text_entropy
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for r in text_entropy(df).collect():
+        assert -1e-9 <= r["entropy"] <= math.log2(r["n_distinct"]) + 1e-6
+        if r["n_distinct"] == 1:
+            assert r["entropy"] == 0.0
+
+
+@given(corpora(), st.integers(1, 3))
+@SLOW
+def test_boilerplate_extremes(spark, docs, line_tokens):
+    """min_docs beyond the corpus size removes nothing — every cleaned
+    document equals its line-reassembled self."""
+    from sf_datalake_spark.operators.corpus import remove_boilerplate_lines
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = remove_boilerplate_lines(
+        df, line_tokens=line_tokens, min_docs=len(docs) + 1
+    )
+    for r in out.collect():
+        assert r["n_kept"] == r["n_lines"]
+        original = dict(docs)[r["doc_id"]].split()
+        assert r["clean_text"].split() == original
+
+
+@given(corpora(), st.integers(1, 10))
+@SLOW
+def test_weighted_sample_is_subset_and_exact(spark, docs, k):
+    """Output size is min(k, n_eligible); rows come from the input;
+    deterministic across calls."""
+    from sf_datalake_spark.operators.corpus import weighted_sample
+
+    rows = [(d, t, len(t) + 1) for d, t in docs]
+    df = spark.createDataFrame(rows, "doc_id long, text string, w long")
+    got = [r["doc_id"] for r in weighted_sample(df, k, "w", "doc_id").collect()]
+    assert len(got) == min(k, len(rows))
+    assert set(got) <= {d for d, _ in docs}
+    again = [r["doc_id"] for r in weighted_sample(df, k, "w", "doc_id").collect()]
+    assert got == again
