@@ -572,6 +572,55 @@ _QUALITY_PRUNE_SQL = """
 """
 
 
+def q_recordlog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-source round-trip: documents serialized into per-source
+    recordlog containers (the TFRecord/WARC-ish shape), read back
+    through the registered Python DataSource (one partition per file),
+    and verified by byte length + md5 — the oracle recomputes both from
+    the source table, so the container format and the Python reader are
+    value-hash-attested end to end."""
+    import os
+    import shutil
+    import tempfile
+    from collections import defaultdict
+
+    from sf_datalake_spark.sources import register_recordlog, write_recordlog
+
+    docs = _t(spark, sf_dir, "documents")
+    # producer side: shard by source into one .rlog per shard (the
+    # demo collect is bounded: this is a format round-trip, not an
+    # export path — a production converter writes shards from
+    # foreachPartition)
+    by_src: dict[str, list] = defaultdict(list)
+    for r in docs.select("doc_id", "source", "text").collect():
+        by_src[r["source"]].append((str(r["doc_id"]), r["text"].encode("utf-8")))
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"rlog_{os.path.basename(sf_dir)}_{os.getpid()}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    for src, records in sorted(by_src.items()):
+        write_recordlog(os.path.join(out_dir, f"{src}.rlog"), sorted(records))
+    register_recordlog(spark)
+    df = spark.read.format("recordlog").load(out_dir)
+    return df.select(
+        F.col("key").cast("bigint").alias("doc_id"),
+        F.length("payload").cast("int").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        F.regexp_replace("file", r"\.rlog$", "").alias("source"),
+    )
+
+
+_RECORDLOG_SQL = """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           md5(text) AS payload_md5,
+           source
+    FROM documents
+"""
+
+
 QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "pack_sequences": q_pack_sequences,
@@ -589,6 +638,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_gate": q_quality_gate,
     "streaming_quality_gate": q_streaming_quality_gate,
     "quality_prune": q_quality_prune,
+    "recordlog_roundtrip": q_recordlog_roundtrip,
 }
 
 ORACLES_CORPUS: dict[str, str] = {
@@ -602,6 +652,7 @@ ORACLES_CORPUS: dict[str, str] = {
     "quality_gate": _QUALITY_GATE_SQL,
     "streaming_quality_gate": _STREAMING_QUALITY_SQL,
     "quality_prune": _QUALITY_PRUNE_SQL,
+    "recordlog_roundtrip": _RECORDLOG_SQL,
     "chunk_documents": _CHUNK_SQL,
     "pack_sequences": _PACK_SQL,
     "stratified_sample": _STRATIFIED_SQL,
