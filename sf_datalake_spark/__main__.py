@@ -226,6 +226,65 @@ def _dedup(args: argparse.Namespace) -> int:
     return 0
 
 
+def _curate(args: argparse.Namespace) -> int:
+    """End-to-end corpus curation: Gopher quality gate → exact dedup →
+    per-source relative pruning → write survivors + a drop report.
+
+    Every stage is a filter/keyed aggregation, so the whole pipeline is
+    three shuffles (fingerprint dedup, prune window, final write) on
+    top of one scan — the batch shape that scales to the full corpus.
+    """
+    from pyspark.sql import functions as F
+
+    from sf_datalake_spark.functions.text import text_fingerprint
+    from sf_datalake_spark.io import load_data
+    from sf_datalake_spark.operators.corpus import (
+        gopher_quality_filter,
+        quality_prune,
+    )
+    from sf_datalake_spark.session import get_spark_session
+
+    spark = get_spark_session("curate")
+    docs = load_data(spark, args.input, args.format)
+    n_in = docs.count()
+    gated = gopher_quality_filter(
+        docs, args.id_col, args.text_col,
+        min_tokens=args.min_tokens, max_tokens=args.max_tokens,
+    )
+    kept_ids = gated.filter(F.col("keep") == 1).select(args.id_col)
+    quality = docs.join(kept_ids, args.id_col, "left_semi")
+    # exact dedup: keep the smallest id per normalized-text fingerprint
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__fp").orderBy(args.id_col)
+    deduped = (
+        quality.withColumn("__fp", text_fingerprint(args.text_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+    pruned = (
+        quality_prune(
+            deduped, args.score_col, args.keep_fraction,
+            id_col=args.id_col, by=args.by,
+        )
+        if args.keep_fraction < 1.0
+        else deduped
+    )
+    pruned.write.mode("overwrite").parquet(args.output)
+    n_out = spark.read.parquet(args.output).count()
+    n_quality = quality.count()
+    n_dedup = deduped.count()
+    print(json.dumps({
+        "input": n_in,
+        "after_quality_gate": n_quality,
+        "after_exact_dedup": n_dedup,
+        "written": n_out,
+        "dropped": n_in - n_out,
+    }))
+    return 0
+
+
 def _compact(args: argparse.Namespace) -> int:
     from sf_datalake_spark.io import compact_files
     from sf_datalake_spark.session import get_spark_session
@@ -289,6 +348,20 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--rows-per-band", dest="rows_per_band", type=int, default=2)
     dd.add_argument("--shingle-n", dest="shingle_n", type=int, default=3)
 
+    cu = sub.add_parser("curate")
+    cu.add_argument("--input", required=True)
+    cu.add_argument("--output", required=True)
+    cu.add_argument("--format", default="parquet")
+    cu.add_argument("--id-col", dest="id_col", default="doc_id")
+    cu.add_argument("--text-col", dest="text_col", default="text")
+    cu.add_argument("--score-col", dest="score_col", default="n_chars")
+    cu.add_argument("--by", default=None)
+    cu.add_argument("--min-tokens", dest="min_tokens", type=int, default=10)
+    cu.add_argument("--max-tokens", dest="max_tokens", type=int, default=100_000)
+    cu.add_argument("--keep-fraction", dest="keep_fraction", type=float,
+                    default=1.0)
+    cu.set_defaults(func=_curate)
+
     cp = sub.add_parser("compact")
     cp.add_argument("--input", required=True)
     cp.add_argument("--target-mb", dest="target_mb", type=int, default=128)
@@ -321,6 +394,8 @@ def main(argv: list[str] | None = None) -> int:
         return _compact(args)
     if args.command == "zorder":
         return _zorder(args)
+    if args.command == "curate":
+        return _curate(args)
     return _convert(args)
 
 

@@ -118,3 +118,40 @@ def test_cli_compact_and_zorder(tmp_path, capsys, spark):
                  "--cols", "a,b", "--n-files", "4"]) == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rows"] == 5000
+
+
+def test_cli_curate_pipeline(tmp_path, capsys, spark):
+    import json as _json
+
+    from sf_datalake_spark.__main__ import main
+
+    src = str(tmp_path / "docs")
+    rows = (
+        # 10 good docs per source, one exact duplicate pair, one short doc
+        [(i, "the quick brown fox jumps over a lazy dog again " * 2, "a", 98)
+         for i in range(10)]
+        + [(100 + i, f"some other wording number {i} with the many fine words "
+                     "padding out the line", "b", 80) for i in range(10)]
+        + [(999, "tiny", "b", 4)]
+    )
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    ).write.parquet(src)
+    out = str(tmp_path / "curated")
+    rc = main([
+        "curate", "--input", src, "--output", out,
+        "--min-tokens", "5", "--keep-fraction", "0.5", "--by", "source",
+    ])
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["input"] == 21
+    # the short doc fails the gate
+    assert summary["after_quality_gate"] == 20
+    # docs 0..9 are exact duplicates -> one survivor + 10 from source b
+    assert summary["after_exact_dedup"] == 11
+    # prune keeps ceil(0.5 * n) per source: 1 from a, 5 from b
+    assert summary["written"] == 6
+    assert summary["dropped"] == 15
+    back = spark.read.parquet(out)
+    assert back.count() == 6
+    assert set(back.columns) == {"doc_id", "text", "source", "n_chars"}
