@@ -30,7 +30,12 @@ import os
 import struct
 from collections.abc import Iterable, Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 RECORD_MAGIC = b"RLG1"
 
@@ -105,9 +110,54 @@ class _RecordLogReader(DataSourceReader):
             yield key, payload, offset, fname
 
 
+class _RecordLogStreamReader(DataSourceStreamReader):
+    """Micro-batch reader over a growing directory of ``*.rlog`` files.
+
+    Offsets are positions in the SORTED file listing — records are
+    immutable once written and producers add whole new files (the
+    append-only contract of every record-container pipeline), so
+    "how many files, in name order" is a complete, replayable offset.
+    Each micro-batch gets one partition per new file; commit is a
+    no-op (files are the durable log — nothing to acknowledge).
+    Late-arriving files sorting BEFORE the committed frontier would be
+    skipped, like Spark's own file source without `latestFirst`; name
+    shards monotonically (part-00001, …) as producers already do.
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("recordlog requires a path")
+
+    def _files(self):
+        return sorted(glob.glob(os.path.join(self.path, "*.rlog")))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        return {"index": len(self._files())}
+
+    def partitions(self, start: dict, end: dict):
+        files = self._files()[start["index"] : end["index"]]
+        return [_FilePartition(p) for p in files] or [_FilePartition("")]
+
+    def read(self, partition):
+        if not partition.path:
+            return
+        fname = os.path.basename(partition.path)
+        for key, payload, offset in read_recordlog_records(partition.path):
+            yield key, payload, offset, fname
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class RecordLogDataSource(DataSource):
     """``spark.read.format("recordlog").load(path)`` — path may be a
-    directory (all ``*.rlog`` inside, one partition each) or a file."""
+    directory (all ``*.rlog`` inside, one partition each) or a file;
+    ``spark.readStream.format("recordlog").load(dir)`` tails the
+    directory with file-granular offsets."""
 
     @classmethod
     def name(cls) -> str:
@@ -118,6 +168,9 @@ class RecordLogDataSource(DataSource):
 
     def reader(self, schema):
         return _RecordLogReader(self.options)
+
+    def streamReader(self, schema):
+        return _RecordLogStreamReader(self.options)
 
 
 def register_recordlog(spark) -> None:

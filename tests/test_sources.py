@@ -56,3 +56,34 @@ def test_recordlog_spark_reader_partitions_and_binary(spark, tmp_path):
     # missing path errors loudly
     with pytest.raises(Exception):
         spark.read.format("recordlog").load(str(tmp_path / "nope")).collect()
+
+
+def test_recordlog_stream_incremental_offsets(spark, tmp_path):
+    """The streaming reader tails the directory with file-granular
+    offsets: a second availableNow run from the same checkpoint
+    processes ONLY files added since the first drain."""
+    src = tmp_path / "stream"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    write_recordlog(str(src / "part-00000.rlog"), [("a", b"1"), ("b", b"2")])
+    write_recordlog(str(src / "part-00001.rlog"), [("c", b"3")])
+    register_recordlog(spark)
+
+    sink = str(tmp_path / "sink")
+
+    def drain():
+        q = (
+            spark.readStream.format("recordlog").load(str(src))
+            .writeStream.format("parquet").option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return {r["key"] for r in spark.read.parquet(sink).collect()}
+
+    assert drain() == {"a", "b", "c"}
+    # new file arrives; same checkpoint -> only the delta is appended
+    write_recordlog(str(src / "part-00002.rlog"), [("d", b"4")])
+    assert drain() == {"a", "b", "c", "d"}
+    # exactly-once: a replay of old files would have duplicated a/b/c
+    assert spark.read.parquet(sink).count() == 4
