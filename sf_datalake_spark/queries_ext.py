@@ -2064,6 +2064,79 @@ _STREAMING_DEDUP_SQL = """
 """
 
 
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured props: parse_json once
+    into a binary variant column, then typed variant_get extraction —
+    the columnar-shredding-friendly form that replaces per-access
+    string re-parsing (get_json_object) at scale. Oracle: DuckDB JSON
+    extraction of the same fields."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.withColumn("__v", F.parse_json("props"))
+    k = F.expr("variant_get(__v, '$.k', 'bigint')")
+    return (
+        v.withColumn("k", k)
+        .filter(F.col("k").isNotNull() & (F.col("k") >= 50))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_high"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+        )
+    )
+
+
+_VARIANT_SQL = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_high,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(min(k) AS BIGINT) AS min_k
+    FROM (
+        SELECT event_type,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    WHERE k IS NOT NULL AND k >= 50
+    GROUP BY event_type
+"""
+
+
+def q_rolling_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE window frame: each user's trailing-7-day
+    event-value sum at every event — the calendar-aware frame the SQL
+    standard specifies (RANGE BETWEEN INTERVAL ... PRECEDING), one
+    window exchange on user_id. Rounded at 6 with a deterministic
+    (user, ts, event) output key."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__ev_r7")
+    try:
+        out = spark.sql("""
+            SELECT user_id, event_id,
+                   CAST(unix_micros(ts) AS BIGINT) AS ts_us,
+                   round(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                                 AND CURRENT ROW), 6) AS sum_7d
+            FROM __ev_r7
+        """)
+        return out
+    finally:
+        # the plan is analyzed (view resolved) at spark.sql() time, so
+        # dropping the temp view afterwards is safe and keeps the query
+        # function side-effect-free in the session catalog
+        spark.catalog.dropTempView("__ev_r7")
+
+
+_ROLLING_7DAY_SQL = """
+    SELECT user_id, event_id,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           round(sum(value) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW),
+             6) AS sum_7d
+    FROM events
+"""
+
+
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with watermark-bounded state: each
     user's clicks matched to their purchases within the following 30
@@ -2271,6 +2344,8 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_upsert": q_streaming_upsert,
     "stream_static_join": q_stream_static_join,
     "stream_stream_join": q_stream_stream_join,
+    "variant_extract": q_variant_extract,
+    "rolling_7day": q_rolling_7day,
     "threshold_histogram": q_threshold_histogram,
 }
 
@@ -2319,6 +2394,8 @@ ORACLES_EXT: dict[str, str] = {
     "streaming_upsert": _STREAMING_UPSERT_SQL,
     "stream_static_join": _STREAM_STATIC_JOIN_SQL,
     "stream_stream_join": _STREAM_STREAM_JOIN_SQL,
+    "variant_extract": _VARIANT_SQL,
+    "rolling_7day": _ROLLING_7DAY_SQL,
     "threshold_histogram": _THRESHOLD_HISTOGRAM_SQL,
     # Rows-only by design (no SQL-expressible oracle): pca_projection,
     # sketches, ann_lsh_topk, ann_ivf_topk, embedding_near_dups,
