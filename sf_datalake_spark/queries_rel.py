@@ -833,12 +833,103 @@ _RECURSIVE_SQL = """
 """
 
 
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: each customer's two most expensive
+    orders — the decorrelated form Spark plans as a ranked window, the
+    SQL surface a reference user would reach for first."""
+    view = f"__lat_{uuid.uuid4().hex[:8]}"
+    _t(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    try:
+        return spark.sql(f"""
+            SELECT c.o_custkey AS custkey, t.o_orderkey AS orderkey,
+                   t.o_totalprice AS totalprice
+            FROM (SELECT DISTINCT o_custkey FROM {view}) c,
+            LATERAL (SELECT o_orderkey, o_totalprice FROM {view} o
+                     WHERE o.o_custkey = c.o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        """)
+    finally:
+        spark.catalog.dropTempView(view)
+
+
+_LATERAL_SQL = """
+    SELECT c.o_custkey AS custkey, t.o_orderkey AS orderkey,
+           t.o_totalprice AS totalprice
+    FROM (SELECT DISTINCT o_custkey FROM orders) c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the sets ((priority), (status), ())
+    that neither ROLLUP nor CUBE produces; grouping_id distinguishes
+    the all-null total row from genuine nulls."""
+    view = f"__gs_{uuid.uuid4().hex[:8]}"
+    _t(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    try:
+        return spark.sql(f"""
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(grouping__id AS INT) AS gid,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM {view}
+            GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """)
+    finally:
+        spark.catalog.dropTempView(view)
+
+
+_GROUPING_SETS_SQL = """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+                AS INT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=>): rows with NULL keys MATCH each other
+    instead of silently dropping — the semantics a plain equi-join
+    quietly loses. Keys are nulled deterministically on both engines
+    (suppkey % 7 == 0 → NULL) so the null bucket is non-trivial."""
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.when(F.col("s_suppkey") % 7 != 0, F.col("s_nationkey")).alias("k"),
+        "s_suppkey",
+    )
+    counts = sup.alias("a").join(
+        sup.alias("b"), F.col("a.k").eqNullSafe(F.col("b.k"))
+    ).groupBy(F.col("a.s_suppkey").alias("s_suppkey")).agg(
+        F.count("*").cast("bigint").alias("n_matches")
+    )
+    return counts
+
+
+_NULL_SAFE_SQL = """
+    WITH sup AS (
+        SELECT CASE WHEN s_suppkey % 7 <> 0 THEN s_nationkey END AS k,
+               s_suppkey
+        FROM supplier
+    )
+    SELECT a.s_suppkey, CAST(count(*) AS BIGINT) AS n_matches
+    FROM sup a JOIN sup b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY a.s_suppkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "min_cost_supplier": q_min_cost_supplier,
+    "lateral_topk": q_lateral_topk,
+    "grouping_sets": q_grouping_sets,
+    "null_safe_join": q_null_safe_join,
     "bpe_tokens": q_bpe_tokens,
     "late_shipment_priority": q_late_shipment_priority,
     "customer_order_distribution": q_customer_order_distribution,
@@ -863,6 +954,9 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES_REL: dict[str, str] = {
     "min_cost_supplier": _MIN_COST_SQL,
+    "lateral_topk": _LATERAL_SQL,
+    "grouping_sets": _GROUPING_SETS_SQL,
+    "null_safe_join": _NULL_SAFE_SQL,
     "bpe_tokens": _BPE_TOKENS_SQL,
     "late_shipment_priority": _LATE_SHIPMENT_SQL,
     "customer_order_distribution": _ORDER_DISTRIBUTION_SQL,
