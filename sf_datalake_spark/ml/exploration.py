@@ -210,22 +210,38 @@ def quantile_summary(
     ``F.percentile`` is exact (full sort per group) — right for
     analysis-time summaries; switch to ``approx_percentile`` for the
     100 TB interactive path.
+
+    All columns are aggregated in ONE scan (a single multi-aggregate
+    select), then pivoted to long format by exploding the 1-row result
+    — a per-column union of separate scans would read the table
+    len(cols) times.
     """
+    qlist = ", ".join(str(float(q)) for q in quantiles)
     qarr = F.array(*[F.lit(float(q)) for q in quantiles])
-    per_col = [
-        df.select(
-            F.lit(c).alias("column"),
-            F.posexplode(F.expr(
-                f"percentile(`{c}`, array({', '.join(str(float(q)) for q in quantiles)}))"
-            )).alias("__i", "value"),
-        ).select(
-            "column",
-            F.element_at(qarr, F.col("__i") + 1).alias("quantile"),
-            "value",
-        )
-        for c in cols
-    ]
-    out = per_col[0]
-    for p in per_col[1:]:
-        out = out.unionByName(p)
-    return out
+    row = df.agg(
+        *[
+            F.expr(f"percentile(`{c}`, array({qlist}))").alias(f"__q{i}")
+            for i, c in enumerate(cols)
+        ]
+    )
+    stacked = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"__q{i}").alias("__vals"),
+                    )
+                    for i, c in enumerate(cols)
+                ]
+            )
+        ).alias("__s")
+    )
+    return stacked.select(
+        F.col("__s.column").alias("column"),
+        F.posexplode("__s.__vals").alias("__i", "value"),
+    ).select(
+        "column",
+        F.element_at(qarr, F.col("__i") + 1).alias("quantile"),
+        "value",
+    )

