@@ -232,3 +232,34 @@ def test_round3_query_plan_shapes(spark):
     gate = plan_report(qs["quality_gate"](spark, sf), execute=True)
     assert gate["n_exchanges"] == 0
     assert gate["n_cartesian_products"] == 0
+
+
+def test_runtime_bloom_filter_injection(spark, orders):
+    """Catalyst injects a runtime bloom filter on the fact side of a
+    shuffle join when the dim side carries a SELECTIVE predicate — the
+    semi-join-reduction path that prunes fact rows before the exchange
+    at 100 TB.  The rule needs (a) a non-broadcast join, (b) a filter
+    on the creation side, (c) the application-side scan above the size
+    threshold; the test pins (a) and (c) via conf so the assertion
+    exercises (b), the part query authors control."""
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        dim = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        j = lineitem.join(dim, lineitem.l_orderkey == dim.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, "no runtime bloom filter injected"
+        assert "bloom_filter_agg" in plan
+        # without the selective dim filter the rule must NOT fire
+        j2 = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        plan2 = j2._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" not in plan2
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
