@@ -21,14 +21,16 @@ from sf_datalake_spark.queries_corpus import ORACLES_CORPUS, QUERIES_CORPUS  # n
 from sf_datalake_spark.queries_ext import ORACLES_EXT, QUERIES_EXT  # noqa: E402
 from sf_datalake_spark.queries_rel import ORACLES_REL, QUERIES_REL  # noqa: E402
 from sf_datalake_spark.queries_sketch import ORACLES_SKETCH, QUERIES_SKETCH  # noqa: E402
+from sf_datalake_spark.queries_tpch import ORACLES_TPCH, QUERIES_TPCH  # noqa: E402
 
-# queries_sketch is merged LAST so its (post-r02) entries append after
-# the fresh-oracled block and cannot displace any of the 50 queries the
-# r03 rotation puts in front of the driver's snapshot cap.
+# queries_sketch/queries_tpch are merged LAST so their (post-r02)
+# entries append after the fresh-oracled block and cannot displace any
+# of the 50 queries the r03 rotation puts in front of the driver's
+# snapshot cap.
 QUERIES = {**QUERIES, **QUERIES_EXT, **QUERIES_REL, **QUERIES_CORPUS,
-           **QUERIES_SKETCH}
+           **QUERIES_SKETCH, **QUERIES_TPCH}
 ORACLES = {**ORACLES, **ORACLES_EXT, **ORACLES_REL, **ORACLES_CORPUS,
-           **ORACLES_SKETCH}
+           **ORACLES_SKETCH, **ORACLES_TPCH}
 
 # Names the driver's 50-entry CORRECTNESS_r02 snapshot already attested.
 # The driver caps correctness snapshots at the first 50 registry entries,

@@ -1,0 +1,469 @@
+"""Classic analytic decorrelation shapes (TPC-H Q8/Q11/Q14/Q15/Q18/
+Q19/Q21/Q22 classes) the other registries don't cover.
+
+Each Spark plan is the DECORRELATED form — window/groupBy counts
+instead of correlated EXISTS chains, broadcast scalars instead of
+re-executed subqueries — while the DuckDB oracle runs the textbook
+correlated/nested text, proving the plans are equivalent.  The schemas
+are the driver's TPC-H-ish testdata, so queries are adapted (columns
+like l_commitdate / ps_supplycost don't exist here), not verbatim.
+
+Boundary discipline for threshold predicates over DOUBLE money
+columns (see ``queries.py`` conventions): every comparison against a
+derived scalar is expressed as ``round(linear_combination, k) > 0``
+where the true value of the combination is an exact k-decimal
+multiple — float association noise (~1e-9) can then never flip a row
+across the threshold differently in the two engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sf_datalake_spark.queries import _t
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape: suppliers solely to blame on multi-supplier orders.
+# Spark-first: the classic EXISTS + NOT EXISTS double correlation is
+# two distinct-counts over ONE groupBy(l_orderkey) — a single shuffle
+# on the order key, no self-joins.
+# ---------------------------------------------------------------------------
+
+def q_sole_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per supplier: the number of multi-supplier orders where that
+    supplier is the ONLY one with a returned line ('R'). The oracle is
+    the textbook EXISTS(other supplier) AND NOT EXISTS(other flagged
+    supplier) form."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_flagged"),
+    )
+    blamed = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.filter(
+                (F.col("n_supp") > 1) & (F.col("n_flagged") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+        )
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+    )
+
+
+_SOLE_BLAME_SQL = """
+    SELECT s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape: well-funded customers who never ordered.
+# Spark-first: broadcast 1-row positive-balance stats + left-anti join;
+# the threshold is round(bal·n − sum, 2) > 0 (exact 2-dec multiple) so
+# the boundary can't flip across engines.
+# ---------------------------------------------------------------------------
+
+def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per market segment: LAPSED customers — above-average
+    (positive-mean) balance and no orders since 2000-07-01 — count and
+    total balance. Oracle: scalar avg subquery + NOT EXISTS (the
+    recency filter keeps the anti-join non-trivial: with "no orders
+    ever" every testdata customer is active and the result is empty)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-07-01")
+        .select("o_custkey")
+        .distinct()
+    )
+    stats = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum("c_acctbal").alias("__sum_pos"),
+        F.count("*").alias("__n_pos"),
+    )
+    rich = cust.join(F.broadcast(stats)).filter(
+        F.round(F.col("c_acctbal") * F.col("__n_pos") - F.col("__sum_pos"), 2)
+        > 0
+    )
+    idle = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return idle.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+    )
+
+
+_IDLE_CUSTOMER_SQL = """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_balance
+    FROM customer c
+    WHERE round(c_acctbal * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+                - (SELECT sum(c_acctbal) FROM customer WHERE c_acctbal > 0),
+                2) > 0
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c.c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-07-01')
+    GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q18 shape: large-quantity orders.
+# Spark-first: ONE groupBy(l_orderkey) produces both the filter and the
+# output quantity (the textbook IN-subquery form scans lineitem twice);
+# the global mean enters as a broadcast 1-row frame.
+# ---------------------------------------------------------------------------
+
+def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds 2× the mean order quantity,
+    with their customer — the top-tail shape. Threshold via
+    round(sum_qty·n − 2·total, 2) > 0 (quantities are integral
+    doubles, so the combination is an exact integer)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("sum_qty")
+    )
+    stats = per_order.agg(
+        F.sum("sum_qty").alias("__total"), F.count("*").alias("__n")
+    )
+    big = per_order.join(F.broadcast(stats)).filter(
+        F.round(
+            F.col("sum_qty") * F.col("__n") - 2 * F.col("__total"), 2
+        )
+        > 0
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+    )
+
+
+_LARGE_ORDER_SQL = """
+    WITH per_order AS (
+        SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY 1
+    )
+    SELECT c_name, o_orderkey,
+           round(o_totalprice, 2) AS o_totalprice,
+           round(sum_qty, 2) AS sum_qty
+    FROM per_order
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    WHERE round(sum_qty * (SELECT count(*) FROM per_order)
+                - 2 * (SELECT sum(sum_qty) FROM per_order), 2) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape: the top-revenue supplier of a quarter.
+# Spark-first: the revenue view aggregates once; the max enters as a
+# broadcast scalar instead of the re-evaluated subquery. Equality is on
+# round(revenue, 4) — the exact 4-dec multiple — in both engines.
+# ---------------------------------------------------------------------------
+
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum 1996-Q1 shipped revenue."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+        .alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__max_rev"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__max_rev"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_TOP_REVENUE_SQL = """
+    WITH rev AS (
+        SELECT l_suppkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape: parts holding an outsized share of total shipped value.
+# Spark-first: the global total is one broadcast row; the HAVING
+# against a scalar subquery becomes a filter after one aggregation.
+# ---------------------------------------------------------------------------
+
+def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose shipped value exceeds 1.2× the mean part value —
+    a RELATIVE threshold (value·5·n > 6·total, all exact-integer-dec
+    arithmetic before the rounding guard) so the selected tail is a
+    stable fraction at every scale factor; Q11's fixed global-share
+    cutoff empties as the part count grows."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("l_extendedprice").alias("__value")
+    )
+    total = per_part.agg(
+        F.sum("__value").alias("__total"), F.count("*").alias("__n")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.round(
+                F.col("__value") * 5 * F.col("__n") - 6 * F.col("__total"), 2
+            )
+            > 0
+        )
+        .select(
+            "l_partkey", F.round("__value", 2).alias("part_value")
+        )
+    )
+
+
+_IMPORTANT_PART_SQL = """
+    WITH per_part AS (
+        SELECT l_partkey, sum(l_extendedprice) AS value
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_partkey, round(value, 2) AS part_value
+    FROM per_part
+    WHERE round(value * 5 * (SELECT count(*) FROM per_part)
+                - 6 * (SELECT sum(value) FROM per_part), 2) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape: promotional revenue share per month.
+# Conditional aggregation — two sums in one pass, ratio taken over the
+# ROUNDED (exact) sums so the division is bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+
+def q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly PROMO revenue share over 1996 shipments."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.trunc("l_shipdate", "month").alias("ship_month"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 4
+            ).alias("promo_revenue"),
+            F.round(F.sum(rev), 4).alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "ship_month",
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            100.0 * F.col("promo_revenue") / F.col("total_revenue"), 6
+        ).alias("promo_pct"),
+    )
+
+
+_PROMO_RATIO_SQL = """
+    WITH agg AS (
+        SELECT date_trunc('month', l_shipdate)::date AS ship_month,
+               round(sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END), 4) AS promo_revenue,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1
+    )
+    SELECT ship_month, promo_revenue, total_revenue,
+           round(100.0 * promo_revenue / total_revenue, 6) AS promo_pct
+    FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape: disjunctive bracket predicates.
+# The OR-of-conjunctions shares the l_partkey = p_partkey equi-key, so
+# Catalyst extracts a hash join with the disjunction as a residual
+# condition — never a cartesian product (asserted in tests/test_plans).
+# ---------------------------------------------------------------------------
+
+def q_disjunctive_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from three brand/size/quantity brackets OR'd together."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    brackets = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    joined = li.join(
+        F.broadcast(part),
+        (li.l_partkey == part.p_partkey) & brackets,
+    )
+    return joined.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("bracket_revenue"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+_DISJUNCTIVE_SQL = """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS bracket_revenue,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+     AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 40)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50))
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q8 shape: one nation's market share inside its region, per year.
+# One join tree + conditional aggregation; the dims broadcast.
+# ---------------------------------------------------------------------------
+
+def q_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_3's share of EUROPE customers' revenue per order year."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select("c_custkey", "n_name")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(dims, orders.o_custkey == dims.c_custkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == "NATION_3", rev).otherwise(0.0)),
+                4,
+            ).alias("nation_revenue"),
+            F.round(F.sum(rev), 4).alias("region_revenue"),
+        )
+    )
+    return agg.select(
+        "order_year",
+        "nation_revenue",
+        "region_revenue",
+        F.round(
+            F.col("nation_revenue") / F.col("region_revenue"), 6
+        ).alias("market_share"),
+    )
+
+
+_MARKET_SHARE_SQL = """
+    WITH agg AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               round(sum(CASE WHEN n_name = 'NATION_3'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END), 4) AS nation_revenue,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS region_revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+        GROUP BY 1
+    )
+    SELECT order_year, nation_revenue, region_revenue,
+           round(nation_revenue / region_revenue, 6) AS market_share
+    FROM agg
+"""
+
+
+QUERIES_TPCH: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sole_blame_supplier": q_sole_blame_supplier,
+    "idle_customer_balance": q_idle_customer_balance,
+    "large_order_customers": q_large_order_customers,
+    "top_revenue_supplier": q_top_revenue_supplier,
+    "important_part_value": q_important_part_value,
+    "promo_revenue_ratio": q_promo_revenue_ratio,
+    "disjunctive_bracket_revenue": q_disjunctive_bracket_revenue,
+    "national_market_share": q_national_market_share,
+}
+
+ORACLES_TPCH: dict[str, str] = {
+    "sole_blame_supplier": _SOLE_BLAME_SQL,
+    "idle_customer_balance": _IDLE_CUSTOMER_SQL,
+    "large_order_customers": _LARGE_ORDER_SQL,
+    "top_revenue_supplier": _TOP_REVENUE_SQL,
+    "important_part_value": _IMPORTANT_PART_SQL,
+    "promo_revenue_ratio": _PROMO_RATIO_SQL,
+    "disjunctive_bracket_revenue": _DISJUNCTIVE_SQL,
+    "national_market_share": _MARKET_SHARE_SQL,
+}

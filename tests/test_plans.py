@@ -263,3 +263,15 @@ def test_runtime_bloom_filter_injection(spark, orders):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_disjunctive_join_extracts_equi_key(spark):
+    """Q19-shape OR-of-conjunctions shares the partkey equi-key: the
+    join must compile to a hash join with the disjunction as a residual
+    condition, never a nested-loop/cartesian."""
+    from sf_datalake_spark.queries_tpch import q_disjunctive_bracket_revenue
+
+    df = q_disjunctive_bracket_revenue(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
