@@ -5,6 +5,7 @@ from sf_datalake_spark.streaming.streams import (
     run_to_memory,
     run_upsert_sink,
     running_total_alerts,
+    running_total_alerts_tws,
     session_aggregate,
     stream_stream_join,
     streaming_dedup,
@@ -16,6 +17,7 @@ __all__ = [
     "run_to_memory",
     "run_upsert_sink",
     "running_total_alerts",
+    "running_total_alerts_tws",
     "session_aggregate",
     "stream_stream_join",
     "streaming_dedup",

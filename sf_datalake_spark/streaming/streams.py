@@ -28,6 +28,27 @@ from pyspark.sql.types import StructType
 
 
 @contextlib.contextmanager
+def _pinned_confs(spark: SparkSession, confs: dict[str, str]):
+    """Set session confs while a streaming query starts + drains, then
+    restore them (unset keys are restored by explicit unset)."""
+    saved: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, prev in saved.items():
+            if prev is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, prev)
+
+
+@contextlib.contextmanager
 def _state_partitions(spark: SparkSession, n: int | None):
     """Pin ``spark.sql.shuffle.partitions`` while a streaming query
     starts, then restore it.
@@ -196,6 +217,83 @@ def running_total_alerts(
     )
 
 
+def running_total_alerts_tws(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    threshold: float,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """:func:`running_total_alerts` on Spark 4's ``transformWithState``
+    API — the successor to ``applyInPandasWithState`` and the form new
+    stateful operators should take: state is TYPED and NAMED
+    (``ValueState`` here; ``ListState``/``MapState``/timers for richer
+    operators), TTL is a per-state declaration instead of hand-rolled
+    timeout bookkeeping, and the backing store is RocksDB with
+    changelog checkpointing (state no longer bounded by executor heap —
+    the property that matters at 100 TB key cardinality).
+
+    Same contract as :func:`running_total_alerts`: per-key running
+    total, one row per crossing of each successive ``threshold``
+    multiple (the twins are asserted equal in tests).  Requires the
+    RocksDB state store provider — :func:`run_to_memory` pins it
+    automatically when it sees a TransformWithState plan; set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``...state.RocksDBStateStoreProvider`` when running it yourself.
+    Runtime dependency: the Python↔JVM state protocol uses protobuf
+    (``google.protobuf``) — environments without it can't start the
+    driver worker (the test gates on it; this container lacks it).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    key_types = dict(df.dtypes)
+    out_schema = (
+        ", ".join(f"`{k}` {key_types[k]}" for k in keys)
+        + ", alert_no int, total double, ts timestamp"
+    )
+    cols = [*keys, "alert_no", "total", "ts"]
+
+    class RunningTotalProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "running_total", "total double, emitted int", state_ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            got = self._state.get()
+            total, emitted = got if got is not None else (0.0, 0)
+            out = []
+            for pdf in rows:
+                for _, r in pdf.sort_values(ts_col).iterrows():
+                    total += float(r[value_col])
+                    while total >= threshold * (emitted + 1):
+                        emitted += 1
+                        out.append((*key, emitted, total, r[ts_col]))
+            self._state.update((total, emitted))
+            yield pd.DataFrame(out, columns=cols)
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(*keys).transformWithStateInPandas(
+        RunningTotalProcessor(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def run_to_memory(
     stream: DataFrame,
     query_name: str,
@@ -208,8 +306,16 @@ def run_to_memory(
 
     ``state_partitions`` sizes the state stores for the fresh
     checkpoint this run creates (see :func:`_state_partitions`); pass
-    ``None`` to inherit the session's shuffle setting."""
-    with _state_partitions(stream.sparkSession, state_partitions):
+    ``None`` to inherit the session's shuffle setting.  A
+    TransformWithState plan additionally gets the RocksDB provider
+    pinned (the API requires it; the default HDFS-backed store is
+    rejected)."""
+    extra: dict[str, str] = {}
+    if "TransformWithState" in stream._jdf.queryExecution().logical().toString():
+        extra["spark.sql.streaming.stateStore.providerClass"] = _ROCKSDB_PROVIDER
+    with _pinned_confs(stream.sparkSession, extra), _state_partitions(
+        stream.sparkSession, state_partitions
+    ):
         q = (
             stream.writeStream.format("memory")
             .queryName(query_name)

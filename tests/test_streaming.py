@@ -246,3 +246,47 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     )
     got = {(r["user_id"], r["event_id_l"], r["event_id_r"]) for r in out.collect()}
     assert got == {(1, 100, 101), (3, 300, 302), (3, 301, 302)}
+
+
+def test_running_total_alerts_transform_with_state(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 typed-state API, RocksDB
+    store): must produce exactly the applyInPandasWithState twin's
+    output — same accumulator, same threshold-multiple emission."""
+    # the transformWithState Python protocol speaks protobuf to the JVM
+    # state server; absent/broken protobuf → the driver worker can't
+    # start (this container ships no google.protobuf) — skip, the
+    # applyInPandasWithState twin above still covers the semantics
+    pytest.importorskip("google.protobuf.descriptor")
+    from sf_datalake_spark.streaming import (
+        running_total_alerts,
+        running_total_alerts_tws,
+    )
+
+    p = str(tmp_path / "tws_in")
+    rows = [
+        ("u1", ts("2023-01-01 10:00:00"), 6.0),
+        ("u1", ts("2023-01-01 10:01:00"), 5.0),
+        ("u1", ts("2023-01-01 10:02:00"), 12.0),
+        ("u2", ts("2023-01-01 10:00:00"), 3.0),
+        ("u2", ts("2023-01-01 10:03:00"), 25.0),  # 28 → alerts 1 and 2
+    ]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(p)
+
+    tws = running_total_alerts_tws(
+        read_file_stream(spark, p, SCHEMA), ["uid"], "t", "v", threshold=10.0
+    )
+    got_tws = sorted(
+        (r["uid"], r["alert_no"], r["total"])
+        for r in run_to_memory(tws, "tws_test").collect()
+    )
+    legacy = running_total_alerts(
+        read_file_stream(spark, p, SCHEMA), ["uid"], "t", "v", threshold=10.0
+    )
+    got_legacy = sorted(
+        (r["uid"], r["alert_no"], r["total"])
+        for r in run_to_memory(legacy, "tws_legacy_test").collect()
+    )
+    assert got_tws == got_legacy
+    assert got_tws == [
+        ("u1", 1, 11.0), ("u1", 2, 23.0), ("u2", 1, 28.0), ("u2", 2, 28.0),
+    ]
