@@ -922,6 +922,71 @@ _NULL_SAFE_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# Statistical / argmin-max aggregate battery. The subtle part is
+# cross-engine SEMANTICS, not syntax: DuckDB's skewness/kurtosis are
+# the bias-corrected SAMPLE statistics while Spark's are the population
+# moments — the oracle converts with the closed-form factors
+# (g1 = G1·(n−2)/√(n(n−1)); g2 = (G2·(n−2)(n−3)/(n−1) − 6)/(n+1)), so a
+# hash match proves the definitions were reconciled, not just spelled.
+# ---------------------------------------------------------------------------
+
+def q_agg_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax over a constructed UNIQUE exact-integer
+    ordering key — price ties would otherwise make the winner
+    engine-dependent), median, count_if, corr / covar_samp /
+    stddev_samp / regr_slope, and population skewness / excess
+    kurtosis, per order priority."""
+    orders = _t(spark, sf_dir, "orders")
+    # price is 2-dec: price·100 is an exact integer ≤ ~5e7; ·1e7 +
+    # orderkey stays < 2^53, so the ordering key is exact and unique
+    okey = (
+        F.round(F.col("o_totalprice") * 100).cast("bigint") * 10_000_000
+        + F.col("o_orderkey")
+    )
+    return orders.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", okey).alias("priciest_order"),
+        F.min_by("o_orderkey", okey).alias("cheapest_order"),
+        F.round(F.expr("median(o_totalprice)"), 6).alias("median_price"),
+        F.expr("count_if(o_totalprice > 100000)").alias("n_over_100k"),
+        F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("price_cust_corr"),
+        F.round(F.covar_samp("o_totalprice", "o_custkey"), 6).alias(
+            "price_cust_covar"
+        ),
+        F.round(F.stddev_samp("o_totalprice"), 6).alias("price_stddev"),
+        F.round(F.expr("regr_slope(o_totalprice, o_custkey)"), 6).alias(
+            "price_cust_slope"
+        ),
+        F.round(F.skewness("o_totalprice"), 6).alias("price_skew_pop"),
+        F.round(F.kurtosis("o_totalprice"), 6).alias("price_kurt_pop"),
+    )
+
+
+_AGG_BATTERY_SQL = """
+    SELECT o_orderpriority,
+           arg_max(o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) * 10000000
+                   + o_orderkey) AS priciest_order,
+           arg_min(o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) * 10000000
+                   + o_orderkey) AS cheapest_order,
+           round(median(o_totalprice), 6) AS median_price,
+           CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_over_100k,
+           round(corr(o_totalprice, o_custkey), 6) AS price_cust_corr,
+           round(covar_samp(o_totalprice, o_custkey), 6) AS price_cust_covar,
+           round(stddev_samp(o_totalprice), 6) AS price_stddev,
+           round(regr_slope(o_totalprice, o_custkey), 6) AS price_cust_slope,
+           round(skewness(o_totalprice)
+                 * (count(*) - 2)
+                 / sqrt(count(*) * (count(*) - 1.0)), 6) AS price_skew_pop,
+           round((kurtosis(o_totalprice)
+                  * (count(*) - 2.0) * (count(*) - 3.0) / (count(*) - 1.0)
+                  - 6.0) / (count(*) + 1.0), 6) AS price_kurt_pop
+    FROM orders
+    GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -950,6 +1015,7 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recursive_hierarchy": q_recursive_hierarchy,
     "trend_slopes": q_trend_slopes,
     "robust_stats": q_robust_stats,
+    "agg_function_battery": q_agg_function_battery,
 }
 
 ORACLES_REL: dict[str, str] = {
@@ -976,4 +1042,5 @@ ORACLES_REL: dict[str, str] = {
     "recursive_hierarchy": _RECURSIVE_SQL,
     "trend_slopes": _TREND_SQL,
     "robust_stats": _ROBUST_SQL,
+    "agg_function_battery": _AGG_BATTERY_SQL,
 }

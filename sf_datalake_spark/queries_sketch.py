@@ -264,11 +264,60 @@ _CMS_HEAVY_HITTERS_SQL = r"""
 """
 
 
+def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ∘ sketches capstone: distinct users per event type
+    maintained as an HLL sketch aggregation UNDER a file stream
+    (complete mode — the sketch is the running state, kilobytes per
+    key no matter how many users pass), flagged against the exact
+    batch distinct count.  This is the streaming dashboard pattern:
+    the distinct-count state that an exact streaming aggregation
+    would grow without bound is a fixed-size sketch here."""
+    from sf_datalake_spark.queries_ext import _events_stream
+    from sf_datalake_spark.streaming import run_to_memory
+
+    est_stream = (
+        _events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias(
+                "distinct_est"
+            )
+        )
+    )
+    est = run_to_memory(
+        est_stream, "q_streaming_hll_distinct", output_mode="complete"
+    )
+    exact = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("distinct_est") - F.col("exact_users"))
+            <= 0.03 * F.col("exact_users")
+        )
+        .cast("int")
+        .alias("est_ok"),
+    )
+
+
+_STREAMING_HLL_SQL = """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           1 AS est_ok
+    FROM events GROUP BY 1
+"""
+
+
 QUERIES_SKETCH = {
     "hll_rollup": q_hll_rollup,
     "kll_rollup": q_kll_rollup,
     "theta_set_ops": q_theta_set_ops,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "streaming_hll_distinct": q_streaming_hll_distinct,
 }
 
 ORACLES_SKETCH = {
@@ -276,4 +325,5 @@ ORACLES_SKETCH = {
     "kll_rollup": _KLL_ROLLUP_SQL,
     "theta_set_ops": _THETA_SET_OPS_SQL,
     "cms_heavy_hitters": _CMS_HEAVY_HITTERS_SQL,
+    "streaming_hll_distinct": _STREAMING_HLL_SQL,
 }
