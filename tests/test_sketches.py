@@ -101,3 +101,45 @@ def test_cms_one_sided_bound_and_determinism(spark):
     n = 607
     for item, true in [("alpha", 500), ("beta", 100), ("gamma", 7)]:
         assert true <= est1[item] <= true + eps * n, (item, est1[item])
+
+
+def test_sketches_survive_parquet_roundtrip(spark, tmp_path):
+    """The store-then-merge claim: sketches written to parquet as
+    binary columns and read back must merge to the SAME estimates as
+    the in-memory path — this is what makes them pre-aggregates rather
+    than query-local state."""
+    df = _base(spark)
+    sk = hll_partition_sketches(df, [], ["part"], "v", lg_k=12)
+    p = str(tmp_path / "sketch_table")
+    sk.write.parquet(p)
+    reread = spark.read.parquet(p)
+    direct = hll_merge(sk, []).collect()[0]["distinct_est"]
+    stored = hll_merge(reread, []).collect()[0]["distinct_est"]
+    assert stored == direct
+
+    # KLL: unlike HLL union, the merge is ORDER-SENSITIVE in its exact
+    # output (compaction depends on the merge sequence, and
+    # collect_list order is plan-dependent), so the stored-table merge
+    # is held to the family's actual contract — the rank bound — not
+    # bitwise equality with the in-memory path.
+    per_part = df.groupBy("part").agg(
+        F.kll_sketch_agg_double(F.col("v").cast("double"), F.lit(200)).alias(
+            "kll"
+        )
+    )
+    p2 = str(tmp_path / "kll_table")
+    per_part.write.parquet(p2)
+    merged = (
+        spark.read.parquet(p2)
+        .agg(
+            F.expr(
+                "kll_sketch_get_quantile_double("
+                "aggregate(slice(collect_list(kll), 2, size(collect_list(kll)) - 1), "
+                "collect_list(kll)[0], (a, x) -> kll_sketch_merge_double(a, x)), "
+                "cast(0.5 as double))"
+            ).alias("q")
+        )
+        .collect()[0]["q"]
+    )
+    exact_rank = df.filter(F.col("v") <= merged).count() / 20000
+    assert abs(exact_rank - 0.5) <= 0.03
