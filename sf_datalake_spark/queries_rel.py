@@ -987,6 +987,89 @@ _AGG_BATTERY_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# Wide→long reshaping (unpivot/melt — the inverse of pivot, which
+# queries_ext covers). Spark's Expand node emits all metric rows in one
+# pass over the aggregate, no union of per-metric scans.
+# ---------------------------------------------------------------------------
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority order metrics unpivoted to (priority, metric,
+    value) long format — the reshape feeding metric-agnostic dashboards
+    and drift monitors."""
+    orders = _t(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_orders", "sum_price", "max_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+_UNPIVOT_SQL = """
+    WITH wide AS (
+        SELECT o_orderpriority,
+               CAST(count(*) AS DOUBLE) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price,
+               round(max(o_totalprice), 2) AS max_price
+        FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'sum_price', sum_price FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'max_price', max_price FROM wide
+"""
+
+
+# ---------------------------------------------------------------------------
+# Map higher-order functions: the (month → revenue) map per customer
+# built, filtered, and rescaled entirely inside codegen'd map HOFs,
+# then exploded back to rows. The oracle computes the equivalent
+# relational answer — a hash match proves the map algebra preserved
+# exactly the surviving (key, value) set.
+# ---------------------------------------------------------------------------
+
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_from_entries → map_filter (months over 100k revenue) →
+    transform_values (10% uplift) → explode, per customer."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_custkey", F.trunc("o_orderdate", "month").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    mapped = monthly.groupBy("o_custkey").agg(
+        F.map_from_entries(F.collect_list(F.struct("month", "rev"))).alias("m")
+    )
+    adjusted = mapped.select(
+        "o_custkey",
+        F.transform_values(
+            F.map_filter("m", lambda k, v: v > 100000.0),
+            # rev is an exact 2-dec multiple; ·1.1 rounded at 3 decimals
+            # is the exact 3-dec product in both engines
+            lambda k, v: F.round(v * 1.1, 3),
+        ).alias("adj"),
+    )
+    return adjusted.select(
+        "o_custkey", F.explode("adj").alias("month", "adj_rev")
+    )
+
+
+_MAP_FUNCTIONS_SQL = """
+    WITH monthly AS (
+        SELECT o_custkey, date_trunc('month', o_orderdate)::date AS month,
+               round(sum(o_totalprice), 2) AS rev
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_custkey, month, round(rev * 1.1, 3) AS adj_rev
+    FROM monthly WHERE rev > 100000.0
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1016,6 +1099,8 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trend_slopes": q_trend_slopes,
     "robust_stats": q_robust_stats,
     "agg_function_battery": q_agg_function_battery,
+    "unpivot_metrics": q_unpivot_metrics,
+    "map_functions": q_map_functions,
 }
 
 ORACLES_REL: dict[str, str] = {
@@ -1043,4 +1128,6 @@ ORACLES_REL: dict[str, str] = {
     "trend_slopes": _TREND_SQL,
     "robust_stats": _ROBUST_SQL,
     "agg_function_battery": _AGG_BATTERY_SQL,
+    "unpivot_metrics": _UNPIVOT_SQL,
+    "map_functions": _MAP_FUNCTIONS_SQL,
 }
