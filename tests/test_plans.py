@@ -275,3 +275,31 @@ def test_disjunctive_join_extracts_equi_key(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sketch_and_decorrelation_plan_shapes(spark):
+    """Plan regression facts for the round-3 late batches: the sketch
+    queries and decorrelated TPC-H shapes must stay free of cartesian
+    products and Python stages (everything is JVM built-ins), and the
+    broadcast-scalar pattern must actually broadcast — a future
+    refactor turning a 1-row stats frame into a shuffle join would
+    silently de-optimize every threshold query."""
+    import __spark_entry__ as entry_mod
+
+    from sf_datalake_spark.plans import plan_report
+
+    sf = "/root/testdata/sf0.001"
+    qs = entry_mod.queries()
+    for name in ("hll_rollup", "kll_rollup", "theta_set_ops",
+                 "sole_blame_supplier", "idle_customer_balance",
+                 "large_order_customers", "top_revenue_supplier",
+                 "important_part_value", "national_market_share",
+                 "agg_function_battery", "unpivot_metrics",
+                 "map_functions"):
+        rep = plan_report(qs[name](spark, sf), execute=True)
+        assert rep["n_cartesian_products"] == 0, name
+        assert rep["n_python_evals"] == 0, name
+    for name in ("idle_customer_balance", "large_order_customers",
+                 "top_revenue_supplier", "important_part_value"):
+        rep = plan_report(qs[name](spark, sf), execute=True)
+        assert rep["n_broadcasts"] >= 1, f"{name}: scalar not broadcast"
