@@ -1070,6 +1070,45 @@ _MAP_FUNCTIONS_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# Fuzzy (edit-distance) self-match via symmetric-delete blocking
+# (operators/fuzzy.py): candidates meet in an EQUI-join on deletion
+# variants with exact recall for lev ≤ 1 — the oracle runs the naive
+# quadratic levenshtein join (with the |len| guard), so a hash match
+# proves the blocking lost no pair.
+# ---------------------------------------------------------------------------
+
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers whose names are within 1 edit of another supplier's:
+    per supplier, the neighbor count and the minimum neighbor key.
+    Id-like names make natural near-matches (one digit apart), so this
+    is the dirty-id reconciliation shape."""
+    from sf_datalake_spark.operators.fuzzy import fuzzy_join
+
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l = sup.select(F.col("s_suppkey").alias("lkey"), F.col("s_name").alias("lname"))
+    r = sup.select(F.col("s_suppkey").alias("rkey"), F.col("s_name").alias("rname"))
+    pairs = fuzzy_join(l, r, "lname", "rname", max_distance=1).filter(
+        F.col("lkey") != F.col("rkey")
+    )
+    return pairs.groupBy(F.col("lkey").alias("s_suppkey")).agg(
+        F.count("*").alias("n_similar"),
+        F.min("rkey").alias("closest_key"),
+    )
+
+
+_FUZZY_MATCH_SQL = """
+    SELECT a.s_suppkey,
+           CAST(count(*) AS BIGINT) AS n_similar,
+           min(b.s_suppkey) AS closest_key
+    FROM supplier a JOIN supplier b
+      ON a.s_suppkey <> b.s_suppkey
+     AND abs(length(a.s_name) - length(b.s_name)) <= 1
+     AND levenshtein(a.s_name, b.s_name) <= 1
+    GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1101,6 +1140,7 @@ QUERIES_REL: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_function_battery": q_agg_function_battery,
     "unpivot_metrics": q_unpivot_metrics,
     "map_functions": q_map_functions,
+    "fuzzy_name_match": q_fuzzy_name_match,
 }
 
 ORACLES_REL: dict[str, str] = {
@@ -1130,4 +1170,5 @@ ORACLES_REL: dict[str, str] = {
     "agg_function_battery": _AGG_BATTERY_SQL,
     "unpivot_metrics": _UNPIVOT_SQL,
     "map_functions": _MAP_FUNCTIONS_SQL,
+    "fuzzy_name_match": _FUZZY_MATCH_SQL,
 }

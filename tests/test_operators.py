@@ -133,3 +133,62 @@ def test_resample_rejects_nonbinary(spark):
     df = spark.createDataFrame([(1, 0), (2, 1), (3, 2)], "id bigint, failure int")
     with pytest.raises(ValueError):
         resample_classes(df, "failure")
+
+
+def test_fuzzy_join_exact_recall(spark):
+    """Symmetric-delete blocking must find EVERY pair within the edit
+    threshold — compare against the naive quadratic join on a
+    vocabulary with substitutions, insertions, deletions, and decoys."""
+    from pyspark.sql import functions as F
+
+    from sf_datalake_spark.operators.fuzzy import fuzzy_join
+
+    words = ["kitten", "sitten", "kitte", "kittens", "mitten",
+             "banana", "bananna", "apple", "appel", "grape"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    l = df.select(F.col("w").alias("lw"))
+    r = df.select(F.col("w").alias("rw"))
+    got = {
+        (x["lw"], x["rw"])
+        for x in fuzzy_join(l, r, "lw", "rw", max_distance=1)
+        .filter("lw < rw").collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (a, b) for a, b in itertools.combinations(sorted(words), 2)
+        if lev(a, b) <= 1
+    }
+    assert got == want and len(want) >= 4
+
+
+def test_fuzzy_join_distance_two(spark):
+    from pyspark.sql import functions as F
+
+    from sf_datalake_spark.operators.fuzzy import fuzzy_join
+
+    df = spark.createDataFrame(
+        [("abcdef",), ("abXdYf",), ("abcd",), ("zzzzzz",)], "w string"
+    )
+    l = df.select(F.col("w").alias("lw"))
+    r = df.select(F.col("w").alias("rw"))
+    got = {
+        (x["lw"], x["rw"], x["edit_distance"])
+        for x in fuzzy_join(l, r, "lw", "rw", max_distance=2)
+        .filter("lw < rw").collect()
+    }
+    assert ("abXdYf", "abcdef", 2) in got      # double substitution
+    assert ("abcd", "abcdef", 2) in got        # double insertion
+    assert not any("zzzzzz" in t[:2] for t in got)
