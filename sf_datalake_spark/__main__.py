@@ -304,10 +304,10 @@ def _zorder(args: argparse.Namespace) -> int:
 
     spark = get_spark_session("zorder")
     cols = args.cols.split(",")
-    if len(cols) != 2:
-        raise SystemExit("--cols takes exactly two comma-separated columns")
+    if len(cols) < 2:
+        raise SystemExit("--cols takes two or more comma-separated columns")
     df = load_data(spark, args.input, args.format)
-    write_zordered(df, args.output, (cols[0], cols[1]),
+    write_zordered(df, args.output, cols,
                    n_bits=args.n_bits, n_files=args.n_files)
     print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
     return 0

@@ -275,3 +275,85 @@ def test_bpe_token_count_vertical_tab_cross_engine(spark):
         params=[text, BPE_PRETOKEN_PATTERN],
     ).fetchone()[0]
     assert spark_n == duck_n
+
+
+def test_z_value_n_three_columns(spark):
+    """3-way interleave: bit i of column j lands at position i*3 + j,
+    and the 2-column form is exactly z_value_n([a, b])."""
+    from pyspark.sql import functions as F
+
+    from sf_datalake_spark.functions.zorder import (
+        z_value,
+        z_value_n,
+        z_value_sql_n,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0, 0), (0, 1, 0), (0, 0, 1), (3, 5, 6)], "a long, b long, c long"
+    )
+    got = [
+        r["z"] for r in df.select(z_value_n(["a", "b", "c"], 4).alias("z")).collect()
+    ]
+
+    def ref(a, b, c):
+        z = 0
+        for i in range(4):
+            z |= ((a >> i) & 1) << (3 * i)
+            z |= ((b >> i) & 1) << (3 * i + 1)
+            z |= ((c >> i) & 1) << (3 * i + 2)
+        return z
+
+    assert got == [ref(1, 0, 0), ref(0, 1, 0), ref(0, 0, 1), ref(3, 5, 6)]
+    # SQL twin is the same arithmetic
+    sql = z_value_sql_n(["a", "b", "c"], 4)
+    got_sql = [r["z"] for r in df.selectExpr(f"{sql} AS z").collect()]
+    assert got_sql == got
+    # 2-col compatibility
+    two = [r["z"] for r in df.select(z_value("a", "b", 4).alias("z")).collect()]
+    two_n = [
+        r["z"] for r in df.select(z_value_n(["a", "b"], 4).alias("z")).collect()
+    ]
+    assert two == two_n
+
+
+def test_z_value_n_rejects_overflowing_dims():
+    import pytest as _pytest
+
+    from sf_datalake_spark.functions.zorder import z_value_n
+
+    with _pytest.raises(ValueError, match="> 63"):
+        z_value_n(["a", "b", "c", "d"], 16)  # 64 bits
+
+
+def test_write_zordered_three_col_files_are_boxed(spark, tmp_path):
+    """3-column Z-ordered files must carry tight per-file min/max boxes
+    in every dimension (the property footer pruning relies on)."""
+    from pyspark.sql import functions as F
+
+    from sf_datalake_spark.functions.zorder import write_zordered
+
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 16).alias("x"),
+        (F.floor(F.col("id") / 16) % 16).alias("y"),
+        (F.floor(F.col("id") / 256) % 16).alias("z3"),
+    )
+    p = str(tmp_path / "z3")
+    write_zordered(df, p, ["x", "y", "z3"], n_bits=4, n_files=8)
+    widths = (
+        spark.read.parquet(p)
+        .withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            *(
+                (F.max(c) - F.min(c)).alias(f"w_{c}")
+                for c in ("x", "y", "z3")
+            )
+        )
+        .collect()
+    )
+    assert len(widths) == 8
+    # each file's box must be strictly tighter than the full 0..15
+    # domain in at least two of the three dimensions
+    for r in widths:
+        tight = sum(r[f"w_{c}"] < 15 for c in ("x", "y", "z3"))
+        assert tight >= 2, dict(r.asDict())
