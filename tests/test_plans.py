@@ -303,3 +303,21 @@ def test_sketch_and_decorrelation_plan_shapes(spark):
                  "top_revenue_supplier", "important_part_value"):
         rep = plan_report(qs[name](spark, sf), execute=True)
         assert rep["n_broadcasts"] >= 1, f"{name}: scalar not broadcast"
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    """rank()<=k filters must compile to WindowGroupLimit (Spark 3.5+):
+    the per-group top-k is pre-pruned map-side BEFORE the window
+    exchange, so only ~k rows per group shuffle — the difference
+    between shuffling k rows and shuffling the whole group at scale."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    for name in ("dedup_keep_best", "lateral_topk", "min_cost_supplier"):
+        plan = (
+            qs[name](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "WindowGroupLimit" in plan, f"{name}: top-k not pre-pruned"
