@@ -275,6 +275,18 @@ def observe_gate(gated: DataFrame, name: str = "quality_gate"):
     corpus. At 100 TB the difference is a full second pass. The
     metrics are exact for the completed action regardless of task
     retries (Spark de-duplicates observed updates per task).
+
+    Spark 4.1 quirk worth knowing: the FIRST ``observe()`` on a
+    session initializes its ``observationManager`` — a lazily-created,
+    non-Java-serializable SparkSession field.  MLlib models keep a
+    ``trainingSummary`` holding their session, so once a session has
+    observed anything, ``model.transform(...)`` closures that capture
+    such a model fail with ``Task not serializable`` (clearing the
+    manager's map does not de-initialize the lazy field, and
+    ``model.copy()`` keeps the summary).  When a workload mixes
+    ``observe()`` with MLlib transforms, build the observed frames on
+    a dedicated ``spark.newSession()`` (shares the SparkContext,
+    isolates the session object) — the repo's test does exactly that.
     """
     from pyspark.sql import Observation
 

@@ -406,7 +406,12 @@ def test_observe_gate_metrics_ride_the_action(spark):
         observe_gate,
     )
 
-    docs = spark.createDataFrame(
+    # dedicated session: observe() initializes the session's lazily
+    # created (non-serializable) observationManager, which would break
+    # MLlib model-transform closures in LATER tests sharing the main
+    # session — see observe_gate's docstring
+    s2 = spark.newSession()
+    docs = s2.createDataFrame(
         [
             (1, "the quick brown fox jumps over the lazy dog " * 10),
             (2, "short"),
