@@ -6,6 +6,7 @@ from sf_datalake_spark.multimodal.assets import (
     FRAME_SCHEMA,
     IMAGE_DECODED_SCHEMA,
     decode_images,
+    image_phash,
     extract_audio_features,
     resize_images,
     sample_frames,
@@ -18,6 +19,7 @@ __all__ = [
     "FRAME_SCHEMA",
     "IMAGE_DECODED_SCHEMA",
     "decode_images",
+    "image_phash",
     "extract_audio_features",
     "resize_images",
     "sample_frames",

@@ -992,6 +992,51 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visual near-dup detection: pHash (64-bit DCT perceptual hash)
+    over decoded images, near-dup pairs via the SAME Manku block join
+    the text SimHash path uses (``simhash_near_dup_pairs`` is generic
+    over any 64-bit signature — multimodal dedup reuses the machinery,
+    pigeonhole-exact recall included).
+
+    The corpus is each document's fake-decoded 16×16 image plus a
+    one-byte-perturbed twin (asset_id + 10⁷): a visually-identical
+    variant every real pipeline must catch.  Returns the pair census:
+    total pairs in hamming ≤ 6, exact (hamming 0) pairs, and how many
+    original↔twin pairs were recovered.  Rows-only: md5-seeded fake
+    pixels are not SQL-reproducible (deterministic, though)."""
+    from sf_datalake_spark.multimodal import decode_images, image_phash
+    from sf_datalake_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    decoded = decode_images(docs)
+    twin = decoded.withColumn(
+        "asset_id", F.col("asset_id") + F.lit(10_000_000)
+    ).withColumn(
+        "pixels",
+        F.concat(
+            F.expr("substring(pixels, 1, length(pixels) - 1)"),
+            F.lit(bytes([127])),
+        ),
+    )
+    hashes = image_phash(decoded.unionByName(twin)).withColumnRenamed(
+        "phash", "simhash"
+    )
+    pairs = simhash_near_dup_pairs(
+        hashes, "asset_id", max_hamming=6, bits=64
+    )
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum((F.col("hamming") == 0).cast("long")).alias("n_exact"),
+        F.sum(
+            ((F.col("id_2") - F.col("id_1")) == 10_000_000).cast("long")
+        ).alias("n_twin_pairs"),
+    )
+
+
 def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based approximations for the interactive 100 TB path:
     HyperLogLog++ cardinalities and approximate percentiles. Rows-only —
@@ -2318,6 +2363,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_sessions": q_streaming_sessions,
     "sketches": q_sketches,
     "multimodal_decode": q_multimodal_decode,
+    "image_phash_near_dups": q_image_phash_near_dups,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_pq_topk": q_ann_pq_topk,

@@ -391,3 +391,50 @@ def test_bmp_parser_rejects_malformed():
     bad_comp = bytearray(good)
     bad_comp[30] = 1  # BI_RLE8
     assert _decode_bmp(bytes(bad_comp)) is None
+
+
+def test_phash_batched_equals_scalar_reference(spark):
+    """The vectorized mapInPandas pHash must reproduce the scalar
+    reference implementation bit-for-bit."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sf_datalake_spark.multimodal import decode_images, image_phash
+    from sf_datalake_spark.multimodal.assets import _decode_image, _phash64
+
+    payloads = [f"doc number {i} with distinct text".encode() for i in range(12)]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "asset_id long, content binary",
+    )
+    got = {
+        r["asset_id"]: r["phash"]
+        for r in image_phash(decode_images(df)).collect()
+    }
+    for i, p in enumerate(payloads):
+        assert got[i] == _phash64(_decode_image(p, None, None)), i
+
+
+def test_phash_hamming_tracks_visual_similarity():
+    import numpy as np
+
+    from sf_datalake_spark.multimodal.assets import _phash64
+
+    rng = np.random.RandomState(7)
+    base = (
+        np.outer(np.linspace(0, 255, 64), np.ones(64))[:, :, None]
+        * np.ones(3)[None, None, :]
+        + rng.randint(0, 40, (64, 64, 3))
+    ).clip(0, 255).astype(np.uint8)
+    noisy = (base.astype(int) + rng.randint(-3, 4, base.shape)).clip(
+        0, 255
+    ).astype(np.uint8)
+    unrelated = rng.randint(0, 256, (64, 64, 3)).astype(np.uint8)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    h = _phash64(base)
+    assert ham(h, _phash64(base.copy())) == 0
+    assert ham(h, _phash64(noisy)) <= 8          # visually identical
+    assert ham(h, _phash64(unrelated)) >= 20      # visually unrelated
