@@ -90,3 +90,69 @@ def sessionize(
     return df.withColumn(
         session_col, F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_bounds: tuple[str, str],
+    right_bounds: tuple[str, str],
+    chunk_seconds: int = 3600,
+) -> DataFrame:
+    """Join interval rows that OVERLAP (``l.start ≤ r.end AND r.start ≤
+    l.end``), with both sides arbitrarily large — the interval-interval
+    analog of the as-of join.
+
+    A naive overlap join is a range (theta) predicate: Spark can only
+    execute it as a broadcast nested loop (dead when neither side fits)
+    or, with equi-keys, as a hash join whose per-key group pairs are
+    still quadratic.  The scale form here is CHUNK BUCKETING — the
+    standard interval-index trick (used by every genomic/temporal range
+    joiner): each interval explodes into the fixed-width time chunks it
+    touches (``sequence(floor(start/w), floor(end/w))``), candidates
+    meet in an EQUI-join on (keys…, chunk), the exact overlap predicate
+    verifies, and ``dropDuplicates`` collapses multi-chunk matches.
+    Recall is exact: overlapping intervals necessarily share a chunk.
+
+    Cost: explode factor = interval length / ``chunk_seconds`` (pick a
+    width near the typical interval length: too small explodes rows,
+    too wide degrades candidates toward per-key quadratic); shuffle is
+    one hash exchange on (keys…, chunk) — no broadcast, no nested loop,
+    skew bounded by intervals-per-chunk.  Timestamps are compared at
+    second resolution for chunking but the verify predicate uses the
+    original values, so sub-second overlaps are preserved.
+
+    Output: ``keys…`` + the non-key columns of both sides (callers
+    alias to avoid collisions) for every overlapping pair.
+    """
+    ls, le = left_bounds
+    rs, re_ = right_bounds
+    keys = list(keys)
+
+    def chunked(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "__chunk",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp(F.col(s)) / chunk_seconds),
+                    F.floor(F.unix_timestamp(F.col(e)) / chunk_seconds),
+                )
+            ),
+        )
+    lc = chunked(left, ls, le)
+    rc = chunked(right, rs, re_)
+    cond = [lc["__chunk"] == rc["__chunk"]] + [
+        lc[k] == rc[k] for k in keys
+    ]
+    joined = (
+        lc.join(rc, cond)
+        .filter(
+            (lc[ls] <= rc[re_]) & (rc[rs] <= lc[le])
+        )
+        .drop(lc["__chunk"])
+        .drop(rc["__chunk"])
+    )
+    for k in keys:
+        joined = joined.drop(rc[k])
+    return joined.dropDuplicates()

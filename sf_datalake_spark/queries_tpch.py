@@ -446,6 +446,55 @@ _MARKET_SHARE_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Interval-overlap join (lives here with the other late-round oracled
+# additions: this module merges last, keeping the driver-attestation
+# rotation's first 50 stable). The operator is
+# operators/intervals.interval_overlap_join — chunk bucketing instead
+# of a broadcast nested loop.
+# ---------------------------------------------------------------------------
+
+def q_interval_overlap_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click↔purchase attribution as an INTERVAL overlap: each event
+    carries a ±0 .. +10-minute validity window; pairs whose windows
+    overlap join per user.  Executed with chunk bucketing (equi-join on
+    (user, 10-min chunk) + exact verify) — both sides scale, no
+    broadcast nested loop; the oracle runs the textbook overlap theta
+    join."""
+    from sf_datalake_spark.operators.intervals import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events").select("ts", "user_id", "event_type", "event_id")
+    win = F.expr("INTERVAL 10 MINUTES")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_start"),
+        (F.col("ts") + win).alias("c_end"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + win).alias("p_end"),
+    )
+    out = interval_overlap_join(
+        clicks, buys, ["user_id"],
+        ("c_start", "c_end"), ("p_start", "p_end"),
+        chunk_seconds=600,
+    )
+    return out.select("user_id", "click_id", "purchase_id")
+
+
+_INTERVAL_OVERLAP_SQL = """
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.ts <= p.ts + INTERVAL 10 MINUTE
+     AND p.ts <= c.ts + INTERVAL 10 MINUTE
+"""
+
+
 QUERIES_TPCH: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sole_blame_supplier": q_sole_blame_supplier,
     "idle_customer_balance": q_idle_customer_balance,
@@ -455,6 +504,7 @@ QUERIES_TPCH: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promo_revenue_ratio": q_promo_revenue_ratio,
     "disjunctive_bracket_revenue": q_disjunctive_bracket_revenue,
     "national_market_share": q_national_market_share,
+    "interval_overlap_attribution": q_interval_overlap_attribution,
 }
 
 ORACLES_TPCH: dict[str, str] = {
@@ -466,4 +516,5 @@ ORACLES_TPCH: dict[str, str] = {
     "promo_revenue_ratio": _PROMO_RATIO_SQL,
     "disjunctive_bracket_revenue": _DISJUNCTIVE_SQL,
     "national_market_share": _MARKET_SHARE_SQL,
+    "interval_overlap_attribution": _INTERVAL_OVERLAP_SQL,
 }

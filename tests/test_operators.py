@@ -192,3 +192,56 @@ def test_fuzzy_join_distance_two(spark):
     assert ("abXdYf", "abcdef", 2) in got      # double substitution
     assert ("abcd", "abcdef", 2) in got        # double insertion
     assert not any("zzzzzz" in t[:2] for t in got)
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    """Chunk-bucketed overlap join must equal the naive theta join —
+    including touching endpoints, containment, multi-chunk spans, and
+    cross-key non-matches."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sf_datalake_spark.operators.intervals import interval_overlap_join
+
+    def ts(s):
+        return dt.datetime.fromisoformat(s)
+
+    left = spark.createDataFrame(
+        [
+            ("u1", 1, ts("2023-01-01 10:00:00"), ts("2023-01-01 11:00:00")),
+            ("u1", 2, ts("2023-01-01 12:00:00"), ts("2023-01-01 12:05:00")),
+            ("u2", 3, ts("2023-01-01 10:30:00"), ts("2023-01-01 10:40:00")),
+            # spans many chunks
+            ("u1", 4, ts("2023-01-01 00:00:00"), ts("2023-01-02 00:00:00")),
+        ],
+        "k string, lid int, ls timestamp, le timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", 10, ts("2023-01-01 10:30:00"), ts("2023-01-01 10:45:00")),
+            ("u1", 11, ts("2023-01-01 11:00:00"), ts("2023-01-01 11:30:00")),  # touches 1
+            ("u1", 12, ts("2023-01-01 12:06:00"), ts("2023-01-01 12:07:00")),  # gap after 2
+            ("u2", 13, ts("2023-01-01 10:00:00"), ts("2023-01-01 10:31:00")),
+            ("u3", 14, ts("2023-01-01 10:00:00"), ts("2023-01-01 11:00:00")),  # wrong key
+        ],
+        "k string, rid int, rs timestamp, re timestamp",
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, ["k"], ("ls", "le"), ("rs", "re"), chunk_seconds=600
+        ).collect()
+    }
+    naive = {
+        (r["lid"], r["rid"])
+        for r in left.join(
+            right,
+            (left.k == right.k) & (left.ls <= right.re) & (right.rs <= left.le),
+        ).collect()
+    }
+    assert got == naive
+    assert (1, 11) in got      # touching endpoints overlap
+    assert (4, 10) in got and (4, 11) in got and (4, 12) in got  # containment
+    assert (2, 12) not in got  # 1-minute gap
+    assert all(r != 14 for _, r in got)
