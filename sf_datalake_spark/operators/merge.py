@@ -165,3 +165,67 @@ def scd2_apply(
         .unionByName(openers)
         .unionByName(first_versions)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Reconcile two snapshots of a keyed table: one row per changed
+    key with ``change ∈ {'insert', 'update', 'delete'}`` plus the NEW
+    side's non-key columns (nulls for deletes) — the engine-side
+    change-data-capture a lakehouse uses to audit a replication, diff a
+    backfill against production, or derive a changelog between two
+    versions when the storage layer kept no CDF.
+
+    Plan: ONE full outer join on the keys (both sides hash-partition —
+    bucketed tables make it exchange-free) with change classification
+    and update detection as Column arithmetic.  Update detection
+    hashes the non-key columns null-safely (``xxhash64`` over the
+    struct — 64-bit, so a masked update needs a 2⁻⁶⁴ collision)
+    instead of N pairwise null-safe comparisons, so the OLD side
+    shuffles keys + 8 bytes regardless of column count.
+    Unchanged keys are filtered out before anything downstream sees
+    them — the output is proportional to the CHANGE volume, not the
+    table.
+    """
+    keys = list(keys)
+    val_cols = [c for c in new.columns if c not in keys]
+    if [c for c in old.columns if c not in keys] != val_cols:
+        raise ValueError("snapshot_diff: old/new schemas must match")
+    # distinct column names + DataFrame aliases: old/new often share
+    # lineage (a snapshot perturbed from the other), which trips the
+    # ambiguous-self-join check if attributes are referenced directly
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        F.xxhash64(F.struct(*val_cols)).alias("__oh"),
+    ).alias("__sd_o")
+    n = new.select(
+        *keys,
+        *val_cols,
+        F.xxhash64(F.struct(*val_cols)).alias("__nh"),
+    ).alias("__sd_n")
+    cond = None
+    for k in keys:
+        c = F.col(f"__sd_o.__ok_{k}").eqNullSafe(F.col(f"__sd_n.{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = o.join(n, cond, "full_outer")
+    oh, nh = F.col("__sd_o.__oh"), F.col("__sd_n.__nh")
+    change = (
+        F.when(oh.isNull(), F.lit("insert"))
+        .when(nh.isNull(), F.lit("delete"))
+        .when(oh != nh, F.lit("update"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"__sd_n.{k}"), F.col(f"__sd_o.__ok_{k}")).alias(k)
+                for k in keys
+            ],
+            "change",
+            *[F.col(f"__sd_n.{c}").alias(c) for c in val_cols],
+        )
+    )

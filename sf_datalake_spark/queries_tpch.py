@@ -495,6 +495,59 @@ _INTERVAL_OVERLAP_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Snapshot reconciliation (operators/merge.snapshot_diff): the diff of
+# two table versions as one full-outer join + null-safe struct hash.
+# The "new" snapshot is built in-query by deterministic perturbation
+# rules, so the oracle can state the expected changelog directly from
+# the rules — ground truth, not a reimplementation of the join.
+# ---------------------------------------------------------------------------
+
+def q_snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-table changelog between the base snapshot and a
+    perturbed one (every 97th key deleted, every 13th balance bumped,
+    every 101st key re-inserted shifted) — inserts/updates/deletes with
+    the new-side values."""
+    from sf_datalake_spark.operators.merge import snapshot_diff
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    survived = cust.filter(F.col("c_custkey") % 97 != 0).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 13 == 0,
+            F.round(F.coalesce(F.col("c_acctbal"), F.lit(0.0)) + 1, 2),
+        ).otherwise(F.col("c_acctbal")),
+    )
+    inserted = cust.filter(F.col("c_custkey") % 101 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + F.lit(10_000_000)
+    )
+    new = survived.unionByName(inserted)
+    diff = snapshot_diff(cust, new, ["c_custkey"])
+    return diff.select(
+        "c_custkey",
+        "change",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        "c_mktsegment",
+    )
+
+
+_SNAPSHOT_DIFF_SQL = """
+    SELECT c_custkey, 'delete' AS change,
+           CAST(NULL AS DOUBLE) AS acctbal,
+           CAST(NULL AS VARCHAR) AS c_mktsegment
+    FROM customer WHERE c_custkey % 97 = 0
+    UNION ALL
+    SELECT c_custkey, 'update', round(coalesce(c_acctbal, 0) + 1, 2),
+           c_mktsegment
+    FROM customer WHERE c_custkey % 13 = 0 AND c_custkey % 97 <> 0
+    UNION ALL
+    SELECT c_custkey + 10000000, 'insert', round(c_acctbal, 2), c_mktsegment
+    FROM customer WHERE c_custkey % 101 = 0
+"""
+
+
 QUERIES_TPCH: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sole_blame_supplier": q_sole_blame_supplier,
     "idle_customer_balance": q_idle_customer_balance,
@@ -505,6 +558,7 @@ QUERIES_TPCH: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "disjunctive_bracket_revenue": q_disjunctive_bracket_revenue,
     "national_market_share": q_national_market_share,
     "interval_overlap_attribution": q_interval_overlap_attribution,
+    "snapshot_diff_audit": q_snapshot_diff_audit,
 }
 
 ORACLES_TPCH: dict[str, str] = {
@@ -517,4 +571,5 @@ ORACLES_TPCH: dict[str, str] = {
     "disjunctive_bracket_revenue": _DISJUNCTIVE_SQL,
     "national_market_share": _MARKET_SHARE_SQL,
     "interval_overlap_attribution": _INTERVAL_OVERLAP_SQL,
+    "snapshot_diff_audit": _SNAPSHOT_DIFF_SQL,
 }

@@ -158,3 +158,43 @@ def test_scd2_apply_twice_converges(spark):
     once = scd2_apply(dim, chg, ["k"], ["seg"])
     twice = scd2_apply(once, chg, ["k"], ["seg"])
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    from pyspark.sql import functions as F
+
+    from sf_datalake_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k int, name string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),      # unchanged → absent from output
+         (2, "b", 21.0),      # update
+         (3, "c", None),      # unchanged incl. null → absent
+         (5, "e", 50.0)],     # insert; 4 deleted
+        "k int, name string, v double",
+    )
+    got = {r["k"]: (r["change"], r["name"], r["v"])
+           for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {
+        2: ("update", "b", 21.0),
+        4: ("delete", None, None),
+        5: ("insert", "e", 50.0),
+    }
+
+
+def test_snapshot_diff_null_value_transitions(spark):
+    """null→value and value→null are UPDATES (the null-safe struct
+    hash sees them), and a null key matches itself across snapshots."""
+    from sf_datalake_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, 2.0), (None, 9.0)], "k int, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, 1.0), (2, None), (None, 9.0)], "k int, v double"
+    )
+    got = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "update", 2: "update"}  # null key row unchanged
