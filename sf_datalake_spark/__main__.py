@@ -297,6 +297,18 @@ def _compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def _vacuum(args: argparse.Namespace) -> int:
+    from sf_datalake_spark.io import vacuum_staging
+    from sf_datalake_spark.session import get_spark_session
+
+    res = vacuum_staging(
+        get_spark_session("vacuum"), args.root,
+        retention_hours=args.retention_hours, dry_run=args.dry_run,
+    )
+    print(json.dumps(res))
+    return 0
+
+
 def _zorder(args: argparse.Namespace) -> int:
     from sf_datalake_spark.functions.zorder import write_zordered
     from sf_datalake_spark.io import load_data
@@ -381,6 +393,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     zo.add_argument("--format", default="parquet")
 
+    va = sub.add_parser("vacuum")
+    va.add_argument("--root", required=True,
+                    help="directory whose orphaned *.compacting / "
+                    "*.staging-N leftovers should be removed")
+    va.add_argument("--retention-hours", dest="retention_hours",
+                    type=float, default=24.0)
+    va.add_argument("--dry-run", dest="dry_run", action="store_true")
+
     args = parser.parse_args(argv)
     if args.command == "train":
         return _train(args)
@@ -394,6 +414,8 @@ def main(argv: list[str] | None = None) -> int:
         return _compact(args)
     if args.command == "zorder":
         return _zorder(args)
+    if args.command == "vacuum":
+        return _vacuum(args)
     if args.command == "curate":
         return _curate(args)
     return _convert(args)

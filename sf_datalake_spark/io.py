@@ -295,3 +295,86 @@ def write_predictions(
         F.element_at(vector_to_array(F.col(probability_col)), 2).alias("probability"),
     )
     write_data(out, path, file_format, num_partitions=num_partitions)
+
+
+def vacuum_staging(
+    spark: SparkSession,
+    root: str,
+    retention_hours: float = 24.0,
+    dry_run: bool = False,
+) -> dict:
+    """Remove ORPHANED staging artifacts under ``root``: the
+    ``<dataset>.compacting`` / ``<dataset>.staging-<n>`` directories a
+    crashed :func:`compact_files` or ``run_upsert_sink`` swap leaves
+    behind.  The lakehouse-maintenance vacuum for this engine's staged
+    writes — without it a crash loop slowly fills the store with dead
+    copies of the data.
+
+    Safety model: only paths matching the engine's OWN staging naming
+    convention are candidates (never arbitrary directories), and only
+    when their modification time is older than ``retention_hours`` —
+    an IN-PROGRESS swap's staging dir is younger than any sane
+    retention, so a concurrent writer is never yanked.  All listing and
+    deletion run through the Hadoop FS handle (HDFS/S3A-portable, same
+    rationale as :func:`compact_files`).  ``dry_run`` reports without
+    deleting.
+
+    Returns ``{"removed": [paths], "kept_recent": [paths]}``.
+    """
+    import re
+    import time
+
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hroot = jvm.org.apache.hadoop.fs.Path(root)
+    fs = hroot.getFileSystem(jsc.hadoopConfiguration())
+    if not fs.exists(hroot):
+        return {"removed": [], "kept_recent": []}
+    pat = re.compile(r".*\.(compacting|staging-\d+)$")
+    cutoff_ms = (time.time() - retention_hours * 3600.0) * 1000.0
+    removed, kept = [], []
+    for st in fs.listStatus(hroot):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        if not pat.match(name):
+            continue
+        target = str(st.getPath().toUri().getPath())
+        if st.getModificationTime() > cutoff_ms:
+            kept.append(target)
+            continue
+        if not dry_run:
+            fs.delete(st.getPath(), True)
+        removed.append(target)
+    return {"removed": sorted(removed), "kept_recent": sorted(kept)}
+
+
+def align_schemas(df: DataFrame, target: DataFrame) -> DataFrame:
+    """Schema evolution helper: project ``df`` onto ``target``'s
+    schema — missing columns become typed NULLs, compatible columns
+    are cast, order follows ``target``, EXTRA columns in ``df`` raise
+    (silently dropping data is the one wrong default for a lakehouse
+    writer; drop explicitly first if intended).
+
+    This is the preflight for appending/merging an evolved batch into
+    an existing table (``merge_upsert`` and ``snapshot_diff`` both
+    require matching schemas by design).
+    """
+    targets = {f.name: f.dataType for f in target.schema.fields}
+    extra = [c for c in df.columns if c not in targets]
+    if extra:
+        raise ValueError(
+            f"align_schemas: incoming columns {extra} absent from the "
+            "target schema — drop them explicitly before aligning"
+        )
+    have = set(df.columns)
+    return df.select(
+        *[
+            (
+                F.col(name).cast(dtype)
+                if name in have
+                else F.lit(None).cast(dtype)
+            ).alias(name)
+            for name, dtype in targets.items()
+        ]
+    )

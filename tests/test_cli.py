@@ -155,3 +155,20 @@ def test_cli_curate_pipeline(tmp_path, capsys, spark):
     back = spark.read.parquet(out)
     assert back.count() == 6
     assert set(back.columns) == {"doc_id", "text", "source", "n_chars"}
+
+
+def test_cli_vacuum(tmp_path, capsys):
+    import json
+    import os
+    import time
+
+    from sf_datalake_spark.__main__ import main
+
+    root = str(tmp_path / "lake")
+    os.makedirs(f"{root}/t.compacting")
+    old = time.time() - 48 * 3600
+    os.utime(f"{root}/t.compacting", (old, old))
+    assert main(["vacuum", "--root", root, "--retention-hours", "24"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [os.path.basename(p) for p in out["removed"]] == ["t.compacting"]
+    assert not os.path.exists(f"{root}/t.compacting")

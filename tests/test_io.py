@@ -123,3 +123,59 @@ def test_compact_files_reduces_file_count(spark, tmp_path):
     import glob
 
     assert len(glob.glob(f"{p}/*.parquet")) == 1
+
+
+def test_vacuum_staging_removes_only_old_orphans(spark, tmp_path):
+    import os
+    import time
+
+    from sf_datalake_spark.io import vacuum_staging
+
+    root = str(tmp_path / "lake")
+    os.makedirs(f"{root}/table.compacting")
+    os.makedirs(f"{root}/table.staging-3")
+    os.makedirs(f"{root}/table")          # live dataset: never touched
+    os.makedirs(f"{root}/fresh.staging-1")
+    old = time.time() - 48 * 3600
+    os.utime(f"{root}/table.compacting", (old, old))
+    os.utime(f"{root}/table.staging-3", (old, old))
+
+    dry = vacuum_staging(spark, root, retention_hours=24, dry_run=True)
+    assert len(dry["removed"]) == 2 and os.path.exists(f"{root}/table.compacting")
+
+    res = vacuum_staging(spark, root, retention_hours=24)
+    assert [os.path.basename(p) for p in res["removed"]] == [
+        "table.compacting", "table.staging-3"
+    ]
+    assert [os.path.basename(p) for p in res["kept_recent"]] == [
+        "fresh.staging-1"
+    ]
+    assert not os.path.exists(f"{root}/table.compacting")
+    assert os.path.exists(f"{root}/table")
+    assert os.path.exists(f"{root}/fresh.staging-1")
+
+
+def test_align_schemas_evolution(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sf_datalake_spark.io import align_schemas
+    from sf_datalake_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 1.5)], "k int, name string, score double"
+    )
+    evolved = spark.createDataFrame([(2, 7)], "k int, score int")  # no name; int score
+    aligned = align_schemas(evolved, target)
+    assert aligned.columns == ["k", "name", "score"]
+    assert dict(aligned.dtypes)["score"] == "double"
+    row = aligned.collect()[0]
+    assert (row["k"], row["name"], row["score"]) == (2, None, 7.0)
+    # and the aligned batch flows into merge_upsert
+    merged = merge_upsert(target, aligned, ["k"]).orderBy("k").collect()
+    assert [(r["k"], r["name"]) for r in merged] == [(1, "a"), (2, None)]
+    # extra columns refuse rather than silently dropping data
+    with _pytest.raises(ValueError, match="absent from the target"):
+        align_schemas(
+            spark.createDataFrame([(1, "x")], "k int, rogue string"), target
+        )
