@@ -548,6 +548,80 @@ _SNAPSHOT_DIFF_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Point-in-time dimension lookup: facts joined to the SCD2 version
+# valid at THEIR date. Spark-first composition: because a key's SCD2
+# intervals PARTITION time, "the version whose [start, end) contains
+# ts" equals "the latest version starting ≤ ts" — so the temporal
+# BETWEEN join collapses to the as-of join (one union-tag shuffle,
+# operators/asof.py) instead of a range theta join.
+# ---------------------------------------------------------------------------
+
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders joined to the customer segment valid AT ORDER DATE under
+    an SCD2 history (every 7th customer switches segment on
+    1998-06-15): order counts per as-at segment. The oracle runs the
+    textbook interval-containment join."""
+    from sf_datalake_spark.operators.asof import merge_asof
+    from sf_datalake_spark.operators.merge import scd2_apply
+
+    cust = _t(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.to_date(F.lit("1990-01-01")).alias("date_debut"),
+        F.lit(None).cast("date").alias("date_fin"),
+    )
+    changes = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.lit("MACHINERY").alias("segment"),
+        F.to_date(F.lit("1998-06-15")).alias("effective_date"),
+    )
+    history = scd2_apply(dim, changes, keys=["c_custkey"], value_cols=["segment"])
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.to_date("o_orderdate").alias("date_debut"),
+    )
+    looked_up = merge_asof(
+        orders,
+        history.select("c_custkey", "date_debut", "segment"),
+        on="date_debut",
+        by=["c_custkey"],
+        value_cols=["segment"],
+        direction="backward",
+    )
+    return looked_up.groupBy("segment").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+_SCD2_PIT_SQL = """
+    WITH history AS (
+        -- closed first version for switched keys, then their successor,
+        -- then the untouched keys' single open version
+        SELECT c_custkey, c_mktsegment AS segment,
+               DATE '1990-01-01' AS date_debut, DATE '1998-06-15' AS date_fin
+        FROM customer
+        WHERE c_custkey % 7 = 0 AND c_mktsegment <> 'MACHINERY'
+        UNION ALL
+        SELECT c_custkey, 'MACHINERY', DATE '1998-06-15', NULL
+        FROM customer
+        WHERE c_custkey % 7 = 0 AND c_mktsegment <> 'MACHINERY'
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, DATE '1990-01-01', NULL
+        FROM customer
+        WHERE c_custkey % 7 <> 0 OR c_mktsegment = 'MACHINERY'
+    )
+    SELECT h.segment, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN history h
+      ON h.c_custkey = o.o_custkey
+     AND o.o_orderdate >= h.date_debut
+     AND (h.date_fin IS NULL OR o.o_orderdate < h.date_fin)
+    GROUP BY 1
+"""
+
+
 QUERIES_TPCH: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sole_blame_supplier": q_sole_blame_supplier,
     "idle_customer_balance": q_idle_customer_balance,
@@ -559,6 +633,7 @@ QUERIES_TPCH: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "national_market_share": q_national_market_share,
     "interval_overlap_attribution": q_interval_overlap_attribution,
     "snapshot_diff_audit": q_snapshot_diff_audit,
+    "scd2_point_in_time": q_scd2_point_in_time,
 }
 
 ORACLES_TPCH: dict[str, str] = {
@@ -572,4 +647,5 @@ ORACLES_TPCH: dict[str, str] = {
     "national_market_share": _MARKET_SHARE_SQL,
     "interval_overlap_attribution": _INTERVAL_OVERLAP_SQL,
     "snapshot_diff_audit": _SNAPSHOT_DIFF_SQL,
+    "scd2_point_in_time": _SCD2_PIT_SQL,
 }
