@@ -622,6 +622,45 @@ _SCD2_PIT_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Many-small-models (ml/grouped.py): one logistic fit PER GROUP in a
+# single applyInPandas shuffle. Rows-only: IRLS probabilities are not
+# SQL-expressible; determinism is pinned via sort_cols.
+# ---------------------------------------------------------------------------
+
+def q_grouped_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order priority: an independent logistic model predicting
+    multi-line orders (≥ 4 lineitems) from order price and total
+    quantity, fit per group and scored in place — per-group row count,
+    IRLS iterations, and in-sample accuracy."""
+    from sf_datalake_spark.ml.grouped import fit_predict_per_group
+
+    li = _t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"), F.sum("l_quantity").alias("sum_qty")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    data = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice") / 100000.0).alias("price_scaled"),
+        (F.col("sum_qty") / 100.0).alias("qty_scaled"),
+        (F.col("n_lines") >= 4).cast("double").alias("label"),
+    )
+    scored = fit_predict_per_group(
+        data, ["o_orderpriority"], ["price_scaled", "qty_scaled"], "label",
+        reg=1e-6, sort_cols=["o_orderkey"],
+    )
+    return scored.groupBy("o_orderpriority").agg(
+        F.max("group_n").alias("group_n"),
+        F.max("converged_iter").alias("irls_iters"),
+        F.sum(
+            ((F.col("p1") > 0.5).cast("double") == F.col("label")).cast("long")
+        ).alias("n_correct"),
+    )
+
+
 QUERIES_TPCH: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sole_blame_supplier": q_sole_blame_supplier,
     "idle_customer_balance": q_idle_customer_balance,
@@ -634,6 +673,7 @@ QUERIES_TPCH: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_overlap_attribution": q_interval_overlap_attribution,
     "snapshot_diff_audit": q_snapshot_diff_audit,
     "scd2_point_in_time": q_scd2_point_in_time,
+    "grouped_models": q_grouped_models,
 }
 
 ORACLES_TPCH: dict[str, str] = {

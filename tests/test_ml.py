@@ -240,3 +240,52 @@ def test_population_stability_properties(spark):
     assert out["shifted"] > 0.25
     # PSI is finite even when a group has empty bins (smoothing)
     assert all(abs(v) < float("inf") for v in out.values())
+
+
+def test_grouped_logistic_matches_mllib_single_group(spark):
+    """The per-group IRLS fit must reproduce MLlib's LogisticRegression
+    (same family, standardization off) on one group — pins the solver
+    semantics to the engine's global path."""
+    import numpy as np
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.sql import functions as F
+
+    from sf_datalake_spark.ml.grouped import fit_predict_per_group
+
+    rng = np.random.RandomState(3)
+    X = rng.normal(size=(300, 2))
+    y = (X @ np.array([1.5, -2.0]) + 0.3 + rng.normal(0, 0.8, 300) > 0)
+    rows = [("g1", float(a), float(b), float(lbl)) for (a, b), lbl in zip(X, y)]
+    df = spark.createDataFrame(rows, "g string, x1 double, x2 double, label double")
+
+    got = fit_predict_per_group(
+        df, ["g"], ["x1", "x2"], "label", reg=0.1 / 300
+    )
+    assembled = VectorAssembler(inputCols=["x1", "x2"], outputCol="features")
+    ml = LogisticRegression(
+        regParam=0.1 / 300, standardization=False, maxIter=200, tol=1e-12
+    ).fit(assembled.transform(df))
+    from pyspark.ml.functions import vector_to_array
+
+    preds = ml.transform(assembled.transform(df)).withColumn(
+        "ref_p1", F.element_at(vector_to_array("probability"), 2)
+    ).select("x1", "x2", "ref_p1")
+    joined = got.join(preds, ["x1", "x2"]).collect()
+    assert len(joined) == 300
+    for r in joined:
+        assert abs(r["p1"] - r["ref_p1"]) < 1e-4, (r["p1"], r["ref_p1"])
+
+
+def test_grouped_logistic_degenerate_groups(spark):
+    from sf_datalake_spark.ml.grouped import fit_predict_per_group
+
+    df = spark.createDataFrame(
+        [("tiny", 1.0, 1.0)] * 3                       # < min_rows
+        + [("onelabel", float(i), 1.0) for i in range(20)],  # single class
+        "g string, x1 double, label double",
+    )
+    out = fit_predict_per_group(df, ["g"], ["x1"], "label", min_rows=8)
+    rows = {(r["g"], r["converged_iter"], r["p1"]) for r in out.collect()}
+    assert all(it == 0 for _, it, _ in rows)
+    assert {p for g, _, p in rows if g == "onelabel"} == {1.0}
