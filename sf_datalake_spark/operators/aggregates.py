@@ -38,3 +38,63 @@ def aggregate_by_keys(
     exprs = [getattr(F, fn)(c).alias(c) for c, fn in agg.items()]
     exprs += [getattr(F, carry_func)(c).alias(c) for c in carry]
     return df.groupBy(*keys).agg(*exprs)
+
+
+def incremental_aggregate(
+    old: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    count_col: str | None = "n_rows",
+) -> DataFrame:
+    """Maintain a keyed sum/count aggregate table INCREMENTALLY: fold a
+    delta batch's aggregates into the stored table instead of
+    re-aggregating history — the incremental-view-maintenance core of
+    every cheap ETL rollup (daily partitions folded into a running
+    table, late batches applied without a backfill).
+
+    ``old`` holds ``keys + sum_cols + [count_col]`` (the stored rollup);
+    ``delta`` holds RAW rows (``keys + sum_cols``).  The delta is
+    aggregated (one map-side-combined shuffle over the BATCH, not
+    history) and outer-merged additively: sums add, counts add, keys
+    new to either side pass through.  Works because sum/count form a
+    commutative monoid — averages and other ratios must be stored as
+    (sum, count) pairs and derived at read time; non-decomposable
+    aggregates (exact median/distinct) need their own structures
+    (see the sketch layer for mergeable distinct/quantiles).
+
+    Retractions: a late CORRECTION batch is just a delta with negated
+    measure values (and ``count_col`` contributions of −1 per retracted
+    row, prepared upstream) — the same fold applies it.
+
+    Cost: aggregate(delta) + one outer join on keys against the stored
+    table — at 100 TB the stored side is orders of magnitude smaller
+    than history, and bucketing it by the keys makes the fold
+    exchange-free on that side.
+    """
+    keys = list(keys)
+    sum_cols = list(sum_cols)
+    aggs = [F.sum(c).alias(c) for c in sum_cols]
+    if count_col:
+        aggs.append(F.count("*").alias(count_col))
+    d = delta.groupBy(*keys).agg(*aggs).alias("__ia_d")
+    o = old.alias("__ia_o")
+    cond = None
+    for k in keys:
+        c = F.col(f"__ia_o.{k}").eqNullSafe(F.col(f"__ia_d.{k}"))
+        cond = c if cond is None else (cond & c)
+    merged = o.join(d, cond, "full_outer")
+    val_cols = sum_cols + ([count_col] if count_col else [])
+    return merged.select(
+        *[
+            F.coalesce(F.col(f"__ia_o.{k}"), F.col(f"__ia_d.{k}")).alias(k)
+            for k in keys
+        ],
+        *[
+            (
+                F.coalesce(F.col(f"__ia_o.{c}"), F.lit(0))
+                + F.coalesce(F.col(f"__ia_d.{c}"), F.lit(0))
+            ).alias(c)
+            for c in val_cols
+        ],
+    )

@@ -623,6 +623,53 @@ _SCD2_PIT_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# Incremental view maintenance (operators/aggregates.py): fold a late
+# batch into a stored rollup instead of re-aggregating history. The
+# oracle is the FULL recompute over everything — a hash match proves
+# incremental ≡ from-scratch.
+# ---------------------------------------------------------------------------
+
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(priority, month) revenue rollup maintained incrementally:
+    orders before 2000-01-01 are the stored table, 2000+ arrive as the
+    delta batch; sums are folded at cent precision (exact integers) so
+    the incremental fold is bit-equal to the full GROUP BY."""
+    from sf_datalake_spark.operators.aggregates import incremental_aggregate
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.trunc("o_orderdate", "month").alias("month"),
+        # fold in exact integer cents: double sums then re-associate
+        # across the old/delta split, and 1e-9-noise could shift the
+        # final rounding; integers cannot
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_orderdate"),
+    )
+    keys = ["o_orderpriority", "month"]
+    history = orders.filter(F.col("o_orderdate") < "2000-01-01").drop("o_orderdate")
+    delta = orders.filter(F.col("o_orderdate") >= "2000-01-01").drop("o_orderdate")
+    stored = history.groupBy(*keys).agg(
+        F.sum("cents").alias("cents"), F.count("*").alias("n_rows")
+    )
+    updated = incremental_aggregate(stored, delta, keys, ["cents"], "n_rows")
+    return updated.select(
+        *keys,
+        (F.col("cents") / 100.0).alias("total_price"),
+        "n_rows",
+    )
+
+
+_INCREMENTAL_ROLLUP_SQL = """
+    SELECT o_orderpriority, date_trunc('month', o_orderdate)::date AS month,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               / 100.0 AS total_price,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders
+    GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Many-small-models (ml/grouped.py): one logistic fit PER GROUP in a
 # single applyInPandas shuffle. Rows-only: IRLS probabilities are not
 # SQL-expressible; determinism is pinned via sort_cols.
@@ -674,6 +721,7 @@ QUERIES_TPCH: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff_audit": q_snapshot_diff_audit,
     "scd2_point_in_time": q_scd2_point_in_time,
     "grouped_models": q_grouped_models,
+    "incremental_rollup": q_incremental_rollup,
 }
 
 ORACLES_TPCH: dict[str, str] = {
@@ -688,4 +736,5 @@ ORACLES_TPCH: dict[str, str] = {
     "interval_overlap_attribution": _INTERVAL_OVERLAP_SQL,
     "snapshot_diff_audit": _SNAPSHOT_DIFF_SQL,
     "scd2_point_in_time": _SCD2_PIT_SQL,
+    "incremental_rollup": _INCREMENTAL_ROLLUP_SQL,
 }

@@ -245,3 +245,35 @@ def test_interval_overlap_join_matches_naive(spark):
     assert (4, 10) in got and (4, 11) in got and (4, 12) in got  # containment
     assert (2, 12) not in got  # 1-minute gap
     assert all(r != 14 for _, r in got)
+
+
+def test_incremental_aggregate_fold_and_retraction(spark):
+    from pyspark.sql import functions as F
+
+    from sf_datalake_spark.operators.aggregates import incremental_aggregate
+
+    stored = spark.createDataFrame(
+        [("a", 10, 2), ("b", 5, 1)], "k string, v long, n_rows long"
+    )
+    delta = spark.createDataFrame(
+        [("a", 3), ("c", 7), ("c", 1)], "k string, v long"
+    )
+    got = {
+        r["k"]: (r["v"], r["n_rows"])
+        for r in incremental_aggregate(stored, delta, ["k"], ["v"]).collect()
+    }
+    assert got == {"a": (13, 3), "b": (5, 1), "c": (8, 2)}
+
+    # retraction: fold the negated delta back in → original table
+    retract = delta.select("k", (-F.col("v")).alias("v"))
+    updated = spark.createDataFrame(
+        [(k, v, n) for k, (v, n) in got.items()], "k string, v long, n_rows long"
+    )
+    # counts retract via a prepared (sum, count) delta frame
+    from sf_datalake_spark.operators.aggregates import incremental_aggregate as ia
+    neg_aggs = retract.groupBy("k").agg(
+        F.sum("v").alias("v"), (-F.count("*")).alias("n_rows")
+    )
+    back = ia(updated, neg_aggs, ["k"], ["v", "n_rows"], count_col=None)
+    final = {r["k"]: (r["v"], r["n_rows"]) for r in back.collect()}
+    assert final == {"a": (10, 2), "b": (5, 1), "c": (0, 0)}
