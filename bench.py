@@ -78,7 +78,14 @@ def main() -> int:
     first_run: dict[str, float] = {}
     for name, fn in qs.items():
         best = -1.0
-        for run_i in range(2):
+        worst = -1.0
+        # Adaptive third run: when even the best-of-2 pair disagrees by
+        # >2.5× both runs may have straddled one long interference
+        # window (GC pause, competing JVM) — a single extra timing
+        # resolves phantom-vs-real far more often than it costs.
+        runs_planned = 2
+        run_i = 0
+        while run_i < runs_planned:
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
@@ -90,6 +97,14 @@ def main() -> int:
                 if run_i == 0:
                     first_run[name] = elapsed
                 best = elapsed if best < 0 else min(best, elapsed)
+                worst = max(worst, elapsed)
+                if (
+                    run_i == 1
+                    and runs_planned == 2
+                    and best > 0.5
+                    and worst / best > 2.5
+                ):
+                    runs_planned = 3
             except Exception as e:
                 print(f"bench error in {name}: {e}", file=sys.stderr)
                 break
@@ -104,6 +119,7 @@ def main() -> int:
                     spark.catalog.clearCache()
                 except Exception:
                     pass
+            run_i += 1
         timings[name] = best
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
@@ -127,6 +143,7 @@ def main() -> int:
         "sf": sf,
         "runs": 2,
         "estimator": "min",
+        "adaptive_third_run": True,  # extra timing when the pair spreads >2.5x
     }
     # Keep the printed line compact (the driver's capture truncates long
     # lines); the full record with single-shot timings goes to the
