@@ -670,6 +670,68 @@ _INCREMENTAL_ROLLUP_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# Approximate query processing by deterministic sampling: estimate a
+# per-group aggregate from a hash-bucket sample and assert the CLT
+# error bound against the exact answer — the interactive-latency path
+# when even a sketch is too much machinery (any SUM/AVG works, no
+# pre-aggregation needed). Same flag-oracle pattern as the sketch
+# battery: the sample is md5-deterministic, so the flags are facts
+# about this dataset, not coin flips.
+# ---------------------------------------------------------------------------
+
+def q_sampled_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority order counts and revenue estimated from a 10 %
+    deterministic hash sample, flagged within 6 standard errors of the
+    exact answer (computed in the same query). The 1/p scale-up and
+    per-group stderr are the textbook Horvitz–Thompson estimates under
+    Bernoulli-by-hash sampling."""
+    from sf_datalake_spark.operators.split import hash_bucket
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    p = 0.10
+    sample = orders.filter(hash_bucket("o_orderkey", 1000, salt="aqp") < 100)
+    est = sample.groupBy("o_orderpriority").agg(
+        (F.count("*") / p).alias("est_n"),
+        (F.sum("o_totalprice") / p).alias("est_revenue"),
+        F.count("*").alias("k"),
+        F.sum("o_totalprice").alias("s1"),
+        F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias("s2"),
+    )
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("exact_n"),
+        F.round(F.sum("o_totalprice"), 2).alias("exact_revenue"),
+    )
+    both = exact.join(est, "o_orderpriority")
+    # Var(HT count) = n·(1−p)/p ≈ est_n·(1−p)/p; Var(HT sum) ≈
+    # (1−p)/p² · Σ_sample x² (the standard Bernoulli-design estimate)
+    n_se = F.sqrt(F.col("est_n") * (1 - p) / p)
+    rev_se = F.sqrt(F.col("s2") * (1 - p) / (p * p))
+    return both.select(
+        "o_orderpriority",
+        "exact_n",
+        "exact_revenue",
+        (F.abs(F.col("est_n") - F.col("exact_n")) <= 6 * n_se)
+        .cast("int")
+        .alias("n_within_6se"),
+        (F.abs(F.col("est_revenue") - F.col("exact_revenue")) <= 6 * rev_se)
+        .cast("int")
+        .alias("revenue_within_6se"),
+    )
+
+
+_SAMPLED_GROUPBY_SQL = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS exact_n,
+           round(sum(o_totalprice), 2) AS exact_revenue,
+           1 AS n_within_6se,
+           1 AS revenue_within_6se
+    FROM orders GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Many-small-models (ml/grouped.py): one logistic fit PER GROUP in a
 # single applyInPandas shuffle. Rows-only: IRLS probabilities are not
 # SQL-expressible; determinism is pinned via sort_cols.
@@ -722,6 +784,7 @@ QUERIES_TPCH: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_point_in_time": q_scd2_point_in_time,
     "grouped_models": q_grouped_models,
     "incremental_rollup": q_incremental_rollup,
+    "sampled_groupby": q_sampled_groupby,
 }
 
 ORACLES_TPCH: dict[str, str] = {
@@ -737,4 +800,5 @@ ORACLES_TPCH: dict[str, str] = {
     "snapshot_diff_audit": _SNAPSHOT_DIFF_SQL,
     "scd2_point_in_time": _SCD2_PIT_SQL,
     "incremental_rollup": _INCREMENTAL_ROLLUP_SQL,
+    "sampled_groupby": _SAMPLED_GROUPBY_SQL,
 }
