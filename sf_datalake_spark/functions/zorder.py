@@ -123,13 +123,26 @@ def write_zordered(
         observed = max((hi[f"m{i}"] or 0) for i in range(len(cols)))
         if observed >= (1 << n_bits):
             needed = max(observed, 1).bit_length()
-            fit = min(needed, 63 // len(cols))
+            budget = 63 // len(cols)
+            if needed <= budget:
+                advice = (
+                    f"Use n_bits={needed} (Z fits in "
+                    f"{len(cols) * needed} bits)."
+                )
+            else:
+                # no n_bits can represent these keys within the 63-bit
+                # Z budget — recommending a smaller mask would just
+                # alias again; only changing the data can work
+                advice = (
+                    f"No n_bits fits: the keys need {needed} bits each "
+                    f"but {len(cols)} interleaved columns allow at most "
+                    f"{budget}; pre-scale the columns (e.g. divide "
+                    "monotone ids by a constant) or drop a dimension."
+                )
             raise ValueError(
                 f"write_zordered: max({', '.join(cols)}) = {observed} "
                 f"exceeds 2^{n_bits}-1; keys would alias after the "
-                f"n_bits mask and destroy clustering. Use "
-                f"n_bits={fit} (Z fits in {len(cols) * fit} bits) or "
-                "pre-scale the columns."
+                f"n_bits mask and destroy clustering. {advice}"
             )
     zed = df.withColumn("__z", z_value_n(cols, n_bits))
     parts = n_files or int(

@@ -349,32 +349,94 @@ def vacuum_staging(
     return {"removed": sorted(removed), "kept_recent": sorted(kept)}
 
 
-def align_schemas(df: DataFrame, target: DataFrame) -> DataFrame:
+def align_schemas(
+    df: DataFrame, target: DataFrame, allow_lossy_casts: bool = False
+) -> DataFrame:
     """Schema evolution helper: project ``df`` onto ``target``'s
     schema — missing columns become typed NULLs, compatible columns
     are cast, order follows ``target``, EXTRA columns in ``df`` raise
     (silently dropping data is the one wrong default for a lakehouse
     writer; drop explicitly first if intended).
 
+    Cast SAFETY is type-checked, not value-checked: only widening /
+    value-preserving casts (numeric up-casts, anything → string,
+    date → timestamp) pass by default.  A narrowing or parse cast
+    (string → double, double → int, …) can turn unparseable or
+    out-of-range values into NULLs — the exact data loss this function
+    exists to prevent — so it RAISES unless ``allow_lossy_casts=True``
+    is passed deliberately, in which case those columns go through
+    ``try_cast`` (NULL on failure; a plain ANSI cast would instead
+    abort the whole job on the first bad value).
+
     This is the preflight for appending/merging an evolved batch into
     an existing table (``merge_upsert`` and ``snapshot_diff`` both
     require matching schemas by design).
     """
+    from pyspark.sql.types import (
+        ByteType,
+        DateType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+        TimestampType,
+    )
+
+    num_rank = {ByteType: 1, ShortType: 2, IntegerType: 3, LongType: 4,
+                FloatType: 5, DoubleType: 6}
+
+    def safe(src, dst) -> bool:
+        if src == dst:
+            return True
+        if isinstance(dst, StringType):
+            return True  # rendering never loses the value
+        s, d = num_rank.get(type(src)), num_rank.get(type(dst))
+        if s is not None and d is not None:
+            # long→float/double technically loses ulps above 2^53/2^24;
+            # treat integer→floating as widening like SQL does, but
+            # refuse float→integer and double→float
+            return d >= s and not (
+                isinstance(src, (FloatType, DoubleType)) and d < s
+            )
+        if isinstance(src, DateType) and isinstance(dst, TimestampType):
+            return True
+        if isinstance(src, DecimalType) and isinstance(dst, DoubleType):
+            return True
+        return False
+
     targets = {f.name: f.dataType for f in target.schema.fields}
+    sources = {f.name: f.dataType for f in df.schema.fields}
     extra = [c for c in df.columns if c not in targets]
     if extra:
         raise ValueError(
             f"align_schemas: incoming columns {extra} absent from the "
             "target schema — drop them explicitly before aligning"
         )
-    have = set(df.columns)
-    return df.select(
-        *[
-            (
-                F.col(name).cast(dtype)
-                if name in have
-                else F.lit(None).cast(dtype)
-            ).alias(name)
+    if not allow_lossy_casts:
+        lossy = [
+            f"{name}: {sources[name].simpleString()} → {dtype.simpleString()}"
             for name, dtype in targets.items()
+            if name in sources and not safe(sources[name], dtype)
         ]
+        if lossy:
+            raise ValueError(
+                "align_schemas: potentially lossy casts refused "
+                f"({'; '.join(lossy)}) — unparseable/out-of-range values "
+                "would silently become NULL; pass allow_lossy_casts=True "
+                "only after validating the batch"
+            )
+    have = set(df.columns)
+
+    def projected(name, dtype):
+        if name not in have:
+            return F.lit(None).cast(dtype)
+        if safe(sources[name], dtype):
+            return F.col(name).cast(dtype)
+        return F.expr(f"try_cast(`{name}` AS {dtype.simpleString()})")
+
+    return df.select(
+        *[projected(name, dtype).alias(name) for name, dtype in targets.items()]
     )

@@ -91,10 +91,20 @@ def incremental_aggregate(
             for k in keys
         ],
         *[
-            (
+            # SQL SUM of an all-NULL group is NULL, not 0 — preserve
+            # that (NULL = "no measurable data" ≠ 0) so the fold stays
+            # exactly equivalent to a from-scratch re-aggregation:
+            # NULL⊕NULL = NULL, NULL⊕x = x, x⊕y = x+y
+            F.when(
+                F.col(f"__ia_o.{c}").isNull()
+                & F.col(f"__ia_d.{c}").isNull(),
+                F.lit(None),
+            )
+            .otherwise(
                 F.coalesce(F.col(f"__ia_o.{c}"), F.lit(0))
                 + F.coalesce(F.col(f"__ia_d.{c}"), F.lit(0))
-            ).alias(c)
+            )
+            .alias(c)
             for c in val_cols
         ],
     )

@@ -82,14 +82,26 @@ def fuzzy_join(
     must not collide (alias beforehand).  ``how`` is ``inner`` only —
     outer fuzzy semantics (best-match-or-null) belong to a ranking
     layer on top of this candidate generator.
+
+    Contract: each side's ROWS must be distinct (include an id
+    column).  A pair matching through several common variants is
+    deduplicated with ``distinct()`` over the joined row, which cannot
+    tell "same pair via two variants" apart from "two identical input
+    rows" — with fully duplicate rows the join multiplicity of the
+    naive levenshtein join would be lost.
     """
     if how != "inner":
         raise ValueError("fuzzy_join supports inner joins only")
+    # array_distinct: strings with repeated characters produce the same
+    # deletion variant several times ("aa" → "a" twice) — exploding the
+    # distinct set avoids guaranteed-duplicate candidates
     lv = left.withColumn(
-        "__lvar", F.explode(deletion_variants(left_col, max_distance))
+        "__lvar",
+        F.explode(F.array_distinct(deletion_variants(left_col, max_distance))),
     )
     rv = right.withColumn(
-        "__rvar", F.explode(deletion_variants(right_col, max_distance))
+        "__rvar",
+        F.explode(F.array_distinct(deletion_variants(right_col, max_distance))),
     )
     cand = (
         lv.join(rv, lv["__lvar"] == rv["__rvar"])

@@ -123,6 +123,14 @@ def interval_overlap_join(
     second resolution for chunking but the verify predicate uses the
     original values, so sub-second overlaps are preserved.
 
+    A pair whose overlap spans several chunks would match in each of
+    them; instead of a ``distinct()`` (which would ALSO collapse
+    legitimately duplicate input rows and cost an extra shuffle), each
+    pair is emitted only from its canonical WITNESS chunk — the chunk
+    containing ``greatest(l.start, r.start)``, which every overlapping
+    pair shares by construction.  Input-row multiplicity is therefore
+    preserved exactly, matching the naive theta join on ANY input.
+
     Output: ``keys…`` + the non-key columns of both sides (callers
     alias to avoid collisions) for every overlapping pair.
     """
@@ -145,14 +153,19 @@ def interval_overlap_join(
     cond = [lc["__chunk"] == rc["__chunk"]] + [
         lc[k] == rc[k] for k in keys
     ]
+    witness = F.floor(
+        F.unix_timestamp(F.greatest(lc[ls], rc[rs])) / chunk_seconds
+    )
     joined = (
         lc.join(rc, cond)
         .filter(
-            (lc[ls] <= rc[re_]) & (rc[rs] <= lc[le])
+            (lc[ls] <= rc[re_])
+            & (rc[rs] <= lc[le])
+            & (lc["__chunk"] == witness)
         )
         .drop(lc["__chunk"])
         .drop(rc["__chunk"])
     )
     for k in keys:
         joined = joined.drop(rc[k])
-    return joined.dropDuplicates()
+    return joined

@@ -1012,7 +1012,10 @@ def q_image_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("asset_id"),
         F.encode("text", "UTF-8").alias("content"),
     )
-    decoded = decode_images(docs)
+    # persist the decoded frame: it feeds BOTH union branches, and
+    # decode is the dominant (codec-bound) stage — without the cache
+    # every action re-decodes the corpus twice
+    decoded = decode_images(docs).persist()
     twin = decoded.withColumn(
         "asset_id", F.col("asset_id") + F.lit(10_000_000)
     ).withColumn(

@@ -232,9 +232,16 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
         ).alias("word")
     )
-    counts = words.groupBy("word").agg(F.count("*").alias("exact_n"))
-    top = counts.orderBy(F.desc("exact_n"), "word").limit(10).collect()
-    n_total = words.count()
+    # Two corpus tokenization passes total: one building the (cached,
+    # vocabulary-sized) exact counts — which also yield n_total as
+    # Σ exact_n, no separate words.count() scan — and one feeding the
+    # sketch (the CMS aggregates raw occurrences by definition).
+    counts = words.groupBy("word").agg(F.count("*").alias("exact_n")).persist()
+    try:
+        top = counts.orderBy(F.desc("exact_n"), "word").limit(10).collect()
+        n_total = counts.agg(F.sum("exact_n")).collect()[0][0]
+    finally:
+        counts.unpersist()
     eps = 0.001
     ests = cms_estimate_counts(words, "word", [r["word"] for r in top], eps=eps)
     out = [

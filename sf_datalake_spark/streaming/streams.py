@@ -51,7 +51,7 @@ def _pinned_confs(spark: SparkSession, confs: dict[str, str]):
 @contextlib.contextmanager
 def _state_partitions(spark: SparkSession, n: int | None):
     """Pin ``spark.sql.shuffle.partitions`` while a streaming query
-    starts, then restore it.
+    starts, then restore it (a :func:`_pinned_confs` special case).
 
     The number of state-store partitions is fixed by the shuffle
     setting at CHECKPOINT CREATION and never changes afterwards, so it
@@ -65,16 +65,9 @@ def _state_partitions(spark: SparkSession, n: int | None):
     expected live state bytes / 256 MB, rounded to the executor-core
     multiple — for the local test corpus that is single-digit.
     """
-    if n is None:
+    confs = {} if n is None else {"spark.sql.shuffle.partitions": str(n)}
+    with _pinned_confs(spark, confs):
         yield
-        return
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set(key, prev)
 
 
 def read_file_stream(
@@ -281,11 +274,14 @@ def running_total_alerts_tws(
         def close(self) -> None:
             pass
 
+    # TTL state is only legal in ProcessingTime mode — Spark's
+    # validateTTLConfig rejects a TTL'd getValueState under
+    # timeMode="None", so the mode must follow the TTL request.
     return df.groupBy(*keys).transformWithStateInPandas(
         RunningTotalProcessor(),
         outputStructType=out_schema,
         outputMode="Append",
-        timeMode="None",
+        timeMode="None" if state_ttl_ms is None else "ProcessingTime",
     )
 
 

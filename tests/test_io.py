@@ -179,3 +179,21 @@ def test_align_schemas_evolution(spark):
         align_schemas(
             spark.createDataFrame([(1, "x")], "k int, rogue string"), target
         )
+
+
+def test_align_schemas_refuses_lossy_casts(spark):
+    import pytest as _pytest
+
+    from sf_datalake_spark.io import align_schemas
+
+    target = spark.createDataFrame([(1, 1.5)], "k int, score double")
+    drifted = spark.createDataFrame([(1, "n/a")], "k int, score string")
+    with _pytest.raises(ValueError, match="lossy casts refused"):
+        align_schemas(drifted, target)
+    # explicit override performs the cast (NULLing the bad value)
+    row = align_schemas(drifted, target, allow_lossy_casts=True).collect()[0]
+    assert row["score"] is None
+    # narrowing numeric also refused
+    target2 = spark.createDataFrame([(1, 1)], "k int, n int")
+    with _pytest.raises(ValueError, match="lossy"):
+        align_schemas(spark.createDataFrame([(1, 1.5)], "k int, n double"), target2)

@@ -277,3 +277,45 @@ def test_incremental_aggregate_fold_and_retraction(spark):
     back = ia(updated, neg_aggs, ["k"], ["v", "n_rows"], count_col=None)
     final = {r["k"]: (r["v"], r["n_rows"]) for r in back.collect()}
     assert final == {"a": (10, 2), "b": (5, 1), "c": (0, 0)}
+
+
+def test_interval_overlap_join_preserves_duplicate_rows(spark):
+    """Witness-chunk emission (not distinct()) must preserve input-row
+    multiplicity: duplicated left rows yield duplicated pairs, exactly
+    like the naive theta join."""
+    import datetime as dt
+
+    from sf_datalake_spark.operators.intervals import interval_overlap_join
+
+    t0 = dt.datetime(2023, 1, 1, 10, 0)
+    t1 = dt.datetime(2023, 1, 1, 13, 0)  # spans several 10-min chunks
+    left = spark.createDataFrame(
+        [("u", t0, t1), ("u", t0, t1)], "k string, ls timestamp, le timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", dt.datetime(2023, 1, 1, 11, 0), dt.datetime(2023, 1, 1, 11, 30))],
+        "k string, rs timestamp, re timestamp",
+    )
+    out = interval_overlap_join(
+        left, right, ["k"], ("ls", "le"), ("rs", "re"), chunk_seconds=600
+    )
+    assert out.count() == 2  # one pair per duplicate left row
+
+
+def test_incremental_aggregate_preserves_null_sums(spark):
+    """An all-NULL measure group must fold to NULL (SUM semantics), not
+    0 — incremental must stay equivalent to the from-scratch SUM."""
+    from sf_datalake_spark.operators.aggregates import incremental_aggregate
+
+    stored = spark.createDataFrame(
+        [("a", None, 2), ("b", 5, 1)],
+        "k string, v long, n_rows long",
+    )
+    delta = spark.createDataFrame(
+        [("a", None), ("c", None), ("b", 2)], "k string, v long"
+    )
+    got = {
+        r["k"]: (r["v"], r["n_rows"])
+        for r in incremental_aggregate(stored, delta, ["k"], ["v"]).collect()
+    }
+    assert got == {"a": (None, 3), "b": (7, 2), "c": (None, 1)}
