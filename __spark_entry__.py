@@ -32,37 +32,66 @@ QUERIES = {**QUERIES, **QUERIES_EXT, **QUERIES_REL, **QUERIES_CORPUS,
 ORACLES = {**ORACLES, **ORACLES_EXT, **ORACLES_REL, **ORACLES_CORPUS,
            **ORACLES_SKETCH, **ORACLES_TPCH}
 
-# Names the driver's 50-entry CORRECTNESS_r02 snapshot already attested.
-# The driver caps correctness snapshots at the first 50 registry entries,
-# so we rotate: queries it has never checked go first (oracled ones ahead
-# of rows-only ones), previously-attested ones last.  The union of
-# CORRECTNESS_r02 + r03 then covers essentially the whole registry.
-_R02_ATTESTED = frozenset({
-    "pricing_summary", "revenue_by_nation", "monthly_panel", "panel_lag",
-    "panel_diff", "panel_moving_avg", "target_variable", "semi_join_active",
-    "anti_join_inactive", "range_join_months", "spread_over_months",
-    "key_aggregate", "clip_values", "null_counts", "dedup_keep_best",
-    "json_extract", "hash_split", "daily_ffill", "asof_backward",
-    "sessionize", "interval_union", "token_stats", "quality_score",
-    "language_id", "exact_dedup", "fingerprint", "minhash_signature",
-    "minhash_lsh_pairs", "ngram_jaccard", "ngram_jaccard_capped",
-    "embedding_topk", "embedding_topk_sharded", "set_ops",
-    "outer_join_activity", "rollup_revenue", "pivot_priority",
-    "cumulative_revenue", "supplier_stats", "date_arithmetic",
-    "daily_interpolation", "simhash", "simhash_pairs", "multimodal_meta",
-    "asof_forward", "anova_f", "quantile_summary", "pca_projection",
-    "top_unshipped_orders", "forecast_revenue_change", "asof_nearest",
+# Names already green in a driver CORRECTNESS snapshot (union of
+# r01 ∪ r02 ∪ r03, 100 names — minus merge_upsert, r03's one hash-fail,
+# which rotates back to the FRONT so the driver re-attests its fix).
+# The driver caps correctness snapshots at the first 50 registry
+# entries, so we rotate: queries it has never checked go first (oracled
+# ones ahead of rows-only ones), previously-attested ones last.  The
+# union of driver snapshots r01..r04 then covers ≥150/158; the ≤9
+# stragglers that miss r04's cap are named in README with their
+# local-gate status.
+_ATTESTED = frozenset({
+    "alert_levels", "anova_f", "anti_join_inactive", "array_functions",
+    "asof_backward", "asof_forward", "asof_nearest", "bpe_tokens",
+    "brand_supplier_counts", "bucketed_join", "clip_values",
+    "confusion_matrix", "constraint_check", "correlation_matrix",
+    "cube_revenue", "cumulative_revenue", "customer_order_distribution",
+    "daily_ffill", "daily_interpolation", "date_arithmetic",
+    "dedup_clusters", "dedup_keep_best", "dedup_resolution",
+    "distinct_counts", "edit_distance", "embedding_topk",
+    "embedding_topk_sharded", "ewma_revenue", "exact_dedup",
+    "explode_positions", "extract_job", "filter_battery", "fingerprint",
+    "forecast_revenue_change", "grouping_sets", "hash_split",
+    "imputer_mean", "incremental_dedup", "interval_union", "json_extract",
+    "key_aggregate", "language_id", "late_shipment_priority",
+    "lateral_topk", "min_cost_supplier", "minhash_lsh_pairs",
+    "minhash_signature", "monthly_panel", "multimodal_meta",
+    "ngram_jaccard", "ngram_jaccard_capped", "null_counts",
+    "null_safe_join", "outer_join_activity", "panel_diff", "panel_lag",
+    "panel_moving_avg", "pca_projection", "pivot_priority",
+    "prediction_writer", "pricing_summary", "psi_drift", "quality_score",
+    "quantile_summary", "range_join_months", "revenue_by_nation",
+    "revenue_deciles", "rolling_7day", "rollup_revenue",
+    "salted_join_check", "salted_supplier_agg", "scd2_track",
+    "semi_join_active", "semi_range_join", "sessionize", "set_ops",
+    "simhash", "simhash_pairs", "small_quantity_revenue",
+    "spread_over_months", "stream_static_join", "stream_stream_join",
+    "streaming_dedup", "streaming_sessions", "streaming_upsert",
+    "streaming_windowed", "string_functions", "supplier_stats",
+    "table_profile", "target_variable", "tfidf_topk",
+    "threshold_histogram", "token_stats", "top_unshipped_orders",
+    "triangle_stats", "variant_extract", "window_battery",
+    "write_roundtrip", "zorder_key",
 })
 
 
 def _rotated(allq: dict) -> dict:
-    """Order the registry so the driver's 50-entry snapshot attests the
-    queries CORRECTNESS_r02 never saw: unattested+oracled first, then
-    unattested rows-only, then the already-attested tail."""
-    fresh_oracled = [k for k in allq if k not in _R02_ATTESTED and k in ORACLES]
-    fresh_rows_only = [k for k in allq if k not in _R02_ATTESTED and k not in ORACLES]
-    attested = [k for k in allq if k in _R02_ATTESTED]
-    return {k: allq[k] for k in fresh_oracled + fresh_rows_only + attested}
+    """Order the registry so the driver's 50-entry snapshot attests what
+    no prior round saw: the re-fixed merge_upsert first, then
+    unattested+oracled, then unattested rows-only, then the
+    already-attested tail."""
+    front = [k for k in ("merge_upsert",) if k in allq]
+    fresh_oracled = [
+        k for k in allq
+        if k not in _ATTESTED and k in ORACLES and k not in front
+    ]
+    fresh_rows_only = [
+        k for k in allq
+        if k not in _ATTESTED and k not in ORACLES and k not in front
+    ]
+    attested = [k for k in allq if k in _ATTESTED and k not in front]
+    return {k: allq[k] for k in front + fresh_oracled + fresh_rows_only + attested}
 
 
 QUERIES = _rotated(QUERIES)

@@ -25,12 +25,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # --queries a,b,c: time only the named queries (regression triage in
+    # one command).  The filtered run skips the sidecar overwrite so a
+    # targeted re-measurement never clobbers the full round record.
+    only: set[str] = set()
+    argv = sys.argv[1:]
+    if "--queries" in argv:
+        only = set(argv[argv.index("--queries") + 1].split(","))
     import __spark_entry__ as entry_mod
     from sf_datalake_spark.session import get_spark_session
 
     spark = get_spark_session("bench")
 
     qs = entry_mod.queries()
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown --queries: {sorted(unknown)}", file=sys.stderr)
+            return 2
+        qs = {k: v for k, v in qs.items() if k in only}
 
     # Warm up: JVM codegen, parquet footers, the Arrow python workers
     # (so the first mapInPandas query doesn't pay worker spawn), the
@@ -144,6 +157,13 @@ def main() -> int:
         "runs": 2,
         "estimator": "min",
         "adaptive_third_run": True,  # extra timing when the pair spreads >2.5x
+        # Methodology version, bumped whenever the timing protocol
+        # changes so cross-round BENCH_r{N} comparisons are honest:
+        #   v1 (r01-r02): best-of-2, no cache clearing between queries
+        #   v2 (r03):     + clearCache between runs, adaptive 3rd timing
+        #   v3 (r04+):    + --queries filter (protocol itself unchanged
+        #                 from v2 — v2/v3 numbers are comparable)
+        "methodology": "v3",
     }
     # Keep the printed line compact (the driver's capture truncates long
     # lines); the full record with single-shot timings goes to the
@@ -153,15 +173,16 @@ def main() -> int:
     # Durable sidecar (atomic rename): the driver's BENCH file tail can
     # truncate the printed line; bench_last.json keeps the full
     # per-query map for every round.
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_last.json")
-    tmp = sidecar + ".tmp"
-    try:
-        with open(tmp, "w") as f:
-            json.dump(payload, f, indent=1)
-        os.replace(tmp, sidecar)
-    except OSError as e:
-        print(f"bench sidecar write failed: {e}", file=sys.stderr)
+    if not only:
+        sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_last.json")
+        tmp = sidecar + ".tmp"
+        try:
+            with open(tmp, "w") as f:
+                json.dump(payload, f, indent=1)
+            os.replace(tmp, sidecar)
+        except OSError as e:
+            print(f"bench sidecar write failed: {e}", file=sys.stderr)
     return 0
 
 

@@ -63,9 +63,13 @@ def incremental_aggregate(
     aggregates (exact median/distinct) need their own structures
     (see the sketch layer for mergeable distinct/quantiles).
 
-    Retractions: a late CORRECTION batch is just a delta with negated
-    measure values (and ``count_col`` contributions of −1 per retracted
-    row, prepared upstream) — the same fold applies it.
+    Retractions: a late CORRECTION batch is a delta with negated
+    measure values.  For the count there are two contracts, selected by
+    the delta's schema: when ``count_col`` is ABSENT from the delta,
+    each delta row counts +1 (the plain insert batch); when the delta
+    CARRIES a ``count_col`` column, it is summed as a signed
+    per-row count contribution (−1 per retracted row, +1 per inserted
+    row), so one batch can mix inserts and retractions.
 
     Cost: aggregate(delta) + one outer join on keys against the stored
     table — at 100 TB the stored side is orders of magnitude smaller
@@ -76,7 +80,12 @@ def incremental_aggregate(
     sum_cols = list(sum_cols)
     aggs = [F.sum(c).alias(c) for c in sum_cols]
     if count_col:
-        aggs.append(F.count("*").alias(count_col))
+        if count_col in delta.columns:
+            # Signed count contributions (retraction contract): the
+            # delta pre-declares ±1 (or pre-aggregated n) per row.
+            aggs.append(F.sum(count_col).alias(count_col))
+        else:
+            aggs.append(F.count("*").alias(count_col))
     d = delta.groupBy(*keys).agg(*aggs).alias("__ia_d")
     o = old.alias("__ia_o")
     cond = None

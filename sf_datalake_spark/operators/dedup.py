@@ -24,6 +24,26 @@ from pyspark.sql import functions as F
 from sf_datalake_spark.functions.text import text_fingerprint, tokenize, word_shingles
 
 
+def spread_narrow_scan(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Repartition a NARROW scan so a CPU-heavy map stage (shingling,
+    per-token hashing — work that multiplies row count ~100×) uses the
+    whole cluster.
+
+    Small parquet inputs arrive as one or two scan partitions (file <
+    ``spark.sql.files.maxPartitionBytes``), which serializes the
+    explode+hash map work onto one core.  When the input has fewer
+    partitions than the default parallelism this round-robin
+    repartitions up to ``defaultParallelism * factor``; at real scale
+    (100 TB → thousands of scan splits) the guard makes it a no-op, so
+    the shuffle of raw text is only ever paid when the text is small.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def md5_hash64(col: Column, seed: int | str = "") -> Column:
     """Deterministic signed 60-bit hash: first 15 hex chars of md5."""
     return F.conv(
@@ -73,7 +93,7 @@ def minhash_signature(
     aggregate columns. Documents with no shingle (shorter than
     ``shingle_n`` tokens) are dropped, like datasketch's convention.
     """
-    shingled = df.select(
+    shingled = spread_narrow_scan(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("__sh")
     )
     # ONE md5 per shingle; the K hash functions are an independent
@@ -294,7 +314,7 @@ def ngram_jaccard_pairs(
     colliding pair of distinct shingles (P ≈ n²/2⁶¹) would only nudge
     one intersection count by 1.
     """
-    sh = df.select(
+    sh = spread_narrow_scan(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(word_shingles(text_col, shingle_n)).alias("__s"),
     ).select(
@@ -342,7 +362,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 48) -> DataFr
     """
     if bits % 4 or not 4 <= bits <= 60:
         raise ValueError("bits must be a multiple of 4 in [4, 60]")
-    toks = df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("__t"))
+    toks = spread_narrow_scan(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(tokenize(text_col)).alias("__t")
+    )
     h = F.conv(F.substring(F.md5(F.col("__t")), 1, bits // 4), 16, 10).cast("bigint")
     toks = toks.select(id_col, h.alias("__h"))
     sums = [

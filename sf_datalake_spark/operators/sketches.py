@@ -97,9 +97,15 @@ def kll_merged_quantiles(
             "kll"
         )
     )
+    # Empty-input guard: with zero sketches, slice(..., 2, -1) throws
+    # and [0] would be NULL anyway — return a NULL sketch (each
+    # quantile below null-propagates to a NULL estimate) instead of a
+    # runtime error.
     merged = F.expr(
-        "aggregate(slice(collect_list(kll), 2, size(collect_list(kll)) - 1), "
-        "collect_list(kll)[0], (a, x) -> kll_sketch_merge_double(a, x))"
+        "CASE WHEN size(collect_list(kll)) = 0 THEN NULL ELSE "
+        "aggregate(slice(collect_list(kll), 2, "
+        "              greatest(size(collect_list(kll)) - 1, 0)), "
+        "collect_list(kll)[0], (a, x) -> kll_sketch_merge_double(a, x)) END"
     )
     return per_part.agg(merged.alias("__m")).select(
         *[

@@ -1031,13 +1031,21 @@ def q_image_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = simhash_near_dup_pairs(
         hashes, "asset_id", max_hamming=6, bits=64
     )
-    return pairs.agg(
+    out = pairs.agg(
         F.count("*").alias("n_pairs"),
         F.sum((F.col("hamming") == 0).cast("long")).alias("n_exact"),
         F.sum(
             ((F.col("id_2") - F.col("id_1")) == 10_000_000).cast("long")
         ).alias("n_twin_pairs"),
     )
+    try:
+        # Materialize the one-row census (localCheckpoint truncates the
+        # lineage) so the persist can be released HERE — returning a
+        # lazy frame over the cache would leak one cached RDD per
+        # invocation into the shared long-lived session.
+        return out.localCheckpoint(eager=True)
+    finally:
+        decoded.unpersist()
 
 
 def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -500,8 +500,16 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sf_datalake_spark.operators.merge import merge_upsert
 
     orders = _t(spark, sf_dir, "orders")
+    # Reprice in exact integer cents: round(x*1.1, 2) on doubles rounds
+    # half-ties differently across engines (Spark HALF_UP on the decimal
+    # expansion vs DuckDB's C-library rounding), so +10% is computed as
+    # (cents*11 + 5) div 10 — pure integer math, identical everywhere.
     repriced = orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
-        "o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2)
+        "o_totalprice",
+        F.expr(
+            "((cast(round(o_totalprice * 100) as bigint) * 11 + 5) div 10)"
+            " / 100.0"
+        ),
     )
     new_rows = (
         orders.filter(F.col("o_orderkey") % 1000 == 0)
@@ -509,16 +517,23 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_orderstatus", F.lit("N"))
     )
     merged = merge_upsert(orders, repriced.unionByName(new_rows), ["o_orderkey"])
+    # Sum exact integer cents (prices carry 2 decimals): double summation
+    # over ~15k rows drifts in the last cents digit depending on
+    # association order, which is engine/partitioning dependent.  The
+    # integer fold is associative, so Spark and the oracle agree bit-for-bit.
     return merged.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")) / 100.0
+        ).alias("total_price"),
     )
 
 
 _MERGE_UPSERT_SQL = """
     WITH src AS (
         SELECT o_orderkey, o_custkey, o_orderstatus,
-               round(o_totalprice * 1.1, 2) AS o_totalprice,
+               ((CAST(round(o_totalprice * 100) AS BIGINT) * 11 + 5) // 10)
+                   / 100.0 AS o_totalprice,
                o_orderdate, o_orderpriority
         FROM orders WHERE o_orderkey % 10 = 0
         UNION ALL
@@ -533,7 +548,7 @@ _MERGE_UPSERT_SQL = """
         WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.o_orderkey = o.o_orderkey)
     )
     SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
     FROM merged GROUP BY 1
 """
 
@@ -937,10 +952,15 @@ def q_agg_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     stddev_samp / regr_slope, and population skewness / excess
     kurtosis, per order priority."""
     orders = _t(spark, sf_dir, "orders")
-    # price is 2-dec: price·100 is an exact integer ≤ ~5e7; ·1e7 +
-    # orderkey stays < 2^53, so the ordering key is exact and unique
+    # price is 2-dec: price·100 is an exact integer ≤ ~6e7. The whole
+    # key is computed in BIGINT lanes in BOTH engines (never double), so
+    # a 1e10 multiplier is exact (6e7·1e10 = 6e17 < 2^63) and unique for
+    # any o_orderkey < 1e10 — TPC-H orderkeys reach 6e9 at SF 10,000, so
+    # the uniqueness claim holds at every realistic scale factor (the
+    # earlier 1e7 multiplier collided once orderkeys passed 10M ≈ SF 2).
     okey = (
-        F.round(F.col("o_totalprice") * 100).cast("bigint") * 10_000_000
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+        * F.lit(10_000_000_000).cast("bigint")
         + F.col("o_orderkey")
     )
     return orders.groupBy("o_orderpriority").agg(
@@ -964,10 +984,10 @@ def q_agg_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AGG_BATTERY_SQL = """
     SELECT o_orderpriority,
            arg_max(o_orderkey,
-                   CAST(round(o_totalprice * 100) AS BIGINT) * 10000000
+                   CAST(round(o_totalprice * 100) AS BIGINT) * 10000000000
                    + o_orderkey) AS priciest_order,
            arg_min(o_orderkey,
-                   CAST(round(o_totalprice * 100) AS BIGINT) * 10000000
+                   CAST(round(o_totalprice * 100) AS BIGINT) * 10000000000
                    + o_orderkey) AS cheapest_order,
            round(median(o_totalprice), 6) AS median_price,
            CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_over_100k,

@@ -703,7 +703,10 @@ def q_sampled_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("exact_n"),
         F.round(F.sum("o_totalprice"), 2).alias("exact_revenue"),
     )
-    both = exact.join(est, "o_orderpriority")
+    # LEFT join from exact: a group that draws zero sample rows must
+    # surface as a loud estimate FAILURE (flags 0), not silently vanish
+    # from the result while the oracle emits every group.
+    both = exact.join(est, "o_orderpriority", "left")
     # Var(HT count) = n·(1−p)/p ≈ est_n·(1−p)/p; Var(HT sum) ≈
     # (1−p)/p² · Σ_sample x² (the standard Bernoulli-design estimate)
     n_se = F.sqrt(F.col("est_n") * (1 - p) / p)
@@ -712,12 +715,15 @@ def q_sampled_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "exact_n",
         "exact_revenue",
-        (F.abs(F.col("est_n") - F.col("exact_n")) <= 6 * n_se)
-        .cast("int")
-        .alias("n_within_6se"),
-        (F.abs(F.col("est_revenue") - F.col("exact_revenue")) <= 6 * rev_se)
-        .cast("int")
-        .alias("revenue_within_6se"),
+        F.coalesce(
+            (F.abs(F.col("est_n") - F.col("exact_n")) <= 6 * n_se).cast("int"),
+            F.lit(0),
+        ).alias("n_within_6se"),
+        F.coalesce(
+            (F.abs(F.col("est_revenue") - F.col("exact_revenue")) <= 6 * rev_se)
+            .cast("int"),
+            F.lit(0),
+        ).alias("revenue_within_6se"),
     )
 
 

@@ -279,6 +279,36 @@ def test_incremental_aggregate_fold_and_retraction(spark):
     assert final == {"a": (10, 2), "b": (5, 1), "c": (0, 0)}
 
 
+def test_incremental_aggregate_signed_count_retraction(spark):
+    """A delta CARRYING count_col uses signed per-row count
+    contributions (−1 per retracted row), so a single batch can mix
+    inserts and retractions without pre-aggregation tricks."""
+    from sf_datalake_spark.operators.aggregates import incremental_aggregate
+
+    stored = spark.createDataFrame(
+        [("a", 13, 3), ("c", 8, 2)], "k string, v long, n_rows long"
+    )
+    # retract one (a, 3) row, insert one (c, 2) row — in ONE batch
+    delta = spark.createDataFrame(
+        [("a", -3, -1), ("c", 2, 1)], "k string, v long, n_rows long"
+    )
+    got = {
+        r["k"]: (r["v"], r["n_rows"])
+        for r in incremental_aggregate(stored, delta, ["k"], ["v"]).collect()
+    }
+    assert got == {"a": (10, 2), "c": (10, 3)}
+
+
+def test_kll_merged_quantiles_empty_input(spark):
+    """Zero input rows → NULL quantile estimates, not a slice() error."""
+    from sf_datalake_spark.operators.sketches import kll_merged_quantiles
+
+    df = spark.createDataFrame([], "p int, v double")
+    rows = kll_merged_quantiles(df, ["p"], "v", [0.5, 0.9]).collect()
+    assert len(rows) == 1
+    assert rows[0]["q_est_0"] is None and rows[0]["q_est_1"] is None
+
+
 def test_interval_overlap_join_preserves_duplicate_rows(spark):
     """Witness-chunk emission (not distinct()) must preserve input-row
     multiplicity: duplicated left rows yield duplicated pairs, exactly

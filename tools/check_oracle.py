@@ -16,7 +16,14 @@ comparing as arbitrary-precision ints.  Assumes a UTC driver (this
 container is UTC): Spark's non-Arrow collect() renders timestamps in the
 driver's local zone.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--strict-hash] [sf_dir] [query ...]
+
+``--strict-hash`` replicates the driver's FULL-precision float
+comparator (repr(), 17 significant digits) instead of the default
+9-sig-digit fold.  Queries must be engine-exact to pass strict mode —
+use it to catch merge_upsert-style double-summation drift locally
+before the driver does (round 3's only red row passed the 9g fold but
+failed the driver's strict hash on a cents-level association drift).
 """
 
 from __future__ import annotations
@@ -38,6 +45,9 @@ TABLES = (
 ).split()
 
 
+STRICT_HASH = False  # set by --strict-hash: full-precision float compare
+
+
 def norm_cell(v):
     """Type-tagged cell rendering: values of different Python types never
     collide (int 3 != float 3.0 != Decimal 3), matching the driver's
@@ -49,6 +59,8 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "f:NaN"
+        if STRICT_HASH:
+            return f"f:{repr(v + 0.0)}"  # full 17-digit precision
         return f"f:{v + 0.0:.9g}"  # fold -0.0 into 0.0
     if isinstance(v, int):
         return f"i:{v}"
@@ -82,8 +94,11 @@ def table_digest(rows, colnames):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    global STRICT_HASH
+    argv = [a for a in sys.argv[1:] if a != "--strict-hash"]
+    STRICT_HASH = len(argv) != len(sys.argv) - 1
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entry_mod
     from sf_datalake_spark.session import get_spark_session
