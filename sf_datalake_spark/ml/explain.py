@@ -287,6 +287,7 @@ def _flatten_tree(tree_model, classification: bool) -> dict:
     left: list[int] = []
     right: list[int] = []
     val: list[float] = []
+    cover: list[float] = []
     cats: dict[int, frozenset] = {}
 
     def walk(jn) -> int:
@@ -296,6 +297,7 @@ def _flatten_tree(tree_model, classification: bool) -> dict:
         left.append(-1)
         right.append(-1)
         val.append(_tree_node_value(jn, classification))
+        cover.append(float(jn.impurityStats().count()))
         if "InternalNode" in jn.getClass().getSimpleName():
             split = jn.split()
             feat[idx] = split.featureIndex()
@@ -315,6 +317,7 @@ def _flatten_tree(tree_model, classification: bool) -> dict:
         "left": np.asarray(left, dtype=np.int64),
         "right": np.asarray(right, dtype=np.int64),
         "val": np.asarray(val, dtype=np.float64),
+        "cover": np.asarray(cover, dtype=np.float64),
         "cats": cats,
     }
 
@@ -354,17 +357,154 @@ def _tree_path_contribs(tree: dict, X):
     return contrib, float(val[0])
 
 
+def _go_left(tree: dict, node: int, x) -> bool:
+    """One split decision, matching the JVM predictor: continuous uses
+    ``x <= threshold`` (NaN goes right); categorical membership in the
+    left-category set."""
+    import math
+
+    f = tree["feat"][node]
+    t = tree["thr"][node]
+    xv = x[f]
+    if math.isnan(t):  # categorical split
+        return xv in tree["cats"][node]
+    return bool(xv <= t)
+
+
+def _tree_shap_row(tree: dict, x, phi) -> None:
+    """Exact path-dependent TreeSHAP for ONE tree and ONE row,
+    accumulated into ``phi`` (length n_features).
+
+    The polynomial-time recursion of Lundberg, Erion & Lee 2018
+    ("Consistent Individualized Feature Attribution for Tree
+    Ensembles", Algorithm 2): walk every root→leaf path once while
+    maintaining, for each subset size, the summed proportion of feature
+    subsets that reach the node — EXTEND adds a path feature with its
+    cover fraction (``zero``) and decision indicator (``one``), UNWIND
+    removes one (features revisited on a path merge multiplicatively).
+    Cost O(L · D²) per tree per row versus the exponential subset
+    enumeration it replaces.
+
+    Differs from Saabas (:func:`_tree_path_contribs`) by weighting
+    every subset-conditional expectation, not just the single observed
+    path — on correlated/asymmetric splits Saabas over-attributes to
+    deep features; TreeSHAP is the unique consistent allocation.
+    Matches ``shap.TreeExplainer(feature_perturbation=
+    "tree_path_dependent")`` (reference behavior:
+    ``/root/reference/src/sf_datalake/explain.py:84-107``).
+
+    The path state is parallel Python lists (d, zero, one, w); path
+    length is bounded by tree depth+1, so list ops dominate nothing.
+    """
+    feat = tree["feat"]
+    left = tree["left"]
+    right = tree["right"]
+    val = tree["val"]
+    cover = tree["cover"]
+
+    def extend(pd, pz, po, pw, d, z, o):
+        l = len(pd)
+        pd = pd + [d]
+        pz = pz + [z]
+        po = po + [o]
+        pw = pw + [1.0 if l == 0 else 0.0]
+        for i in range(l - 1, -1, -1):
+            pw[i + 1] += o * pw[i] * (i + 1) / (l + 1)
+            pw[i] = z * pw[i] * (l - i) / (l + 1)
+        return pd, pz, po, pw
+
+    def unwind(pd, pz, po, pw, i):
+        l = len(pd) - 1
+        z, o = pz[i], po[i]
+        pd, pz, po, pw = pd[:], pz[:], po[:], pw[:]
+        n = pw[l]
+        for j in range(l - 1, -1, -1):
+            if o != 0.0:
+                t = pw[j]
+                pw[j] = n * (l + 1) / ((j + 1) * o)
+                n = t - pw[j] * z * (l - j) / (l + 1)
+            else:
+                pw[j] = pw[j] * (l + 1) / (z * (l - j))
+        del pd[i], pz[i], po[i], pw[l]
+        # shift the removed slot out while keeping relative order
+        return pd, pz, po, pw
+
+    def unwound_sum(pz, po, pw, i):
+        l = len(pz) - 1
+        z, o = pz[i], po[i]
+        total = 0.0
+        if o != 0.0:
+            n = pw[l]
+            for j in range(l - 1, -1, -1):
+                t = n * (l + 1) / ((j + 1) * o)
+                total += t
+                n = pw[j] - t * z * (l - j) / (l + 1)
+        else:
+            for j in range(l - 1, -1, -1):
+                total += pw[j] * (l + 1) / (z * (l - j))
+        return total
+
+    def recurse(node, pd, pz, po, pw, parent_zero, parent_one, parent_d):
+        pd, pz, po, pw = extend(pd, pz, po, pw, parent_d, parent_zero, parent_one)
+        if feat[node] < 0:  # leaf
+            leaf_v = val[node]
+            for i in range(1, len(pd)):
+                w = unwound_sum(pz, po, pw, i)
+                phi[pd[i]] += w * (po[i] - pz[i]) * leaf_v
+            return
+        hot, cold = (
+            (left[node], right[node])
+            if _go_left(tree, node, x)
+            else (right[node], left[node])
+        )
+        iz, io = 1.0, 1.0
+        f = feat[node]
+        for k in range(1, len(pd)):
+            if pd[k] == f:  # feature already on the path: merge
+                iz, io = pz[k], po[k]
+                pd, pz, po, pw = unwind(pd, pz, po, pw, k)
+                break
+        recurse(hot, pd, pz, po, pw, iz * cover[hot] / cover[node], io, f)
+        recurse(cold, pd, pz, po, pw, iz * cover[cold] / cover[node], 0.0, f)
+
+    recurse(0, [], [], [], [], 1.0, 1.0, -1)
+
+
+def _tree_shap_contribs(tree: dict, X):
+    """TreeSHAP over a feature matrix: per-row exact recursion.
+    Returns ``(phi[n, d], root_value)`` — same contract as
+    :func:`_tree_path_contribs` so callers swap methods freely."""
+    import numpy as np
+
+    n, d = X.shape
+    out = np.zeros((n, d))
+    for r in range(n):
+        _tree_shap_row(tree, X[r], out[r])
+    return out, float(tree["val"][0])
+
+
 def tree_contributions(
     predictions: DataFrame,
     model,
     features_col: str = "features",
     keep: list[str] | None = None,
     feature_names: list[str] | None = None,
+    method: str = "saabas",
 ) -> DataFrame:
     """Distributed per-feature additive contributions for tree-ensemble
-    models (Saabas method) — the shap-free replacement for the
-    reference's driver-side ``shap.TreeExplainer``
+    models — the shap-free replacement for the reference's driver-side
+    ``shap.TreeExplainer``
     (``/root/reference/src/sf_datalake/explain.py:63-107``).
+
+    ``method="saabas"`` (default): observed-path attributions — O(depth)
+    per row, the fast screening path.  ``method="tree_shap"``: exact
+    path-dependent TreeSHAP (Lundberg 2018 polynomial recursion) —
+    O(leaves · depth²) per row, the unique consistent allocation and
+    the reference's TreeExplainer semantics.  Both satisfy
+    ``base + Σ contrib = prediction`` exactly and agree on depth-1
+    trees; they differ on deeper trees with asymmetric/correlated
+    splits (TreeSHAP credits every subset-conditional expectation,
+    Saabas only the observed path).
 
     Per row: ``base + Σ_i contrib_i`` equals exactly
 
@@ -386,6 +526,9 @@ def tree_contributions(
     """
     import numpy as np
 
+    if method not in ("saabas", "tree_shap"):
+        raise ValueError(f"unknown method {method!r}: saabas | tree_shap")
+    contrib_fn = _tree_shap_contribs if method == "tree_shap" else _tree_path_contribs
     names = feature_names or feature_names_from_metadata(predictions, features_col)
     cls = type(model).__name__
     classification = "Classification" in cls
@@ -422,7 +565,7 @@ def tree_contributions(
                 raise ValueError(f"feature vector width {X.shape[1]} != {d} names")
             total = np.zeros((len(pdf), d))
             for tree, w in zip(flat, weights):
-                c, _ = _tree_path_contribs(tree, X)
+                c, _ = contrib_fn(tree, X)
                 total += w * c
             out = pdf[keep].copy()
             out["base"] = base
@@ -439,6 +582,7 @@ def shap_explanations(
     features_col: str = "features",
     keep: list[str] | None = None,
     feature_names: list[str] | None = None,
+    tree_method: str = "tree_shap",
 ) -> DataFrame:
     """Additive per-feature attributions for any supported model — the
     engine-native replacement for the reference's driver-side shap calls
@@ -450,9 +594,11 @@ def shap_explanations(
     linear models route to :func:`linear_contributions` (coef·x is
     exactly the interventional LinearExplainer attribution, up to the
     expected-value offset) and tree ensembles to
-    :func:`tree_contributions` (Saabas path attributions — the
-    per-tree decomposition TreeExplainer refines; identical additivity
-    contract ``base + Σ contrib = prediction``). Both return
+    :func:`tree_contributions` with ``method="tree_shap"`` — the exact
+    path-dependent TreeSHAP recursion, the same semantics as the
+    reference's ``TreeExplainer`` (additivity contract
+    ``base + Σ contrib = prediction``).  Pass ``tree_method="saabas"``
+    for the O(depth) observed-path screening variant.  Both return
     ``keep + [base] + contrib_*`` columns consumable by
     :func:`topic_contributions` and the frontend layer.
     """
@@ -483,7 +629,8 @@ def shap_explanations(
         )
     if hasattr(model, "trees") or type(model).__name__.startswith("DecisionTree"):
         return tree_contributions(
-            predictions, model, features_col, keep, feature_names
+            predictions, model, features_col, keep, feature_names,
+            method=tree_method,
         )
     raise ValueError(
         f"unsupported model type {type(model).__name__}: expected a binomial "

@@ -1400,6 +1400,72 @@ def q_tree_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tree_shap_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact path-dependent TreeSHAP (Lundberg 2018 polynomial
+    recursion, ``tree_contributions(method="tree_shap")`` — the
+    reference's ``shap.TreeExplainer`` semantics, reference
+    ``explain.py:84-107``) vs the Saabas fast path, on the same fitted
+    forest: per-row additivity error of BOTH methods (must be ~0) and
+    the mean |TreeSHAP − Saabas| divergence per feature (must be > 0 on
+    a depth-4 forest — the correlated-split difference TreeSHAP
+    exists to fix).  Rows-only: tree training + the recursion are not
+    SQL-expressible."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    from sf_datalake_spark.ml import fit_ready, make_classifier, tree_contributions
+    from sf_datalake_spark.operators.split import hash_split
+    from sf_datalake_spark.operators.windows import with_lag
+    from sf_datalake_spark.queries import q_target_variable
+
+    panel = customer_monthly_panel(spark, sf_dir)
+    panel = with_lag(panel, "revenue", [1], keys=["custkey"], period_col="periode",
+                     suffix_fmt="revenue_lag{n}m").fillna({"revenue_lag1m": 0.0})
+    labeled = panel.join(q_target_variable(spark, sf_dir), ["custkey", "periode"])
+    assembled = VectorAssembler(
+        inputCols=["revenue", "revenue_lag1m"], outputCol="features"
+    ).transform(labeled)
+    train, test = hash_split(assembled, "custkey", test_fraction=0.3)
+    train, _ = fit_ready(train)
+    model = make_classifier(
+        "RandomForestClassifier", numTrees=5, maxDepth=4, seed=42
+    ).fit(train)
+    train.unpersist()
+    preds = model.transform(test).withColumn(
+        "p1", F.element_at(vector_to_array("probability"), 2)
+    )
+    keys = ["custkey", "periode"]
+    shap = tree_contributions(preds, model, keep=keys, method="tree_shap")
+    saabas = tree_contributions(preds, model, keep=keys, method="saabas")
+    sa = saabas.select(
+        *keys,
+        F.col("contrib_revenue").alias("sa_rev"),
+        F.col("contrib_revenue_lag1m").alias("sa_lag"),
+    )
+    joined = (
+        shap.join(sa, keys)
+        .join(preds.select(*keys, "p1"), keys)
+    )
+    return joined.agg(
+        F.count("*").alias("n_rows"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("base") + F.col("contrib_revenue")
+                    + F.col("contrib_revenue_lag1m") - F.col("p1")
+                )
+            ),
+            9,
+        ).alias("max_additivity_err"),
+        F.round(
+            F.avg(F.abs(F.col("contrib_revenue") - F.col("sa_rev"))), 6
+        ).alias("mean_divergence_rev"),
+        F.round(
+            F.avg(F.abs(F.col("contrib_revenue_lag1m") - F.col("sa_lag"))), 6
+        ).alias("mean_divergence_lag"),
+    )
+
+
 def q_grouped_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-style randomized grouped split (distinct + randomSplit +
     left-semi), seeded; split sizes per side."""
@@ -2384,6 +2450,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resampled_counts": q_resampled_counts,
     "grouped_split_counts": q_grouped_split_counts,
     "tree_contributions": q_tree_contributions,
+    "tree_shap_parity": q_tree_shap_parity,
     "write_roundtrip": q_write_roundtrip,
     "semi_range_join": q_semi_range_join,
     "filter_battery": q_filter_battery,

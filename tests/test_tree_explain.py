@@ -86,6 +86,189 @@ def test_tree_contribs_feed_topic_layer(assembled):
     assert abs(topics["topic_all"] - (row["contrib_x1"] + row["contrib_x2"])) < 1e-12
 
 
+# ---------------------------------------------------------------------------
+# Exact path-dependent TreeSHAP (Lundberg 2018 recursion)
+# ---------------------------------------------------------------------------
+
+def _hand_tree():
+    """Depth-2 regression tree, hand-flattened:
+
+        root: x0 <= 0.5 ?            cover 4
+          L:  leaf value 0           cover 2
+          R:  x1 <= 0.5 ?            cover 2
+            RL: leaf value 10        cover 1
+            RR: leaf value 20        cover 1
+
+    Node values are cover-weighted subtree means (what Spark stores).
+    """
+    import numpy as np
+
+    return {
+        "feat": np.array([0, -1, 1, -1, -1]),
+        "thr": np.array([0.5, 0.0, 0.5, 0.0, 0.0]),
+        "left": np.array([1, -1, 3, -1, -1]),
+        "right": np.array([2, -1, 4, -1, -1]),
+        "val": np.array([7.5, 0.0, 15.0, 10.0, 20.0]),
+        "cover": np.array([4.0, 2.0, 2.0, 1.0, 1.0]),
+        "cats": {},
+    }
+
+
+def test_tree_shap_hand_computed_depth2():
+    """x = (1, 1) on the hand tree: the four subset expectations are
+    E(∅)=7.5, E({0})=15, E({1})=10, E({0,1})=20, so
+    φ0 = ½(15−7.5)+½(20−10) = 8.75 and φ1 = ½(10−7.5)+½(20−15) = 3.75.
+    Saabas on the same row gives (7.5, 5.0) — the depth-2 divergence
+    TreeSHAP exists to fix."""
+    import numpy as np
+
+    from sf_datalake_spark.ml.explain import (
+        _tree_path_contribs,
+        _tree_shap_contribs,
+    )
+
+    tree = _hand_tree()
+    X = np.array([[1.0, 1.0]])
+    phi, base = _tree_shap_contribs(tree, X)
+    assert base == 7.5
+    assert abs(phi[0, 0] - 8.75) < 1e-12
+    assert abs(phi[0, 1] - 3.75) < 1e-12
+    saabas, _ = _tree_path_contribs(tree, X)
+    assert abs(saabas[0, 0] - 7.5) < 1e-12 and abs(saabas[0, 1] - 5.0) < 1e-12
+
+
+def _brute_force_shap(tree, x):
+    """Exponential-time path-dependent SHAP (EXPVALUE of Lundberg 2018
+    Algorithm 1 + the Shapley sum over all subsets) — the definition
+    the polynomial recursion must reproduce."""
+    import itertools
+    import math as m
+
+    feat, thr, left, right, val, cover, cats = (
+        tree["feat"], tree["thr"], tree["left"], tree["right"],
+        tree["val"], tree["cover"], tree["cats"],
+    )
+
+    def go_left(n):
+        f = feat[n]
+        if m.isnan(thr[n]):
+            return x[f] in cats[n]
+        return x[f] <= thr[n]
+
+    def expvalue(n, S):
+        if feat[n] < 0:
+            return val[n]
+        if feat[n] in S:
+            return expvalue(left[n] if go_left(n) else right[n], S)
+        return (
+            expvalue(left[n], S) * cover[left[n]]
+            + expvalue(right[n], S) * cover[right[n]]
+        ) / cover[n]
+
+    M = len(x)
+    phi = [0.0] * M
+    feats = list(range(M))
+    for i in feats:
+        others = [f for f in feats if f != i]
+        for k in range(len(others) + 1):
+            for S in itertools.combinations(others, k):
+                w = m.factorial(k) * m.factorial(M - k - 1) / m.factorial(M)
+                phi[i] += w * (expvalue(0, set(S) | {i}) - expvalue(0, set(S)))
+    return phi
+
+
+def test_tree_shap_matches_brute_force_on_random_trees():
+    """Property check: on randomly-built trees (including repeated
+    features along a path, which exercises the UNWIND merge) the
+    polynomial recursion equals the exponential subset enumeration."""
+    import numpy as np
+
+    from sf_datalake_spark.ml.explain import _tree_shap_contribs
+
+    rng = np.random.RandomState(7)
+    for trial in range(6):
+        # random binary tree of depth 3 over 3 features
+        feat, thr, left, right, val, cover = [], [], [], [], [], []
+
+        def build(depth, cov):
+            idx = len(feat)
+            if depth == 0 or (depth < 3 and rng.rand() < 0.3):
+                feat.append(-1); thr.append(0.0)
+                left.append(-1); right.append(-1)
+                val.append(float(rng.randn() * 10)); cover.append(cov)
+                return idx, val[idx] * cov
+            feat.append(int(rng.randint(0, 3)))
+            thr.append(float(rng.rand()))
+            left.append(-1); right.append(-1)
+            val.append(0.0); cover.append(cov)
+            cl = float(cov) * float(rng.uniform(0.25, 0.75))
+            l_idx, l_sum = build(depth - 1, cl)
+            r_idx, r_sum = build(depth - 1, cov - cl)
+            left[idx], right[idx] = l_idx, r_idx
+            val[idx] = (l_sum + r_sum) / cov
+            return idx, l_sum + r_sum
+
+        build(3, 16.0)
+        tree = {
+            "feat": np.array(feat), "thr": np.array(thr),
+            "left": np.array(left), "right": np.array(right),
+            "val": np.array(val), "cover": np.array(cover), "cats": {},
+        }
+        for _ in range(4):
+            x = rng.rand(3)
+            phi, base = _tree_shap_contribs(tree, x.reshape(1, -1))
+            expected = _brute_force_shap(tree, x)
+            for i in range(3):
+                assert abs(phi[0, i] - expected[i]) < 1e-9, (trial, i)
+            # additivity: base + Σφ = leaf value of the observed path
+            node = 0
+            while tree["feat"][node] >= 0:
+                node = (
+                    tree["left"][node]
+                    if x[tree["feat"][node]] <= tree["thr"][node]
+                    else tree["right"][node]
+                )
+            assert abs(base + phi.sum() - tree["val"][node]) < 1e-9
+
+
+def test_tree_shap_equals_saabas_on_depth1(assembled):
+    """On stumps the two attributions coincide (single split: the only
+    subset expectation IS the observed path)."""
+    model = RandomForestRegressor(
+        labelCol="failure", numTrees=4, maxDepth=1, seed=13
+    ).fit(assembled)
+    preds = model.transform(assembled)
+    sa = tree_contributions(preds, model, keep=["id"], method="saabas")
+    ts = tree_contributions(preds, model, keep=["id"], method="tree_shap")
+    joined = sa.select(
+        "id", F.col("contrib_x1").alias("s1"), F.col("contrib_x2").alias("s2")
+    ).join(ts, "id")
+    for r in joined.collect():
+        assert abs(r["s1"] - r["contrib_x1"]) < 1e-9
+        assert abs(r["s2"] - r["contrib_x2"]) < 1e-9
+
+
+def test_tree_shap_additivity_rf_classifier(assembled):
+    """End-to-end on a fitted depth-4 forest: base + Σφ = P(class 1)
+    row-exactly, while differing from Saabas per-feature (depth > 1)."""
+    model = RandomForestClassifier(
+        labelCol="failure", numTrees=5, maxDepth=4, seed=11
+    ).fit(assembled)
+    preds = model.transform(assembled).withColumn(
+        "p1", F.element_at(vector_to_array("probability"), 2)
+    )
+    out = tree_contributions(preds, model, keep=["id"], method="tree_shap")
+    joined = out.join(preds.select("id", "p1"), "id")
+    rows = joined.collect()
+    for r in rows:
+        assert abs(r["base"] + r["contrib_x1"] + r["contrib_x2"] - r["p1"]) < 1e-9
+    sa = {
+        r["id"]: r["contrib_x1"]
+        for r in tree_contributions(preds, model, keep=["id"]).collect()
+    }
+    assert any(abs(sa[r["id"]] - r["contrib_x1"]) > 1e-6 for r in rows)
+
+
 def test_shap_explanations_dispatches_by_model_type(assembled):
     """The shap-named parity entry point routes linear models to exact
     coef·x contributions (plus intercept base) and tree ensembles to
