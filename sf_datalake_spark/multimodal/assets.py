@@ -141,11 +141,99 @@ def _decode_bmp(payload: bytes):
         return None
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(payload: bytes):
+    """REAL in-container COMPRESSED decode path: baseline PNG — zlib
+    inflate of the IDAT stream + per-scanline defilter (None/Sub/Up/
+    Average/Paeth), pure Python + numpy, no codec library.  Supports
+    bit depth 8, color types 0 (grayscale), 2 (RGB), 4 (gray+alpha)
+    and 6 (RGBA — alpha dropped), non-interlaced.  Returns an
+    (H, W, 3) uint8 RGB array or None if not a supported PNG.
+
+    Format facts (public spec, RFC 2083): 8-byte signature; chunks are
+    ``len(4, BE) type(4) data crc(4)``; IHDR carries width/height (BE
+    int32), bit depth, color type, interlace; the concatenated IDAT
+    bodies form ONE zlib stream; each scanline is a filter-type byte
+    followed by ``width·channels`` filtered bytes; Paeth's predictor
+    picks the neighbor (left/up/up-left) closest to ``a + b − c``.
+    """
+    import zlib
+
+    try:
+        if not payload.startswith(_PNG_SIG):
+            return None
+        pos, ihdr, idat = len(_PNG_SIG), None, []
+        while pos + 8 <= len(payload):
+            (size,) = np.frombuffer(payload, ">u4", 1, pos)
+            ctype = payload[pos + 4: pos + 8]
+            body = payload[pos + 8: pos + 8 + int(size)]
+            if ctype == b"IHDR":
+                ihdr = body
+            elif ctype == b"IDAT":
+                idat.append(body)
+            elif ctype == b"IEND":
+                break
+            pos += 12 + int(size)
+        if ihdr is None or len(ihdr) < 13 or not idat:
+            return None
+        width = int(np.frombuffer(ihdr, ">u4", 1, 0)[0])
+        height = int(np.frombuffer(ihdr, ">u4", 1, 4)[0])
+        depth, color, _comp, _filt, interlace = ihdr[8:13]
+        nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+        if depth != 8 or nch is None or interlace != 0 or width <= 0 or height <= 0:
+            return None
+        raw = zlib.decompress(b"".join(idat))
+        stride = width * nch
+        if len(raw) != height * (stride + 1):
+            return None
+        raw = np.frombuffer(raw, np.uint8).reshape(height, stride + 1)
+        filters, lines = raw[:, 0], raw[:, 1:].astype(np.int64)
+        out = np.zeros((height, stride), dtype=np.int64)
+        for y in range(height):
+            f, cur = filters[y], lines[y].copy()
+            up = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+            if f == 0:
+                out[y] = cur
+            elif f == 2:  # Up — vectorized
+                out[y] = (cur + up) & 0xFF
+            elif f in (1, 3, 4):
+                prev = out[y]
+                for x in range(stride):
+                    a = prev[x - nch] if x >= nch else 0
+                    b = up[x]
+                    if f == 1:  # Sub
+                        v = cur[x] + a
+                    elif f == 3:  # Average
+                        v = cur[x] + (a + b) // 2
+                    else:  # Paeth
+                        c = up[x - nch] if x >= nch else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                        v = cur[x] + pred
+                    prev[x] = v & 0xFF
+            else:
+                return None
+        px = out.astype(np.uint8).reshape(height, width, nch)
+        if color == 0:
+            return np.repeat(px, 3, axis=2)
+        if color == 4:
+            return np.repeat(px[:, :, :1], 3, axis=2)
+        return np.ascontiguousarray(px[:, :, :3])  # RGB / RGBA→RGB
+    except Exception:
+        return None
+
+
 def _decode_image(payload: bytes, width: int | None, height: int | None):
     """→ (H, W, 3) uint8 array. Tries PIL; without PIL, well-formed
     uncompressed BMP payloads take the REAL pure-numpy parser
-    (:func:`_decode_bmp`); anything else falls back to a deterministic
-    md5-seeded fake so pipelines stay testable without codecs."""
+    (:func:`_decode_bmp`) and baseline PNG payloads the REAL
+    zlib+defilter parser (:func:`_decode_png` — the compressed-codec
+    seam, exercised end-to-end in tests); anything else falls back to a
+    deterministic md5-seeded fake so pipelines stay testable without
+    codecs."""
     try:  # pragma: no cover - PIL absent in this container
         import io
 
@@ -154,6 +242,9 @@ def _decode_image(payload: bytes, width: int | None, height: int | None):
         bmp = _decode_bmp(payload)
         if bmp is not None:
             return bmp
+        png = _decode_png(payload)
+        if png is not None:
+            return png
         w, h = width or 16, height or 16
         return _fake_rng(payload, "img").randint(0, 256, size=(h, w, 3), dtype=np.uint8)
     try:  # pragma: no cover

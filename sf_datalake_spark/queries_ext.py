@@ -1039,11 +1039,15 @@ def q_image_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_twin_pairs"),
     )
     try:
-        # Materialize the one-row census (localCheckpoint truncates the
-        # lineage) so the persist can be released HERE — returning a
-        # lazy frame over the cache would leak one cached RDD per
-        # invocation into the shared long-lived session.
-        return out.localCheckpoint(eager=True)
+        # Materialize the one-row census so the persist can be released
+        # HERE — returning a lazy frame over the cache would leak one
+        # cached RDD per invocation into the shared long-lived session.
+        # A driver-local rebuild (one row) leaves zero block-manager
+        # residue, unlike localCheckpoint.
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows, "n_pairs bigint, n_exact bigint, n_twin_pairs bigint"
+        )
     finally:
         decoded.unpersist()
 

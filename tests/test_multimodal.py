@@ -319,6 +319,102 @@ def test_real_bmp_top_down_and_padding(spark):
         assert np.array_equal(got, px)
 
 
+def _png_bytes(pixels, color_type=2, filters=None):
+    """Serialize an (H, W, C) uint8 array as a baseline PNG — built
+    with struct + zlib, independent of the parser.  ``filters`` picks
+    the per-scanline filter type (default: cycle through 0..4 so every
+    defilter branch is exercised)."""
+    import struct
+    import zlib
+
+    h, w = pixels.shape[:2]
+    nch = pixels.shape[2] if pixels.ndim == 3 else 1
+    flat = pixels.reshape(h, w * nch).astype(np.int64)
+    if filters is None:
+        filters = [(y % 5) for y in range(h)]
+    recon = flat  # reconstructed bytes (what the decoder must recover)
+    raw = bytearray()
+    for y in range(h):
+        f = filters[y]
+        cur = recon[y]
+        up = recon[y - 1] if y > 0 else np.zeros(w * nch, dtype=np.int64)
+        line = bytearray([f])
+        for x in range(w * nch):
+            a = cur[x - nch] if x >= nch else 0
+            b = up[x]
+            c = up[x - nch] if x >= nch else 0
+            if f == 0:
+                v = cur[x]
+            elif f == 1:
+                v = cur[x] - a
+            elif f == 2:
+                v = cur[x] - b
+            elif f == 3:
+                v = cur[x] - (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = cur[x] - pred
+            line.append(v & 0xFF)
+        raw += line
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_real_png_decode_exact_pixels(spark):
+    """A generated baseline PNG (zlib-compressed, all five filter types
+    across its scanlines) decodes to its EXACT pixels through the full
+    decode_images Spark stage — the compressed-codec seam, real."""
+    rng = np.random.RandomState(21)
+    px = rng.randint(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    rows = [asset(20, "image", _png_bytes(px), "png", 5, 7)]
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    out = decode_images(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["height"], r["width"], r["channels"]) == (7, 5, 3)
+    got = np.frombuffer(r["pixels"], dtype=np.uint8).reshape(7, 5, 3)
+    assert np.array_equal(got, px)
+
+
+def test_png_parser_color_types_and_rejection():
+    """Grayscale replicates to RGB, RGBA drops alpha; malformed or
+    unsupported payloads return None (fall through to the fake)."""
+    from sf_datalake_spark.multimodal.assets import _decode_png
+
+    rng = np.random.RandomState(5)
+    gray = rng.randint(0, 256, size=(4, 3, 1), dtype=np.uint8)
+    got = _decode_png(_png_bytes(gray, color_type=0))
+    assert got.shape == (4, 3, 3)
+    assert np.array_equal(got[:, :, 0], gray[:, :, 0])
+    assert np.array_equal(got[:, :, 1], gray[:, :, 0])
+
+    rgba = rng.randint(0, 256, size=(3, 4, 4), dtype=np.uint8)
+    got = _decode_png(_png_bytes(rgba, color_type=6))
+    assert np.array_equal(got, rgba[:, :, :3])
+
+    rgb = rng.randint(0, 256, size=(3, 3, 3), dtype=np.uint8)
+    good = _png_bytes(rgb)
+    assert _decode_png(good) is not None
+    assert _decode_png(good[:20]) is None            # truncated
+    assert _decode_png(b"BM" + good[2:]) is None     # wrong magic
+    corrupt = good[:40] + b"\x00\x00" + good[42:]    # damaged IDAT stream
+    assert _decode_png(corrupt) is None
+
+
 def test_real_bmp_resize_chain(spark):
     """Real decode feeds the resize stage: 4x4 checkerboard -> 2x2."""
     px = np.zeros((4, 4, 3), dtype=np.uint8)
