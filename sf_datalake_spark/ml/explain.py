@@ -372,8 +372,16 @@ def _go_left(tree: dict, node: int, x) -> bool:
 
 
 def _tree_shap_row(tree: dict, x, phi) -> None:
+    """Exact path-dependent TreeSHAP for ONE tree and ONE row (feature
+    values), accumulated into ``phi`` — thin wrapper over
+    :func:`_tree_shap_core` with live split evaluation."""
+    _tree_shap_core(tree, lambda node: _go_left(tree, node, x), phi)
+
+
+def _tree_shap_core(tree: dict, go_left, phi) -> None:
     """Exact path-dependent TreeSHAP for ONE tree and ONE row,
-    accumulated into ``phi`` (length n_features).
+    accumulated into ``phi`` (length n_features).  ``go_left(node)``
+    supplies the row's split decision at each internal node.
 
     The polynomial-time recursion of Lundberg, Erion & Lee 2018
     ("Consistent Individualized Feature Attribution for Tree
@@ -454,7 +462,7 @@ def _tree_shap_row(tree: dict, x, phi) -> None:
             return
         hot, cold = (
             (left[node], right[node])
-            if _go_left(tree, node, x)
+            if go_left(node)
             else (right[node], left[node])
         )
         iz, io = 1.0, 1.0
@@ -470,17 +478,59 @@ def _tree_shap_row(tree: dict, x, phi) -> None:
     recurse(0, [], [], [], [], 1.0, 1.0, -1)
 
 
+def _decision_matrix(tree: dict, X):
+    """Vectorized per-node split decisions: ``D[r, j] = 1`` iff row r
+    goes LEFT at internal node j (positions for leaves are 0/unused).
+    One numpy pass per internal node — no per-row Python."""
+    import numpy as np
+
+    n = X.shape[0]
+    feat, thr, cats = tree["feat"], tree["thr"], tree["cats"]
+    internal = np.nonzero(feat >= 0)[0]
+    D = np.zeros((n, len(feat)), dtype=np.uint8)
+    for j in internal:
+        xv = X[:, feat[j]]
+        if np.isnan(thr[j]):  # categorical
+            leftset = cats[j]
+            D[:, j] = np.fromiter(
+                (v in leftset for v in xv), dtype=np.uint8, count=n
+            )
+        else:
+            with np.errstate(invalid="ignore"):
+                D[:, j] = (xv <= thr[j]).astype(np.uint8)
+    return D
+
+
 def _tree_shap_contribs(tree: dict, X):
-    """TreeSHAP over a feature matrix: per-row exact recursion.
-    Returns ``(phi[n, d], root_value)`` — same contract as
-    :func:`_tree_path_contribs` so callers swap methods freely."""
+    """TreeSHAP over a feature matrix.  The recursion's output depends
+    on the row only through its LEFT/RIGHT decision at each internal
+    node, so rows are deduplicated by that decision bitmap first (one
+    vectorized pass) and the O(L·D²) recursion runs once per UNIQUE
+    pattern — on real scoring sets patterns number far below rows
+    (bounded by ∏ per-feature distinct split outcomes, often a few
+    hundred against millions of rows).  Returns ``(phi[n, d],
+    root_value)`` — same contract as :func:`_tree_path_contribs` so
+    callers swap methods freely."""
     import numpy as np
 
     n, d = X.shape
     out = np.zeros((n, d))
-    for r in range(n):
-        _tree_shap_row(tree, X[r], out[r])
+    if n == 0:
+        return out, float(tree["val"][0])
+    D = _decision_matrix(tree, X)
+    patterns, inverse = np.unique(D, axis=0, return_inverse=True)
+    phi_u = np.zeros((len(patterns), d))
+    for p in range(len(patterns)):
+        _tree_shap_row_decisions(tree, patterns[p], phi_u[p])
+    out[:] = phi_u[inverse.ravel()]
     return out, float(tree["val"][0])
+
+
+def _tree_shap_row_decisions(tree: dict, decisions, phi) -> None:
+    """:func:`_tree_shap_row` driven by a precomputed decision bitmap
+    (``decisions[j]`` = row goes left at node j) instead of raw feature
+    values — the dedup-friendly form."""
+    _tree_shap_core(tree, lambda node: bool(decisions[node]), phi)
 
 
 def tree_contributions(
