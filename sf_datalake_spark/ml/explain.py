@@ -271,7 +271,7 @@ def _tree_node_value(jnode, classification: bool) -> float:
     return jnode.prediction()
 
 
-def _flatten_tree(tree_model, classification: bool) -> dict:
+def _flatten_tree(tree_model, classification: bool, with_cover: bool = False) -> dict:
     """Flatten one fitted pyspark.ml decision tree into parallel numpy
     arrays (feature, threshold, left, right, value) for vectorized
     traversal.  Walks the JVM node graph once on the driver — a tree is
@@ -297,7 +297,9 @@ def _flatten_tree(tree_model, classification: bool) -> dict:
         left.append(-1)
         right.append(-1)
         val.append(_tree_node_value(jn, classification))
-        cover.append(float(jn.impurityStats().count()))
+        if with_cover:  # extra py4j round trip per node: only the
+            # TreeSHAP path reads covers, Saabas stays 2-calls-per-node
+            cover.append(float(jn.impurityStats().count()))
         if "InternalNode" in jn.getClass().getSimpleName():
             split = jn.split()
             feat[idx] = split.featureIndex()
@@ -317,7 +319,7 @@ def _flatten_tree(tree_model, classification: bool) -> dict:
         "left": np.asarray(left, dtype=np.int64),
         "right": np.asarray(right, dtype=np.int64),
         "val": np.asarray(val, dtype=np.float64),
-        "cover": np.asarray(cover, dtype=np.float64),
+        "cover": np.asarray(cover, dtype=np.float64) if with_cover else None,
         "cats": cats,
     }
 
@@ -592,7 +594,10 @@ def tree_contributions(
         trees_classification = classification and not cls.startswith("GBT")
     else:  # single DecisionTree*Model
         jtrees, raw_w, trees_classification = [model], [1.0], classification
-    flat = [_flatten_tree(t, trees_classification) for t in jtrees]
+    flat = [
+        _flatten_tree(t, trees_classification, with_cover=(method == "tree_shap"))
+        for t in jtrees
+    ]
     weights = [float(w) for w in raw_w]
     d = len(names)
     keep = keep or []

@@ -466,8 +466,14 @@ def decode_images(df: DataFrame, content_col: str = "content") -> DataFrame:
                 out, columns=["asset_id", "height", "width", "channels", "pixels"]
             )
 
+    from sf_datalake_spark.operators.skew import spread_narrow_scan
+
     cols = ["asset_id", content_col] + (["meta"] if metas else [])
-    return df.select(*cols).mapInPandas(run, schema=IMAGE_DECODED_SCHEMA)
+    # decode is the codec-bound stage: spread a narrow scan across the
+    # cluster before it (no-op at real scale — see spread_narrow_scan)
+    return spread_narrow_scan(df.select(*cols)).mapInPandas(
+        run, schema=IMAGE_DECODED_SCHEMA
+    )
 
 
 def resize_images(
@@ -524,9 +530,11 @@ def sample_frames(
                          "channels", "pixels"],
             )
 
-    return df.select("asset_id", content_col, "meta").mapInPandas(
-        run, schema=FRAME_SCHEMA
-    )
+    from sf_datalake_spark.operators.skew import spread_narrow_scan
+
+    return spread_narrow_scan(
+        df.select("asset_id", content_col, "meta")
+    ).mapInPandas(run, schema=FRAME_SCHEMA)
 
 
 def extract_audio_features(df: DataFrame, content_col: str = "content") -> DataFrame:
@@ -557,9 +565,11 @@ def extract_audio_features(df: DataFrame, content_col: str = "content") -> DataF
                          "zero_crossings", "duration_ms"],
             )
 
-    return df.select("asset_id", content_col, "meta").mapInPandas(
-        run, schema=AUDIO_FEATURE_SCHEMA
-    )
+    from sf_datalake_spark.operators.skew import spread_narrow_scan
+
+    return spread_narrow_scan(
+        df.select("asset_id", content_col, "meta")
+    ).mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -24,24 +24,9 @@ from pyspark.sql import functions as F
 from sf_datalake_spark.functions.text import text_fingerprint, tokenize, word_shingles
 
 
-def spread_narrow_scan(df: DataFrame, factor: int = 1) -> DataFrame:
-    """Repartition a NARROW scan so a CPU-heavy map stage (shingling,
-    per-token hashing — work that multiplies row count ~100×) uses the
-    whole cluster.
-
-    Small parquet inputs arrive as one or two scan partitions (file <
-    ``spark.sql.files.maxPartitionBytes``), which serializes the
-    explode+hash map work onto one core.  When the input has fewer
-    partitions than the default parallelism this round-robin
-    repartitions up to ``defaultParallelism * factor``; at real scale
-    (100 TB → thousands of scan splits) the guard makes it a no-op, so
-    the shuffle of raw text is only ever paid when the text is small.
-    """
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism * factor
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from sf_datalake_spark.operators.skew import spread_narrow_scan  # noqa: F401
+# (re-exported here for the dedup call sites; canonical home is skew.py,
+#  the scale-mitigation module, so multimodal/similarity share it)
 
 
 def md5_hash64(col: Column, seed: int | str = "") -> Column:

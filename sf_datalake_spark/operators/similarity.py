@@ -523,6 +523,79 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    public): KMeans-cluster the embedding space, compare pairs ONLY
+    within a cluster, keep cosine ≥ ``threshold``.
+
+    Complements :func:`embedding_near_dup_pairs` (hyperplane-LSH
+    blocking): KMeans blocking adapts to the data's density — semantic
+    duplicates concentrate in the same cell even when no random
+    hyperplane isolates them — at the cost of a clustering pass.
+
+    Scale shape: the cluster id is a plain int column, so candidate
+    generation is a cogrouped Arrow stage per cell (one BLAS Gram
+    matrix per cluster — pair rows above threshold are the ONLY thing
+    emitted; the |c|² candidate set never hits a shuffle).  Per-cluster
+    cost is |c|², so size ``n_clusters ≈ n / target_cluster_size``; at
+    100 TB store the corpus bucketed by cell and feed batches
+    incrementally, exactly like the IVF corpus side.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__cv"),
+        array_to_vector(F.col(vec_col)).alias("__v"),
+    ).cache()  # KMeans iterations re-scan; cache once
+    try:
+        model = KMeans(
+            k=n_clusters, seed=seed, featuresCol="__v", maxIter=8
+        ).fit(vecs)
+    finally:
+        # The cache exists for the fit's 8 iterations; the single
+        # downstream assignment pass re-projects from source instead of
+        # holding a cache entry open in a long-lived session.
+        vecs.unpersist()
+    assigned = model.transform(vecs).select(
+        "__id", "__cv", F.col("prediction").alias("__cell")
+    )
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"id_1 {id_type}, id_2 {id_type}, cosine double"
+
+    def within_cluster_pairs(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_1": [], "id_2": [], "cosine": []})
+        ids = pdf["__id"].to_numpy()
+        X = np.array(list(pdf["__cv"]), dtype=np.float64)
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0.0] = 1.0
+        Xn = X / norms[:, None]
+        G = Xn @ Xn.T  # one BLAS Gram matrix per cluster
+        iu, ju = np.triu_indices(n, k=1)
+        keep = G[iu, ju] >= threshold
+        i, j = iu[keep], ju[keep]
+        a, b = ids[i], ids[j]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_1": lo, "id_2": hi, "cosine": G[i, j]})
+
+    out = assigned.groupBy("__cell").applyInPandas(
+        within_cluster_pairs, schema=out_schema
+    )
+    return out
+
+
 def _train_pq_codebooks(
     sample: np.ndarray, m: int, n_codes: int, iters: int = 12, seed: int = 42
 ) -> np.ndarray:

@@ -28,6 +28,26 @@ from pyspark.sql import functions as F
 _ALGEBRAIC = {"sum", "count", "min", "max"}
 
 
+def spread_narrow_scan(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Repartition a NARROW scan so a CPU-heavy map stage (shingling,
+    per-token hashing, Arrow codec work — stages whose cost per input
+    byte is large) uses the whole cluster.
+
+    Small parquet inputs arrive as one or two scan partitions (file <
+    ``spark.sql.files.maxPartitionBytes``), which serializes the
+    expensive map work onto one core.  When the input has fewer
+    partitions than the default parallelism this round-robin
+    repartitions up to ``defaultParallelism * factor``; at real scale
+    (100 TB → thousands of scan splits) the guard makes it a no-op, so
+    the shuffle of raw payloads is only ever paid when they are small.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: Sequence[str],

@@ -1116,6 +1116,34 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_1", "id_2", F.round("cosine", 6).alias("cosine"))
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup end-to-end: KMeans-blocked
+    within-cluster cosine pairs (threshold at this corpus's top
+    percentile) → connected components → keep-min resolution.  Returns
+    the duplicate-set census: pair count, cluster count, docs dropped,
+    and the mean within-pair cosine.  Rows-only: seeded KMeans is not
+    SQL-expressible."""
+    from sf_datalake_spark.operators.components import dedup_clusters
+    from sf_datalake_spark.operators.similarity import semantic_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = semantic_dedup_pairs(
+        emb, id_col="vec_id", vec_col="embedding",
+        threshold=0.3, n_clusters=8, seed=42,
+    )
+    labeled = dedup_clusters(emb.select("vec_id"), pairs, "vec_id")
+    dupes = labeled.filter(F.col("is_canonical") == 0)
+    stats = pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg("cosine"), 6).alias("mean_cosine"),
+    )
+    census = dupes.agg(
+        F.count("*").alias("n_dropped"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    )
+    return stats.crossJoin(census)
+
+
 def q_ml_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship learning slice as a query: panel features → logistic
     regression → per-entity failure probability + alert level."""
@@ -2449,6 +2477,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_pq_topk": q_ann_pq_topk,
     "embedding_near_dups": q_embedding_near_dups,
+    "semantic_dedup": q_semantic_dedup,
     "ml_train_predict": q_ml_train_predict,
     "linear_shap_parity": q_linear_shap_parity,
     "resampled_counts": q_resampled_counts,

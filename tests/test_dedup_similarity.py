@@ -427,3 +427,40 @@ def test_lsh_pairs_against_incremental_contract(spark):
                                   signature_length=8,
                                   include_new_pairs=False)
     assert {r["match_side"] for r in only_base.collect()} == {"base"}
+
+
+def test_semantic_dedup_pairs_recovers_planted_dups(spark):
+    """SemDeDup blocking: two well-separated semantic groups, each with
+    planted near-identical twins — every planted pair is recovered with
+    cosine ≈ 1, no cross-group pair is emitted, and the census query
+    shape (pairs → components → resolution) drops exactly the twins."""
+    import numpy as np
+
+    from sf_datalake_spark.operators.components import dedup_clusters
+    from sf_datalake_spark.operators.similarity import semantic_dedup_pairs
+
+    rng = np.random.RandomState(3)
+    rows = []
+    base_a = rng.rand(8) + np.array([10.0] + [0.0] * 7)   # group A direction
+    base_b = rng.rand(8) + np.array([0.0] * 7 + [10.0])   # group B direction
+    for i in range(20):
+        v = base_a + rng.rand(8) * 0.5 if i < 10 else base_b + rng.rand(8) * 0.5
+        rows.append((i, [float(x) for x in v]))
+        if i % 5 == 0:  # plant a twin with tiny jitter
+            rows.append((100 + i, [float(x + 1e-4) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = semantic_dedup_pairs(
+        df, "vec_id", "embedding", threshold=0.9999, n_clusters=2, seed=1
+    ).collect()
+    got = {(r["id_1"], r["id_2"]) for r in pairs}
+    for i in (0, 5, 10, 15):
+        assert (i, 100 + i) in got, f"planted twin {i} missed"
+    for r in pairs:
+        assert r["cosine"] >= 0.9999
+    labeled = dedup_clusters(df.select("vec_id"), 
+                             semantic_dedup_pairs(df, "vec_id", "embedding",
+                                                  threshold=0.9999,
+                                                  n_clusters=2, seed=1),
+                             "vec_id")
+    dropped = labeled.filter("is_canonical = 0").count()
+    assert dropped == 4  # exactly the four twins
