@@ -17,7 +17,7 @@ scans and filters for free.
 
 from __future__ import annotations
 
-from collections.abc import Mapping
+from collections.abc import Callable, Mapping
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -334,6 +334,67 @@ def quality_prune(
         .filter(F.col("__rn") <= F.ceil(F.col("__n") * keep_fraction))
         .drop("__rn", "__n")
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    text_col: str,
+    weights: dict[int, float] | None = None,
+    n_buckets: int = 1 << 18,
+    bias: float = 0.0,
+    bucket_weight: "Callable[[Column], Column] | None" = None,
+    out_col: str = "model_score",
+    id_weight_scale: float = 1.0,
+) -> DataFrame:
+    """Learned-model quality scoring, fasttext-style, ZERO-shuffle: each
+    token is feature-hashed to a bucket, bucket weights are summed over
+    the document, and the sigmoid of (bias + sum) is the score — the
+    standard hashed linear/fasttext text classifier, evaluated entirely
+    as scan-stage JVM expressions (``F.aggregate`` over the token
+    array; no explode, no groupBy, no Python).
+
+    The model rides along as either a ``weights`` dict (bucket → weight
+    — a trained model's nonzero buckets, embedded as a map literal;
+    fine up to ~10⁵ entries, the closure-size bound any broadcast
+    scorer has) or a ``bucket_weight`` expression (a Column function of
+    the bucket id — closed-form weights, e.g. for cross-engine
+    oracles).  Buckets are md5-derived (first 8 hex chars → bigint mod
+    ``n_buckets``), deterministic across engines/partitionings like
+    every hash family in this engine.
+
+    At 100 TB this is the cheapest possible model inference: the score
+    is computed inside the same whole-stage-codegen span as the scan,
+    so "score the corpus and prune" is one pass with predicate
+    pushdown intact.  For wide models (embedding classifiers), switch
+    to the Arrow path (:mod:`operators.similarity`); this operator is
+    for the hashed-n-gram regime where fasttext lives.
+    """
+    if weights is None and bucket_weight is None:
+        raise ValueError("pass weights= or bucket_weight=")
+    mapping = (
+        F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+        if weights is not None
+        else None
+    )
+
+    def _fold(acc, t):
+        b = (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+            % F.lit(n_buckets)
+        )
+        if bucket_weight is not None:
+            # closed-form weights: integer-valued columns sum exactly in
+            # any order (cross-engine oracle safe); scale applied once
+            # below keeps the fold in the exact-integer regime
+            return acc + bucket_weight(b)
+        return acc + F.coalesce(mapping[b], F.lit(0.0))
+
+    s = (
+        F.aggregate(tokenize(text_col), F.lit(0.0).cast("double"), _fold)
+        * F.lit(id_weight_scale)
+        + F.lit(bias)
+    )
+    return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-s)))
 
 
 def shuffle_key(

@@ -440,6 +440,46 @@ _ENTROPY_SQL = r"""
 """
 
 
+def q_model_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fasttext-style hashed-linear model inference as a ZERO-shuffle
+    scan-stage expression (``hashed_linear_score``): tokens feature-hash
+    to 2¹⁸ buckets, closed-form integer bucket weights sum per document
+    (exact in any order — cross-engine safe), sigmoid → score.  The
+    cheapest model-inference shape a 100 TB curation pass can run:
+    score + prune in one codegen span with pushdown intact."""
+    from sf_datalake_spark.operators.corpus import hashed_linear_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = hashed_linear_score(
+        docs,
+        "text",
+        bucket_weight=lambda b: (b % F.lit(997) - F.lit(498)).cast("double"),
+        n_buckets=1 << 18,
+        bias=0.0,
+        id_weight_scale=1e-3,
+    )
+    return scored.select("doc_id", F.round("model_score", 6).alias("model_score"))
+
+
+_MODEL_SCORE_SQL = r"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(coalesce(list_sum(list_transform(toks,
+                   t -> (CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)
+                         % 262144) % 997 - 498)), 0) AS BIGINT) AS raw
+        FROM tok
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(raw * 0.001))), 6) AS model_score
+    FROM scored
+"""
+
+
 def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compressibility per document — rows-only (DEFLATE is not
     SQL-expressible); determinism pinned by a fixed level and verified
@@ -634,6 +674,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "cluster_safe_split": q_cluster_safe_split,
     "text_entropy": q_text_entropy,
+    "model_quality_score": q_model_quality_score,
     "compression_ratio": q_compression_ratio,
     "quality_gate": q_quality_gate,
     "streaming_quality_gate": q_streaming_quality_gate,
@@ -649,6 +690,7 @@ ORACLES_CORPUS: dict[str, str] = {
     "weighted_sample": _WEIGHTED_SAMPLE_SQL,
     "cluster_safe_split": _CLUSTER_SPLIT_SQL,
     "text_entropy": _ENTROPY_SQL,
+    "model_quality_score": _MODEL_SCORE_SQL,
     "quality_gate": _QUALITY_GATE_SQL,
     "streaming_quality_gate": _STREAMING_QUALITY_SQL,
     "quality_prune": _QUALITY_PRUNE_SQL,

@@ -434,3 +434,38 @@ def test_observe_gate_metrics_ride_the_action(spark):
     assert m["n_fail_token_count"] == direct["f_tok"]
     assert m["n_fail_dup_tokens"] == direct["f_dup"]
     assert m["n_fail_token_count"] >= 1  # doc 2 is too short
+
+
+def test_hashed_linear_score_dict_weights_and_plan(spark):
+    """Dict-weight path: score equals the hand-computed sigmoid of the
+    summed bucket weights; unknown buckets contribute 0; empty text
+    scores sigmoid(bias). The whole scorer is scan-stage: zero
+    exchanges, zero Python stages."""
+    import hashlib
+    import math
+
+    from sf_datalake_spark.operators.corpus import hashed_linear_score
+    from sf_datalake_spark.plans import plan_report
+
+    n_buckets = 64
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n_buckets
+
+    weights = {bucket("good"): 2.0, bucket("bad"): -3.0}
+    df = spark.createDataFrame(
+        [(1, "good good neutral"), (2, "bad"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = hashed_linear_score(
+        df, "text", weights=weights, n_buckets=n_buckets, bias=0.5
+    )
+    got = {r["doc_id"]: r["model_score"] for r in out.collect()}
+    sig = lambda x: 1.0 / (1.0 + math.exp(-x))
+    assert abs(got[1] - sig(2.0 + 2.0 + 0.0 + 0.5)) < 1e-12
+    assert abs(got[2] - sig(-3.0 + 0.5)) < 1e-12
+    assert abs(got[3] - sig(0.5)) < 1e-12
+
+    rep = plan_report(out, execute=True)
+    assert rep["n_exchanges"] == 0
+    assert rep["n_python_evals"] == 0
