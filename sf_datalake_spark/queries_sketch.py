@@ -226,8 +226,13 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from sf_datalake_spark.operators.sketches import cms_estimate_counts
 
+    from sf_datalake_spark.operators.skew import spread_narrow_scan
+
     docs = _t(spark, sf_dir, "documents")
-    words = docs.select(
+    # both consumers (exact counts + the sketch aggregation) pay the
+    # tokenize+explode map work — spread a narrow scan first so it uses
+    # the whole cluster (no-op on real multi-split layouts)
+    words = spread_narrow_scan(docs.select("text")).select(
         F.explode(
             F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
         ).alias("word")

@@ -45,3 +45,49 @@ def test_groupby_on_bucket_key_has_no_exchange(spark, bucketed_tables):
     df = spark.table(ta).groupBy("k").agg(F.sum("v").alias("s"))
     rep = plan_report(df)
     assert rep["n_exchanges"] == 0
+
+
+def test_file_skipping_prunes_and_matches_full_scan(spark, tmp_path):
+    """Data skipping over a clustered layout: the stats table prunes to
+    the files whose [min,max] box intersects the range, the pruned read
+    touches FEWER files than the layout holds, and the result is
+    row-identical to a full scan + filter (skipping is cost-only)."""
+    from sf_datalake_spark.functions.skipping import (
+        collect_file_stats,
+        prune_files,
+        pruned_read,
+    )
+
+    path = str(tmp_path / "clustered")
+    # 4 files with disjoint key ranges (repartitionByRange + one file
+    # per partition = a clustered write)
+    df = spark.range(0, 4000).withColumn("v", F.col("id") % 97)
+    df.repartitionByRange(4, "id").write.mode("overwrite").parquet(path)
+
+    stats = collect_file_stats(spark, path, ["id", "v"])
+    srows = stats.collect()
+    assert len(srows) == 4
+    assert sum(r["n_rows"] for r in srows) == 4000
+
+    # range touching ~one quarter of the key space
+    files = prune_files(stats, {"id": (100, 600)})
+    assert 1 <= len(files) < 4, files
+
+    got = pruned_read(spark, stats, {"id": (100, 600)})
+    full = spark.read.parquet(path).filter("id >= 100 and id <= 600")
+    assert got.count() == full.count() == 501
+    assert got.exceptAll(full).count() == 0
+
+    # fully out-of-range predicate: every file pruned, empty same-schema frame
+    none = pruned_read(spark, stats, {"id": (100000, 200000)})
+    assert none.count() == 0
+    assert set(none.columns) == set(full.columns)
+
+    # all-NULL column handling: a file whose column is entirely NULL is
+    # pruned for range predicates on that column
+    p2 = str(tmp_path / "nulls")
+    spark.createDataFrame(
+        [(1, None), (2, None)], "id long, v long"
+    ).coalesce(1).write.mode("overwrite").parquet(p2)
+    s2 = collect_file_stats(spark, p2, ["v"])
+    assert prune_files(s2, {"v": (0, 10)}) == []
