@@ -67,11 +67,15 @@ def prune_files(
     """
     cond = None
     for c, (lo, hi) in ranges.items():
+        # cast bounds to the stats column's own type: a python datetime
+        # otherwise lits as TIMESTAMP and silently never matches a
+        # timestamp_ntz stats column (no implicit coercion)
+        ctype = stats.schema[f"{c}_min"].dataType
         tests = []
         if hi is not None:
-            tests.append(F.col(f"{c}_min") <= F.lit(hi))
+            tests.append(F.col(f"{c}_min") <= F.lit(hi).cast(ctype))
         if lo is not None:
-            tests.append(F.col(f"{c}_max") >= F.lit(lo))
+            tests.append(F.col(f"{c}_max") >= F.lit(lo).cast(ctype))
         for t in tests:
             cond = t if cond is None else (cond & t)
     out = stats.select("file") if cond is None else stats.filter(cond).select("file")
@@ -102,8 +106,9 @@ def pruned_read(
         return empty
     df = spark.read.parquet(*files)
     for c, (lo, hi) in ranges.items():
+        ctype = df.schema[c].dataType
         if lo is not None:
-            df = df.filter(F.col(c) >= F.lit(lo))
+            df = df.filter(F.col(c) >= F.lit(lo).cast(ctype))
         if hi is not None:
-            df = df.filter(F.col(c) <= F.lit(hi))
+            df = df.filter(F.col(c) <= F.lit(hi).cast(ctype))
     return df

@@ -7,6 +7,7 @@ coverage beyond the core registry in ``queries.py``. Same conventions
 
 from __future__ import annotations
 
+import datetime
 import os
 from collections.abc import Callable
 
@@ -1359,6 +1360,71 @@ _WRITE_ROUNDTRIP_SQL = """
 """
 
 
+def q_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping end-to-end (``functions/skipping.py``): orders are
+    written range-clustered on ``o_orderdate`` (8 files), a per-file
+    min/max stats table is collected in one scan, and a one-year
+    date-range query is answered from ONLY the files whose box
+    intersects the range.  Output proves both halves of the contract:
+    the pruned read touches a strict subset of files AND returns
+    exactly the full-scan answer (row count + exact-cents revenue).
+    Same fixed scratch-dir discipline as ``write_roundtrip``."""
+    import hashlib
+    import tempfile
+
+    from sf_datalake_spark.functions.skipping import (
+        collect_file_stats,
+        prune_files,
+        pruned_read,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"sfdl_skipping_{tag}")
+    orders.repartitionByRange(8, "o_orderdate").write.mode("overwrite").parquet(path)
+
+    stats = collect_file_stats(spark, path, ["o_orderdate"])
+    # o_orderdate is timestamp_ntz (all values midnight); timestamp
+    # bounds avoid the date→timestamp coercion gap in range compares
+    lo, hi = datetime.datetime(1997, 1, 1), datetime.datetime(1997, 12, 31)
+    n_files = stats.count()
+    n_read = len(prune_files(stats, {"o_orderdate": (lo, hi)}))
+    got = pruned_read(spark, stats, {"o_orderdate": (lo, hi)}).agg(
+        F.count("*").alias("n_rows"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")) / 100.0
+        ).alias("revenue"),
+    ).collect()[0]
+    # skipped_any (not the exact file count): repartitionByRange draws
+    # boundaries from a sample, so per-file row assignment is not
+    # SQL-reproducible — but a 1-year query over the ~6.5-year clustered
+    # span must always skip at least one of 8 range files, and the
+    # ANSWER must equal the full-scan answer exactly.
+    return spark.createDataFrame(
+        [
+            (
+                int(n_files),
+                int(n_read < n_files),
+                int(got["n_rows"]),
+                float(got["revenue"]),
+            )
+        ],
+        "n_files int, skipped_any int, n_rows bigint, revenue double",
+    )
+
+
+_FILE_SKIPPING_SQL = """
+    SELECT 8 AS n_files,
+           1 AS skipped_any,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+    FROM orders
+    WHERE o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1997-12-31'
+"""
+
+
 def q_semi_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi join with a range predicate (the reference's activity-
     window perimeter filter, ``join_datasets.py:194-210`` + date clamp):
@@ -2485,6 +2551,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tree_contributions": q_tree_contributions,
     "tree_shap_parity": q_tree_shap_parity,
     "write_roundtrip": q_write_roundtrip,
+    "file_skipping": q_file_skipping,
     "semi_range_join": q_semi_range_join,
     "filter_battery": q_filter_battery,
     "imputer_mean": q_imputer_mean,
@@ -2536,6 +2603,7 @@ ORACLES_EXT: dict[str, str] = {
     "salted_supplier_agg": _SALTED_AGG_SQL,
     "streaming_sessions": _STREAMING_SESSIONS_SQL,
     "write_roundtrip": _WRITE_ROUNDTRIP_SQL,
+    "file_skipping": _FILE_SKIPPING_SQL,
     "semi_range_join": _SEMI_RANGE_SQL,
     "filter_battery": _FILTER_BATTERY_SQL,
     "imputer_mean": _IMPUTER_MEAN_SQL,
