@@ -447,6 +447,49 @@ def training_order(
     return out.withColumn("shuffle_key", shuffle_key(key_col, salt, epoch))
 
 
+def mixture_schedule(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    weights: Mapping[str, float],
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Deterministic proportional INTERLEAVE of sources — the mixing
+    schedule that feeds a trainer a steady per-batch domain ratio
+    instead of long single-source runs (which
+    :func:`training_order`'s pure random shuffle only achieves in
+    expectation).
+
+    Every document gets ``mix_position = mix_rank / weight(source)``
+    where ``mix_rank`` is its deterministic (md5-keyed) rank within its
+    source; streaming the corpus in ``mix_position`` order serves
+    sources at exactly their weight ratios at every prefix (the classic
+    weighted-fair-queueing virtual-finish-time schedule, applied to
+    corpus mixing).  A source with weight 2 appears twice as often as a
+    weight-1 source at every point in the stream, and within each
+    source the order is a reproducible shuffle.
+
+    Cost: one window exchange on ``source_col`` (rank within source);
+    the consumer's sort by ``mix_position`` is the same range exchange
+    any global training order pays.  All arithmetic is engine-portable
+    (md5 rank key, one double division) — the oracle replays it
+    exactly.
+    """
+    rank_key = shuffle_key(key_col, salt="mix", epoch=0)
+    w = Window.partitionBy(source_col).orderBy(rank_key, key_col)
+    weight_expr = F.lit(float(default_weight))
+    for s, wt in weights.items():
+        if wt <= 0:
+            raise ValueError(f"weight for {s!r} must be > 0, got {wt}")
+        weight_expr = F.when(
+            F.col(source_col) == s, F.lit(float(wt))
+        ).otherwise(weight_expr)
+    return df.withColumn(
+        "mix_position",
+        F.row_number().over(w).cast("double") / weight_expr,
+    )
+
+
 def exact_k_sample(
     df: DataFrame, k: int, key_col: str, salt: str = ""
 ) -> DataFrame:

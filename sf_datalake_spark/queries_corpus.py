@@ -326,6 +326,41 @@ _TRAINING_ORDER_SQL = """
 """
 
 
+def q_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-fair-queueing corpus interleave: src0 at weight 2,
+    src1 at ½, everything else at 1 — streaming in ``mix_position``
+    order serves sources at exactly those ratios at every prefix.
+    Weights are powers of two so the position division is exact in
+    both engines."""
+    from sf_datalake_spark.operators.corpus import mixture_schedule
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mixture_schedule(
+        docs, "source", "doc_id", {"src0": 2.0, "src1": 0.5},
+        default_weight=1.0,
+    )
+    return out.select("doc_id", "source", "mix_position")
+
+
+_MIXTURE_SQL = """
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY ('0x' || substr(md5('mix:0:' || doc_id::VARCHAR),
+                                            1, 15))::BIGINT, doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(rn AS DOUBLE)
+               / CASE source WHEN 'src0' THEN 2.0
+                             WHEN 'src1' THEN 0.5
+                             ELSE 1.0 END AS mix_position
+    FROM ranked
+"""
+
+
 def q_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-100-document uniform sample via the k smallest shuffle
     keys — executed as TakeOrderedAndProject (per-partition local
@@ -670,6 +705,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "boilerplate_removal": q_boilerplate_removal,
     "training_order": q_training_order,
+    "mixture_schedule": q_mixture_schedule,
     "exact_k_sample": q_exact_k_sample,
     "weighted_sample": q_weighted_sample,
     "cluster_safe_split": q_cluster_safe_split,
@@ -686,6 +722,7 @@ ORACLES_CORPUS: dict[str, str] = {
     "repetition_stats": _REPETITION_SQL,
     "boilerplate_removal": _BOILERPLATE_SQL,
     "training_order": _TRAINING_ORDER_SQL,
+    "mixture_schedule": _MIXTURE_SQL,
     "exact_k_sample": _EXACT_K_SQL,
     "weighted_sample": _WEIGHTED_SAMPLE_SQL,
     "cluster_safe_split": _CLUSTER_SPLIT_SQL,

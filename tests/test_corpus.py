@@ -469,3 +469,28 @@ def test_hashed_linear_score_dict_weights_and_plan(spark):
     rep = plan_report(out, execute=True)
     assert rep["n_exchanges"] == 0
     assert rep["n_python_evals"] == 0
+
+
+def test_mixture_schedule_prefix_ratios(spark):
+    """Weighted-fair-queueing invariant: at every prefix of the
+    mix_position order, each source has served floor/ceil of
+    weight-proportional items — no long single-source runs."""
+    from sf_datalake_spark.operators.corpus import mixture_schedule
+
+    rows = [(i, "a") for i in range(40)] + [(100 + i, "b") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_schedule(df, "source", "doc_id", {"a": 3.0, "b": 1.0})
+    ordered = [r["source"] for r in out.orderBy("mix_position", "doc_id").collect()]
+    # weight 3:1 -> in any prefix, a-count ~= 3 * b-count (within the
+    # rounding slack of one service quantum per source)
+    na = nb = 0
+    for s in ordered[:40]:
+        na += s == "a"
+        nb += s == "b"
+        assert na >= 3 * nb - 3, (na, nb)
+        assert na <= 3 * nb + 3, (na, nb)
+    # deterministic: same schedule twice
+    again = [r["source"] for r in
+             mixture_schedule(df, "source", "doc_id", {"a": 3.0, "b": 1.0})
+             .orderBy("mix_position", "doc_id").collect()]
+    assert ordered == again
