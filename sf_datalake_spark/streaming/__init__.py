@@ -2,6 +2,7 @@
 
 from sf_datalake_spark.streaming.streams import (
     read_file_stream,
+    run_near_dup_gate,
     run_to_memory,
     run_upsert_sink,
     running_total_alerts,
@@ -14,6 +15,7 @@ from sf_datalake_spark.streaming.streams import (
 
 __all__ = [
     "read_file_stream",
+    "run_near_dup_gate",
     "run_to_memory",
     "run_upsert_sink",
     "running_total_alerts",

@@ -377,6 +377,100 @@ def run_upsert_sink(
         q.awaitTermination()
 
 
+def run_near_dup_gate(
+    stream: DataFrame,
+    corpus_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    query_name: str = "near_dup_gate",
+    state_partitions: int | None = 8,
+) -> None:
+    """Streaming near-duplicate ADMISSION GATE: each micro-batch of
+    documents is MinHash-LSH matched against the stored corpus
+    (``dedup.lsh_pairs_against`` — batch-cost, never corpus²) AND
+    against itself; only novel documents are appended to the corpus,
+    so the stored table stays deduplicated as the stream grows.
+
+    This is the streaming composition of the incremental-dedup
+    operator: the corpus side persists signatures (``signature`` array
+    column) so matching a batch re-reads kilobytes of stored signature
+    per band bucket, not document text.  Batch-vs-batch duplicates
+    resolve to the minimum id (the earliest admitted wins ties within
+    one batch; across batches the stored copy always wins).
+
+    At production scale the corpus write-through is a transactional
+    append (the stage-and-swap below is the local-parquet stand-in,
+    same as :func:`run_upsert_sink`), and the signature table is
+    bucketed by band hash so the candidate join is exchange-free on
+    the stored side.
+    """
+    import os
+    import shutil
+
+    from sf_datalake_spark.operators.dedup import (
+        lsh_pairs_against,
+        minhash_signature,
+    )
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, text_col)
+        sig_new = minhash_signature(
+            batch, id_col, text_col, num_hashes=num_hashes, shingle_n=3
+        ).persist()
+        try:
+            if os.path.exists(corpus_path):
+                sig_base = spark.read.parquet(corpus_path)
+                matches = lsh_pairs_against(
+                    sig_new, sig_base, id_col,
+                    bands=bands, rows_per_band=rows_per_band,
+                    signature_length=num_hashes,
+                )
+            else:
+                sig_base = None
+                matches = lsh_pairs_against(
+                    sig_new, sig_new.limit(0), id_col,
+                    bands=bands, rows_per_band=rows_per_band,
+                    signature_length=num_hashes,
+                )
+            # a doc is a duplicate if it matched the corpus (drop the
+            # batch doc, new_id) OR a LOWER-id doc in its own batch
+            # (within-batch pairs are emitted with new_id < match_id,
+            # so the higher id — match_id — is the one dropped)
+            dup_ids = (
+                matches.filter(F.col("match_side") == "base")
+                .select(F.col("new_id").alias(id_col))
+                .unionByName(
+                    matches.filter(F.col("match_side") == "new")
+                    .select(F.col("match_id").alias(id_col))
+                )
+                .distinct()
+            )
+            novel = sig_new.join(dup_ids, id_col, "left_anti")
+            appended = (
+                sig_base.unionByName(novel) if sig_base is not None else novel
+            )
+            staging = f"{corpus_path}.staging-{batch_id}"
+            appended.write.mode("overwrite").parquet(staging)
+            shutil.rmtree(corpus_path, ignore_errors=True)
+            os.replace(staging, corpus_path)
+        finally:
+            sig_new.unpersist()
+
+    with _state_partitions(stream.sparkSession, state_partitions):
+        q = (
+            stream.writeStream.foreachBatch(gate)
+            .outputMode("append")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,

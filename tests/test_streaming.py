@@ -290,3 +290,35 @@ def test_running_total_alerts_transform_with_state(spark, tmp_path):
     assert got_tws == [
         ("u1", 1, 11.0), ("u1", 2, 23.0), ("u2", 1, 28.0), ("u2", 2, 28.0),
     ]
+
+
+def test_near_dup_gate_admits_only_novel_documents(spark, tmp_path):
+    """Streaming admission gate over three micro-batches: corpus-vs-
+    batch duplicates are rejected, within-batch duplicates keep the
+    minimum id, novel documents append — the stored signature table
+    ends exactly one row per distinct document."""
+    from sf_datalake_spark.streaming import read_file_stream, run_near_dup_gate
+
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = "one two three four five six seven eight nine"
+    c = "red orange yellow green blue indigo violet ultraviolet"
+    src = str(tmp_path / "src")
+    batches = [
+        [(1, a), (2, b)],            # batch 1: two novel docs
+        [(3, a), (4, c), (5, c)],    # batch 2: 3 dups corpus-a; 4/5 dup pair
+        [(6, b), (7, c)],            # batch 3: both already stored
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    corpus = str(tmp_path / "corpus")
+    stream = read_file_stream(
+        spark, src, "doc_id long, text string", max_files_per_trigger=1
+    )
+    run_near_dup_gate(stream, corpus, query_name="t_near_dup_gate")
+
+    stored = spark.read.parquet(corpus)
+    ids = sorted(r["doc_id"] for r in stored.collect())
+    assert ids == [1, 2, 4]  # a→1, b→2, c→4 (5 lost the min-id tie)
+    assert stored.columns[0] == "doc_id" and "signature" in stored.columns
