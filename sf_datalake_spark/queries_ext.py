@@ -2289,6 +2289,47 @@ _STREAMING_DEDUP_SQL = """
 """
 
 
+def q_streaming_near_dup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH admission gate run AS A STREAM over the document
+    corpus (one availableNow batch here): documents matching a lower-id
+    document through any LSH band are rejected, the rest are admitted
+    into the stored signature corpus.  Returns the admitted ids — the
+    batch twin is "ids that are never the higher side of an LSH pair",
+    which the oracle replays with the full minhash+banding SQL."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from sf_datalake_spark.streaming import read_file_stream, run_near_dup_gate
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(docs_path).schema
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    corpus = os.path.join(tempfile.gettempdir(), f"sfdl_gate_{tag}")
+    shutil.rmtree(corpus, ignore_errors=True)  # the gate APPENDS: start clean
+    # the file-stream source wants a DIRECTORY; stage the single
+    # testdata file into one via symlink (no copy)
+    src_dir = os.path.join(tempfile.gettempdir(), f"sfdl_gate_src_{tag}")
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(docs_path, link)
+    stream = read_file_stream(spark, src_dir, schema)
+    run_near_dup_gate(
+        stream, corpus, id_col="doc_id", text_col="text",
+        num_hashes=8, bands=4, rows_per_band=2,
+        query_name="q_near_dup_gate",
+    )
+    return spark.read.parquet(corpus).select("doc_id")
+
+
+_STREAMING_GATE_SQL = rf"""
+    WITH pairs AS ({_LSH_PAIRS_SQL})
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT id_2 FROM pairs)
+"""
+
+
 def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VARIANT path for semi-structured props: parse_json once
     into a binary variant column, then typed variant_get extraction —
@@ -2570,6 +2611,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topk": q_tfidf_topk,
     "streaming_windowed": q_streaming_windowed,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_near_dup_gate": q_streaming_near_dup_gate,
     "streaming_upsert": q_streaming_upsert,
     "stream_static_join": q_stream_static_join,
     "stream_stream_join": q_stream_stream_join,
@@ -2621,6 +2663,7 @@ ORACLES_EXT: dict[str, str] = {
     "tfidf_topk": _TFIDF_SQL,
     "streaming_windowed": _STREAMING_WINDOWED_SQL,
     "streaming_dedup": _STREAMING_DEDUP_SQL,
+    "streaming_near_dup_gate": _STREAMING_GATE_SQL,
     "streaming_upsert": _STREAMING_UPSERT_SQL,
     "stream_static_join": _STREAM_STATIC_JOIN_SQL,
     "stream_stream_join": _STREAM_STREAM_JOIN_SQL,
