@@ -141,23 +141,27 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan → pushed-down filter → hash agg (map-side
     partial) → 5 aggregates over 2 grouping columns."""
     li = _t(spark, sf_dir, "lineitem")
+    # Exact DECIMAL folds for the price sums: double summation drifts
+    # in the last decimals once groups reach ~10^5 rows (strict-hash
+    # fails at sf0.1); 2-dec prices/rates are exact in DECIMAL(12,2)
+    # and decimal sums are associative, so both engines agree
+    # bit-for-bit at any scale.  l_quantity is integer-valued — its
+    # double sum is already exact in any order.
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    tax = F.col("l_tax").cast("decimal(12,2)")
     return (
         li.filter(F.col("l_shipdate") < F.lit("1998-09-03").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "sum_disc_price"
-            ),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                6,
-            ).alias("sum_charge"),
+            F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(price * (1 - disc)), 4)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.sum(price * (1 - disc) * (1 + tax)), 6)
+            .cast("double")
+            .alias("sum_charge"),
             F.count("*").alias("count_order"),
         )
     )
@@ -166,9 +170,15 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRICING_SUMMARY_SQL = """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2)
+                AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(12,2)))), 4)
+                AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                          * (1 + CAST(l_tax AS DECIMAL(12,2)))), 6)
+                AS DOUBLE) AS sum_charge,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate < TIMESTAMP '1998-09-03'

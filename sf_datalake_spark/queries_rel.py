@@ -774,15 +774,38 @@ def q_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer — one model per entity, computed entirely with algebraic
     aggregates."""
     panel = customer_monthly_panel(spark, sf_dir)
-    x = F.months_between(F.col("periode"), F.to_date(F.lit("1992-01-01")))
-    d = panel.select("custkey", x.alias("x"), F.col("revenue").alias("y"))
-    # try_divide: a single-month group has var_pop = 0 — NULL slope
-    # (matching DuckDB's regr_slope) instead of an ANSI-mode error
-    slope = F.try_divide(F.covar_pop("x", "y"), F.var_pop("x"))
-    return d.groupBy("custkey").agg(
-        F.count("*").alias("n_months"),
+    # Exact raw moments instead of covar_pop/var_pop: the streaming
+    # co-moment algorithms differ between engines in accumulation
+    # order, and at sf0.1 group sizes the last-ulp drift survives a
+    # 6-dp round.  Month index and revenue-cents are exact integers,
+    # so n, Σx, Σx², Σ(y·100), Σ(x·y·100) are exact BIGINTs in both
+    # engines and the closed-form slope/intercept is the SAME double
+    # expression tree on identical inputs — bit-equal at any scale.
+    x = F.months_between(
+        F.col("periode"), F.to_date(F.lit("1992-01-01"))
+    ).cast("bigint")
+    yc = F.round(F.col("revenue") * 100).cast("bigint")
+    d = panel.select("custkey", x.alias("x"), yc.alias("yc"))
+    g = d.groupBy("custkey").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("yc").alias("syc"),
+        F.sum(F.col("x") * F.col("yc")).alias("sxyc"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxyc") - F.col("sx") * F.col("syc")
+    slope = F.when(
+        den == 0, F.lit(None).cast("double")
+    ).otherwise((num / 100.0) / den)
+    intercept = F.when(
+        den == 0, F.lit(None).cast("double")
+    ).otherwise((F.col("syc") / 100.0 - slope * F.col("sx")) / F.col("n"))
+    return g.select(
+        "custkey",
+        F.col("n").alias("n_months"),
         F.round(slope, 6).alias("slope"),
-        F.round(F.avg("y") - slope * F.avg("x"), 6).alias("intercept"),
+        F.round(intercept, 6).alias("intercept"),
     )
 
 
@@ -790,14 +813,28 @@ _TREND_SQL = f"""
     WITH panel AS ({_PANEL_SQL}),
     d AS (
         SELECT custkey,
-               date_diff('month', DATE '1992-01-01', periode)::DOUBLE AS x,
-               revenue AS y
+               date_diff('month', DATE '1992-01-01', periode)::BIGINT AS x,
+               CAST(round(revenue * 100) AS BIGINT) AS yc
         FROM panel
+    ),
+    g AS (
+        SELECT custkey, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(yc) AS BIGINT) AS syc,
+               CAST(sum(x * yc) AS BIGINT) AS sxyc
+        FROM d GROUP BY custkey
     )
-    SELECT custkey, CAST(count(*) AS BIGINT) AS n_months,
-           round(regr_slope(y, x), 6) AS slope,
-           round(regr_intercept(y, x), 6) AS intercept
-    FROM d GROUP BY custkey
+    SELECT custkey, n AS n_months,
+           round(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                 ELSE ((n * sxyc - sx * syc) / 100.0) / (n * sxx - sx * sx)
+                 END, 6) AS slope,
+           round(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                 ELSE (syc / 100.0
+                       - (((n * sxyc - sx * syc) / 100.0)
+                          / (n * sxx - sx * sx)) * sx) / n
+                 END, 6) AS intercept
+    FROM g
 """
 
 
