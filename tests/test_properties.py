@@ -29,6 +29,17 @@ SLOW = settings(
 _day = st.integers(min_value=0, max_value=400)
 
 
+@pytest.fixture(scope="module")
+def skipping_layout(spark, tmp_path_factory):
+    """A 4-file range-clustered layout + its stats table, built once."""
+    from sf_datalake_spark.functions.skipping import collect_file_stats
+
+    path = str(tmp_path_factory.mktemp("skip") / "layout")
+    spark.range(0, 4000).withColumn("v", F.col("id") % 13) \
+        .repartitionByRange(4, "id").write.mode("overwrite").parquet(path)
+    return path, collect_file_stats(spark, path, ["id"])
+
+
 @st.composite
 def asof_tables(draw):
     n_left = draw(st.integers(2, 15))
@@ -260,3 +271,27 @@ def test_weighted_sample_is_subset_and_exact(spark, docs, k):
     assert set(got) <= {d for d, _ in docs}
     again = [r["doc_id"] for r in weighted_sample(df, k, "w", "doc_id").collect()]
     assert got == again
+
+
+@given(
+    ranges=st.lists(
+        st.tuples(st.integers(-100, 4100), st.integers(-100, 4100)).map(
+            lambda t: (min(t), max(t))
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@SLOW
+def test_file_skipping_equals_full_scan(spark, skipping_layout, ranges):
+    """For ANY range predicate, pruned_read == full scan + filter —
+    skipping may only remove files the predicate cannot touch."""
+    from sf_datalake_spark.functions.skipping import pruned_read
+
+    path, stats = skipping_layout
+    full = spark.read.parquet(path)
+    for lo, hi in ranges:
+        got = pruned_read(spark, stats, {"id": (lo, hi)})
+        want = full.filter((F.col("id") >= lo) & (F.col("id") <= hi))
+        assert got.count() == want.count()
+        assert got.exceptAll(want).count() == 0
