@@ -245,6 +245,184 @@ _REPETITION_SQL = r"""
 """
 
 
+def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al. 2022 ExactSubstr detection, distributed: maximal
+    cross-document verbatim runs of >= 8 tokens per document (union of
+    overlapping duplicated windows — a shared L-token run reports as
+    ONE span of L tokens). Window hashes shuffle as (md5, doc, pos) —
+    never text; span merge is one gaps-and-islands window per doc."""
+    from sf_datalake_spark.operators.substrings import duplicated_span_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_span_stats(docs, "doc_id", "text", window=8, min_docs=2)
+
+
+_SUBSTR_W = 8
+
+_SUBSTRING_SPANS_SQL = rf"""
+    WITH toks AS ({_TOKS_SQL}),
+    g AS (SELECT doc_id, unnest(generate_series(1, len(t) - {_SUBSTR_W - 1}))
+              AS pos, t
+          FROM toks WHERE len(t) >= {_SUBSTR_W}),
+    hh AS (SELECT doc_id, pos,
+               md5(array_to_string(list_slice(t, pos, pos + {_SUBSTR_W - 1}),
+                                   ' ')) AS h
+           FROM g),
+    shared AS (SELECT h FROM hh GROUP BY h
+               HAVING count(DISTINCT doc_id) >= 2),
+    dup AS (SELECT doc_id, pos, pos + {_SUBSTR_W - 1} AS e
+            FROM hh JOIN shared USING (h)),
+    w AS (SELECT doc_id, pos, e,
+            max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS pmax
+          FROM dup),
+    isl AS (SELECT doc_id, pos, e,
+            sum(CASE WHEN pmax IS NULL OR pos > pmax + 1 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM w),
+    spans AS (SELECT doc_id, island, min(pos) AS s, max(e) AS e
+              FROM isl GROUP BY doc_id, island),
+    sized AS (SELECT doc_id, len(t) AS n FROM toks)
+    SELECT spans.doc_id, CAST(any_value(n) AS INT) AS n_tokens,
+           CAST(count(*) AS INT) AS n_spans,
+           CAST(sum(e - s + 1) AS INT) AS dup_tokens,
+           CAST(max(e - s + 1) AS INT) AS max_span,
+           round(CAST(sum(e - s + 1) AS DOUBLE) / any_value(n), 6) AS dup_frac
+    FROM spans JOIN sized ON spans.doc_id = sized.doc_id
+    GROUP BY spans.doc_id
+"""
+
+
+def q_exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal: every duplicated >= 8-token window keeps its
+    smallest-(doc,pos) canonical occurrence; tokens covered only by
+    non-canonical occurrences are dropped and each document is
+    reassembled in order. Output is md5(clean_text) so the cross-engine
+    hash certifies byte-identical reconstruction, not just counts."""
+    from sf_datalake_spark.operators.substrings import remove_duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    cleaned = remove_duplicated_spans(docs, "doc_id", "text", window=8, min_docs=2)
+    return cleaned.select(
+        "doc_id",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+        F.col("n_kept").cast("int").alias("n_kept"),
+    )
+
+
+_SUBSTRING_REMOVAL_SQL = rf"""
+    WITH toks AS ({_TOKS_SQL}),
+    g AS (SELECT doc_id, unnest(generate_series(1, len(t) - {_SUBSTR_W - 1}))
+              AS pos, t
+          FROM toks WHERE len(t) >= {_SUBSTR_W}),
+    hh AS (SELECT doc_id, pos,
+               md5(array_to_string(list_slice(t, pos, pos + {_SUBSTR_W - 1}),
+                                   ' ')) AS h
+           FROM g),
+    shared AS (SELECT h FROM hh GROUP BY h
+               HAVING count(DISTINCT doc_id) >= 2),
+    dup AS (SELECT hh.doc_id, hh.pos, hh.h FROM hh JOIN shared USING (h)),
+    canon AS (SELECT doc_id, pos,
+              row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+              FROM dup),
+    expand AS (SELECT doc_id, unnest(generate_series(pos, pos + {_SUBSTR_W - 1}))
+                   AS p
+               FROM canon WHERE rk > 1),
+    droppos AS (SELECT DISTINCT doc_id, p FROM expand),
+    tokpos AS (SELECT doc_id, unnest(t) AS tok,
+               unnest(generate_series(1, len(t))) AS p FROM toks),
+    kept AS (SELECT tp.doc_id, tp.p, tp.tok FROM tokpos tp
+             WHERE NOT EXISTS (SELECT 1 FROM droppos d
+                               WHERE d.doc_id = tp.doc_id AND d.p = tp.p)),
+    rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+                count(*) AS n_kept FROM kept GROUP BY doc_id)
+    SELECT d.doc_id, md5(coalesce(r.clean_text, '')) AS clean_md5,
+           CAST(coalesce(r.n_kept, 0) AS INT) AS n_kept
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter admission gate for incremental dedup: docs 0-449
+    are the stored corpus (md5 fingerprints -> 2048-bit / 3-hash Bloom
+    sketch, deliberately small so false positives occur and the
+    cross-engine hash certifies the exact FP set); docs 350+ are the incoming
+    batch (the 350-449 overlap exercises the true-member path). Output per batch doc: the Bloom verdict, the exact
+    membership, and the false-positive flag — with zero false
+    negatives by construction (the oracle would catch one)."""
+    from sf_datalake_spark.operators.bloom import bloom_prefilter
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", F.md5("text").alias("fp"))
+    corpus = fp.filter(F.col("doc_id") < 450).select("fp")
+    batch = fp.filter(F.col("doc_id") >= 350)
+    out = bloom_prefilter(batch, corpus, "fp", m_bits=2048, num_hashes=3)
+    return out.select(
+        "doc_id",
+        F.col("maybe_member").cast("int").alias("maybe_member"),
+        F.col("is_member").cast("int").alias("is_member"),
+        (F.col("maybe_member") & ~F.col("is_member"))
+        .cast("int")
+        .alias("false_positive"),
+    )
+
+
+def _bloom_pos_sql(expr: str, j: int, m: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5({expr} || ';bloom{j}'), 1, 15)) AS BIGINT)"
+        f" % {m}"
+    )
+
+
+_BLOOM_SQL = rf"""
+    WITH corpus AS (
+        SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 450
+    ),
+    batch AS (
+        SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id >= 350
+    ),
+    build_pos AS (
+        SELECT {_bloom_pos_sql('fp', 0, 2048)} AS pos FROM corpus
+        UNION ALL
+        SELECT {_bloom_pos_sql('fp', 1, 2048)} FROM corpus
+        UNION ALL
+        SELECT {_bloom_pos_sql('fp', 2, 2048)} FROM corpus
+    ),
+    build AS (
+        SELECT CAST(pos // 32 AS INT) AS word_idx,
+               bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS word
+        FROM build_pos GROUP BY 1
+    ),
+    probe AS (
+        SELECT doc_id, {_bloom_pos_sql('fp', 0, 2048)} AS pos FROM batch
+        UNION ALL
+        SELECT doc_id, {_bloom_pos_sql('fp', 1, 2048)} FROM batch
+        UNION ALL
+        SELECT doc_id, {_bloom_pos_sql('fp', 2, 2048)} FROM batch
+    ),
+    hit AS (
+        SELECT p.doc_id,
+               CASE WHEN (coalesce(b.word, 0)
+                          & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INT)))
+                    <> 0 THEN 1 ELSE 0 END AS s
+        FROM probe p LEFT JOIN build b ON CAST(p.pos // 32 AS INT) = b.word_idx
+    ),
+    verdict AS (
+        SELECT doc_id, CAST(sum(s) AS BIGINT) = 3 AS maybe FROM hit
+        GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(v.maybe AS INT) AS maybe_member,
+           CAST(EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp) AS INT)
+               AS is_member,
+           CAST(v.maybe AND NOT EXISTS
+                (SELECT 1 FROM corpus c WHERE c.fp = b.fp) AS INT)
+               AS false_positive
+    FROM batch b JOIN verdict v USING (doc_id)
+"""
+
+
 def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style corpus boilerplate removal: drop 3-token 'lines' present
     in >= 3 distinct documents, reassemble the survivors in order;
@@ -703,6 +881,9 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_check": q_contamination_check,
     "redact_pii": q_redact_pii,
     "repetition_stats": q_repetition_stats,
+    "exact_substring_spans": q_exact_substring_spans,
+    "exact_substring_removal": q_exact_substring_removal,
+    "bloom_prefilter": q_bloom_prefilter,
     "boilerplate_removal": q_boilerplate_removal,
     "training_order": q_training_order,
     "mixture_schedule": q_mixture_schedule,
@@ -720,6 +901,9 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES_CORPUS: dict[str, str] = {
     "repetition_stats": _REPETITION_SQL,
+    "exact_substring_spans": _SUBSTRING_SPANS_SQL,
+    "exact_substring_removal": _SUBSTRING_REMOVAL_SQL,
+    "bloom_prefilter": _BLOOM_SQL,
     "boilerplate_removal": _BOILERPLATE_SQL,
     "training_order": _TRAINING_ORDER_SQL,
     "mixture_schedule": _MIXTURE_SQL,
