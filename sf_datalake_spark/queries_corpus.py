@@ -423,6 +423,73 @@ _BLOOM_SQL = rf"""
 """
 
 
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing (Schleimer et al. 2003): min-hash-of-window
+    fingerprint selection (rightmost on ties) over 5-gram hashes,
+    window 4 — density-bounded ~2/(w+1) sparsification with the
+    guaranteed-detection property for runs >= w+k-1 tokens. The
+    (min-hash, rightmost) rule is one framed integer min both engines
+    replay exactly."""
+    from sf_datalake_spark.operators.winnow import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, "doc_id", "text", k=5, w=4)
+
+
+_WINNOW_K = 5
+_WINNOW_W = 4
+
+_WINNOW_FP_SQL = rf"""
+    WITH toks AS ({_TOKS_SQL}),
+    g AS (SELECT doc_id, unnest(generate_series(1, len(t) - {_WINNOW_K - 1}))
+              AS pos, t
+          FROM toks WHERE len(t) >= {_WINNOW_K}),
+    h AS (SELECT doc_id, pos,
+              CAST(('0x' || substr(md5(array_to_string(
+                  list_slice(t, pos, pos + {_WINNOW_K - 1}), ' ')), 1, 8))
+                  AS BIGINT) AS h32
+          FROM g),
+    keyed AS (SELECT doc_id, pos,
+                  h32 * 16777216 + (16777215 - pos) AS sel_key
+              FROM h),
+    win AS (SELECT doc_id, pos,
+                min(sel_key) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN {_WINNOW_W - 1} PRECEDING AND CURRENT ROW)
+                    AS win_min,
+                count(*) OVER (PARTITION BY doc_id) AS n_grams
+            FROM keyed),
+    sel AS (SELECT DISTINCT doc_id, win_min FROM win
+            WHERE pos >= least({_WINNOW_W}, n_grams))
+    SELECT doc_id,
+           CAST(16777215 - win_min % 16777216 AS INT) AS pos,
+           CAST(win_min // 16777216 AS BIGINT) AS h32
+    FROM sel
+"""
+
+
+def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-join near-dup screen: document pairs sharing >= 2
+    winnowing fingerprints — candidate generation is an equi-join on
+    the sparse fingerprint index (~2/(w+1) of the k-gram hashes), never
+    all-pairs, and the winnowing guarantee admits every pair sharing a
+    run of >= w+k-1 tokens."""
+    from sf_datalake_spark.operators.winnow import winnow_overlap_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(docs, "doc_id", "text", k=5, w=4, min_shared=2)
+
+
+_WINNOW_PAIRS_SQL = rf"""
+    WITH fp AS ({_WINNOW_FP_SQL}),
+    u AS (SELECT DISTINCT doc_id, h32 FROM fp)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS INT) AS n_shared
+    FROM u a JOIN u b ON a.h32 = b.h32 AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+"""
+
+
 def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style corpus boilerplate removal: drop 3-token 'lines' present
     in >= 3 distinct documents, reassemble the survivors in order;
@@ -884,6 +951,8 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_substring_spans": q_exact_substring_spans,
     "exact_substring_removal": q_exact_substring_removal,
     "bloom_prefilter": q_bloom_prefilter,
+    "winnowing_fingerprints": q_winnowing_fingerprints,
+    "winnow_overlap_pairs": q_winnow_overlap_pairs,
     "boilerplate_removal": q_boilerplate_removal,
     "training_order": q_training_order,
     "mixture_schedule": q_mixture_schedule,
@@ -904,6 +973,8 @@ ORACLES_CORPUS: dict[str, str] = {
     "exact_substring_spans": _SUBSTRING_SPANS_SQL,
     "exact_substring_removal": _SUBSTRING_REMOVAL_SQL,
     "bloom_prefilter": _BLOOM_SQL,
+    "winnowing_fingerprints": _WINNOW_FP_SQL,
+    "winnow_overlap_pairs": _WINNOW_PAIRS_SQL,
     "boilerplate_removal": _BOILERPLATE_SQL,
     "training_order": _TRAINING_ORDER_SQL,
     "mixture_schedule": _MIXTURE_SQL,
