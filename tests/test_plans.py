@@ -398,3 +398,22 @@ def test_image_phash_single_decode_and_clean_session(spark, monkeypatch):
     assert len(row) == 1 and row[0]["n_pairs"] >= 0
     assert len(calls) == 1, f"expected exactly 1 persist, saw {len(calls)}"
     assert jsc.getPersistentRDDs().size() == before, "cache entry leaked"
+
+
+def test_round4_corpus_query_plan_shapes(spark):
+    """Round-4 additions stay JVM-only with no cartesian products:
+    substring spans/removal, winnowing, and the Bloom gate — and the
+    Bloom probe join is a broadcast (the sketch must never shuffle the
+    probe side)."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    for name in ("exact_substring_spans", "exact_substring_removal",
+                 "winnowing_fingerprints", "winnow_overlap_pairs",
+                 "bloom_prefilter"):
+        rep = plan_report(qs[name](spark, SF_DIR), execute=True)
+        assert rep["n_cartesian_products"] == 0, name
+        assert rep["n_python_evals"] == 0, name
+        assert rep["n_nested_loop_joins"] == 0, name
+    rep = plan_report(qs["bloom_prefilter"](spark, SF_DIR), execute=True)
+    assert rep["n_broadcasts"] >= 1

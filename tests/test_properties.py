@@ -295,3 +295,44 @@ def test_file_skipping_equals_full_scan(spark, skipping_layout, ranges):
         want = full.filter((F.col("id") >= lo) & (F.col("id") <= hi))
         assert got.count() == want.count()
         assert got.exceptAll(want).count() == 0
+
+
+def _brute_force_spans(docs, w):
+    """Reference ExactSubstr: duplicated-window positions via dict, span
+    union via sorted interval sweep."""
+    from collections import defaultdict
+
+    grams = defaultdict(set)
+    tok = {i: t.split() for i, t in docs}
+    for i, ts in tok.items():
+        for p in range(len(ts) - w + 1):
+            grams[" ".join(ts[p : p + w])].add(i)
+    shared = {g for g, ds in grams.items() if len(ds) >= 2}
+    out = {}
+    for i, ts in tok.items():
+        pos = [p + 1 for p in range(len(ts) - w + 1)
+               if " ".join(ts[p : p + w]) in shared]
+        if not pos:
+            continue
+        spans = []
+        for p in pos:
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], p + w - 1)
+            else:
+                spans.append([p, p + w - 1])
+        out[i] = (len(spans), sum(e - s + 1 for s, e in spans),
+                  max(e - s + 1 for s, e in spans))
+    return out
+
+
+@given(corpora(), st.integers(2, 4))
+@SLOW
+def test_substring_spans_match_brute_force(spark, docs, w):
+    from sf_datalake_spark.operators.substrings import duplicated_span_stats
+
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["dup_tokens"], r["max_span"])
+        for r in duplicated_span_stats(df, "doc_id", "text", window=w).collect()
+    }
+    assert got == _brute_force_spans(docs, w)
