@@ -423,6 +423,19 @@ _BLOOM_SQL = rf"""
 """
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary induction (Sennrich et al. 2016):
+    12 merge rounds over the word-TYPE table (corpus collapses to types
+    after one groupBy; each round = one weighted pair-count aggregation
+    + a 1-row argmax collect + a JVM left-fold merge). Deterministic
+    tie-break (freq desc, pair asc) makes the merge table engine-exact,
+    but the iterative argmax is not SQL-expressible — rows-only."""
+    from sf_datalake_spark.operators.bpe import train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    return train_bpe(docs, "text", num_merges=12, min_pair_count=2)
+
+
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS winnowing (Schleimer et al. 2003): min-hash-of-window
     fingerprint selection (rightmost on ties) over 5-gram hashes,
@@ -953,6 +966,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prefilter": q_bloom_prefilter,
     "winnowing_fingerprints": q_winnowing_fingerprints,
     "winnow_overlap_pairs": q_winnow_overlap_pairs,
+    "bpe_merges": q_bpe_merges,
     "boilerplate_removal": q_boilerplate_removal,
     "training_order": q_training_order,
     "mixture_schedule": q_mixture_schedule,
