@@ -436,6 +436,64 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_bpe(docs, "text", num_merges=12, min_pair_count=2)
 
 
+def q_lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter: add-0.5-smoothed bigram model
+    trained on the src0 reference slice, scoring EVERY document by
+    average negative log2 probability (monotone in perplexity). Each
+    bigram's -log2 P rounds to integer micro-units before summation —
+    the exact-cents discipline — so both engines hash identically."""
+    from sf_datalake_spark.operators.lm import score_documents, train_bigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    bc, uc, v = train_bigram_lm(docs.filter(F.col("source") == "src0"), "text")
+    return score_documents(docs, "doc_id", "text", bc, uc, v, k=0.5)
+
+
+_LM_SCORE_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        FROM documents
+    ),
+    refbi AS (
+        SELECT t[i] AS v, t[i + 1] AS w
+        FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+              FROM toks WHERE source = 'src0' AND len(t) >= 2)
+    ),
+    bc AS (SELECT v, w, count(*) AS c_vw FROM refbi GROUP BY 1, 2),
+    uc AS (SELECT v, count(*) AS c_v FROM refbi GROUP BY 1),
+    vsz AS (SELECT count(DISTINCT x) AS vsize
+            FROM (SELECT unnest(t) AS x FROM toks WHERE source = 'src0')),
+    docbi AS (
+        SELECT doc_id, t[i] AS v, t[i + 1] AS w
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+              FROM toks WHERE len(t) >= 2)
+    ),
+    coll AS (
+        SELECT doc_id,
+               CASE WHEN v IN (SELECT v FROM uc) THEN v
+                    ELSE '<unk>' END AS v,
+               CASE WHEN w IN (SELECT v FROM uc) THEN w
+                    ELSE '<unk>' END AS w
+        FROM docbi
+    ),
+    sc AS (
+        SELECT doc_id,
+               CAST(round(-log2((coalesce(c_vw, 0) + 0.5)
+                       / (coalesce(c_v, 0) + 0.5 * (vsize + 1))) * 1e6)
+                    AS BIGINT) AS nll_mu
+        FROM coll
+        LEFT JOIN bc USING (v, w)
+        LEFT JOIN uc USING (v)
+        CROSS JOIN vsz
+    )
+    SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+           CAST(sum(nll_mu) AS BIGINT) AS nll_micro,
+           round(sum(nll_mu) / count(*) / 1e6, 6) AS avg_nll
+    FROM sc GROUP BY doc_id
+"""
+
+
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS winnowing (Schleimer et al. 2003): min-hash-of-window
     fingerprint selection (rightmost on ties) over 5-gram hashes,
@@ -967,6 +1025,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnowing_fingerprints": q_winnowing_fingerprints,
     "winnow_overlap_pairs": q_winnow_overlap_pairs,
     "bpe_merges": q_bpe_merges,
+    "lm_perplexity_score": q_lm_perplexity_score,
     "boilerplate_removal": q_boilerplate_removal,
     "training_order": q_training_order,
     "mixture_schedule": q_mixture_schedule,
@@ -989,6 +1048,7 @@ ORACLES_CORPUS: dict[str, str] = {
     "bloom_prefilter": _BLOOM_SQL,
     "winnowing_fingerprints": _WINNOW_FP_SQL,
     "winnow_overlap_pairs": _WINNOW_PAIRS_SQL,
+    "lm_perplexity_score": _LM_SCORE_SQL,
     "boilerplate_removal": _BOILERPLATE_SQL,
     "training_order": _TRAINING_ORDER_SQL,
     "mixture_schedule": _MIXTURE_SQL,
