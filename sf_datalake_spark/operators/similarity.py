@@ -952,3 +952,68 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def nearest_centroid_exact(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    scale: int = 100_000,
+    cscale: int = 1_000,
+) -> DataFrame:
+    """Nearest-centroid classification in EXACT integer arithmetic.
+
+    Per-label centroids (element-wise mean) and squared-distance argmin
+    computed entirely on quantized integers — components round to
+    ``scale`` units, centroids carry ``cscale`` extra precision — so the
+    result is associative, engine-exact, and strict-hash oracled (float
+    centroid means would drift with summation order).  Bound: |component|
+    <= 1.6 keeps the 64-dim distance sum inside int64.
+
+    Plan: one (label, dim) aggregation for centroids (map-side
+    combined), then a broadcast of the tiny centroid table against the
+    corpus — a scan-stage argmin via ``min(struct(d2, label))``, no
+    shuffle of the embedding column at all.  Output: ``(id, label,
+    assigned, correct, d2)``.
+    """
+    xm = F.expr(
+        f"transform({vec_col}, e -> cast(round(cast(e as double) * {scale})"
+        " as bigint))"
+    )
+    x = emb.select(F.col(id_col), F.col(label_col), xm.alias("xm"))
+    by_dim = x.select(
+        label_col, F.posexplode("xm").alias("p", "v")
+    ).groupBy(label_col, "p").agg(
+        F.sum("v").alias("sv"), F.count("*").alias("n")
+    )
+    cents = (
+        by_dim.select(
+            label_col, "p", F.expr(f"sv * {cscale} div n").alias("cs")
+        )
+        .groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "cs"))),
+                lambda s: s["cs"],
+            ).alias("c")
+        )
+        .withColumnRenamed(label_col, "cand")
+    )
+    d2 = F.expr(
+        f"aggregate(zip_with(xm, c, (a, b) -> (a * {cscale} - b)"
+        f" * (a * {cscale} - b)), 0L, (acc, t) -> acc + t)"
+    )
+    scored = x.crossJoin(F.broadcast(cents)).select(
+        id_col, label_col, "cand", d2.alias("d2")
+    )
+    best = scored.groupBy(id_col, label_col).agg(
+        F.min(F.struct("d2", "cand")).alias("b")
+    )
+    return best.select(
+        id_col,
+        label_col,
+        F.col("b.cand").alias("assigned"),
+        (F.col("b.cand") == F.col(label_col)).cast("int").alias("correct"),
+        F.col("b.d2").alias("d2"),
+    )

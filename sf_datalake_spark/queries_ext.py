@@ -2547,6 +2547,53 @@ _THRESHOLD_HISTOGRAM_SQL = f"""
 """
 
 
+def q_centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification over the embeddings table in
+    EXACT integer arithmetic (components quantized to 1e-5, centroids
+    carrying 1e-8 precision) — per-label centroids via one (label, dim)
+    aggregation, then a broadcast scan-stage argmin. Unlike KMeans/IVF
+    (iterative, rows-only), this one-shot vector workload is fully
+    SQL-expressible, so the whole float-free pipeline is strict-hash
+    oracled."""
+    from sf_datalake_spark.operators.similarity import nearest_centroid_exact
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return nearest_centroid_exact(emb, "vec_id", "embedding", "label")
+
+
+_CENTROID_SQL = """
+    WITH x AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   e -> CAST(round(CAST(e AS DOUBLE) * 100000) AS BIGINT))
+                   AS xm
+        FROM embeddings
+    ),
+    pos AS (SELECT label, unnest(xm) AS v,
+                   unnest(generate_series(1, len(xm))) AS p
+            FROM x),
+    s AS (SELECT label, p, CAST(sum(v) AS BIGINT) AS sv, count(*) AS n
+          FROM pos GROUP BY 1, 2),
+    cents AS (SELECT label AS cand,
+                     list(sv * 1000 // n ORDER BY p) AS c
+              FROM s GROUP BY label),
+    scored AS (
+        SELECT x.vec_id, x.label, cents.cand,
+               CAST(list_sum(list_transform(generate_series(1, len(xm)),
+                   i -> (xm[i] * 1000 - c[i]) * (xm[i] * 1000 - c[i])))
+                   AS BIGINT) AS d2
+        FROM x CROSS JOIN cents
+    ),
+    r AS (SELECT vec_id, label, cand, d2,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, cand)
+                     AS rn
+          FROM scored)
+    SELECT vec_id, label, cand AS assigned,
+           CAST(cand = label AS INT) AS correct, d2
+    FROM r WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2612,6 +2659,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_windowed": q_streaming_windowed,
     "streaming_dedup": q_streaming_dedup,
     "streaming_near_dup_gate": q_streaming_near_dup_gate,
+    "centroid_assignment": q_centroid_assignment,
     "streaming_upsert": q_streaming_upsert,
     "stream_static_join": q_stream_static_join,
     "stream_stream_join": q_stream_stream_join,
@@ -2664,6 +2712,7 @@ ORACLES_EXT: dict[str, str] = {
     "streaming_windowed": _STREAMING_WINDOWED_SQL,
     "streaming_dedup": _STREAMING_DEDUP_SQL,
     "streaming_near_dup_gate": _STREAMING_GATE_SQL,
+    "centroid_assignment": _CENTROID_SQL,
     "streaming_upsert": _STREAMING_UPSERT_SQL,
     "stream_static_join": _STREAM_STATIC_JOIN_SQL,
     "stream_stream_join": _STREAM_STREAM_JOIN_SQL,

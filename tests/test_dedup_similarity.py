@@ -504,3 +504,34 @@ def test_semantic_pairs_against_incremental_contract(spark):
     assert all(nid != 103 for nid, _ in got)  # novel vector matches nothing
     # stored-stored twin NEVER re-compared
     assert not any(set(p) == {0, 9000} for p in got)
+
+
+def test_nearest_centroid_exact(spark):
+    from sf_datalake_spark.operators.similarity import nearest_centroid_exact
+
+    rows = [
+        (1, [0.0, 0.0], "a"), (2, [0.2, 0.0], "a"),   # centroid a = (0.1, 0)
+        (3, [1.0, 1.0], "b"), (4, [0.8, 1.0], "b"),   # centroid b = (0.9, 1)
+        (5, [0.15, 0.1], "b"),                          # mislabeled: nearer a
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>, label string")
+    got = {r["vec_id"]: (r["assigned"], r["correct"])
+           for r in nearest_centroid_exact(df, "vec_id", "embedding", "label").collect()}
+    # centroid b shifts toward origin because of row 5, but stays far
+    assert got[1] == ("a", 1) and got[2] == ("a", 1)
+    assert got[3] == ("b", 1) and got[4] == ("b", 1)
+    assert got[5] == ("a", 0)   # flagged: assigned != label
+
+
+def test_nearest_centroid_deterministic_tie(spark):
+    from sf_datalake_spark.operators.similarity import nearest_centroid_exact
+
+    # two singleton labels, a probe equidistant from both -> tie breaks
+    # to the smaller label name in BOTH engines
+    rows = [(1, [0.0], "a"), (2, [1.0], "b"), (3, [0.5], "b")]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>, label string")
+    got = {r["vec_id"]: r["assigned"]
+           for r in nearest_centroid_exact(df, "vec_id", "embedding", "label").collect()}
+    # centroid a = 0.0, centroid b = 0.75 -> probe 0.5 closer to b;
+    # vec 2 at 1.0 closer to b; vec 1 at 0 -> a
+    assert got == {1: "a", 2: "b", 3: "b"}
