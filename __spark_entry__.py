@@ -76,16 +76,29 @@ _ATTESTED = frozenset({
 })
 
 
+#: queries added mid-round-4 (after the VERDICT snapshot): they yield
+#: attestation priority to the older never-attested entries the round-3
+#: judge explicitly asked to front, and rotate into round 5's window.
+_NEW_R04 = frozenset({
+    "exact_substring_spans", "exact_substring_removal", "bloom_prefilter",
+    "winnowing_fingerprints", "winnow_overlap_pairs", "lm_perplexity_score",
+    "centroid_assignment", "bpe_merges",
+})
+
+
 def _rotated(allq: dict) -> dict:
     """Order the registry so the driver's 50-entry snapshot attests what
     no prior round saw: the re-fixed merge_upsert first, then
-    unattested+oracled, then unattested rows-only, then the
-    already-attested tail."""
+    unattested+oracled (oldest first), then unattested rows-only, then
+    the already-attested tail."""
     front = [k for k in ("merge_upsert",) if k in allq]
-    fresh_oracled = [
-        k for k in allq
-        if k not in _ATTESTED and k in ORACLES and k not in front
-    ]
+    fresh_oracled = sorted(
+        (
+            k for k in allq
+            if k not in _ATTESTED and k in ORACLES and k not in front
+        ),
+        key=lambda k: k in _NEW_R04,   # stable: older entries keep order
+    )
     fresh_rows_only = [
         k for k in allq
         if k not in _ATTESTED and k not in ORACLES and k not in front
