@@ -2330,6 +2330,49 @@ _STREAMING_GATE_SQL = rf"""
 """
 
 
+def q_streaming_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom-prefiltered EXACT-dedup admission gate run AS A STREAM
+    (one availableNow batch): each micro-batch probes the stored
+    corpus's Bloom sketch, admits definitely-new fingerprints without
+    touching the corpus, exact-verifies only the maybe-member sliver,
+    and OR-merges the admitted bits back into the sketch. Zero false
+    rejections by construction, so the admitted set equals exact
+    dedup-keep-first — which the oracle replays."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from sf_datalake_spark.streaming import read_file_stream, run_bloom_gate
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(docs_path).schema
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    corpus = os.path.join(tempfile.gettempdir(), f"sfdl_bgate_{tag}")
+    sketch = os.path.join(tempfile.gettempdir(), f"sfdl_bgate_sk_{tag}")
+    shutil.rmtree(corpus, ignore_errors=True)
+    shutil.rmtree(sketch, ignore_errors=True)
+    src_dir = os.path.join(tempfile.gettempdir(), f"sfdl_bgate_src_{tag}")
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(docs_path, link)
+    stream = read_file_stream(spark, src_dir, schema)
+    run_bloom_gate(
+        stream, corpus, sketch, id_col="doc_id", text_col="text",
+        m_bits=1 << 14, num_hashes=4, query_name="q_bloom_gate",
+    )
+    return spark.read.parquet(corpus).select("doc_id")
+
+
+_STREAMING_BLOOM_GATE_SQL = """
+    SELECT doc_id FROM documents d
+    WHERE NOT EXISTS (
+        SELECT 1 FROM documents d2
+        WHERE md5(d2.text) = md5(d.text) AND d2.doc_id < d.doc_id
+    )
+"""
+
+
 def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VARIANT path for semi-structured props: parse_json once
     into a binary variant column, then typed variant_get extraction —
@@ -2660,6 +2703,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dedup": q_streaming_dedup,
     "streaming_near_dup_gate": q_streaming_near_dup_gate,
     "centroid_assignment": q_centroid_assignment,
+    "streaming_bloom_gate": q_streaming_bloom_gate,
     "streaming_upsert": q_streaming_upsert,
     "stream_static_join": q_stream_static_join,
     "stream_stream_join": q_stream_stream_join,
@@ -2713,6 +2757,7 @@ ORACLES_EXT: dict[str, str] = {
     "streaming_dedup": _STREAMING_DEDUP_SQL,
     "streaming_near_dup_gate": _STREAMING_GATE_SQL,
     "centroid_assignment": _CENTROID_SQL,
+    "streaming_bloom_gate": _STREAMING_BLOOM_GATE_SQL,
     "streaming_upsert": _STREAMING_UPSERT_SQL,
     "stream_static_join": _STREAM_STATIC_JOIN_SQL,
     "stream_stream_join": _STREAM_STREAM_JOIN_SQL,

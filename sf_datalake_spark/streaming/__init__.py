@@ -2,6 +2,7 @@
 
 from sf_datalake_spark.streaming.streams import (
     read_file_stream,
+    run_bloom_gate,
     run_near_dup_gate,
     run_to_memory,
     run_upsert_sink,
@@ -15,6 +16,7 @@ from sf_datalake_spark.streaming.streams import (
 
 __all__ = [
     "read_file_stream",
+    "run_bloom_gate",
     "run_near_dup_gate",
     "run_to_memory",
     "run_upsert_sink",

@@ -521,3 +521,98 @@ def stream_stream_join(
             *[F.col(c) for c in rw.columns if c not in key_set],
         )
     )
+
+
+def run_bloom_gate(
+    stream: DataFrame,
+    corpus_path: str,
+    sketch_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 16,
+    num_hashes: int = 4,
+    query_name: str = "bloom_gate",
+    state_partitions: int | None = 8,
+) -> None:
+    """Streaming EXACT-dedup admission gate with a Bloom pre-filter.
+
+    Each micro-batch fingerprints its documents (md5 of text), probes
+    the STORED corpus Bloom sketch, and splits: definitely-new
+    fingerprints (the steady-state majority) are admitted without
+    touching the corpus at all; maybe-members pay one exact
+    verification join against the stored fingerprint table.  Admitted
+    rows append to the corpus, and the sketch is OR-merged with the
+    admitted fingerprints' bits — both via the same stage-and-swap the
+    other sinks use.  Zero false rejections by construction (the Bloom
+    filter has no false negatives, and maybe-members are verified
+    exactly), so the admitted set equals batch exact-dedup-keep-first —
+    which is what the SQL oracle replays.
+
+    The scale contract: per-batch corpus I/O is the SKETCH (kilobytes,
+    m/8 bytes regardless of corpus size) plus the exact join for just
+    the maybe-member sliver — the stored fingerprint table is read
+    only for that sliver's buckets, never scanned per batch.
+    """
+    import os
+    import shutil
+
+    from sf_datalake_spark.operators.bloom import (
+        bloom_maybe_contains,
+        bloom_merge,
+        bloom_sketch,
+    )
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, F.md5(F.col(text_col)).alias("fp"))
+        # within-batch exact dedup: earliest id per fingerprint wins
+        batch = (
+            batch.groupBy("fp")
+            .agg(F.min(id_col).alias(id_col))
+            .persist()
+        )
+        try:
+            if os.path.exists(sketch_path):
+                sketch = spark.read.parquet(sketch_path)
+                gated = bloom_maybe_contains(
+                    batch, "fp", sketch, m_bits, num_hashes
+                )
+                maybe = gated.filter(F.col("maybe_member")).drop("maybe_member")
+                certain_new = gated.filter(~F.col("maybe_member")).drop(
+                    "maybe_member"
+                )
+                stored = spark.read.parquet(corpus_path).select("fp")
+                verified_new = maybe.join(stored, "fp", "left_anti")
+                admitted = certain_new.unionByName(verified_new)
+                new_sketch = bloom_merge(
+                    sketch, bloom_sketch(admitted, "fp", m_bits, num_hashes)
+                )
+                appended = spark.read.parquet(corpus_path).unionByName(admitted)
+            else:
+                admitted = batch
+                new_sketch = bloom_sketch(admitted, "fp", m_bits, num_hashes)
+                appended = admitted
+            # write BOTH stagings while the old corpus/sketch still
+            # exist (the plans read them lazily), THEN swap — swapping
+            # one before staging the other would let a recomputed
+            # partition observe the new corpus mid-write
+            stagings = []
+            for path, frame in ((corpus_path, appended), (sketch_path, new_sketch)):
+                staging = f"{path}.staging-{batch_id}"
+                frame.write.mode("overwrite").parquet(staging)
+                stagings.append((staging, path))
+            for staging, path in stagings:
+                shutil.rmtree(path, ignore_errors=True)
+                os.replace(staging, path)
+        finally:
+            batch.unpersist()
+
+    with _state_partitions(stream.sparkSession, state_partitions):
+        q = (
+            stream.writeStream.foreachBatch(gate)
+            .outputMode("append")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

@@ -322,3 +322,41 @@ def test_near_dup_gate_admits_only_novel_documents(spark, tmp_path):
     ids = sorted(r["doc_id"] for r in stored.collect())
     assert ids == [1, 2, 4]  # a→1, b→2, c→4 (5 lost the min-id tie)
     assert stored.columns[0] == "doc_id" and "signature" in stored.columns
+
+
+def test_bloom_gate_admits_exact_novel_documents(spark, tmp_path):
+    """Bloom-prefiltered exact-dedup gate over three micro-batches:
+    exact duplicates of stored docs are rejected via the maybe-member
+    verification join, definitely-new docs admit without a corpus read,
+    within-batch duplicates keep the min id, and the sketch parquet
+    tracks every admitted fingerprint (no false rejections ever)."""
+    from sf_datalake_spark.streaming import read_file_stream, run_bloom_gate
+
+    a, b, c = "alpha beta gamma", "one two three", "red green blue"
+    src = str(tmp_path / "src")
+    batches = [
+        [(1, a), (2, b)],
+        [(3, a), (4, c), (5, c)],    # 3 dup of stored a; 4/5 in-batch pair
+        [(6, b), (7, c), (8, "brand new text")],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    corpus = str(tmp_path / "corpus")
+    sketch = str(tmp_path / "sketch")
+    stream = read_file_stream(
+        spark, src, "doc_id long, text string", max_files_per_trigger=1
+    )
+    run_bloom_gate(stream, corpus, sketch, m_bits=1 << 12, num_hashes=3,
+                   query_name="t_bloom_gate")
+
+    stored = spark.read.parquet(corpus)
+    ids = sorted(r["doc_id"] for r in stored.collect())
+    assert ids == [1, 2, 4, 8]
+    # the sketch must contain every admitted fingerprint (no false negatives)
+    from sf_datalake_spark.operators.bloom import bloom_maybe_contains
+
+    sk = spark.read.parquet(sketch)
+    probed = bloom_maybe_contains(stored.select("fp"), "fp", sk, 1 << 12, 3)
+    assert probed.filter(~F.col("maybe_member")).count() == 0
