@@ -2289,6 +2289,28 @@ _STREAMING_DEDUP_SQL = """
 """
 
 
+def _stage_stream_source(docs_path: str, src_dir: str) -> None:
+    """Stage a parquet table into a file-stream source DIRECTORY.
+
+    The testdata ships a single file; scaled copies (tools/scale_probe)
+    are parquet DIRECTORIES of part files, which a file-stream source
+    will not see through one directory symlink — so symlink each data
+    file individually (still no copy)."""
+    os.makedirs(src_dir, exist_ok=True)
+    if os.path.isdir(docs_path):
+        parts = [
+            f for f in os.listdir(docs_path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+    else:
+        parts = [None]
+    for i, part in enumerate(parts):
+        target = docs_path if part is None else os.path.join(docs_path, part)
+        link = os.path.join(src_dir, f"part-{i:05d}.parquet")
+        if not os.path.exists(link):
+            os.symlink(target, link)
+
+
 def q_streaming_near_dup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MinHash-LSH admission gate run AS A STREAM over the document
     corpus (one availableNow batch here): documents matching a lower-id
@@ -2310,10 +2332,7 @@ def q_streaming_near_dup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the file-stream source wants a DIRECTORY; stage the single
     # testdata file into one via symlink (no copy)
     src_dir = os.path.join(tempfile.gettempdir(), f"sfdl_gate_src_{tag}")
-    os.makedirs(src_dir, exist_ok=True)
-    link = os.path.join(src_dir, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(docs_path, link)
+    _stage_stream_source(docs_path, src_dir)
     stream = read_file_stream(spark, src_dir, schema)
     run_near_dup_gate(
         stream, corpus, id_col="doc_id", text_col="text",
@@ -2352,10 +2371,7 @@ def q_streaming_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(corpus, ignore_errors=True)
     shutil.rmtree(sketch, ignore_errors=True)
     src_dir = os.path.join(tempfile.gettempdir(), f"sfdl_bgate_src_{tag}")
-    os.makedirs(src_dir, exist_ok=True)
-    link = os.path.join(src_dir, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(docs_path, link)
+    _stage_stream_source(docs_path, src_dir)
     stream = read_file_stream(spark, src_dir, schema)
     run_bloom_gate(
         stream, corpus, sketch, id_col="doc_id", text_col="text",
