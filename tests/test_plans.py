@@ -417,3 +417,24 @@ def test_round4_corpus_query_plan_shapes(spark):
         assert rep["n_nested_loop_joins"] == 0, name
     rep = plan_report(qs["bloom_prefilter"](spark, SF_DIR), execute=True)
     assert rep["n_broadcasts"] >= 1
+
+
+def test_lm_and_centroid_plan_shapes(spark):
+    """lm_perplexity_score: all four model joins broadcast, JVM-only.
+    centroid_assignment: the ONLY nested-loop join is the deliberate
+    broadcast cross join against the tiny centroid table (10 rows);
+    everything else is hash/broadcast, JVM-only."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    lm = plan_report(qs["lm_perplexity_score"](spark, SF_DIR), execute=True)
+    assert lm["n_python_evals"] == 0
+    assert lm["n_cartesian_products"] == 0
+    assert lm["n_nested_loop_joins"] == 0
+    assert lm["n_broadcasts"] >= 4          # vocab x2 + bigram + unigram
+
+    cen = plan_report(qs["centroid_assignment"](spark, SF_DIR), execute=True)
+    assert cen["n_python_evals"] == 0
+    assert cen["n_cartesian_products"] == 0
+    assert cen["n_nested_loop_joins"] == 1  # the broadcast centroid cross join
+    assert cen["n_broadcasts"] >= 1
