@@ -1,5 +1,5 @@
-"""Classic analytic decorrelation shapes (TPC-H Q8/Q11/Q14/Q15/Q18/
-Q19/Q21/Q22 classes) the other registries don't cover.
+"""Classic analytic decorrelation shapes (TPC-H Q7/Q8/Q9/Q10/Q11/Q14/
+Q15/Q18/Q19/Q21/Q22 classes) the other registries don't cover.
 
 Each Spark plan is the DECORRELATED form — window/groupBy counts
 instead of correlated EXISTS chains, broadcast scalars instead of
@@ -776,6 +776,197 @@ def q_grouped_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q7 shape: bilateral shipping volume between two nations, per year.
+# ---------------------------------------------------------------------------
+
+#: exact 1e-4-dollar line revenue: price carries 2 decimals, discount is
+#: an exact percent, so cents * (100 - pct) is an exact integer — the
+#: associative form of l_extendedprice * (1 - l_discount)
+_REV_E4 = (
+    "cast(round(l_extendedprice * 100) as bigint)"
+    " * (100 - cast(round(l_discount * 100) as bigint))"
+)
+_REV_E4_DUCK = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+)
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: bilateral shipped revenue among four nations per ship year,
+    1995-1996 — the two-sided nation join tree with the asymmetric
+    pair predicate (supp != cust), revenue in exact 1e-4-dollar
+    integers. Four nations rather than the spec's two keep every
+    scale factor non-trivial (sf0.001 suppliers span few nations)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"),
+                       F.col("n_name").alias("cust_nation"))
+    joined = (
+        li.filter(F.col("l_shipdate").between("1995-01-01", "1996-12-31"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .filter(
+            F.col("supp_nation").isin("NATION_0", "NATION_1", "NATION_2", "NATION_3")
+            & F.col("cust_nation").isin("NATION_0", "NATION_1", "NATION_2", "NATION_3")
+            & (F.col("supp_nation") != F.col("cust_nation"))
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            F.expr(_REV_E4).alias("rev_e4"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg((F.sum("rev_e4") / 10000.0).alias("revenue"))
+    )
+
+
+_VOLUME_SHIPPING_SQL = f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           sum({_REV_E4_DUCK}) / 10000.0 AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+      AND n1.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3')
+      AND n2.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3')
+      AND n1.n_name <> n2.n_name
+    GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape (adapted): product-line profit per nation per year.  The
+# testdata has no partsupp/ps_supplycost, so unit cost is the part's
+# p_retailprice (same join tree, same aggregation shape).
+# ---------------------------------------------------------------------------
+
+
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 (adapted): per (supplier nation, year) profit over PROMO-type
+    parts — profit = discounted revenue minus p_retailprice * quantity
+    as the supply-cost stand-in, all in exact 1e-4-dollar integers."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    amount = (
+        f"{_REV_E4} - cast(round(p_retailprice * 100) as bigint)"
+        " * cast(round(l_quantity) as bigint) * 100"
+    )
+    joined = (
+        li.join(part.filter(F.col("p_type") == "PROMO"),
+                li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    return (
+        joined.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.expr(amount).alias("amount_e4"),
+        )
+        .groupBy("nation", "o_year")
+        .agg((F.sum("amount_e4") / 10000.0).alias("sum_profit"))
+    )
+
+
+_PRODUCT_PROFIT_SQL = f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           sum({_REV_E4_DUCK}
+               - CAST(round(p_retailprice * 100) AS BIGINT)
+                 * CAST(round(l_quantity) AS BIGINT) * 100) / 10000.0
+               AS sum_profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_type = 'PROMO'
+    GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q10 shape: top returned-item customers of a quarter.
+# ---------------------------------------------------------------------------
+
+
+def q_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10: the 20 customers losing the most revenue to returns
+    (l_returnflag = 'R') on orders placed in 1995-Q4 — global
+    TakeOrderedAndProject on the exact integer revenue with c_custkey
+    as the deterministic tie-break."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    joined = (
+        orders.filter(
+            (F.col("o_orderdate") >= "1995-10-01")
+            & (F.col("o_orderdate") < "1996-01-01")
+        )
+        .join(li.filter(F.col("l_returnflag") == "R"),
+              orders.o_orderkey == li.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    agg = (
+        joined.select(
+            "c_custkey", "c_name", "c_acctbal", "n_name",
+            F.expr(_REV_E4).alias("rev_e4"),
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum("rev_e4").alias("rev_e4"))
+    )
+    return (
+        agg.orderBy(F.desc("rev_e4"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey", "c_name",
+            (F.col("rev_e4") / 10000.0).alias("revenue"),
+            "c_acctbal", "n_name",
+        )
+    )
+
+
+_RETURNED_ITEM_SQL = f"""
+    WITH agg AS (
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               sum({_REV_E4_DUCK}) AS rev_e4
+        FROM orders
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= DATE '1995-10-01'
+          AND o_orderdate < DATE '1996-01-01'
+          AND l_returnflag = 'R'
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT c_custkey, c_name, rev_e4 / 10000.0 AS revenue, c_acctbal, n_name
+    FROM agg
+    ORDER BY rev_e4 DESC, c_custkey
+    LIMIT 20
+"""
+
+
 QUERIES_TPCH: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sole_blame_supplier": q_sole_blame_supplier,
     "idle_customer_balance": q_idle_customer_balance,
@@ -791,6 +982,9 @@ QUERIES_TPCH: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouped_models": q_grouped_models,
     "incremental_rollup": q_incremental_rollup,
     "sampled_groupby": q_sampled_groupby,
+    "volume_shipping": q_volume_shipping,
+    "product_type_profit": q_product_type_profit,
+    "returned_item_report": q_returned_item_report,
 }
 
 ORACLES_TPCH: dict[str, str] = {
@@ -806,5 +1000,7 @@ ORACLES_TPCH: dict[str, str] = {
     "snapshot_diff_audit": _SNAPSHOT_DIFF_SQL,
     "scd2_point_in_time": _SCD2_PIT_SQL,
     "incremental_rollup": _INCREMENTAL_ROLLUP_SQL,
-    "sampled_groupby": _SAMPLED_GROUPBY_SQL,
+    "sampled_groupby": _SAMPLED_GROUPBY_SQL,    "volume_shipping": _VOLUME_SHIPPING_SQL,
+    "product_type_profit": _PRODUCT_PROFIT_SQL,
+    "returned_item_report": _RETURNED_ITEM_SQL,
 }
