@@ -130,3 +130,39 @@ def winnow_overlap_pairs(
         .agg(F.count("*").cast("int").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def winnow_pairs_against(
+    batch: DataFrame,
+    stored_fps: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Incremental overlap screen: new batch vs a STORED fingerprint index.
+
+    ``stored_fps`` is a previously-written ``winnow_fingerprints``
+    output (columns ``id, pos, h32``) — the persisted artifact a
+    pipeline maintains instead of re-fingerprinting the corpus.  The
+    batch is fingerprinted fresh; candidates meet in an equi-join on
+    ``h32`` against the stored index (per-batch cost ∝ batch, never
+    corpus²; at 100 TB the stored index is bucketed by h32 so the join
+    is exchange-free on the corpus side — the same layout contract as
+    ``lsh_pairs_against``).  Output: ``batch_id, stored_id, n_shared``.
+    """
+    fresh = (
+        winnow_fingerprints(batch, id_col, text_col, k, w)
+        .select(F.col(id_col).alias("batch_id"), F.col("h32").alias("h"))
+        .distinct()
+    )
+    stored = stored_fps.select(
+        F.col(id_col).alias("stored_id"), F.col("h32").alias("h")
+    ).distinct()
+    return (
+        fresh.join(stored, "h")
+        .groupBy("batch_id", "stored_id")
+        .agg(F.count("*").cast("int").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

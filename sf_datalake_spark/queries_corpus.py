@@ -423,6 +423,39 @@ _BLOOM_SQL = rf"""
 """
 
 
+def q_incremental_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental winnowing screen: docs 250+ (the incoming batch,
+    fingerprinted fresh) against the STORED fingerprint index of docs
+    0-249 — per-batch cost ∝ batch; the corpus is touched only through
+    its persisted index. Fingerprints are per-document, so the oracle
+    computes the full-index SQL once and joins the two halves."""
+    from sf_datalake_spark.operators.winnow import (
+        winnow_fingerprints,
+        winnow_pairs_against,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    stored_idx = winnow_fingerprints(
+        docs.filter(F.col("doc_id") < 250), "doc_id", "text", k=5, w=4
+    )
+    batch = docs.filter(F.col("doc_id") >= 250)
+    return winnow_pairs_against(
+        batch, stored_idx, "doc_id", "text", k=5, w=4, min_shared=2
+    )
+
+
+_INCR_WINNOW_SQL = rf"""
+    WITH fp AS ({{winnow_fp}}),
+    u AS (SELECT DISTINCT doc_id, h32 FROM fp)
+    SELECT b.doc_id AS batch_id, s.doc_id AS stored_id,
+           CAST(count(*) AS INT) AS n_shared
+    FROM u b JOIN u s ON b.h32 = s.h32
+    WHERE b.doc_id >= 250 AND s.doc_id < 250
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+"""
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE vocabulary induction (Sennrich et al. 2016):
     12 merge rounds over the word-TYPE table (corpus collapses to types
@@ -1024,6 +1057,7 @@ QUERIES_CORPUS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prefilter": q_bloom_prefilter,
     "winnowing_fingerprints": q_winnowing_fingerprints,
     "winnow_overlap_pairs": q_winnow_overlap_pairs,
+    "incremental_winnow": q_incremental_winnow,
     "bpe_merges": q_bpe_merges,
     "lm_perplexity_score": q_lm_perplexity_score,
     "boilerplate_removal": q_boilerplate_removal,
@@ -1049,6 +1083,7 @@ ORACLES_CORPUS: dict[str, str] = {
     "winnowing_fingerprints": _WINNOW_FP_SQL,
     "winnow_overlap_pairs": _WINNOW_PAIRS_SQL,
     "lm_perplexity_score": _LM_SCORE_SQL,
+    "incremental_winnow": _INCR_WINNOW_SQL.format(winnow_fp=_WINNOW_FP_SQL),
     "boilerplate_removal": _BOILERPLATE_SQL,
     "training_order": _TRAINING_ORDER_SQL,
     "mixture_schedule": _MIXTURE_SQL,

@@ -76,3 +76,35 @@ def test_density_bound(spark):
     n_sel = winnow_fingerprints(df, "doc_id", "text", k=k, w=w).count()
     assert n_sel <= n_grams * 2 * 2 // (w + 1)  # 2x slack over expectation
     assert n_sel >= n_grams // (w + 1)          # at least one per window span
+
+
+def test_incremental_matches_batch_restriction(spark):
+    from sf_datalake_spark.operators.winnow import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+        winnow_pairs_against,
+    )
+
+    shared = "g1 g2 g3 g4 g5 g6 g7 g8"
+    rows = [(1, f"a b {shared}"), (2, f"{shared} c d"),
+            (10, f"x y {shared}"), (11, "p q r s t u v w")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    stored = winnow_fingerprints(
+        df.filter("doc_id < 10"), "doc_id", "text", k=5, w=4)
+    got = {
+        (r["batch_id"], r["stored_id"])
+        for r in winnow_pairs_against(
+            df.filter("doc_id >= 10"), stored, "doc_id", "text",
+            k=5, w=4, min_shared=1).collect()
+    }
+    # batch doc 10 shares the run with both stored docs; 11 with none
+    assert got == {(10, 1), (10, 2)}
+    # cross-check vs the one-shot pair screen restricted to batch x stored
+    full = {
+        (b, a)
+        for r in winnow_overlap_pairs(df, "doc_id", "text", k=5, w=4,
+                                      min_shared=1).collect()
+        for a, b in [(r["id_a"], r["id_b"])]
+        if a < 10 <= b
+    }
+    assert got == full
