@@ -336,3 +336,31 @@ def test_substring_spans_match_brute_force(spark, docs, w):
         for r in duplicated_span_stats(df, "doc_id", "text", window=w).collect()
     }
     assert got == _brute_force_spans(docs, w)
+
+
+@given(
+    corpus=st.sets(st.text(alphabet="abcdef", min_size=1, max_size=6),
+                   min_size=0, max_size=40),
+    probes=st.sets(st.text(alphabet="abcdef", min_size=1, max_size=6),
+                   min_size=1, max_size=40),
+    m_bits=st.sampled_from([256, 1024, 4096]),
+    k=st.integers(1, 5),
+)
+@SLOW
+def test_bloom_never_false_negative(spark, corpus, probes, m_bits, k):
+    from sf_datalake_spark.operators.bloom import (
+        bloom_maybe_contains,
+        bloom_sketch,
+    )
+
+    cdf = spark.createDataFrame([(x,) for x in corpus] or [("",)], "key string")
+    if not corpus:
+        cdf = cdf.filter("key <> ''")
+    pdf = spark.createDataFrame([(x,) for x in probes], "key string")
+    sketch = bloom_sketch(cdf, "key", m_bits, k)
+    out = {
+        r["key"]: r["maybe_member"]
+        for r in bloom_maybe_contains(pdf, "key", sketch, m_bits, k).collect()
+    }
+    for key in probes & corpus:
+        assert out[key], f"false negative for {key!r}"
