@@ -84,7 +84,7 @@ _NEW_R04 = frozenset({
     "winnowing_fingerprints", "winnow_overlap_pairs", "lm_perplexity_score",
     "centroid_assignment", "bpe_merges", "streaming_bloom_gate",
     "volume_shipping", "product_type_profit", "returned_item_report",
-    "incremental_winnow",
+    "incremental_winnow", "streaming_kll_quantiles",
 })
 
 

@@ -324,12 +324,74 @@ _STREAMING_HLL_SQL = """
 """
 
 
+def q_streaming_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ∘ sketches, quantile edition: per-event-type KLL
+    sketches of the value column maintained UNDER a file stream
+    (complete mode — fixed-size state where an exact streaming
+    percentile would buffer every row), then checked through KLL's
+    actual contract: the EXACT rank of each estimated quantile value
+    must sit within 3 % of the requested rank (k=200 → ~1.65 %
+    guaranteed).  The streaming dashboard latency-percentile pattern."""
+    from sf_datalake_spark.queries_ext import _events_stream
+    from sf_datalake_spark.streaming import run_to_memory
+
+    quantiles = (0.5, 0.9)
+    est_stream = (
+        _events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.expr(
+                    "kll_sketch_get_quantile_double("
+                    "kll_sketch_agg_double(cast(value as double), 200), "
+                    f"cast({float(q)} as double))"
+                ).alias(f"q_est_{i}")
+                for i, q in enumerate(quantiles)
+            ]
+        )
+    )
+    est = run_to_memory(
+        est_stream, "q_streaming_kll_quantiles", output_mode="complete"
+    )
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    return (
+        ev.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            *[
+                (
+                    F.abs(
+                        F.sum(
+                            (F.col("value") <= F.col(f"q_est_{i}")).cast("long")
+                        )
+                        / F.count("*")
+                        - F.lit(float(q))
+                    )
+                    <= 0.03
+                )
+                .cast("int")
+                .alias(f"rank_ok_{i}")
+                for i, q in enumerate(quantiles)
+            ],
+        )
+    )
+
+
+_STREAMING_KLL_SQL = """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           1 AS rank_ok_0, 1 AS rank_ok_1
+    FROM events GROUP BY 1
+"""
+
+
 QUERIES_SKETCH = {
     "hll_rollup": q_hll_rollup,
     "kll_rollup": q_kll_rollup,
     "theta_set_ops": q_theta_set_ops,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "streaming_hll_distinct": q_streaming_hll_distinct,
+    "streaming_kll_quantiles": q_streaming_kll_quantiles,
 }
 
 ORACLES_SKETCH = {
@@ -338,4 +400,5 @@ ORACLES_SKETCH = {
     "theta_set_ops": _THETA_SET_OPS_SQL,
     "cms_heavy_hitters": _CMS_HEAVY_HITTERS_SQL,
     "streaming_hll_distinct": _STREAMING_HLL_SQL,
+    "streaming_kll_quantiles": _STREAMING_KLL_SQL,
 }
