@@ -22,15 +22,16 @@ from sf_datalake_spark.queries_ext import ORACLES_EXT, QUERIES_EXT  # noqa: E402
 from sf_datalake_spark.queries_rel import ORACLES_REL, QUERIES_REL  # noqa: E402
 from sf_datalake_spark.queries_sketch import ORACLES_SKETCH, QUERIES_SKETCH  # noqa: E402
 from sf_datalake_spark.queries_tpch import ORACLES_TPCH, QUERIES_TPCH  # noqa: E402
+from sf_datalake_spark.queries_analytics import ORACLES_ANALYTICS, QUERIES_ANALYTICS  # noqa: E402
 
 # queries_sketch/queries_tpch are merged LAST so their (post-r02)
 # entries append after the fresh-oracled block and cannot displace any
 # of the 50 queries the r03 rotation puts in front of the driver's
 # snapshot cap.
 QUERIES = {**QUERIES, **QUERIES_EXT, **QUERIES_REL, **QUERIES_CORPUS,
-           **QUERIES_SKETCH, **QUERIES_TPCH}
+           **QUERIES_SKETCH, **QUERIES_TPCH, **QUERIES_ANALYTICS}
 ORACLES = {**ORACLES, **ORACLES_EXT, **ORACLES_REL, **ORACLES_CORPUS,
-           **ORACLES_SKETCH, **ORACLES_TPCH}
+           **ORACLES_SKETCH, **ORACLES_TPCH, **ORACLES_ANALYTICS}
 
 # Names already green in a driver CORRECTNESS snapshot (union of
 # r01 ∪ r02 ∪ r03, 100 names — minus merge_upsert, r03's one hash-fail,
@@ -85,6 +86,8 @@ _NEW_R04 = frozenset({
     "centroid_assignment", "bpe_merges", "streaming_bloom_gate",
     "volume_shipping", "product_type_profit", "returned_item_report",
     "incremental_winnow", "streaming_kll_quantiles",
+    "bm25_search", "funnel_conversion", "cohort_retention",
+    "frequent_pairs",
 })
 
 

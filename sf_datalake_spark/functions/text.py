@@ -252,3 +252,70 @@ def compression_ratio(
         compress,
         schema=f"{id_col} {id_type}, n_bytes bigint, n_compressed bigint, ratio double",
     )
+
+
+def bm25_topk(
+    docs,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Top-``top_k`` documents for a keyword query under BM25
+    (Robertson-Sparck-Jones idf, Okapi tf saturation).
+
+    ``score(d) = Σ_t ln(1 + (N−df_t+0.5)/(df_t+0.5)) ·
+    tf_td·(k1+1) / (tf_td + k1·(1−b+b·|d|/avgdl))`` — the ``ln(1+·)``
+    form keeps idf positive for terms in over half the corpus.
+
+    Determinism across engines: the score is rounded at 6 and ranked
+    with ``id_col`` as tiebreak (same discipline as
+    :func:`tf_idf_topk` — ``ln`` ULP drift can't flip the rounded
+    key), and the per-document term sum is an aggregation over ≤
+    |query| exact-rational addends whose float images are identical in
+    both engines, summed via ``sum()``; with ≤ a handful of query
+    terms the 6-decimal round absorbs association drift.
+
+    Scale design: the query is a broadcast literal — the corpus scan
+    explodes tokens, counts tf for QUERY TERMS ONLY (the filter lands
+    before the shuffle, so the aggregation state is |docs|·|query|,
+    not |docs|·|vocab|), df and avgdl are two scalar/tiny aggregates
+    broadcast back, and top-k compiles to TakeOrderedAndProject — no
+    global sort ever materializes.  Returns ``(id_col, n_hit_terms,
+    score)``.
+    """
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    toks = docs.select(
+        id_col,
+        F.size(tokenize(text_col)).alias("dl"),
+        F.explode(tokenize(text_col)).alias("term"),
+    ).filter(F.array_contains(terms, F.col("term")))
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokenize(text_col))).alias("total_dl"),
+    )
+    scored = tf.join(F.broadcast(df_), "term").crossJoin(F.broadcast(stats))
+    avgdl = F.col("total_dl") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (
+        F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_hit_terms"),
+        F.round(F.sum(idf * tf_part), 6).alias("score"),
+    )
+    return per_doc.orderBy(
+        F.desc("score"), F.asc(id_col)
+    ).limit(top_k)

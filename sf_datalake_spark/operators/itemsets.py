@@ -1,0 +1,117 @@
+"""Frequent-itemset mining: co-occurrence pairs with Apriori pruning.
+
+Market-basket support counting, the association-rule primitive (the
+reference has no itemset machinery; its closest aggregation is the
+SirenAggregator key rollup, ``/root/reference/src/sf_datalake/
+transform.py``).  Given (basket, item) membership rows, emit every
+unordered item pair occurring in at least ``min_support`` baskets.
+
+Spark-first design, sized for 100 TB:
+
+- **Apriori prune before pairing** (downward closure): an item below
+  ``min_support`` cannot be part of a frequent pair, so items are
+  support-counted first (one key-partial aggregation) and the
+  membership table is semi-joined down to frequent items before any
+  pair is formed.  On heavy-tailed corpora this removes most of the
+  pair volume for the cost of one cheap count.
+- **Pairs via self-join on the basket key**, ``item_1 < item_2`` — the
+  join is an equi-join on basket id (shuffle on basket, no broadcast
+  needed, no cartesian), and each basket of size *s* yields exactly
+  s·(s−1)/2 ordered pairs.  Baskets are bounded (a 100-line order, a
+  cart), so per-key fan-out is quadratic in a SMALL s — the hot-basket
+  guard ``max_basket_size`` drops degenerate mega-baskets (a crawler
+  session with 10^5 items would alone emit 5·10^9 pairs) the same way
+  the dedup layer caps hot shingles.
+- The final support count shuffles on the pair key — 16 bytes — never
+  on basket contents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def frequent_pairs(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Unordered item pairs co-occurring in ≥ ``min_support`` baskets.
+
+    Returns ``(item_1, item_2, support)`` with ``item_1 < item_2``.
+    Membership is set-semantics: duplicate (basket, item) rows count
+    once.  ``max_basket_size`` drops baskets above the bound *after*
+    item pruning (documenting the skew guard; None = keep all).
+    """
+    m = baskets.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    freq_items = (
+        m.groupBy("__i")
+        .agg(F.count("*").alias("__s"))
+        .filter(F.col("__s") >= min_support)
+        .select("__i")
+    )
+    m = m.join(freq_items, "__i").select("__b", "__i")
+    if max_basket_size is not None:
+        ok = (
+            m.groupBy("__b")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") <= max_basket_size)
+            .select("__b")
+        )
+        m = m.join(ok, "__b")
+    a = m.alias("a")
+    b = m.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.__b") == F.col("b.__b"))
+        & (F.col("a.__i") < F.col("b.__i")),
+    ).select(
+        F.col("a.__i").alias("item_1"), F.col("b.__i").alias("item_2")
+    )
+    return (
+        pairs.groupBy("item_1", "item_2")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+
+
+def pair_lift(
+    pairs: DataFrame,
+    item_supports: DataFrame,
+    n_baskets: int,
+    round_at: int = 6,
+) -> DataFrame:
+    """Association lift per frequent pair.
+
+    ``lift = P(a,b) / (P(a)·P(b)) = support·N / (s_a·s_b)`` — joined
+    from the item-support table (two broadcast-joins when the frequent
+    vocabulary is small), rounded at ``round_at`` so the one float
+    division is oracle-stable.  ``item_supports`` must carry
+    ``(item, support)``.
+    """
+    s = item_supports.select(
+        F.col("item").alias("__it"), F.col("support").alias("__sup")
+    )
+    out = (
+        pairs.join(
+            F.broadcast(s.withColumnRenamed("__it", "item_1")), "item_1"
+        )
+        .withColumnRenamed("__sup", "s1")
+        .join(F.broadcast(s.withColumnRenamed("__it", "item_2")), "item_2")
+        .withColumnRenamed("__sup", "s2")
+    )
+    return out.select(
+        "item_1",
+        "item_2",
+        "support",
+        F.round(
+            F.col("support") * F.lit(float(n_baskets))
+            / (F.col("s1") * F.col("s2")),
+            round_at,
+        ).alias("lift"),
+    )

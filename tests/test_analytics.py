@@ -1,0 +1,252 @@
+"""Golden tests for the analytics classes: funnel ordering semantics,
+frequent-pair support counting with the Apriori prune and hot-basket
+guard, BM25 ranking against a pure-Python reimplementation, cohort
+month-offset arithmetic."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from sf_datalake_spark.functions.text import bm25_topk
+from sf_datalake_spark.operators.funnel import funnel_counts, funnel_stage_times
+from sf_datalake_spark.operators.itemsets import frequent_pairs, pair_lift
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(u, _ts(t), ty) for u, t, ty in rows],
+        "user_id bigint, ts timestamp, event_type string",
+    )
+
+
+class TestFunnel:
+    def test_order_matters(self, spark):
+        ev = _events(
+            spark,
+            [
+                # u1 completes view -> click -> purchase in order
+                (1, "2024-01-01T00:00:00", "view"),
+                (1, "2024-01-02T00:00:00", "click"),
+                (1, "2024-01-03T00:00:00", "purchase"),
+                # u2 clicked BEFORE viewing: click must not count
+                (2, "2024-01-02T00:00:00", "click"),
+                (2, "2024-01-03T00:00:00", "view"),
+                # u3 viewed only
+                (3, "2024-01-01T00:00:00", "view"),
+            ],
+        )
+        out = {
+            r["stage"]: r["n_users"]
+            for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()
+        }
+        assert out == {"view": 3, "click": 1, "purchase": 1}
+
+    def test_within_window_bounds_all_later_stages(self, spark):
+        ev = _events(
+            spark,
+            [
+                (1, "2024-01-01T00:00:00", "view"),
+                # click 10 days after first view: outside a 7-day window
+                (1, "2024-01-11T00:00:00", "click"),
+            ],
+        )
+        no_window = funnel_counts(ev, ["view", "click"]).collect()
+        bounded = funnel_counts(
+            ev, ["view", "click"], within=F.expr("INTERVAL 7 DAYS")
+        ).collect()
+        assert {r["stage"]: r["n_users"] for r in no_window}["click"] == 1
+        assert {r["stage"]: r["n_users"] for r in bounded}["click"] == 0
+
+    def test_stage_times_use_first_completion(self, spark):
+        # The user views twice; the funnel must anchor on the FIRST
+        # view, so the click between the views counts.
+        ev = _events(
+            spark,
+            [
+                (1, "2024-01-01T00:00:00", "view"),
+                (1, "2024-01-02T00:00:00", "click"),
+                (1, "2024-01-05T00:00:00", "view"),
+            ],
+        )
+        row = funnel_stage_times(ev, ["view", "click"]).collect()[0]
+        assert row["t_1"] == _ts("2024-01-01T00:00:00")
+        assert row["t_2"] == _ts("2024-01-02T00:00:00")
+
+    def test_conversion_is_fraction_of_stage_one(self, spark):
+        ev = _events(
+            spark,
+            [
+                (1, "2024-01-01T00:00:00", "view"),
+                (2, "2024-01-01T00:00:00", "view"),
+                (3, "2024-01-01T00:00:00", "view"),
+                (4, "2024-01-01T00:00:00", "view"),
+                (1, "2024-01-02T00:00:00", "click"),
+            ],
+        )
+        out = {
+            r["stage"]: r["conversion"]
+            for r in funnel_counts(ev, ["view", "click"]).collect()
+        }
+        assert out["view"] == 1.0
+        assert out["click"] == 0.25
+
+
+class TestFrequentPairs:
+    def _baskets(self, spark, rows):
+        return spark.createDataFrame(rows, "b bigint, i bigint")
+
+    def test_support_counting(self, spark):
+        m = self._baskets(
+            spark,
+            [(1, 10), (1, 20), (1, 30), (2, 10), (2, 20), (3, 10), (3, 20)],
+        )
+        out = {
+            (r["item_1"], r["item_2"]): r["support"]
+            for r in frequent_pairs(m, "b", "i", min_support=2).collect()
+        }
+        # (10,20) in baskets 1,2,3; (10,30)/(20,30) only in basket 1
+        assert out == {(10, 20): 3}
+
+    def test_duplicate_membership_counts_once(self, spark):
+        m = self._baskets(spark, [(1, 10), (1, 10), (1, 20), (2, 10), (2, 20)])
+        out = frequent_pairs(m, "b", "i", min_support=2).collect()
+        assert [(r["item_1"], r["item_2"], r["support"]) for r in out] == [
+            (10, 20, 2)
+        ]
+
+    def test_apriori_prune_equals_unpruned(self, spark):
+        # Pruning must not change the answer, only the work: compare
+        # against a min_support=1 run filtered after the fact.
+        rows = [
+            (b, i)
+            for b in range(1, 8)
+            for i in range(1, 6)
+            if (b * i) % 3 != 0
+        ]
+        m = self._baskets(spark, rows)
+        pruned = {
+            (r["item_1"], r["item_2"]): r["support"]
+            for r in frequent_pairs(m, "b", "i", min_support=3).collect()
+        }
+        full = {
+            (r["item_1"], r["item_2"]): r["support"]
+            for r in frequent_pairs(m, "b", "i", min_support=1).collect()
+            if r["support"] >= 3
+        }
+        assert pruned == full
+
+    def test_max_basket_size_guard(self, spark):
+        m = self._baskets(
+            spark,
+            [(1, 10), (1, 20), (2, 10), (2, 20), (2, 30)],  # basket 2: size 3
+        )
+        out = frequent_pairs(
+            m, "b", "i", min_support=1, max_basket_size=2
+        ).collect()
+        assert [(r["item_1"], r["item_2"], r["support"]) for r in out] == [
+            (10, 20, 1)
+        ]
+
+    def test_pair_lift(self, spark):
+        m = self._baskets(spark, [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10)])
+        pairs = frequent_pairs(m, "b", "i", min_support=2)
+        supports = spark.createDataFrame(
+            [(10, 3), (20, 2)], "item bigint, support bigint"
+        )
+        row = pair_lift(pairs, supports, n_baskets=3).collect()[0]
+        # lift = (2/3) / ((3/3)*(2/3)) = 1.0
+        assert row["lift"] == 1.0
+
+
+class TestBM25:
+    def test_matches_pure_python(self, spark):
+        corpus = {
+            1: "join hash join scan",
+            2: "join window",
+            3: "scan scan scan filter",
+            4: "window window join window filter",
+        }
+        docs = spark.createDataFrame(
+            list(corpus.items()), "doc_id bigint, text string"
+        )
+        terms = ["join", "window"]
+        got = {
+            r["doc_id"]: (r["n_hit_terms"], r["score"])
+            for r in bm25_topk(docs, terms, top_k=10).collect()
+        }
+
+        n = len(corpus)
+        toks = {d: t.split() for d, t in corpus.items()}
+        avgdl = sum(len(t) for t in toks.values()) / n
+        df = {
+            t: sum(1 for d in toks.values() if t in d) for t in terms
+        }
+        k1, b = 1.2, 0.75
+        want = {}
+        for d, tk in toks.items():
+            score, hits = 0.0, 0
+            for t in terms:
+                tf = tk.count(t)
+                if not tf:
+                    continue
+                hits += 1
+                idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                score += idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * len(tk) / avgdl)
+                )
+            if hits:
+                want[d] = (hits, round(score, 6))
+        assert got == want
+
+    def test_topk_rank_is_deterministic(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "join join filler") for i in range(10)],
+            "doc_id bigint, text string",
+        )
+        # Identical scores everywhere: doc_id must break ties.
+        out = [r["doc_id"] for r in bm25_topk(docs, ["join"], top_k=4).collect()]
+        assert out == [0, 1, 2, 3]
+
+
+class TestCohortQueryShape:
+    def test_month_offset_arithmetic(self, spark):
+        from sf_datalake_spark.queries_analytics import q_cohort_retention
+
+        # Build a tiny orders parquet layout via a temp view-compatible
+        # frame: use the operator logic inline instead (the full query
+        # is oracle-attested; here we pin the year-boundary arithmetic).
+        orders = spark.createDataFrame(
+            [
+                (1, dt.date(2023, 11, 5)),
+                (1, dt.date(2024, 2, 10)),  # offset 3 across year end
+                (2, dt.date(2024, 1, 1)),
+            ],
+            "o_custkey bigint, o_orderdate date",
+        )
+        first = orders.groupBy("o_custkey").agg(
+            F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("cm")
+        )
+        j = (
+            orders.select(
+                "o_custkey",
+                F.date_trunc("month", "o_orderdate").cast("date").alias("am"),
+            )
+            .distinct()
+            .join(first, "o_custkey")
+            .select(
+                "o_custkey",
+                (
+                    F.year("am") * 12 + F.month("am")
+                    - F.year("cm") * 12 - F.month("cm")
+                ).alias("off"),
+            )
+        )
+        got = {(r["o_custkey"], r["off"]) for r in j.collect()}
+        assert got == {(1, 0), (1, 3), (2, 0)}

@@ -438,3 +438,30 @@ def test_lm_and_centroid_plan_shapes(spark):
     assert cen["n_cartesian_products"] == 0
     assert cen["n_nested_loop_joins"] == 1  # the broadcast centroid cross join
     assert cen["n_broadcasts"] >= 1
+
+
+def test_analytics_plan_shapes(spark):
+    """Round-4 analytics batch: bm25_search's top-k must compile to
+    TakeOrderedAndProject (no global sort materializes) with its only
+    nested-loop join the 1-row broadcast stats cross join;
+    frequent_pairs' pair generation must be an equi-join on the basket
+    key (the item inequality stays residual — never cartesian); the
+    funnel chain and cohort matrix stay JVM-only with zero cartesians."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    sf = "/root/testdata/sf0.001"
+
+    bm25 = qs["bm25_search"](spark, sf)
+    plan = bm25._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, "bm25 top-k became a global sort"
+    rep = plan_report(bm25, execute=True)
+    assert rep["n_python_evals"] == 0
+    assert rep["n_cartesian_products"] == 0
+    assert rep["n_nested_loop_joins"] == 1  # 1-row stats broadcast only
+
+    for name in ("frequent_pairs", "funnel_conversion", "cohort_retention"):
+        rep = plan_report(qs[name](spark, sf), execute=True)
+        assert rep["n_python_evals"] == 0, name
+        assert rep["n_cartesian_products"] == 0, name
+        assert rep["n_nested_loop_joins"] == 0, name
