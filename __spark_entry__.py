@@ -87,7 +87,8 @@ _NEW_R04 = frozenset({
     "volume_shipping", "product_type_profit", "returned_item_report",
     "incremental_winnow", "streaming_kll_quantiles",
     "bm25_search", "funnel_conversion", "cohort_retention",
-    "frequent_pairs",
+    "frequent_pairs", "event_transitions", "rfm_segments",
+    "session_paths",
 })
 
 

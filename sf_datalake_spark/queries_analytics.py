@@ -241,11 +241,190 @@ _FREQUENT_PAIRS_SQL = """
 """
 
 
+
+
+
+# ---------------------------------------------------------------------------
+# Event transition matrix (Markov next-event): per-user lag over
+# (ts, event_id) total order, transition counts and probabilities.
+# One window shuffle on the user key, then a key-partial aggregation.
+# ---------------------------------------------------------------------------
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(from_type, to_type) transition counts over each user's
+    time-ordered event sequence, with the row-normalized transition
+    probability (rounded at 6).  Ties on ts break by event_id, so the
+    sequence — and therefore every count — is a total order in both
+    engines."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("from_type", F.lag("event_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_from), 6).alias("p"),
+    )
+
+
+_TRANSITIONS_SQL = """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS from_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT from_type, event_type AS to_type, count(*) AS n
+        FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM pairs
+"""
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: quartile scores for recency/frequency/monetary per
+# customer, aggregated to segment counts.  ntile over a total order
+# (metric, custkey) so quartile boundaries are engine-identical;
+# monetary in exact integer cents.
+# ---------------------------------------------------------------------------
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer count and exact-cents revenue per (R,F,M) quartile
+    segment.  Each score is ntile(4) over a deterministic total order:
+    recency ranks most-recent-first, frequency and monetary
+    highest-first, all tie-broken by o_custkey."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+    )
+    r = Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))
+    f = Window.orderBy(F.desc("n_orders"), F.asc("o_custkey"))
+    m = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+    scored = (
+        per_cust.withColumn("r_score", F.ntile(4).over(r))
+        .withColumn("f_score", F.ntile(4).over(f))
+        .withColumn("m_score", F.ntile(4).over(m))
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cents").alias("segment_cents"),
+    )
+
+
+_RFM_SQL = """
+    WITH per_cust AS (
+        SELECT o_custkey, max(o_orderdate) AS last_order,
+               count(*) AS n_orders,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1
+    ),
+    scored AS (
+        SELECT ntile(4) OVER (ORDER BY last_order DESC, o_custkey ASC)
+                   AS r_score,
+               ntile(4) OVER (ORDER BY n_orders DESC, o_custkey ASC)
+                   AS f_score,
+               ntile(4) OVER (ORDER BY cents DESC, o_custkey ASC)
+                   AS m_score,
+               cents
+        FROM per_cust
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS segment_cents
+    FROM scored GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top session paths: sessionize (30-min gap), build each session's
+# ordered event-type path, count path frequencies, top-15.  The path
+# order is the (ts, event_id) total order via array_sort over structs
+# (collect_list order is NOT deterministic — sorting after collection
+# is what makes the path an engine-invariant fact).
+# ---------------------------------------------------------------------------
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 15 most common per-session event-type paths (30-minute
+    session gap), ties broken by path string."""
+    from sf_datalake_spark.operators.intervals import sessionize
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    sess = sessionize(ev, ["user_id"], "ts", gap_seconds=1800)
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+    )
+    return paths.orderBy(F.desc("n_sessions"), F.asc("path")).limit(15)
+
+
+_SESSION_PATHS_SQL = """
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT user_id, event_type, ts, event_id,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM seq
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM sess GROUP BY 1, 2
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY 1
+    ORDER BY n_sessions DESC, path ASC LIMIT 15
+"""
+
+
 QUERIES_ANALYTICS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
     "frequent_pairs": q_frequent_pairs,
+    "event_transitions": q_event_transitions,
+    "rfm_segments": q_rfm_segments,
+    "session_paths": q_session_paths,
 }
 
 ORACLES_ANALYTICS: dict[str, str] = {
@@ -253,4 +432,7 @@ ORACLES_ANALYTICS: dict[str, str] = {
     "funnel_conversion": _FUNNEL_SQL,
     "cohort_retention": _COHORT_SQL,
     "frequent_pairs": _FREQUENT_PAIRS_SQL,
+    "event_transitions": _TRANSITIONS_SQL,
+    "rfm_segments": _RFM_SQL,
+    "session_paths": _SESSION_PATHS_SQL,
 }

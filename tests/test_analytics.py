@@ -250,3 +250,91 @@ class TestCohortQueryShape:
         )
         got = {(r["o_custkey"], r["off"]) for r in j.collect()}
         assert got == {(1, 0), (1, 3), (2, 0)}
+
+
+class TestTransitionsAndPaths:
+    def test_event_transitions_counts_and_probs(self, spark):
+        ev = spark.createDataFrame(
+            [
+                (1, _ts("2024-01-01T00:00:00"), 1, "view"),
+                (1, _ts("2024-01-01T00:01:00"), 2, "click"),
+                (1, _ts("2024-01-01T00:02:00"), 3, "view"),
+                (1, _ts("2024-01-01T00:03:00"), 4, "click"),
+                (2, _ts("2024-01-01T00:00:00"), 5, "view"),
+                (2, _ts("2024-01-01T00:01:00"), 6, "purchase"),
+            ],
+            "user_id bigint, ts timestamp, event_id bigint, event_type string",
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        pairs = (
+            ev.withColumn("from_type", F.lag("event_type").over(w))
+            .filter(F.col("from_type").isNotNull())
+            .groupBy("from_type", F.col("event_type").alias("to_type"))
+            .agg(F.count("*").alias("n"))
+        )
+        got = {
+            (r["from_type"], r["to_type"]): r["n"] for r in pairs.collect()
+        }
+        # u1: view->click, click->view, view->click; u2: view->purchase
+        assert got == {
+            ("view", "click"): 2,
+            ("click", "view"): 1,
+            ("view", "purchase"): 1,
+        }
+
+    def test_session_path_order_is_input_order_invariant(self, spark):
+        """collect_list is partition-order dependent; array_sort over
+        (ts, event_id) structs must make the path a data fact."""
+        rows = [
+            (1, _ts("2024-01-01T00:00:00"), 1, "view"),
+            (1, _ts("2024-01-01T00:05:00"), 2, "click"),
+            (1, _ts("2024-01-01T00:10:00"), 3, "purchase"),
+            # second session after a >30 min gap
+            (1, _ts("2024-01-01T02:00:00"), 4, "view"),
+        ]
+        from sf_datalake_spark.operators.intervals import sessionize
+
+        def paths_of(order):
+            ev = spark.createDataFrame(
+                order,
+                "user_id bigint, ts timestamp, event_id bigint, event_type string",
+            ).repartition(3)
+            sess = sessionize(ev, ["user_id"], "ts", gap_seconds=1800)
+            return sorted(
+                r["path"]
+                for r in sess.groupBy("user_id", "session_id")
+                .agg(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct("ts", "event_id", "event_type")
+                                )
+                            ),
+                            lambda x: x["event_type"],
+                        ),
+                        ">",
+                    ).alias("path")
+                )
+                .collect()
+            )
+
+        forward = paths_of(rows)
+        backward = paths_of(rows[::-1])
+        assert forward == backward == ["view", "view>click>purchase"]
+
+    def test_rfm_ntile_total_order_tiebreak(self, spark):
+        """Equal metrics must split deterministically by custkey."""
+        from pyspark.sql import Window
+
+        per_cust = spark.createDataFrame(
+            [(k, 100) for k in range(1, 9)], "o_custkey bigint, cents bigint"
+        )
+        w = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+        out = {
+            r["o_custkey"]: r["m"]
+            for r in per_cust.withColumn("m", F.ntile(4).over(w)).collect()
+        }
+        assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3, 7: 4, 8: 4}
