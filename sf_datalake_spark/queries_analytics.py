@@ -417,6 +417,48 @@ _SESSION_PATHS_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Streaming twin of event_transitions: the transition pairs are emitted
+# by a custom stateful operator (state = each user's last event type,
+# bridging micro-batch boundaries), then aggregated batch-side from the
+# memory sink.  Same SQL oracle as the batch query — the streaming o
+# analytics capstone in the streaming_sessions proof style.
+# ---------------------------------------------------------------------------
+
+def q_streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """event_transitions computed BY A STREAM: per-user constant-size
+    state carries the last event type across micro-batches; the
+    availableNow replay must reproduce the batch lag-window matrix
+    exactly."""
+    from sf_datalake_spark.queries_ext import _events_stream
+    from sf_datalake_spark.streaming import (
+        event_transitions_stateful,
+        run_to_memory,
+    )
+    from pyspark.sql import Window
+
+    pairs_stream = event_transitions_stateful(
+        _events_stream(spark, sf_dir).select(
+            "user_id", "ts", "event_id", "event_type"
+        ),
+        keys=["user_id"],
+        ts_col="ts",
+        seq_col="event_id",
+        type_col="event_type",
+    )
+    pairs = run_to_memory(pairs_stream, "q_streaming_transitions")
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n")
+    )
+    w_from = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_from), 6).alias("p"),
+    )
+
+
 QUERIES_ANALYTICS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "funnel_conversion": q_funnel_conversion,
@@ -425,6 +467,7 @@ QUERIES_ANALYTICS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_transitions": q_event_transitions,
     "rfm_segments": q_rfm_segments,
     "session_paths": q_session_paths,
+    "streaming_transitions": q_streaming_transitions,
 }
 
 ORACLES_ANALYTICS: dict[str, str] = {
@@ -435,4 +478,5 @@ ORACLES_ANALYTICS: dict[str, str] = {
     "event_transitions": _TRANSITIONS_SQL,
     "rfm_segments": _RFM_SQL,
     "session_paths": _SESSION_PATHS_SQL,
+    "streaming_transitions": _TRANSITIONS_SQL,
 }

@@ -1,6 +1,7 @@
 """Structured Streaming layer."""
 
 from sf_datalake_spark.streaming.streams import (
+    event_transitions_stateful,
     read_file_stream,
     run_bloom_gate,
     run_near_dup_gate,
@@ -15,6 +16,7 @@ from sf_datalake_spark.streaming.streams import (
 )
 
 __all__ = [
+    "event_transitions_stateful",
     "read_file_stream",
     "run_bloom_gate",
     "run_near_dup_gate",

@@ -210,6 +210,78 @@ def running_total_alerts(
     )
 
 
+def event_transitions_stateful(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    seq_col: str,
+    type_col: str,
+) -> DataFrame:
+    """Per-key event-transition emission as a custom stateful operator:
+    state = the key's last (ts, seq, type); each micro-batch sorts its
+    rows into the (ts, seq) total order, emits one (from_type, to_type)
+    row per consecutive pair (bridging the batch boundary through the
+    state), and stores the new tail.  Constant-size state per key — the
+    streaming twin of the batch lag-window transition matrix, for
+    feeds where recomputing the full window over history per refresh
+    is the cost being avoided.
+
+    Ordering contract: per-key data must ARRIVE in (ts, seq) order
+    across micro-batches (within a batch any order is fine — the batch
+    is sorted here).  True for the availableNow replay harness and any
+    time-bucketed ingest; genuinely late events need the batch twin
+    (or a watermark+sort stage upstream).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_types = dict(df.dtypes)
+    out_schema = (
+        ", ".join(f"`{k}` {key_types[k]}" for k in keys)
+        + ", from_type string, to_type string"
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        cols = [*keys, "from_type", "to_type"]
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            yield pd.DataFrame([], columns=cols)
+            return
+        last_type = state.get[0] if state.exists else None
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch) == 0:
+            yield pd.DataFrame([], columns=cols)
+            return
+        # Vectorized pair build: sort once, shift by one; the state's
+        # last type seeds position 0 (bridging the batch boundary).
+        types = batch.sort_values([ts_col, seq_col])[type_col].reset_index(
+            drop=True
+        )
+        from_types = types.shift(1)
+        if last_type is not None:
+            from_types.iloc[0] = last_type
+        mask = from_types.notna()
+        out = pd.DataFrame(
+            {
+                "from_type": from_types[mask].to_numpy(),
+                "to_type": types[mask].to_numpy(),
+            }
+        )
+        for k, v in zip(keys, key):
+            out.insert(0, k, v)
+        state.update((types.iloc[-1],))
+        yield out[cols]
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="last_type string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_total_alerts_tws(
     df: DataFrame,
     keys: Sequence[str],

@@ -360,3 +360,63 @@ def test_bloom_gate_admits_exact_novel_documents(spark, tmp_path):
     sk = spark.read.parquet(sketch)
     probed = bloom_maybe_contains(stored.select("fp"), "fp", sk, 1 << 12, 3)
     assert probed.filter(~F.col("maybe_member")).count() == 0
+
+
+def test_event_transitions_stateful_bridges_micro_batches(spark, tmp_path):
+    """The per-key state must carry the last event type ACROSS
+    micro-batches: two files replayed with maxFilesPerTrigger=1 must
+    yield the same transition pairs as one batch over the union."""
+    from sf_datalake_spark.streaming import event_transitions_stateful
+
+    schema = "uid string, t timestamp, seq bigint, etype string"
+    f1 = [
+        ("u1", ts("2023-01-01 10:00:00"), 1, "view"),
+        ("u1", ts("2023-01-01 10:01:00"), 2, "click"),
+        ("u2", ts("2023-01-01 10:00:00"), 3, "view"),
+    ]
+    f2 = [
+        ("u1", ts("2023-01-01 10:02:00"), 4, "purchase"),
+        ("u2", ts("2023-01-01 10:03:00"), 5, "error"),
+    ]
+    p = str(tmp_path / "trans_in")
+    spark.createDataFrame(f1, schema).coalesce(1).write.parquet(p)
+    spark.createDataFrame(f2, schema).coalesce(1).write.mode("append").parquet(p)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(p)
+    )
+    pairs = event_transitions_stateful(
+        stream, ["uid"], "t", "seq", "etype"
+    )
+    out = run_to_memory(pairs, "trans_test")
+    got = sorted(
+        (r["uid"], r["from_type"], r["to_type"]) for r in out.collect()
+    )
+    assert got == [
+        ("u1", "click", "purchase"),   # bridges the file boundary
+        ("u1", "view", "click"),
+        ("u2", "view", "error"),
+    ]
+
+
+def test_event_transitions_stateful_sorts_within_batch(spark, tmp_path):
+    """Rows inside one micro-batch may arrive unordered; the operator
+    must emit transitions in the (ts, seq) total order."""
+    from sf_datalake_spark.streaming import event_transitions_stateful
+
+    schema = "uid string, t timestamp, seq bigint, etype string"
+    rows = [  # deliberately shuffled
+        ("u1", ts("2023-01-01 10:02:00"), 3, "purchase"),
+        ("u1", ts("2023-01-01 10:00:00"), 1, "view"),
+        ("u1", ts("2023-01-01 10:01:00"), 2, "click"),
+    ]
+    p = str(tmp_path / "trans_sort")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(p)
+    stream = spark.readStream.schema(schema).parquet(p)
+    out = run_to_memory(
+        event_transitions_stateful(stream, ["uid"], "t", "seq", "etype"),
+        "trans_sort_test",
+    )
+    got = sorted((r["from_type"], r["to_type"]) for r in out.collect())
+    assert got == [("click", "purchase"), ("view", "click")]
