@@ -364,3 +364,72 @@ def test_bloom_never_false_negative(spark, corpus, probes, m_bits, k):
     }
     for key in probes & corpus:
         assert out[key], f"false negative for {key!r}"
+
+
+# ---------------------------------------------------------------------------
+# Analytics invariants (round 4): funnel stage counts are monotone
+# non-increasing for ANY event stream, and every frequent pair's
+# support is bounded by its items' supports (anti-monotonicity — the
+# fact the Apriori prune relies on).
+# ---------------------------------------------------------------------------
+
+@st.composite
+def event_streams(draw):
+    n = draw(st.integers(1, 30))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                draw(st.integers(1, 5)),                      # user
+                dt.datetime(2024, 1, 1)
+                + dt.timedelta(minutes=draw(st.integers(0, 5000))),
+                i,                                            # unique seq
+                draw(st.sampled_from(["view", "click", "purchase"])),
+            )
+        )
+    return rows
+
+
+@given(rows=event_streams())
+@SLOW
+def test_funnel_counts_monotone_nonincreasing(spark, rows):
+    from sf_datalake_spark.operators.funnel import funnel_counts
+
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_id bigint, event_type string"
+    )
+    out = sorted(
+        (r["stage_idx"], r["n_users"])
+        for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()
+    )
+    counts = [n for _, n in out]
+    assert counts == sorted(counts, reverse=True)
+    # every non-first stage requires a strictly-later prior stage
+    assert all(n >= 0 for n in counts)
+
+
+@st.composite
+def basket_tables(draw):
+    n = draw(st.integers(1, 40))
+    return [
+        (draw(st.integers(1, 6)), draw(st.integers(1, 8)))
+        for _ in range(n)
+    ]
+
+
+@given(rows=basket_tables(), min_support=st.integers(1, 3))
+@SLOW
+def test_pair_support_antimonotone(spark, rows, min_support):
+    from sf_datalake_spark.operators.itemsets import frequent_pairs
+
+    m = spark.createDataFrame(rows, "b bigint, i bigint")
+    item_support = {
+        r["i"]: r["s"]
+        for r in m.distinct().groupBy("i").agg(F.count("*").alias("s")).collect()
+    }
+    out = frequent_pairs(m, "b", "i", min_support=min_support).collect()
+    for r in out:
+        assert r["support"] >= min_support
+        assert r["support"] <= item_support[r["item_1"]]
+        assert r["support"] <= item_support[r["item_2"]]
+        assert r["item_1"] < r["item_2"]
