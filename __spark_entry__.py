@@ -88,7 +88,7 @@ _NEW_R04 = frozenset({
     "incremental_winnow", "streaming_kll_quantiles",
     "bm25_search", "funnel_conversion", "cohort_retention",
     "frequent_pairs", "event_transitions", "rfm_segments",
-    "session_paths", "streaming_transitions",
+    "session_paths", "streaming_transitions", "holt_forecast",
 })
 
 

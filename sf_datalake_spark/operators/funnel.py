@@ -115,11 +115,14 @@ def funnel_counts(
     w = Window.orderBy("stage_idx").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    base = F.first("n_users").over(w)
     return wide.select(
         F.col("stage_idx").cast("int"),
         "stage",
         F.col("n_users").cast("long"),
-        F.round(F.col("n_users") / F.first("n_users").over(w), 6).alias(
-            "conversion"
-        ),
+        # An empty funnel (zero stage-1 users) has no defined
+        # conversion — NULL, not a divide-by-zero (ANSI mode throws).
+        F.when(base == 0, F.lit(None))
+        .otherwise(F.round(F.col("n_users") / base, 6))
+        .alias("conversion"),
     )

@@ -1,0 +1,96 @@
+"""Per-key time-series smoothing as scan-stage HOF arithmetic.
+
+Holt's linear-trend double exponential smoothing — the iterative
+recurrence the reference's single-step forecast heuristic
+(`/root/reference/src/sf_datalake/predictions.py` forecast delta)
+stops short of.  Spark-first: the recurrence is NOT a driver loop and
+NOT a UDF — each key's series is assembled with one groupBy
+(collect_list of (order, value) structs, array_sort for a
+deterministic order), and the level/trend pair is folded in a single
+JVM ``F.aggregate`` higher-order function with a struct accumulator.
+One shuffle on the key, state per key = two doubles, arbitrary many
+keys in parallel — at 100 TB the cost is the groupBy, not the
+recurrence.
+
+Per-key series length is the bound to watch: collect_list holds one
+key's full series in executor memory (fine for monthly/daily panels —
+thousands of points; for tick-level series, pre-aggregate to the
+forecast granularity first, which a forecaster needs anyway).
+
+Cross-engine determinism: alpha/beta default to 0.5 (exactly
+representable), the fold is a fixed left-to-right operation sequence
+over exact 2-decimal inputs, so both engines execute the identical
+IEEE operation stream — the DuckDB oracle replays the recurrence as a
+recursive CTE and must match bit-for-bit before the final round(6).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def holt_smoothing(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+) -> DataFrame:
+    """Holt linear-trend smoothing per key.
+
+    Standard init ``l_2 = x_2, b_2 = x_2 − x_1`` then for t = 3..n::
+
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    Keys with fewer than 2 observations are dropped (no trend is
+    defined).  Returns ``(keys..., n_obs, level, trend,
+    forecast_next)`` with the floats rounded at 6 —
+    ``forecast_next = level + trend`` is the 1-step-ahead forecast.
+    """
+    a, b = F.lit(float(alpha)), F.lit(float(beta))
+    series = df.groupBy(*keys).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(order_col, value_col))),
+            lambda s: s[value_col].cast("double"),
+        ).alias("__v")
+    )
+    v = F.col("__v")
+    n = F.size(v)
+    init = F.struct(
+        F.element_at(v, 2).alias("l"),
+        (F.element_at(v, 2) - F.element_at(v, 1)).alias("b"),
+    )
+    # x_3..x_n; greatest() keeps the slice length legal when n == 2.
+    rest = F.slice(v, 3, F.greatest(n - 2, F.lit(0)))
+
+    def step(acc, x):
+        l_new = a * x + (F.lit(1.0) - a) * (acc["l"] + acc["b"])
+        # l_new is repeated rather than bound: Column lambdas have no
+        # lets, and re-evaluating the identical expression yields the
+        # identical IEEE result (the oracle computes it once — same
+        # bits either way).
+        b_new = b * (l_new - acc["l"]) + (F.lit(1.0) - b) * acc["b"]
+        return F.struct(l_new.alias("l"), b_new.alias("b"))
+
+    fitted = series.filter(n >= 2).select(
+        *keys,
+        n.cast("int").alias("n_obs"),
+        F.aggregate(rest, init, step).alias("__st"),
+    )
+    # Deliberately UNROUNDED: the fold is bit-exact across engines, and
+    # with dyadic α/β the smoothed values land exactly on decimal
+    # half-boundaries (…5625), where Spark's HALF_UP and a C library's
+    # rounding disagree — rounding would INTRODUCE the only
+    # cross-engine divergence. The raw doubles hash identically.
+    return fitted.select(
+        *keys,
+        "n_obs",
+        F.col("__st.l").alias("level"),
+        F.col("__st.b").alias("trend"),
+        (F.col("__st.l") + F.col("__st.b")).alias("forecast_next"),
+    )

@@ -459,6 +459,57 @@ def q_streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing over the customer monthly panel: the
+# iterative recurrence runs as ONE JVM F.aggregate HOF per key (no
+# driver loop, no UDF); the oracle replays it as a recursive CTE.
+# alpha = beta = 0.5 (exactly representable), inputs are the panel's
+# exact 2-decimal revenues, so the fold is bit-identical cross-engine and the outputs are
+# deliberately UNROUNDED (dyadic smoothed values sit exactly on
+# decimal half-boundaries, where the engines' rounding modes differ).
+# ---------------------------------------------------------------------------
+
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer Holt level/trend and 1-step revenue forecast over
+    the monthly panel (customers with >= 2 observed months)."""
+    from sf_datalake_spark.operators.timeseries import holt_smoothing
+    from sf_datalake_spark.queries import customer_monthly_panel
+
+    panel = customer_monthly_panel(spark, sf_dir)
+    return holt_smoothing(
+        panel, ["custkey"], "periode", "revenue", alpha=0.5, beta=0.5
+    )
+
+
+_HOLT_SQL = """
+    WITH RECURSIVE panel AS (
+        SELECT o_custkey AS custkey,
+               date_trunc('month', o_orderdate)::date AS periode,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT custkey,
+               list(revenue ORDER BY periode) AS v,
+               count(*) AS n
+        FROM panel GROUP BY custkey HAVING count(*) >= 2
+    ),
+    rec AS (
+        SELECT custkey, v, n, 2 AS i,
+               v[2] AS l, v[2] - v[1] AS b
+        FROM series
+        UNION ALL
+        SELECT custkey, v, n, i + 1,
+               0.5 * v[i + 1] + 0.5 * (l + b),
+               0.5 * ((0.5 * v[i + 1] + 0.5 * (l + b)) - l) + 0.5 * b
+        FROM rec WHERE i < n
+    )
+    SELECT custkey, CAST(n AS INT) AS n_obs,
+           l AS level, b AS trend, l + b AS forecast_next
+    FROM rec WHERE i = n
+"""
+
+
 QUERIES_ANALYTICS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "funnel_conversion": q_funnel_conversion,
@@ -468,6 +519,7 @@ QUERIES_ANALYTICS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rfm_segments": q_rfm_segments,
     "session_paths": q_session_paths,
     "streaming_transitions": q_streaming_transitions,
+    "holt_forecast": q_holt_forecast,
 }
 
 ORACLES_ANALYTICS: dict[str, str] = {
@@ -479,4 +531,5 @@ ORACLES_ANALYTICS: dict[str, str] = {
     "rfm_segments": _RFM_SQL,
     "session_paths": _SESSION_PATHS_SQL,
     "streaming_transitions": _TRANSITIONS_SQL,
+    "holt_forecast": _HOLT_SQL,
 }

@@ -338,3 +338,49 @@ class TestTransitionsAndPaths:
             for r in per_cust.withColumn("m", F.ntile(4).over(w)).collect()
         }
         assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3, 7: 4, 8: 4}
+
+
+class TestHoltSmoothing:
+    def test_matches_pure_python_recurrence(self, spark):
+        from sf_datalake_spark.operators.timeseries import holt_smoothing
+
+        xs = [10.0, 12.0, 11.0, 15.0, 14.0]
+        df = spark.createDataFrame(
+            [(1, i, x) for i, x in enumerate(xs)], "k bigint, t int, v double"
+        )
+        row = holt_smoothing(df, ["k"], "t", "v").collect()[0]
+
+        l, b = xs[1], xs[1] - xs[0]
+        for x in xs[2:]:
+            l_new = 0.5 * x + 0.5 * (l + b)
+            b = 0.5 * (l_new - l) + 0.5 * b
+            l = l_new
+        assert row["n_obs"] == 5
+        assert row["level"] == l
+        assert row["trend"] == b
+        assert row["forecast_next"] == l + b
+
+    def test_two_point_series_and_short_series_drop(self, spark):
+        from sf_datalake_spark.operators.timeseries import holt_smoothing
+
+        df = spark.createDataFrame(
+            [(1, 0, 5.0), (1, 1, 9.0), (2, 0, 3.0)],  # key 2: one point
+            "k bigint, t int, v double",
+        )
+        rows = holt_smoothing(df, ["k"], "t", "v").collect()
+        assert len(rows) == 1  # key 2 dropped
+        r = rows[0]
+        # n=2: fold over empty tail returns the init (l=x2, b=x2-x1)
+        assert (r["level"], r["trend"], r["forecast_next"]) == (9.0, 4.0, 13.0)
+
+    def test_order_column_not_input_order(self, spark):
+        from sf_datalake_spark.operators.timeseries import holt_smoothing
+
+        seq = [(1, t, v) for t, v in [(2, 11.0), (0, 10.0), (1, 12.0)]]
+        df = spark.createDataFrame(seq, "k bigint, t int, v double").repartition(3)
+        sorted_df = spark.createDataFrame(
+            sorted(seq, key=lambda r: r[1]), "k bigint, t int, v double"
+        )
+        a = holt_smoothing(df, ["k"], "t", "v").collect()[0]
+        b = holt_smoothing(sorted_df, ["k"], "t", "v").collect()[0]
+        assert (a["level"], a["trend"]) == (b["level"], b["trend"])

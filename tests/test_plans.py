@@ -461,7 +461,8 @@ def test_analytics_plan_shapes(spark):
     assert rep["n_nested_loop_joins"] == 1  # 1-row stats broadcast only
 
     for name in ("frequent_pairs", "funnel_conversion", "cohort_retention",
-                 "event_transitions", "session_paths", "rfm_segments"):
+                 "event_transitions", "session_paths", "rfm_segments",
+                 "holt_forecast"):
         rep = plan_report(qs[name](spark, sf), execute=True)
         assert rep["n_python_evals"] == 0, name
         assert rep["n_cartesian_products"] == 0, name
