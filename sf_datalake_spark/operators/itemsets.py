@@ -56,22 +56,33 @@ def frequent_pairs(
         .select("__i")
     )
     m = m.join(freq_items, "__i").select("__b", "__i")
+    # Pair generation is a PER-BASKET array expansion, not a self-join:
+    # one groupBy collects each basket's (pruned, sorted) items, then a
+    # nested HOF transform emits the i<j pairs in-scan.  A basket
+    # self-join would re-execute the whole distinct+prune upstream on
+    # both sides and shuffle the membership table twice; this shape
+    # scans it once and shuffles only (basket → items) and the 16-byte
+    # pair keys.  Per-basket fan-out is s·(s−1)/2 — quadratic in the
+    # SMALL bounded basket size, linear in baskets.
+    baskets_arr = m.groupBy("__b").agg(
+        F.array_sort(F.collect_list("__i")).alias("__items")
+    )
     if max_basket_size is not None:
-        ok = (
-            m.groupBy("__b")
-            .agg(F.count("*").alias("__n"))
-            .filter(F.col("__n") <= max_basket_size)
-            .select("__b")
+        baskets_arr = baskets_arr.filter(
+            F.size("__items") <= max_basket_size
         )
-        m = m.join(ok, "__b")
-    a = m.alias("a")
-    b = m.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.__b") == F.col("b.__b"))
-        & (F.col("a.__i") < F.col("b.__i")),
-    ).select(
-        F.col("a.__i").alias("item_1"), F.col("b.__i").alias("item_2")
+    items = F.col("__items")
+    pair_structs = F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.transform(
+                F.slice(items, i + 2, F.greatest(F.size(items) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("item_1"), y.alias("item_2")),
+            ),
+        )
+    )
+    pairs = baskets_arr.select(F.explode(pair_structs).alias("p")).select(
+        F.col("p.item_1"), F.col("p.item_2")
     )
     return (
         pairs.groupBy("item_1", "item_2")
