@@ -94,3 +94,77 @@ def holt_smoothing(
         F.col("__st.b").alias("trend"),
         (F.col("__st.l") + F.col("__st.b")).alias("forecast_next"),
     )
+
+
+def cusum_alarms(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    mean_col,
+    slack_col,
+    threshold_col,
+) -> DataFrame:
+    """Two-sided CUSUM changepoint detection per key.
+
+    Page's cumulative-sum statistic over each key's ordered series::
+
+        s⁺_t = max(0, s⁺_{t−1} + (x_t − μ − κ))
+        s⁻_t = max(0, s⁻_{t−1} + (μ − κ − x_t))
+
+    with an alarm whenever ``max(s⁺_t, s⁻_t) > h`` — the standard
+    sequential drift detector (μ = in-control mean, κ = slack,
+    h = decision threshold; all three are Column expressions so they
+    can be per-key statistics).  Same execution shape as
+    :func:`holt_smoothing`: one groupBy, the whole recurrence in a
+    single JVM ``F.aggregate`` fold (state: s⁺, s⁻, alarm count,
+    running max), no driver loop, no UDF.
+
+    Returns ``(keys..., n_obs, n_alarms, max_cusum, s_pos, s_neg)``,
+    floats unrounded (the fold is a fixed IEEE operation sequence —
+    deterministic across engines for identical inputs; see the Holt
+    note on why rounding would be the riskier choice).
+    """
+    series = df.groupBy(*keys).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(order_col, value_col))),
+            lambda s: s[value_col].cast("double"),
+        ).alias("__v"),
+        mean_col.alias("__mu"),
+        slack_col.alias("__k"),
+        threshold_col.alias("__h"),
+    )
+    v = F.col("__v")
+    zero = F.lit(0.0)
+    init = F.struct(
+        zero.alias("sp"),
+        zero.alias("sn"),
+        F.lit(0).cast("long").alias("alarms"),
+        zero.alias("mx"),
+    )
+
+    def step(acc, x):
+        sp = F.greatest(zero, acc["sp"] + (x - F.col("__mu") - F.col("__k")))
+        sn = F.greatest(zero, acc["sn"] + (F.col("__mu") - F.col("__k") - x))
+        peak = F.greatest(sp, sn)
+        return F.struct(
+            sp.alias("sp"),
+            sn.alias("sn"),
+            (acc["alarms"] + F.when(peak > F.col("__h"), 1).otherwise(0))
+            .alias("alarms"),
+            F.greatest(acc["mx"], peak).alias("mx"),
+        )
+
+    folded = series.select(
+        *keys,
+        F.size(v).cast("int").alias("n_obs"),
+        F.aggregate(v, init, step).alias("__st"),
+    )
+    return folded.select(
+        *keys,
+        "n_obs",
+        F.col("__st.alarms").alias("n_alarms"),
+        F.col("__st.mx").alias("max_cusum"),
+        F.col("__st.sp").alias("s_pos"),
+        F.col("__st.sn").alias("s_neg"),
+    )

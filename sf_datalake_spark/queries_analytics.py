@@ -510,6 +510,71 @@ _HOLT_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection over the panel: same HOF-fold execution
+# shape as holt_forecast, two-sided Page statistic with per-customer
+# in-control mean (exact cents/n), slack mu/4, threshold mu.  Outputs
+# unrounded (Holt determinism note applies); oracle = recursive CTE.
+# ---------------------------------------------------------------------------
+
+def q_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer CUSUM drift alarms over monthly revenue."""
+    from sf_datalake_spark.operators.timeseries import cusum_alarms
+    from sf_datalake_spark.queries import customer_monthly_panel
+
+    panel = customer_monthly_panel(spark, sf_dir)
+    cents = F.round(F.col("revenue") * 100).cast("long")
+    mu = F.sum(cents) / F.count("*") / F.lit(100.0)
+    return cusum_alarms(
+        panel,
+        ["custkey"],
+        "periode",
+        "revenue",
+        mean_col=mu,
+        slack_col=mu / F.lit(4.0),
+        threshold_col=mu * F.lit(1.0),
+    )
+
+
+_CUSUM_SQL = """
+    WITH RECURSIVE panel AS (
+        SELECT o_custkey AS custkey,
+               date_trunc('month', o_orderdate)::date AS periode,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT custkey,
+               list(revenue ORDER BY periode) AS v,
+               count(*) AS n,
+               sum(CAST(round(revenue * 100) AS BIGINT)) / count(*) / 100.0
+                   AS mu
+        FROM panel GROUP BY custkey
+    ),
+    rec AS (
+        SELECT custkey, v, n, mu, 0 AS i,
+               CAST(0.0 AS DOUBLE) AS sp, CAST(0.0 AS DOUBLE) AS sn,
+               CAST(0 AS BIGINT) AS alarms, CAST(0.0 AS DOUBLE) AS mx
+        FROM series
+        UNION ALL
+        SELECT custkey, v, n, mu, i + 1,
+               greatest(0.0, sp + (v[i + 1] - mu - mu / 4.0)),
+               greatest(0.0, sn + (mu - mu / 4.0 - v[i + 1])),
+               alarms + CASE WHEN greatest(
+                       greatest(0.0, sp + (v[i + 1] - mu - mu / 4.0)),
+                       greatest(0.0, sn + (mu - mu / 4.0 - v[i + 1])))
+                   > mu * 1.0 THEN 1 ELSE 0 END,
+               greatest(mx, greatest(
+                       greatest(0.0, sp + (v[i + 1] - mu - mu / 4.0)),
+                       greatest(0.0, sn + (mu - mu / 4.0 - v[i + 1]))))
+        FROM rec WHERE i < n
+    )
+    SELECT custkey, CAST(n AS INT) AS n_obs, alarms AS n_alarms,
+           mx AS max_cusum, sp AS s_pos, sn AS s_neg
+    FROM rec WHERE i = n
+"""
+
+
 QUERIES_ANALYTICS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "funnel_conversion": q_funnel_conversion,
@@ -520,6 +585,7 @@ QUERIES_ANALYTICS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_paths": q_session_paths,
     "streaming_transitions": q_streaming_transitions,
     "holt_forecast": q_holt_forecast,
+    "cusum_alarms": q_cusum_alarms,
 }
 
 ORACLES_ANALYTICS: dict[str, str] = {
@@ -532,4 +598,5 @@ ORACLES_ANALYTICS: dict[str, str] = {
     "session_paths": _SESSION_PATHS_SQL,
     "streaming_transitions": _TRANSITIONS_SQL,
     "holt_forecast": _HOLT_SQL,
+    "cusum_alarms": _CUSUM_SQL,
 }

@@ -384,3 +384,44 @@ class TestHoltSmoothing:
         a = holt_smoothing(df, ["k"], "t", "v").collect()[0]
         b = holt_smoothing(sorted_df, ["k"], "t", "v").collect()[0]
         assert (a["level"], a["trend"]) == (b["level"], b["trend"])
+
+
+class TestCusum:
+    def test_matches_pure_python_and_counts_alarms(self, spark):
+        from sf_datalake_spark.operators.timeseries import cusum_alarms
+
+        xs = [10.0, 10.0, 10.0, 30.0, 30.0, 10.0]
+        df = spark.createDataFrame(
+            [(1, i, x) for i, x in enumerate(xs)], "k bigint, t int, v double"
+        )
+        mu_, k_, h_ = 10.0, 2.0, 5.0
+        row = cusum_alarms(
+            df, ["k"], "t", "v",
+            mean_col=F.lit(mu_), slack_col=F.lit(k_), threshold_col=F.lit(h_),
+        ).collect()[0]
+
+        sp = sn = mx = 0.0
+        alarms = 0
+        for x in xs:
+            sp = max(0.0, sp + (x - mu_ - k_))
+            sn = max(0.0, sn + (mu_ - k_ - x))
+            peak = max(sp, sn)
+            if peak > h_:
+                alarms += 1
+            mx = max(mx, peak)
+        assert alarms > 0  # the designed drift must actually alarm
+        assert (row["n_alarms"], row["max_cusum"], row["s_pos"], row["s_neg"]) \
+            == (alarms, mx, sp, sn)
+
+    def test_in_control_series_never_alarms(self, spark):
+        from sf_datalake_spark.operators.timeseries import cusum_alarms
+
+        df = spark.createDataFrame(
+            [(1, i, 10.0) for i in range(20)], "k bigint, t int, v double"
+        )
+        row = cusum_alarms(
+            df, ["k"], "t", "v",
+            mean_col=F.lit(10.0), slack_col=F.lit(1.0), threshold_col=F.lit(3.0),
+        ).collect()[0]
+        assert row["n_alarms"] == 0
+        assert row["max_cusum"] == 0.0

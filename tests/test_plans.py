@@ -462,7 +462,7 @@ def test_analytics_plan_shapes(spark):
 
     for name in ("frequent_pairs", "funnel_conversion", "cohort_retention",
                  "event_transitions", "session_paths", "rfm_segments",
-                 "holt_forecast"):
+                 "holt_forecast", "cusum_alarms"):
         rep = plan_report(qs[name](spark, sf), execute=True)
         assert rep["n_python_evals"] == 0, name
         assert rep["n_cartesian_products"] == 0, name
