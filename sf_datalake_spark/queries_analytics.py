@@ -575,6 +575,58 @@ _CUSUM_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Streaming exact-k sample: per-shard bounded min-k state admits
+# candidates as they stream in; the batch-side re-rank of the admitted
+# superset equals the batch exact_k_sample answer exactly — same md5
+# shuffle-key oracle.
+# ---------------------------------------------------------------------------
+
+def q_streaming_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact_k_sample (k=100, salt 's') computed BY A STREAM: 8 shards
+    each keep their k smallest shuffle keys as state, admitted rows are
+    re-ranked batch-side."""
+    import os as _os
+
+    from sf_datalake_spark.operators.corpus import shuffle_key
+    from sf_datalake_spark.queries_ext import _stage_stream_source
+    from sf_datalake_spark.streaming import (
+        read_file_stream,
+        run_to_memory,
+        streaming_sample_admissions,
+    )
+
+    docs_path = _os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(docs_path).schema
+    import hashlib as _hashlib
+    import tempfile as _tempfile
+
+    tag = _hashlib.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    src_dir = _os.path.join(_tempfile.gettempdir(), f"sfdl_eks_src_{tag}")
+    _stage_stream_source(docs_path, src_dir)
+    stream = (
+        read_file_stream(spark, src_dir, schema)
+        .withColumn("__sk", shuffle_key("doc_id", salt="s"))
+        .withColumn("__shard", F.pmod(F.col("doc_id"), F.lit(8)))
+    )
+    admitted = streaming_sample_admissions(stream, "__shard", "__sk", k=100)
+    sink = run_to_memory(admitted, "q_streaming_exact_k")
+    return (
+        sink.orderBy("__sk", "doc_id")
+        .limit(100)
+        .select("doc_id", "source", "lang")
+    )
+
+
+_STREAMING_EXACT_K_SQL = """
+    SELECT doc_id, source, lang
+    FROM documents
+    ORDER BY ('0x' || substr(md5('s:0:' || doc_id::VARCHAR), 1, 15))::BIGINT,
+             doc_id
+    LIMIT 100
+"""
+
+
 QUERIES_ANALYTICS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "funnel_conversion": q_funnel_conversion,
@@ -586,6 +638,7 @@ QUERIES_ANALYTICS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_transitions": q_streaming_transitions,
     "holt_forecast": q_holt_forecast,
     "cusum_alarms": q_cusum_alarms,
+    "streaming_exact_k": q_streaming_exact_k,
 }
 
 ORACLES_ANALYTICS: dict[str, str] = {
@@ -599,4 +652,5 @@ ORACLES_ANALYTICS: dict[str, str] = {
     "streaming_transitions": _TRANSITIONS_SQL,
     "holt_forecast": _HOLT_SQL,
     "cusum_alarms": _CUSUM_SQL,
+    "streaming_exact_k": _STREAMING_EXACT_K_SQL,
 }

@@ -11,6 +11,7 @@ from sf_datalake_spark.streaming.streams import (
     running_total_alerts_tws,
     session_aggregate,
     stream_stream_join,
+    streaming_sample_admissions,
     streaming_dedup,
     windowed_aggregate,
 )
@@ -26,6 +27,7 @@ __all__ = [
     "running_total_alerts_tws",
     "session_aggregate",
     "stream_stream_join",
+    "streaming_sample_admissions",
     "streaming_dedup",
     "windowed_aggregate",
 ]

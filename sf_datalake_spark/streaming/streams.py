@@ -688,3 +688,63 @@ def run_bloom_gate(
             .start()
         )
         q.awaitTermination()
+
+
+def streaming_sample_admissions(
+    df: DataFrame,
+    shard_col: str,
+    sk_col: str,
+    k: int,
+) -> DataFrame:
+    """Streaming exact-k sampling, shard stage: per shard, admit every
+    row whose shuffle key is among the k smallest that shard has seen
+    so far.  State per shard = the sorted array of (at most) k admitted
+    shuffle keys — bounded regardless of stream length.
+
+    Correctness: a row in the FINAL global top-k is by definition among
+    its shard's k smallest at every later point, in particular at
+    arrival — so re-ranking the admitted superset (≤ shards·k plus
+    later-evicted early admissions) by the shuffle key and cutting at k
+    yields exactly the batch ``exact_k_sample`` answer.  The consumer
+    does that cut batch-side; this operator never needs retractions.
+
+    Scale: admissions decay geometrically once shards warm up (a random
+    arrival beats the current k-th smallest with probability k/n_seen),
+    so sink volume is O(shards·k·log n), not O(n).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    dtypes = dict(df.dtypes)
+    out_schema = ", ".join(f"`{c}` {t}" for c, t in df.dtypes)
+
+    def fn(key, pdfs, state: GroupState):
+        import bisect
+
+        import pandas as pd
+
+        cols = [c for c, _ in dtypes.items()]
+        sk_idx = cols.index(sk_col)
+        kept = list(state.get[0]) if state.exists else []
+        admitted = []
+        for pdf in pdfs:
+            # name=None → plain tuples: itertuples would RENAME
+            # underscore-prefixed columns (like a __sk shuffle key)
+            for row in pdf[cols].sort_values(sk_col).itertuples(
+                index=False, name=None
+            ):
+                sk = row[sk_idx]
+                if len(kept) < k or sk < kept[-1]:
+                    bisect.insort(kept, sk)
+                    if len(kept) > k:
+                        kept.pop()
+                    admitted.append(row)
+        state.update(([int(x) for x in kept],))
+        yield pd.DataFrame(admitted, columns=cols)
+
+    return df.groupBy(shard_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="kept array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -420,3 +420,34 @@ def test_event_transitions_stateful_sorts_within_batch(spark, tmp_path):
     )
     got = sorted((r["from_type"], r["to_type"]) for r in out.collect())
     assert got == [("click", "purchase"), ("view", "click")]
+
+
+def test_streaming_sample_admissions_matches_batch_topk(spark, tmp_path):
+    """Two micro-batches of shuffled keys: re-ranking the admitted
+    superset must equal the batch k-smallest, and warm state must
+    reject most of the second batch (bounded sink growth)."""
+    from sf_datalake_spark.streaming import streaming_sample_admissions
+
+    schema = "id bigint, sk bigint, shard int"
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(10**9), i % 2) for i in range(200)]
+    p = str(tmp_path / "eks")
+    spark.createDataFrame(rows[:100], schema).coalesce(1).write.parquet(p)
+    spark.createDataFrame(rows[100:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(p)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(p)
+    )
+    out = run_to_memory(
+        streaming_sample_admissions(stream, "shard", "sk", k=10), "eks_test"
+    )
+    admitted = [(r["id"], r["sk"]) for r in out.collect()]
+    k = 10
+    got = sorted(admitted, key=lambda r: (r[1], r[0]))[:k]
+    want = sorted(((i, sk) for i, sk, _ in rows), key=lambda r: (r[1], r[0]))[:k]
+    assert got == want
+    # admissions are a strict subset of the stream (state rejected rows)
+    assert len(admitted) < len(rows)
