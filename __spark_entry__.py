@@ -89,7 +89,7 @@ _NEW_R04 = frozenset({
     "bm25_search", "funnel_conversion", "cohort_retention",
     "frequent_pairs", "event_transitions", "rfm_segments",
     "session_paths", "streaming_transitions", "holt_forecast",
-    "cusum_alarms", "streaming_exact_k",
+    "cusum_alarms", "streaming_exact_k", "equidepth_buckets",
 })
 
 

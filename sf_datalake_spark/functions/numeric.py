@@ -46,3 +46,45 @@ def count_nan_values(df: DataFrame, columns: list[str] | None = None) -> DataFra
     }
     cols = [c for c in (columns or df.columns) if c in float_cols]
     return df.select([F.count(F.when(F.isnan(c), c)).alias(c) for c in cols])
+
+
+def equidepth_bucketize(
+    df,
+    value_col: str,
+    n_buckets: int,
+    exact: bool = True,
+    round_at: int = 6,
+    bucket_col: str = "bucket",
+):
+    """Value-based equi-depth binning: assign each row the bucket of
+    its value relative to the column's interior quantile boundaries.
+
+    Unlike positional ``ntile`` (a single-partition global sort at
+    scale — see the rfm_segments note in SCALE.md), this is the
+    distributed form: boundaries come from ONE aggregate (exact
+    ``percentile`` when ``exact``, ``approx_percentile`` for the
+    100 TB path), broadcast back, and assignment is a scan-stage
+    array comparison — no global sort anywhere.  Equal values land in
+    the same bucket (ntile splits positional ties across buckets), so
+    bucket populations are near-equal, not exactly equal, on tied
+    data — that is the documented trade.
+
+    Boundaries are rounded at ``round_at`` before assignment so the
+    bucket edges are engine-exact (the tf_idf_topk ULP discipline).
+    """
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    fn = "percentile" if exact else "approx_percentile"
+    bounds = df.agg(
+        F.expr(
+            f"transform({fn}({value_col}, "
+            f"array({', '.join(map(str, probs))})), "
+            f"b -> round(b, {round_at}))"
+        ).alias("__bounds")
+    )
+    x = F.col(value_col)
+    assign = (
+        F.size(F.filter(F.col("__bounds"), lambda b: x > b)) + F.lit(1)
+    ).alias(bucket_col)
+    return df.crossJoin(F.broadcast(bounds)).select(
+        *df.columns, assign
+    )

@@ -627,6 +627,47 @@ _STREAMING_EXACT_K_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Equi-depth bucketing (the distributed alternative to rfm_segments'
+# global ntile): exact percentile boundaries from ONE aggregate,
+# broadcast back, scan-stage assignment — no global sort.
+# ---------------------------------------------------------------------------
+
+def q_equidepth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders bucketed into 8 equi-depth o_totalprice bins: per-bucket
+    row count and exact-cents value range."""
+    from sf_datalake_spark.functions.numeric import equidepth_bucketize
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    binned = equidepth_bucketize(orders, "o_totalprice", 8)
+    return binned.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.min(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "lo_cents"
+        ),
+        F.max(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "hi_cents"
+        ),
+    )
+
+
+_EQUIDEPTH_SQL = """
+    WITH b AS (
+        SELECT list_transform(
+                   quantile_cont(o_totalprice,
+                       [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]),
+                   x -> round(x, 6)) AS bounds
+        FROM orders
+    )
+    SELECT len(list_filter(bounds, x -> o_totalprice > x)) + 1 AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           min(CAST(round(o_totalprice * 100) AS BIGINT)) AS lo_cents,
+           max(CAST(round(o_totalprice * 100) AS BIGINT)) AS hi_cents
+    FROM orders CROSS JOIN b
+    GROUP BY 1
+"""
+
+
 QUERIES_ANALYTICS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "funnel_conversion": q_funnel_conversion,
@@ -639,6 +680,7 @@ QUERIES_ANALYTICS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "holt_forecast": q_holt_forecast,
     "cusum_alarms": q_cusum_alarms,
     "streaming_exact_k": q_streaming_exact_k,
+    "equidepth_buckets": q_equidepth_buckets,
 }
 
 ORACLES_ANALYTICS: dict[str, str] = {
@@ -653,4 +695,5 @@ ORACLES_ANALYTICS: dict[str, str] = {
     "holt_forecast": _HOLT_SQL,
     "cusum_alarms": _CUSUM_SQL,
     "streaming_exact_k": _STREAMING_EXACT_K_SQL,
+    "equidepth_buckets": _EQUIDEPTH_SQL,
 }

@@ -425,3 +425,40 @@ class TestCusum:
         ).collect()[0]
         assert row["n_alarms"] == 0
         assert row["max_cusum"] == 0.0
+
+
+class TestEquidepthBuckets:
+    def test_uniform_ramp_splits_evenly_and_ties_share_bucket(self, spark):
+        from sf_datalake_spark.functions.numeric import equidepth_bucketize
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(1, 41)], "id bigint, v double"
+        )
+        binned = equidepth_bucketize(df, "v", 4)
+        sizes = {
+            r["bucket"]: r["n"]
+            for r in binned.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        }
+        assert sizes == {1: 10, 2: 10, 3: 10, 4: 10}
+
+        tied = spark.createDataFrame(
+            [(i, 5.0) for i in range(8)], "id bigint, v double"
+        )
+        got = equidepth_bucketize(tied, "v", 4).select("bucket").distinct().collect()
+        # ntile would spread the 8 identical values over 4 buckets;
+        # value-based binning keeps them together (the documented trade)
+        assert len(got) == 1
+
+    def test_approx_path_same_contract(self, spark):
+        from sf_datalake_spark.functions.numeric import equidepth_bucketize
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(1, 101)], "id bigint, v double"
+        )
+        binned = equidepth_bucketize(df, "v", 4, exact=False)
+        sizes = [
+            r["n"]
+            for r in binned.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        ]
+        assert sum(sizes) == 100 and len(sizes) == 4
+        assert all(15 <= n <= 35 for n in sizes)  # near-equal, approx bounds

@@ -467,3 +467,19 @@ def test_analytics_plan_shapes(spark):
         assert rep["n_python_evals"] == 0, name
         assert rep["n_cartesian_products"] == 0, name
         assert rep["n_nested_loop_joins"] == 0, name
+
+    # equidepth_buckets: its ONLY nested-loop join is the 1-row
+    # boundary broadcast (the no-global-sort design); still JVM-only.
+    rep = plan_report(qs["equidepth_buckets"](spark, sf), execute=True)
+    assert rep["n_python_evals"] == 0
+    assert rep["n_cartesian_products"] == 0
+    assert rep["n_nested_loop_joins"] == 1
+    plan = (
+        qs["equidepth_buckets"](spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # no global sort anywhere: range partitioning is the signature of
+    # an ntile-style total order, which this operator exists to avoid
+    assert "rangepartitioning" not in plan.lower()
