@@ -90,6 +90,7 @@ _NEW_R04 = frozenset({
     "frequent_pairs", "event_transitions", "rfm_segments",
     "session_paths", "streaming_transitions", "holt_forecast",
     "cusum_alarms", "streaming_exact_k", "equidepth_buckets",
+    "incremental_join",
 })
 
 

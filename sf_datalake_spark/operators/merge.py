@@ -229,3 +229,40 @@ def snapshot_diff(
             *[F.col(f"__sd_n.{c}").alias(c) for c in val_cols],
         )
     )
+
+
+def incremental_join_view(
+    old_view: DataFrame,
+    left_old: DataFrame,
+    delta_left: DataFrame,
+    right_old: DataFrame,
+    delta_right: DataFrame,
+    on: Sequence[str],
+) -> DataFrame:
+    """Incremental maintenance of a JOIN view — the join analog of
+    ``operators.aggregates.incremental_aggregate``.
+
+    Insert-only delta-join algebra::
+
+        V' = V ∪ (ΔL ⋈ R') ∪ (L ⋈ ΔR)      with R' = R ∪ ΔR
+
+    (folding the ΔL⋈ΔR cross term into the first union arm via R').
+    The maintenance cost is |ΔL|·|R'| + |L|·|ΔR| join work — each arm
+    shuffles ONE delta against one stored side, never L⋈R again; at
+    100 TB with daily deltas that is orders of magnitude below a view
+    rebuild, and bucketing the stored sides by ``on`` makes the delta
+    joins exchange-free on the big side.  Retractions follow the same
+    algebra with negated delta multiplicities — compose with the
+    signed-count contract of ``incremental_aggregate`` when the view
+    feeds a rollup.
+    """
+    on = list(on)
+    right_new = right_old.unionByName(delta_right)
+    arm_left = delta_left.join(right_new, on)
+    arm_right = left_old.join(delta_right, on)
+    cols = old_view.columns
+    return (
+        old_view
+        .unionByName(arm_left.select(*cols))
+        .unionByName(arm_right.select(*cols))
+    )

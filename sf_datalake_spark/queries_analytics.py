@@ -668,6 +668,52 @@ _EQUIDEPTH_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental JOIN view maintenance: the delta-join algebra
+# V' = V u (dL |><| R') u (L |><| dR) must reproduce the full-rebuild
+# join exactly.  Deltas are deterministic key slices; the oracle is
+# the plain recompute over the final state.
+# ---------------------------------------------------------------------------
+
+def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain an orders|><|customer view under one insert batch per
+    side via delta joins (never re-joining the full inputs), then
+    summarize per market segment in exact cents."""
+    from sf_datalake_spark.operators.merge import incremental_join_view
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    left_old = orders.filter(F.col("o_orderkey") % 10 != 0)
+    delta_left = orders.filter(F.col("o_orderkey") % 10 == 0)
+    right_old = cust.filter(F.col("o_custkey") % 7 != 0)
+    delta_right = cust.filter(F.col("o_custkey") % 7 == 0)
+    v0 = left_old.join(right_old, "o_custkey")
+    v1 = incremental_join_view(
+        v0, left_old, delta_left, right_old, delta_right, ["o_custkey"]
+    )
+    return v1.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        ),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+_INCREMENTAL_JOIN_SQL = """
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+"""
+
+
 QUERIES_ANALYTICS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_search": q_bm25_search,
     "funnel_conversion": q_funnel_conversion,
@@ -681,6 +727,7 @@ QUERIES_ANALYTICS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cusum_alarms": q_cusum_alarms,
     "streaming_exact_k": q_streaming_exact_k,
     "equidepth_buckets": q_equidepth_buckets,
+    "incremental_join": q_incremental_join,
 }
 
 ORACLES_ANALYTICS: dict[str, str] = {
@@ -696,4 +743,5 @@ ORACLES_ANALYTICS: dict[str, str] = {
     "cusum_alarms": _CUSUM_SQL,
     "streaming_exact_k": _STREAMING_EXACT_K_SQL,
     "equidepth_buckets": _EQUIDEPTH_SQL,
+    "incremental_join": _INCREMENTAL_JOIN_SQL,
 }

@@ -198,3 +198,30 @@ def test_snapshot_diff_null_value_transitions(spark):
     )
     got = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"]).collect()}
     assert got == {1: "update", 2: "update"}  # null key row unchanged
+
+
+def test_incremental_join_view_equals_rebuild(spark):
+    """Delta-join maintenance must reproduce the full-rebuild join
+    exactly, including delta-delta matches (dL rows joining dR rows)."""
+    from sf_datalake_spark.operators.merge import incremental_join_view
+
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k bigint, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, "X"), (2, "Y"), (3, "Z"), (4, "W")], "k bigint, rv string"
+    )
+    left_old = left.filter("k <= 2")
+    delta_left = left.filter("k > 2")
+    right_old = right.filter("k % 2 = 0")
+    delta_right = right.filter("k % 2 = 1")
+
+    v0 = left_old.join(right_old, "k")
+    v1 = incremental_join_view(
+        v0, left_old, delta_left, right_old, delta_right, ["k"]
+    )
+    want = {(r["k"], r["lv"], r["rv"]) for r in left.join(right, "k").collect()}
+    got = {(r["k"], r["lv"], r["rv"]) for r in v1.collect()}
+    # (3, c, Z) is the delta-delta pair: dL |><| R' must cover it
+    assert (3, "c", "Z") in got
+    assert got == want
