@@ -433,3 +433,52 @@ def test_pair_support_antimonotone(spark, rows, min_support):
         assert r["support"] <= item_support[r["item_1"]]
         assert r["support"] <= item_support[r["item_2"]]
         assert r["item_1"] < r["item_2"]
+
+
+@st.composite
+def join_split_tables(draw):
+    nl = draw(st.integers(0, 25))
+    nr = draw(st.integers(0, 25))
+    left = [(draw(st.integers(1, 8)), i) for i in range(nl)]
+    right = [(draw(st.integers(1, 8)), 100 + i) for i in range(nr)]
+    lmask = [draw(st.booleans()) for _ in left]
+    rmask = [draw(st.booleans()) for _ in right]
+    return left, right, lmask, rmask
+
+
+@given(data=join_split_tables())
+@SLOW
+def test_incremental_join_view_equals_rebuild_any_split(spark, data):
+    """For ANY partition of each input into (old, delta), delta-join
+    maintenance must equal the full rebuild — multiplicities included
+    (duplicate keys on both sides multiply)."""
+    from sf_datalake_spark.operators.merge import incremental_join_view
+
+    left, right, lmask, rmask = data
+    ldf = spark.createDataFrame(left or [(0, -1)], "k bigint, lv bigint")
+    rdf = spark.createDataFrame(right or [(0, -1)], "k bigint, rv bigint")
+    if not left:
+        ldf = ldf.filter("lv >= 0")
+    if not right:
+        rdf = rdf.filter("rv >= 0")
+    lo = spark.createDataFrame(
+        [r for r, m in zip(left, lmask) if m] or [(0, -1)], "k bigint, lv bigint"
+    ).filter("lv >= 0")
+    dl = spark.createDataFrame(
+        [r for r, m in zip(left, lmask) if not m] or [(0, -1)],
+        "k bigint, lv bigint",
+    ).filter("lv >= 0")
+    ro = spark.createDataFrame(
+        [r for r, m in zip(right, rmask) if m] or [(0, -1)], "k bigint, rv bigint"
+    ).filter("rv >= 0")
+    dr = spark.createDataFrame(
+        [r for r, m in zip(right, rmask) if not m] or [(0, -1)],
+        "k bigint, rv bigint",
+    ).filter("rv >= 0")
+
+    v1 = incremental_join_view(lo.join(ro, "k"), lo, dl, ro, dr, ["k"])
+    got = sorted((r["k"], r["lv"], r["rv"]) for r in v1.collect())
+    want = sorted(
+        (r["k"], r["lv"], r["rv"]) for r in ldf.join(rdf, "k").collect()
+    )
+    assert got == want
