@@ -23,15 +23,18 @@ from sf_datalake_spark.queries_rel import ORACLES_REL, QUERIES_REL  # noqa: E402
 from sf_datalake_spark.queries_sketch import ORACLES_SKETCH, QUERIES_SKETCH  # noqa: E402
 from sf_datalake_spark.queries_tpch import ORACLES_TPCH, QUERIES_TPCH  # noqa: E402
 from sf_datalake_spark.queries_analytics import ORACLES_ANALYTICS, QUERIES_ANALYTICS  # noqa: E402
+from sf_datalake_spark.queries_mining import ORACLES_MINING, QUERIES_MINING  # noqa: E402
 
 # queries_sketch/queries_tpch are merged LAST so their (post-r02)
 # entries append after the fresh-oracled block and cannot displace any
 # of the 50 queries the r03 rotation puts in front of the driver's
 # snapshot cap.
 QUERIES = {**QUERIES, **QUERIES_EXT, **QUERIES_REL, **QUERIES_CORPUS,
-           **QUERIES_SKETCH, **QUERIES_TPCH, **QUERIES_ANALYTICS}
+           **QUERIES_SKETCH, **QUERIES_TPCH, **QUERIES_ANALYTICS,
+           **QUERIES_MINING}
 ORACLES = {**ORACLES, **ORACLES_EXT, **ORACLES_REL, **ORACLES_CORPUS,
-           **ORACLES_SKETCH, **ORACLES_TPCH, **ORACLES_ANALYTICS}
+           **ORACLES_SKETCH, **ORACLES_TPCH, **ORACLES_ANALYTICS,
+           **ORACLES_MINING}
 
 # Names already green in a driver CORRECTNESS snapshot (union of
 # r01 ∪ r02 ∪ r03, 100 names — minus merge_upsert, r03's one hash-fail,
@@ -91,6 +94,8 @@ _NEW_R04 = frozenset({
     "session_paths", "streaming_transitions", "holt_forecast",
     "cusum_alarms", "streaming_exact_k", "equidepth_buckets",
     "incremental_join",
+    "ssjoin_exact", "scd2_dimension", "pareto_parts", "pareto_parts_3d",
+    "acf_revenue", "benford_profile", "mad_outlier_days",
 })
 
 

@@ -1,0 +1,168 @@
+"""Exact set-similarity join via prefix filtering (PPJoin-style).
+
+Complements the probabilistic near-dup stack (``operators/dedup.py``:
+MinHash/LSH, SimHash) with an EXACT Jaccard-threshold join: every pair
+with ``J(a, b) >= t`` is returned, none missed — the guarantee LSH can
+only approach with more bands.  The algorithm is the prefix-filtering
+family of Chaudhuri et al. (SSJoin, ICDE 2006) and Xiao et al. (PPJoin,
+WWW 2008), public literature; the reference engine has no equivalent
+(its only near-dup path is the pandas-side exact groupby in
+``/root/reference/src/sf_datalake/utils.py``-adjacent tooling).
+
+Scale design (the whole point of prefix filtering):
+- A record of ``n`` distinct tokens keeps only its ``n - ceil(t*n) + 1``
+  rarest tokens (global df order) as join keys — for t=0.7 that is ~30%
+  of tokens; candidate generation is an equi-join on single tokens, a
+  plain hash/sort-merge join, never an all-pairs product.
+- The global order is (document frequency, token): rare tokens first, so
+  prefix buckets are tiny exactly where a frequency-agnostic order would
+  explode (stopwords land in the suffix and are never join keys).
+- Length filter ``|b| >= ceil(t * |a|)`` prunes candidates before the
+  verify join; verification rejoins the two (bounded) token arrays and
+  computes exact Jaccard JVM-side (``array_intersect``), no Python.
+- Shuffles carry (token, id, size) triples and token arrays only for
+  surviving candidates — document text never moves.
+
+Correctness of the filter (no false negatives) is property-tested
+against a brute-force all-pairs Jaccard in ``tests/test_ssjoin.py``.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _prefix_len(t: float):
+    """Prefix length n - ceil(t*n) + 1 as a JVM expression over ``n``.
+
+    Any pair with J >= t shares at least one token within these
+    prefixes under any fixed global token order (prefix-filter lemma:
+    J >= t implies overlap >= t*max(|a|,|b|); if all common tokens sat
+    outside a's prefix, overlap <= ceil(t*|a|) - 1 < t*|a|)."""
+    return F.col("n") - F.ceil(F.col("n") * F.lit(t)).cast("int") + F.lit(1)
+
+
+def set_similarity_join(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    threshold: float,
+) -> DataFrame:
+    """All pairs (id_a < id_b) whose distinct-token Jaccard >= threshold.
+
+    ``tokens_col`` is ``array<string>``; duplicates inside a record are
+    collapsed (set semantics).  Returns ``id_a, id_b, inter_size,
+    union_size, jaccard`` with jaccard an exact integer ratio.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+
+    sets = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(F.col(tokens_col)).alias("toks"),
+    ).filter(F.size("toks") > 0)
+
+    # Global order = (document frequency, token): df counts double as
+    # ranks, so no global rank/sort pass is needed — one agg, one join.
+    dfreq = (
+        sets.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+
+    ordered = (
+        sets.select("__id", F.size("toks").alias("n"), F.explode("toks").alias("tok"))
+        .join(dfreq, "tok")
+        .groupBy("__id", "n")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "tok"))),
+                lambda s: s["tok"],
+            ).alias("toks")
+        )
+    )
+
+    prefixes = ordered.select(
+        "__id",
+        "n",
+        "toks",
+        F.explode(F.slice("toks", F.lit(1), _prefix_len(threshold))).alias("tok"),
+    )
+
+    a = prefixes.select(
+        F.col("__id").alias("id_a"),
+        F.col("n").alias("n_a"),
+        F.col("toks").alias("toks_a"),
+        "tok",
+    )
+    b = prefixes.select(
+        F.col("__id").alias("id_b"),
+        F.col("n").alias("n_b"),
+        F.col("toks").alias("toks_b"),
+        "tok",
+    )
+    cand = (
+        a.join(b, "tok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # J >= t forces t <= min/max: prune before the distinct.
+            & (
+                F.least("n_a", "n_b")
+                >= F.ceil(F.greatest("n_a", "n_b") * F.lit(threshold))
+            )
+        )
+        .select("id_a", "id_b", "n_a", "n_b", "toks_a", "toks_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    verified = cand.select(
+        "id_a",
+        "id_b",
+        inter.alias("inter_size"),
+        (F.col("n_a") + F.col("n_b") - inter).alias("union_size"),
+    ).filter(
+        # integer-exact threshold test: inter/union >= t  <=>
+        # inter * 10^6 >= union * round(t * 10^6)  (t given to <= 6 dp)
+        F.col("inter_size") * F.lit(1_000_000)
+        >= F.col("union_size") * F.lit(int(round(threshold * 1_000_000)))
+    )
+    return verified.withColumn(
+        "jaccard", F.col("inter_size") / F.col("union_size")
+    )
+
+
+def brute_force_jaccard_pairs(
+    df: DataFrame, id_col: str, tokens_col: str, threshold: float
+) -> DataFrame:
+    """O(n^2) reference implementation for tests — same output contract."""
+    sets = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(F.col(tokens_col)).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    a = sets.select(F.col("__id").alias("id_a"), F.col("toks").alias("toks_a"))
+    b = sets.select(F.col("__id").alias("id_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("inter_size"),
+            (F.size("toks_a") + F.size("toks_b") - inter).alias("union_size"),
+        )
+        .filter(
+            F.col("inter_size") * F.lit(1_000_000)
+            >= F.col("union_size") * F.lit(int(round(threshold * 1_000_000)))
+        )
+        .withColumn("jaccard", F.col("inter_size") / F.col("union_size"))
+    )
+
+
+def prefix_length_py(n: int, t: float) -> int:
+    """Driver-side twin of :func:`_prefix_len` for tests/docs."""
+    return n - math.ceil(t * n) + 1

@@ -168,3 +168,73 @@ def cusum_alarms(
         F.col("__st.sp").alias("s_pos"),
         F.col("__st.sn").alias("s_neg"),
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    lags: Sequence[int] = (1, 2, 3),
+) -> DataFrame:
+    """Sample autocorrelation per key at the given lags.
+
+    ACF_k = Σ_{t=1..n−k} (x_t − μ)(x_{t+k} − μ) / Σ_t (x_t − μ)²,
+    the standard biased estimator (constant denominator, undefined for
+    a constant series → NULL).  Same execution shape as
+    :func:`holt_smoothing`: one groupBy assembles each key's ordered
+    series, every sum is a JVM ``F.aggregate`` fold in ascending-t
+    order — no driver loop, no UDF, arbitrarily many keys in parallel.
+
+    Cross-engine determinism: pass exact-integer values (e.g. revenue
+    in cents) so the series sum is exact; μ = S/n is then one double
+    division and every fold replays the identical IEEE operation
+    sequence in both engines (the oracle mirrors it with a recursive
+    CTE iterating t ascending).  Outputs are deliberately unrounded —
+    see the Holt note above.
+
+    Returns ``(keys..., n_obs, acf_<k>...)``.
+    """
+    series = df.groupBy(*keys).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(order_col, value_col))),
+            lambda s: s[value_col].cast("double"),
+        ).alias("__v"),
+        # exact when value_col is integral — the caller's contract
+        F.sum(value_col).alias("__s"),
+    )
+    v = F.col("__v")
+    n = F.size(v)
+    mu = (F.col("__s").cast("double") / n).alias("__mu")
+    base = series.select(*keys, "__v", mu)
+    m = F.col("__mu")
+
+    def dev(i):
+        return F.element_at(v, i) - m
+
+    den = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0.0),
+        lambda acc, i: acc + dev(i) * dev(i),
+    )
+    out = [F.size(v).cast("int").alias("n_obs")]
+    for k in lags:
+        # sequence(1, 0) would DESCEND ([1, 0]) and index out of
+        # bounds under ANSI — short series get an empty fold instead.
+        idx = F.when(n > k, F.sequence(F.lit(1), n - k)).otherwise(
+            F.array().cast("array<int>")
+        )
+        # bind k via a closure, not a default arg — PySpark derives the
+        # HOF arity from the Python signature, so a default parameter
+        # would turn this into an (invalid) 3-argument lambda
+        def make_step(_k):
+            return lambda acc, i: acc + dev(i) * dev(i + _k)
+
+        num = F.aggregate(idx, F.lit(0.0), make_step(k))
+        out.append(
+            F.when((n > k) & (den != F.lit(0.0)), num / den).alias(f"acf_{k}")
+        )
+    # den appears once per acf column; Catalyst's common-subexpression
+    # elimination shares the fold, and re-evaluation would be
+    # bit-identical anyway.
+    return base.select(*keys, *out)

@@ -1,0 +1,409 @@
+"""Data-mining / table-maintenance classes (round 4b, beyond the
+reference): exact set-similarity join (prefix filtering), SCD2
+dimension build, skyline (Pareto frontier) in 2-D and 3-D, per-key
+autocorrelation, Benford first-digit profiling, MAD outlier days.
+
+Conventions follow ``queries.py``: identical column aliases in the
+Spark plan and the DuckDB oracle; money in exact integer cents; floats
+cross the engine boundary either as bit-identical expression trees
+(folds, single divisions of identical operands) or rounded at 6 when
+the computation is order-free.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from math import log10
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sf_datalake_spark.queries import _t
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join: every document pair with whitespace-token
+# Jaccard >= 0.5, via prefix filtering (operators/ssjoin.py) — the
+# exact counterpart of the MinHash/LSH screens.  Oracle is the O(n^2)
+# brute force (500 docs at sf0.01 — fine for DuckDB, never for Spark
+# at scale, which is the operator's point).
+# ---------------------------------------------------------------------------
+
+_SSJOIN_T = 0.5
+
+
+def q_ssjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with distinct-token Jaccard >= 0.5, exactly
+    (prefix-filter candidate generation, no LSH miss probability)."""
+    from sf_datalake_spark.functions.text import tokenize
+    from sf_datalake_spark.operators.ssjoin import set_similarity_join
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokenize("text").alias("toks")
+    )
+    pairs = set_similarity_join(docs, "doc_id", "toks", _SSJOIN_T)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.col("inter_size").cast("int").alias("inter_size"),
+        F.col("union_size").cast("int").alias("union_size"),
+        # int/int division of identical operands — bit-identical
+        (F.col("inter_size") / F.col("union_size")).alias("jaccard"),
+    )
+
+
+_SSJOIN_SQL = r"""
+    WITH s AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split_regex(text, '\s+'),
+                                         x -> x <> '')) AS toks
+        FROM documents
+        WHERE len(list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '')) > 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS INT) AS inter_size,
+           CAST(len(a.toks) + len(b.toks)
+                - len(list_intersect(a.toks, b.toks)) AS INT) AS union_size,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+               / (len(a.toks) + len(b.toks)
+                  - len(list_intersect(a.toks, b.toks))) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks)) * 1000000
+          >= (len(a.toks) + len(b.toks)
+              - len(list_intersect(a.toks, b.toks))) * 500000
+"""
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension build from the orders change log: per customer, the
+# (status, priority) version history with validity intervals.
+# ---------------------------------------------------------------------------
+
+def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension of (o_orderstatus, o_orderpriority) per
+    customer from the orders log (1-in-20 customers), consecutive
+    identical versions compressed."""
+    from sf_datalake_spark.operators.scd import scd2_build
+
+    log = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
+    return scd2_build(
+        log,
+        ["o_custkey"],
+        "o_orderdate",
+        ["o_orderstatus", "o_orderpriority"],
+        tiebreak_col="o_orderkey",
+    )
+
+
+_SCD2_SQL = """
+    WITH log AS (SELECT * FROM orders WHERE o_custkey % 20 = 0),
+    chg AS (
+        SELECT *,
+               (lag(o_orderstatus) OVER w IS DISTINCT FROM o_orderstatus
+                OR lag(o_orderpriority) OVER w IS DISTINCT FROM o_orderpriority)
+                   AS changed
+        FROM log
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    v AS (SELECT * FROM chg WHERE changed)
+    SELECT o_custkey, o_orderstatus, o_orderpriority,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w2 AS valid_to,
+           CAST(row_number() OVER w2 AS INT) AS version_n,
+           lead(o_orderdate) OVER w2 IS NULL AS is_current
+    FROM v
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Skyline: parts Pareto-optimal under (maximize p_size, minimize
+# price) — 2-D groupBy-first form and 3-D two-phase form.
+# ---------------------------------------------------------------------------
+
+def q_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier of parts: no other part is at least as
+    large AND at most as expensive with one strict."""
+    from sf_datalake_spark.operators.skyline import skyline_2d
+
+    parts = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+    )
+    return skyline_2d(parts, "p_size", "price_cents")
+
+
+_PARETO_SQL = """
+    WITH p AS (
+        SELECT p_partkey, p_size,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+        FROM part
+    )
+    SELECT p_partkey, p_size, price_cents
+    FROM p a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p q
+        WHERE q.p_size >= a.p_size AND q.price_cents <= a.price_cents
+          AND (q.p_size > a.p_size OR q.price_cents < a.price_cents)
+    )
+"""
+
+
+def q_pareto_parts_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-D skyline (max p_size, min price, min name length) via the
+    two-phase local-numpy + broadcast-verify operator."""
+    from sf_datalake_spark.operators.skyline import skyline_nd
+
+    parts = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.length("p_name").alias("name_len"),
+    )
+    return skyline_nd(
+        parts, ["p_size", "price_cents", "name_len"], ["max", "min", "min"]
+    )
+
+
+_PARETO_3D_SQL = """
+    WITH p AS (
+        SELECT p_partkey, p_size,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+               CAST(length(p_name) AS INT) AS name_len
+        FROM part
+    )
+    SELECT p_partkey, p_size, price_cents, name_len
+    FROM p a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p q
+        WHERE q.p_size >= a.p_size AND q.price_cents <= a.price_cents
+          AND q.name_len <= a.name_len
+          AND (q.p_size > a.p_size OR q.price_cents < a.price_cents
+               OR q.name_len < a.name_len)
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation of each nation's monthly revenue at lags 1..3 — the
+# bit-exact ascending-t fold of operators/timeseries.py, mirrored by a
+# recursive CTE.  Revenue in exact cents; outputs unrounded (identical
+# IEEE operation streams, see the Holt precedent).
+# ---------------------------------------------------------------------------
+
+def q_acf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..3 autocorrelation of monthly order revenue per nation."""
+    from sf_datalake_spark.operators.timeseries import autocorrelation
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.date_trunc("month", "o_orderdate").alias("m"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    return autocorrelation(monthly, ["n_name"], "m", "rev_cents")
+
+
+_ACF_SQL = """
+    WITH RECURSIVE series AS (
+        SELECT n_name, date_trunc('month', o_orderdate) AS m,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ),
+    arr AS (
+        SELECT n_name,
+               list(CAST(rev AS DOUBLE) ORDER BY m) AS x,
+               CAST(count(*) AS INT) AS n,
+               CAST(sum(rev) AS DOUBLE) / count(*) AS mu
+        FROM series GROUP BY 1
+    ),
+    rec AS (
+        SELECT n_name, x, n, mu, 0 AS i,
+               CAST(0 AS DOUBLE) AS den, CAST(0 AS DOUBLE) AS s1,
+               CAST(0 AS DOUBLE) AS s2, CAST(0 AS DOUBLE) AS s3
+        FROM arr
+        UNION ALL
+        SELECT n_name, x, n, mu, i + 1,
+               den + (x[i + 1] - mu) * (x[i + 1] - mu),
+               s1 + CASE WHEN i + 2 <= n
+                    THEN (x[i + 1] - mu) * (x[i + 2] - mu)
+                    ELSE CAST(0 AS DOUBLE) END,
+               s2 + CASE WHEN i + 3 <= n
+                    THEN (x[i + 1] - mu) * (x[i + 3] - mu)
+                    ELSE CAST(0 AS DOUBLE) END,
+               s3 + CASE WHEN i + 4 <= n
+                    THEN (x[i + 1] - mu) * (x[i + 4] - mu)
+                    ELSE CAST(0 AS DOUBLE) END
+        FROM rec WHERE i < n
+    )
+    SELECT n_name, n AS n_obs,
+           CASE WHEN n > 1 AND den <> 0 THEN s1 / den END AS acf_1,
+           CASE WHEN n > 2 AND den <> 0 THEN s2 / den END AS acf_2,
+           CASE WHEN n > 3 AND den <> 0 THEN s3 / den END AS acf_3
+    FROM rec WHERE i = n
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit profile of order totals.  Digit from the cents
+# integer's decimal string (no float log10 on the data path); expected
+# shares are driver-side literals identical in both query texts, so
+# every float is a product/division of identical operands.
+# ---------------------------------------------------------------------------
+
+_BENFORD_P = {d: log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed vs Benford-expected first-significant-digit counts of
+    o_totalprice, with per-digit chi-square contributions."""
+    orders = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    obs = orders.groupBy(digit.alias("digit")).agg(F.count("*").alias("n_obs"))
+    total = obs.agg(F.sum("n_obs").alias("n_total"))
+    p_expr = F.element_at(
+        F.array(*[F.lit(_BENFORD_P[d]) for d in range(1, 10)]), F.col("digit")
+    )
+    exp = F.col("n_total") * p_expr
+    return (
+        obs.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_obs",
+            exp.alias("n_expected"),
+            ((F.col("n_obs") - exp) * (F.col("n_obs") - exp) / exp).alias(
+                "chi2_term"
+            ),
+        )
+    )
+
+
+_BENFORD_SQL = """
+    WITH obs AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS digit,
+               count(*) AS n_obs
+        FROM orders GROUP BY 1
+    ),
+    t AS (SELECT sum(n_obs) AS n_total FROM obs),
+    p AS (
+        -- CAST: DuckDB parses decimal literals as DECIMAL, and the
+        -- chi-square arithmetic must run in DOUBLE like Spark's
+        SELECT digit, CAST(p AS DOUBLE) AS p
+        FROM (VALUES {pvals}) pv(digit, p)
+    )
+    SELECT obs.digit, CAST(n_obs AS BIGINT) AS n_obs,
+           n_total * p AS n_expected,
+           (n_obs - n_total * p) * (n_obs - n_total * p) / (n_total * p)
+               AS chi2_term
+    FROM obs JOIN p ON obs.digit = p.digit CROSS JOIN t
+""".format(
+    pvals=", ".join(f"({d}, {_BENFORD_P[d]!r})" for d in range(1, 10))
+)
+
+
+# ---------------------------------------------------------------------------
+# MAD outlier days: per order priority, days whose revenue deviates
+# from the priority's median by more than 3 robust sigmas
+# (1.4826·MAD).  Medians over exact cents interpolate on quarters at
+# worst — exact in double — and the 3σ test is scaled to integers so
+# no rounding ever decides a comparison.
+# ---------------------------------------------------------------------------
+
+def q_mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per priority: day count, median daily revenue, MAD, and the
+    number of |x − med| > 3·1.4826·MAD outlier days."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_orderpriority", F.date_trunc("day", "o_orderdate").alias("d")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x"))
+    med = daily.groupBy("o_orderpriority").agg(
+        F.percentile("x", F.lit(0.5)).alias("med")
+    )
+    # daily is already collapsed to (priority, day) — the joins and
+    # re-aggregations below run on that small frame, broadcast-sized.
+    dev = daily.join(F.broadcast(med), "o_orderpriority").withColumn(
+        "adev", F.abs(F.col("x") - F.col("med"))
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.first("med").alias("median_cents"),
+            F.first("mad").alias("mad_cents"),
+            # 3·1.4826 = 4.4478; scale both sides by 10^4: operands
+            # are exact multiples of 0.25·10^4 — integer-exact compare
+            F.sum(
+                F.when(
+                    F.col("adev") * 10000 > F.col("mad") * 44478, 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+_MAD_SQL = """
+    WITH daily AS (
+        SELECT o_orderpriority, date_trunc('day', o_orderdate) AS d,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+        FROM orders GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT o_orderpriority, quantile_cont(CAST(x AS DOUBLE), 0.5) AS med
+        FROM daily GROUP BY 1
+    ),
+    dev AS (
+        SELECT daily.*, med, abs(x - med) AS adev
+        FROM daily JOIN med USING (o_orderpriority)
+    ),
+    mad AS (
+        SELECT o_orderpriority,
+               quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_days,
+           min(med) AS median_cents, min(mad) AS mad_cents,
+           CAST(sum(CASE WHEN adev * 10000 > mad * 44478 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (o_orderpriority)
+    GROUP BY 1
+"""
+
+
+QUERIES_MINING: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ssjoin_exact": q_ssjoin_exact,
+    "scd2_dimension": q_scd2_dimension,
+    "pareto_parts": q_pareto_parts,
+    "pareto_parts_3d": q_pareto_parts_3d,
+    "acf_revenue": q_acf_revenue,
+    "benford_profile": q_benford_profile,
+    "mad_outlier_days": q_mad_outlier_days,
+}
+
+ORACLES_MINING: dict[str, str] = {
+    "ssjoin_exact": _SSJOIN_SQL,
+    "scd2_dimension": _SCD2_SQL,
+    "pareto_parts": _PARETO_SQL,
+    "pareto_parts_3d": _PARETO_3D_SQL,
+    "acf_revenue": _ACF_SQL,
+    "benford_profile": _BENFORD_SQL,
+    "mad_outlier_days": _MAD_SQL,
+}

@@ -1,0 +1,232 @@
+"""Tests for the round-4b mining operators: set-similarity join
+(prefix filtering), SCD2 build, skyline 2-D/n-D, autocorrelation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from sf_datalake_spark.operators.scd import scd2_build, scd2_snapshot
+from sf_datalake_spark.operators.skyline import skyline_2d, skyline_nd
+from sf_datalake_spark.operators.ssjoin import (
+    brute_force_jaccard_pairs,
+    prefix_length_py,
+    set_similarity_join,
+)
+from sf_datalake_spark.operators.timeseries import autocorrelation
+
+
+# ---------------------------------------------------------------------------
+# set-similarity join
+# ---------------------------------------------------------------------------
+
+def _pairs(df):
+    return {
+        (r.id_a, r.id_b, r.inter_size, r.union_size)
+        for r in df.collect()
+    }
+
+
+def test_ssjoin_small_exact(spark):
+    rows = [
+        (1, ["a", "b", "c", "d"]),
+        (2, ["a", "b", "c", "e"]),   # J(1,2) = 3/5 = 0.6
+        (3, ["a", "b", "c", "d"]),   # J(1,3) = 1.0
+        (4, ["x", "y"]),             # disjoint
+        (5, ["a"]),                  # tiny
+    ]
+    df = spark.createDataFrame(rows, ["id", "toks"])
+    got = _pairs(set_similarity_join(df, "id", "toks", 0.6))
+    assert got == {(1, 2, 3, 5), (2, 3, 3, 5), (1, 3, 4, 4)}
+
+
+def test_ssjoin_duplicate_tokens_collapse(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "a", "b"]), (2, ["b", "a"])], ["id", "toks"]
+    )
+    got = _pairs(set_similarity_join(df, "id", "toks", 0.9))
+    assert got == {(1, 2, 2, 2)}
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=12).map(lambda i: f"t{i}"),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    t=st.sampled_from([0.3, 0.5, 0.7, 0.9, 1.0]),
+)
+def test_ssjoin_equals_brute_force(spark, docs, t):
+    """Prefix filtering must lose NO pair (the lemma, end to end) and
+    invent none (verification is exact)."""
+    rows = [(i, toks) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "id: long, toks: array<string>")
+    fast = _pairs(set_similarity_join(df, "id", "toks", t))
+    slow = _pairs(brute_force_jaccard_pairs(df, "id", "toks", t))
+    assert fast == slow
+
+
+def test_prefix_length_bounds():
+    # t=1 keeps exactly one token; low t keeps nearly all
+    assert prefix_length_py(10, 1.0) == 1
+    assert prefix_length_py(10, 0.5) == 6
+    assert prefix_length_py(1, 0.5) == 1
+
+
+# ---------------------------------------------------------------------------
+# SCD2
+# ---------------------------------------------------------------------------
+
+def _log(spark):
+    d = dt.date
+    rows = [
+        # key 1: A, A (dup -> compressed), B, A again
+        (1, d(2023, 1, 1), 101, "A"),
+        (1, d(2023, 2, 1), 102, "A"),
+        (1, d(2023, 3, 1), 103, "B"),
+        (1, d(2023, 4, 1), 104, "A"),
+        # key 2: single version
+        (2, d(2023, 1, 15), 201, "X"),
+        # key 3: same-day tie broken by seq id
+        (3, d(2023, 5, 1), 301, "P"),
+        (3, d(2023, 5, 1), 302, "Q"),
+    ]
+    return spark.createDataFrame(rows, ["k", "ts", "op_id", "status"])
+
+
+def test_scd2_build_compresses_and_chains(spark):
+    dim = scd2_build(_log(spark), ["k"], "ts", ["status"], tiebreak_col="op_id")
+    rows = {
+        (r.k, r.status, r.valid_from, r.valid_to, r.version_n, r.is_current)
+        for r in dim.collect()
+    }
+    d = dt.date
+    assert rows == {
+        (1, "A", d(2023, 1, 1), d(2023, 3, 1), 1, False),
+        (1, "B", d(2023, 3, 1), d(2023, 4, 1), 2, False),
+        (1, "A", d(2023, 4, 1), None, 3, True),
+        (2, "X", d(2023, 1, 15), None, 1, True),
+        (3, "P", d(2023, 5, 1), d(2023, 5, 1), 1, False),
+        (3, "Q", d(2023, 5, 1), None, 2, True),
+    }
+
+
+def test_scd2_snapshot(spark):
+    dim = scd2_build(_log(spark), ["k"], "ts", ["status"], tiebreak_col="op_id")
+    snap = scd2_snapshot(dim, F.lit(dt.date(2023, 3, 15)))
+    got = {(r.k, r.status) for r in snap.collect()}
+    # key 1 is in its 'B' window; keys 2 valid; key 3 not yet born
+    assert got == {(1, "B"), (2, "X")}
+
+
+def test_scd2_null_attr_change_detected(spark):
+    rows = [
+        (1, dt.date(2023, 1, 1), 1, None),
+        (1, dt.date(2023, 2, 1), 2, "A"),
+        (1, dt.date(2023, 3, 1), 3, None),
+    ]
+    log = spark.createDataFrame(rows, "k: int, ts: date, op_id: int, status: string")
+    dim = scd2_build(log, ["k"], "ts", ["status"], tiebreak_col="op_id")
+    assert dim.count() == 3  # NULL -> A -> NULL are three versions
+
+
+# ---------------------------------------------------------------------------
+# skyline
+# ---------------------------------------------------------------------------
+
+def _sky_points(spark):
+    #      (id, a=max, b=min)
+    rows = [
+        (1, 10, 5),
+        (2, 10, 3),   # dominates 1 (tie on a, better b)
+        (3, 8, 3),    # dominated by 2
+        (4, 12, 9),   # frontier (largest a)
+        (5, 12, 9),   # duplicate point -> also frontier
+        (6, 5, 1),    # frontier (cheapest)
+        (7, 4, 1),    # dominated by 6
+    ]
+    return spark.createDataFrame(rows, ["id", "a", "b"])
+
+
+def test_skyline_2d_with_ties(spark):
+    got = {r.id for r in skyline_2d(_sky_points(spark), "a", "b").collect()}
+    assert got == {2, 4, 5, 6}
+
+
+def test_skyline_nd_matches_2d(spark):
+    df = _sky_points(spark)
+    nd = {r.id for r in skyline_nd(df, ["a", "b"], ["max", "min"]).collect()}
+    two = {r.id for r in skyline_2d(df, "a", "b").collect()}
+    assert nd == two
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=0,
+        max_size=20,
+    )
+)
+def test_skyline_nd_equals_naive(spark, pts):
+    rows = [(i, *p) for i, p in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id: long, x: int, y: int, z: int")
+    got = {
+        r.id
+        for r in skyline_nd(
+            df, ["x", "y", "z"], ["max", "min", "min"]
+        ).collect()
+    }
+    want = set()
+    for i, p in enumerate(pts):
+        dominated = any(
+            q[0] >= p[0] and q[1] <= p[1] and q[2] <= p[2] and q != p
+            for j, q in enumerate(pts)
+            if j != i
+        )
+        # q != p handles duplicates: equal points never dominate
+        if not dominated:
+            want.add(i)
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation
+# ---------------------------------------------------------------------------
+
+def test_acf_matches_numpy(spark):
+    import numpy as np
+
+    x = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]
+    rows = [("k", i, v) for i, v in enumerate(x)]
+    df = spark.createDataFrame(rows, ["key", "t", "v"])
+    got = autocorrelation(df, ["key"], "t", "v", lags=(1, 2)).collect()[0]
+    a = np.array(x, dtype=float)
+    mu = a.mean()
+    den = ((a - mu) ** 2).sum()
+    for k in (1, 2):
+        num = ((a[:-k] - mu) * (a[k:] - mu)).sum()
+        assert got[f"acf_{k}"] == pytest.approx(num / den, rel=1e-12)
+    assert got["n_obs"] == len(x)
+
+
+def test_acf_short_and_constant_series(spark):
+    rows = [("s", 0, 7), ("s", 1, 7), ("c", 0, 1)]
+    df = spark.createDataFrame(rows, ["key", "t", "v"])
+    out = {r.key: r for r in autocorrelation(df, ["key"], "t", "v").collect()}
+    assert out["c"].acf_1 is None          # n <= k
+    assert out["s"].acf_1 is None          # constant -> den == 0
+    assert out["s"].n_obs == 2
