@@ -23,23 +23,33 @@ from sf_datalake_spark.queries import _t
 
 # ---------------------------------------------------------------------------
 # Exact set-similarity join: every document pair with whitespace-token
-# Jaccard >= 0.5, via prefix filtering (operators/ssjoin.py) — the
+# Jaccard >= 0.6, via prefix filtering (operators/ssjoin.py) — the
 # exact counterpart of the MinHash/LSH screens.  Oracle is the O(n^2)
-# brute force (500 docs at sf0.01 — fine for DuckDB, never for Spark
-# at scale, which is the operator's point).
+# brute force over the sliced corpus — fine for DuckDB at sf0.01,
+# never for Spark at scale, which is the operator's point.
 # ---------------------------------------------------------------------------
 
-_SSJOIN_T = 0.5
+_SSJOIN_T = 0.6
 
 
 def q_ssjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All document pairs with distinct-token Jaccard >= 0.5, exactly
-    (prefix-filter candidate generation, no LSH miss probability)."""
+    """All document pairs with distinct-token Jaccard >= 0.6, exactly
+    (prefix-filter candidate generation, no LSH miss probability).
+
+    The synthetic corpus is deliberately clone-heavy (the dedup
+    fixtures): ~half of ALL pairs clear J >= 0.5, so the OUTPUT —
+    not the algorithm — is quadratic on the full table.  The query
+    therefore runs on the doc_id % 8 slice (filter pushed to the
+    scan), which keeps the result set linear-ish at every SF while
+    still exercising every stage; production corpora run exact-dedup
+    first, which removes exactly this pathology."""
     from sf_datalake_spark.functions.text import tokenize
     from sf_datalake_spark.operators.ssjoin import set_similarity_join
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", tokenize("text").alias("toks")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 8 == 0)
+        .select("doc_id", tokenize("text").alias("toks"))
     )
     pairs = set_similarity_join(docs, "doc_id", "toks", _SSJOIN_T)
     return pairs.select(
@@ -58,7 +68,8 @@ _SSJOIN_SQL = r"""
                list_distinct(list_filter(string_split_regex(text, '\s+'),
                                          x -> x <> '')) AS toks
         FROM documents
-        WHERE len(list_filter(string_split_regex(text, '\s+'),
+        WHERE doc_id % 8 = 0
+          AND len(list_filter(string_split_regex(text, '\s+'),
                               x -> x <> '')) > 0
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -71,7 +82,7 @@ _SSJOIN_SQL = r"""
     FROM s a JOIN s b ON a.doc_id < b.doc_id
     WHERE len(list_intersect(a.toks, b.toks)) * 1000000
           >= (len(a.toks) + len(b.toks)
-              - len(list_intersect(a.toks, b.toks))) * 500000
+              - len(list_intersect(a.toks, b.toks))) * 600000
 """
 
 
