@@ -104,8 +104,12 @@ def skyline_nd(
     local = df.mapInPandas(_local_skyline_pandas(dims, signs), schema=df.schema)
 
     # Global verify: candidate c is dropped iff some candidate q
-    # dominates it.  Candidates are few (local pruning), so the left
-    # side of this anti-join is broadcast-sized by construction.
+    # dominates it.  Candidates are few (local pruning), so the
+    # broadcast side is kilobytes by construction.  The broadcast arm
+    # re-derives `local` (the deterministic mapInPandas pass runs on
+    # both sides) — deliberate: the pass is scan-stage cheap, and a
+    # persist inside an operator would leak cached state into the
+    # caller's long-lived session (cache-hygiene contract).
     q = local.select(*[F.col(d).alias(f"__q_{d}") for d in dims])
     geq = [
         (F.col(f"__q_{d}") >= F.col(d)) if s == 1 else (F.col(f"__q_{d}") <= F.col(d))

@@ -12,6 +12,7 @@ the computation is order-free.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from math import log10
 
@@ -399,6 +400,137 @@ _MAD_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Point-in-time (as-of) join against the SCD2 dimension: each line item
+# enriched with the customer's (status, priority) version valid at ship
+# time — the fact-to-slowly-changing-dimension join every warehouse
+# runs.  Equi-join on the key with the validity range as a residual
+# predicate (a hash join, never a BNLJ); the dimension side is the
+# compressed version table, orders of magnitude below the log.
+# ---------------------------------------------------------------------------
+
+def q_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line items of 1-in-20 customers joined to the customer's SCD2
+    version valid at l_shipdate, aggregated per (version status,
+    return flag)."""
+    from sf_datalake_spark.operators.scd import scd2_build
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
+    dim = scd2_build(
+        orders,
+        ["o_custkey"],
+        "o_orderdate",
+        ["o_orderstatus", "o_orderpriority"],
+        tiebreak_col="o_orderkey",
+    ).select(
+        F.col("o_custkey").alias("d_custkey"),
+        F.col("o_orderstatus").alias("version_status"),
+        "valid_from",
+        "valid_to",
+    )
+    facts = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "o_custkey",
+            "l_shipdate",
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    pit = facts.join(
+        dim,
+        (F.col("o_custkey") == F.col("d_custkey"))
+        & (F.col("valid_from") <= F.col("l_shipdate"))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("l_shipdate"))),
+    )
+    return pit.groupBy("version_status", "l_returnflag").agg(
+        F.count("*").alias("n_facts"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+
+
+_SCD2_PIT_SQL = """
+    WITH log AS (SELECT * FROM orders WHERE o_custkey % 20 = 0),
+    chg AS (
+        SELECT *,
+               (lag(o_orderstatus) OVER w IS DISTINCT FROM o_orderstatus
+                OR lag(o_orderpriority) OVER w IS DISTINCT FROM o_orderpriority)
+                   AS changed
+        FROM log
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    v AS (SELECT * FROM chg WHERE changed),
+    dim AS (
+        SELECT o_custkey AS d_custkey, o_orderstatus AS version_status,
+               o_orderdate AS valid_from,
+               lead(o_orderdate) OVER w2 AS valid_to
+        FROM v
+        WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    facts AS (
+        SELECT o_custkey, l_shipdate, l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem JOIN log ON l_orderkey = o_orderkey
+    )
+    SELECT version_status, l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_facts,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM facts JOIN dim
+      ON o_custkey = d_custkey
+     AND valid_from <= l_shipdate
+     AND (valid_to IS NULL OR valid_to > l_shipdate)
+    GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD2 maintenance: the dimension maintained under a change
+# stream via rebuild-from-log per touched key (order-independent).
+# The availableNow drain must equal the batch scd2_build — same oracle
+# as scd2_dimension.
+# ---------------------------------------------------------------------------
+
+def q_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scd2_dimension query run AS A STREAM: order changes arrive
+    in micro-batches, the dimension is rebuilt per touched key from
+    the accumulated log, and the final table must equal the batch
+    build exactly."""
+    import shutil
+    import tempfile
+
+    from sf_datalake_spark.queries_ext import _stage_stream_source
+    from sf_datalake_spark.streaming import read_file_stream, run_scd2_sink
+
+    orders_path = os.path.join(sf_dir, "orders.parquet")
+    schema = spark.read.parquet(orders_path).schema
+    app_id = spark.sparkContext.applicationId
+    root = (
+        f"{tempfile.gettempdir()}/sf_datalake_spark_scd2/"
+        f"{app_id}/{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    _stage_stream_source(orders_path, src)
+    stream = read_file_stream(spark, src, schema).filter(
+        F.col("o_custkey") % 20 == 0
+    )
+    run_scd2_sink(
+        stream,
+        os.path.join(root, "log"),
+        os.path.join(root, "dim"),
+        ["o_custkey"],
+        "o_orderdate",
+        ["o_orderstatus", "o_orderpriority"],
+        tiebreak_col="o_orderkey",
+        query_name="q_streaming_scd2",
+    )
+    return spark.read.parquet(os.path.join(root, "dim"))
+
+
 QUERIES_MINING: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ssjoin_exact": q_ssjoin_exact,
     "scd2_dimension": q_scd2_dimension,
@@ -407,6 +539,8 @@ QUERIES_MINING: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "acf_revenue": q_acf_revenue,
     "benford_profile": q_benford_profile,
     "mad_outlier_days": q_mad_outlier_days,
+    "scd2_pit_join": q_scd2_pit_join,
+    "streaming_scd2": q_streaming_scd2,
 }
 
 ORACLES_MINING: dict[str, str] = {
@@ -417,4 +551,6 @@ ORACLES_MINING: dict[str, str] = {
     "acf_revenue": _ACF_SQL,
     "benford_profile": _BENFORD_SQL,
     "mad_outlier_days": _MAD_SQL,
+    "scd2_pit_join": _SCD2_PIT_SQL,
+    "streaming_scd2": _SCD2_SQL,
 }

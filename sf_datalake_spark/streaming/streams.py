@@ -748,3 +748,70 @@ def streaming_sample_admissions(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def run_scd2_sink(
+    stream: DataFrame,
+    log_path: str,
+    dim_path: str,
+    key_cols: Sequence[str],
+    seq_col: str,
+    attr_cols: Sequence[str],
+    tiebreak_col: str | None = None,
+    query_name: str = "scd2_sink",
+    state_partitions: int | None = 8,
+) -> None:
+    """Maintain a type-2 dimension under a change-log stream.
+
+    Each micro-batch is appended to a keyed LOG store, then the SCD2
+    dimension is rebuilt ONLY for the keys the batch touched
+    (``operators.scd.scd2_build`` over the affected slice of the log)
+    and swapped into the dimension table alongside the untouched rows.
+
+    Rebuild-from-log makes the commit ORDER-INDEPENDENT: the dimension
+    equals ``scd2_build`` over the entire accumulated log after every
+    batch, even when a key's changes arrive across batches out of
+    sequence order — the property version-append schemes only get
+    under in-order delivery.  Per-batch cost is the touched keys'
+    history (affected-key set is broadcast into both the log filter
+    and the dimension anti-join), never the full log; at production
+    scale the same ``foreachBatch`` body writes through a
+    transactional table format, exactly like ``run_upsert_sink``.
+    """
+    import os
+    import shutil
+
+    from sf_datalake_spark.operators.scd import scd2_build
+
+    keys = list(key_cols)
+
+    def rebuild(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df.write.mode("append").parquet(log_path)
+        affected = batch_df.select(*keys).distinct()
+        log = spark.read.parquet(log_path)
+        aff_log = log.join(F.broadcast(affected), keys)
+        rebuilt = scd2_build(
+            aff_log, keys, seq_col, list(attr_cols), tiebreak_col
+        )
+        if os.path.exists(dim_path):
+            untouched = spark.read.parquet(dim_path).join(
+                F.broadcast(affected), keys, "left_anti"
+            )
+            new_dim = untouched.unionByName(rebuilt)
+        else:
+            new_dim = rebuilt
+        staging = f"{dim_path}.staging-{batch_id}"
+        new_dim.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(dim_path, ignore_errors=True)
+        os.replace(staging, dim_path)
+
+    with _state_partitions(stream.sparkSession, state_partitions):
+        q = (
+            stream.writeStream.foreachBatch(rebuild)
+            .outputMode("append")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

@@ -483,3 +483,75 @@ def test_analytics_plan_shapes(spark):
     # no global sort anywhere: range partitioning is the signature of
     # an ntile-style total order, which this operator exists to avoid
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_mining_query_plan_shapes(spark):
+    """Round-4b mining batch: ssjoin's candidate generation must be an
+    EQUI-join on the prefix token (never cartesian/BNLJ, even on the
+    clone-heavy corpus); the doc_id slice must push to the scan.
+    pareto_parts must not range-partition the raw part table (the
+    groupBy-first design) and its only join is the broadcast frontier;
+    pareto_parts_3d's sole Python stage is the local-skyline
+    mapInPandas and its verify join is the bounded candidate
+    broadcast.  scd2/acf/benford/mad stay JVM-only, zero cartesians."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    sf = "/root/testdata/sf0.001"
+
+    ss = qs["ssjoin_exact"](spark, sf)
+    rep = plan_report(ss, execute=True)
+    assert rep["n_python_evals"] == 0
+    assert rep["n_cartesian_products"] == 0
+    assert rep["n_nested_loop_joins"] == 0
+    assert any("doc_id" in f for f in rep["pushed_filters"]), (
+        "doc_id slice not pushed to the documents scan"
+    )
+
+    p2 = qs["pareto_parts"](spark, sf)
+    plan = p2._jdf.queryExecution().executedPlan().toString()
+    assert "RangePartitioning" not in plan, (
+        "2-D skyline globally sorted the raw table"
+    )
+    rep = plan_report(p2, execute=True)
+    assert rep["n_python_evals"] == 0
+    assert rep["n_broadcasts"] >= 1       # frontier rejoin
+    assert rep["n_cartesian_products"] == 0
+
+    # the broadcast side of the verify join re-derives the candidate
+    # frame, so the (deterministic, scan-stage) local-skyline pass
+    # appears twice — the documented alternative to persisting inside
+    # a registry query (cache-hygiene rule: no leaked persisted RDDs)
+    rep = plan_report(qs["pareto_parts_3d"](spark, sf), execute=True)
+    assert rep["n_python_evals"] == 2
+    assert rep["n_cartesian_products"] == 0
+    assert rep["n_nested_loop_joins"] == 1  # candidate broadcast verify
+    assert rep["n_broadcasts"] >= 1
+
+    for name in ("scd2_dimension", "acf_revenue", "mad_outlier_days",
+                 "scd2_pit_join"):
+        rep = plan_report(qs[name](spark, sf), execute=True)
+        assert rep["n_python_evals"] == 0, name
+        assert rep["n_cartesian_products"] == 0, name
+        assert rep["n_nested_loop_joins"] == 0, name
+
+    # benford: its ONLY nested-loop join is the 1-row total broadcast
+    # (the bm25-stats pattern); still JVM-only.
+    rep = plan_report(qs["benford_profile"](spark, sf), execute=True)
+    assert rep["n_python_evals"] == 0
+    assert rep["n_cartesian_products"] == 0
+    assert rep["n_nested_loop_joins"] == 1
+
+
+def test_scd2_windows_share_one_exchange(spark):
+    """Both SCD2 window passes run over a single partitionBy(key)
+    exchange — the compression filter must not force a re-shuffle."""
+    from sf_datalake_spark.operators.scd import scd2_build
+
+    log = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    dim = scd2_build(
+        log, ["o_custkey"], "o_orderdate",
+        ["o_orderstatus"], tiebreak_col="o_orderkey",
+    )
+    rep = plan_report(dim, execute=True)
+    assert rep["n_exchanges"] == 1

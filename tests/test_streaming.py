@@ -451,3 +451,53 @@ def test_streaming_sample_admissions_matches_batch_topk(spark, tmp_path):
     assert got == want
     # admissions are a strict subset of the stream (state rejected rows)
     assert len(admitted) < len(rows)
+
+
+def test_scd2_sink_out_of_order_batches_equal_batch_build(spark, tmp_path):
+    """run_scd2_sink rebuilds from the accumulated log, so two
+    micro-batches delivering a key's changes OUT of sequence order
+    must still converge to the batch scd2_build of the full log."""
+    import datetime as dt
+
+    from sf_datalake_spark.operators.scd import scd2_build
+    from sf_datalake_spark.streaming import run_scd2_sink
+
+    d = dt.date
+    schema = "k int, ts date, op_id int, status string"
+    # batch 1 carries the LATER change for key 1; batch 2 the earlier
+    # ones (out-of-order across batches) plus key 2
+    b1 = [(1, d(2023, 3, 1), 3, "B")]
+    b2 = [
+        (1, d(2023, 1, 1), 1, "A"),
+        (1, d(2023, 2, 1), 2, "A"),
+        (2, d(2023, 1, 5), 4, "X"),
+    ]
+    src = str(tmp_path / "scd2_in")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    log_path = str(tmp_path / "log")
+    dim_path = str(tmp_path / "dim")
+    run_scd2_sink(
+        stream, log_path, dim_path, ["k"], "ts", ["status"],
+        tiebreak_col="op_id", query_name="t_scd2_sink",
+    )
+    got = {
+        (r.k, r.status, r.valid_from, r.valid_to, r.version_n, r.is_current)
+        for r in spark.read.parquet(dim_path).collect()
+    }
+    full_log = spark.createDataFrame(b1 + b2, schema)
+    want = {
+        (r.k, r.status, r.valid_from, r.valid_to, r.version_n, r.is_current)
+        for r in scd2_build(
+            full_log, ["k"], "ts", ["status"], tiebreak_col="op_id"
+        ).collect()
+    }
+    assert got == want
+    # sanity: A(compressed) -> B for key 1, single version for key 2
+    assert (1, "A", dt.date(2023, 1, 1), dt.date(2023, 3, 1), 1, False) in got
+    assert (2, "X", dt.date(2023, 1, 5), None, 1, True) in got
