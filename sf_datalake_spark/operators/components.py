@@ -497,3 +497,115 @@ def triangle_stats(
             ).otherwise(F.lit(0.0)).alias("clustering"),
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "id_1",
+    dst: str = "id_2",
+    max_iter: int = 40,
+    driver_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Vertices of the k-core — the maximal subgraph in which every
+    vertex keeps degree >= k — with their within-core degree.
+
+    The classic peeling fixpoint (Seidman 1983, public literature):
+    repeatedly delete vertices of degree < k until none remain.
+    Returns ``(id, core_degree)``.
+
+    Adaptive like :func:`connected_components`: graphs up to
+    ``driver_threshold`` edges peel on the driver (bucket-queue,
+    O(E)); larger graphs run the distributed loop — per round ONE
+    degree aggregation and two semi-joins against the >= k survivor
+    set, snapshots localCheckpoint'ed at a data-proportional width so
+    lineage never compounds.  Peeling is monotone (the alive set only
+    shrinks), so round count is bounded by the graph's degeneracy
+    ordering depth — single digits on similarity graphs; a RuntimeError
+    names ``max_iter`` when a pathological chain exceeds it.
+    Both paths return identical frames (unit-tested).
+    """
+    import math
+
+    # canonicalize + distinct: duplicate edges (either orientation)
+    # must not double-count degrees — the driver path's adjacency SETS
+    # dedup implicitly, so the distributed path must match.
+    directed = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    try:
+        n_edges = directed.count()
+        if n_edges <= driver_threshold:
+            return _k_core_driver(directed, k)
+        und = directed.union(
+            directed.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        parts = max(1, math.ceil(2 * n_edges / 4_000_000))
+        alive = und.coalesce(parts).localCheckpoint(eager=True)
+        n_alive = 2 * n_edges
+        for round_no in range(max_iter):
+            keep = (
+                alive.groupBy("u")
+                .agg(F.count("*").alias("__deg"))
+                .filter(F.col("__deg") >= k)
+                .select("u")
+            )
+            pruned = (
+                alive.join(keep, "u", "left_semi")
+                .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+                .coalesce(parts)
+                .localCheckpoint(eager=True)
+            )
+            n_next = pruned.count()
+            alive = pruned
+            if (round_no + 1) % 8 == 0:
+                alive.sparkSession.sparkContext._jvm.System.gc()
+            if n_next == n_alive:
+                return alive.groupBy(F.col("u").alias("id")).agg(
+                    F.count("*").cast("int").alias("core_degree")
+                )
+            n_alive = n_next
+            if n_alive == 0:
+                id_type = dict(directed.dtypes)["u"]
+                return directed.sparkSession.createDataFrame(
+                    [], f"id {id_type}, core_degree int"
+                )
+        raise RuntimeError(
+            f"k_core did not converge in {max_iter} rounds; raise max_iter"
+        )
+    finally:
+        directed.unpersist()
+
+
+def _k_core_driver(directed: DataFrame, k: int) -> DataFrame:
+    """Small-graph path: standard peeling with a work queue on the
+    (bounded, already-persisted) edge list."""
+    from collections import defaultdict
+
+    adj: dict = defaultdict(set)
+    for r in directed.collect():
+        adj[r[0]].add(r[1])
+        adj[r[1]].add(r[0])
+    deg = {n: len(s) for n, s in adj.items()}
+    queue = [n for n, d in deg.items() if d < k]
+    dead = set(queue)
+    while queue:
+        n = queue.pop()
+        for m in adj[n]:
+            if m in dead:
+                continue
+            deg[m] -= 1
+            if deg[m] < k:
+                dead.add(m)
+                queue.append(m)
+    out = [(n, deg[n]) for n in adj if n not in dead]
+    id_type = dict(directed.dtypes)["u"]
+    return directed.sparkSession.createDataFrame(
+        out, f"id {id_type}, core_degree int"
+    )

@@ -531,6 +531,68 @@ def q_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(root, "dim"))
 
 
+# ---------------------------------------------------------------------------
+# k-core of the co-purchase graph: parts that co-occur in >= 2 orders
+# form edges; the 3-core is the maximal subgraph where every part
+# keeps >= 3 such neighbors.  Spark side peels to fixpoint
+# (operators/components.py::k_core, adaptive driver/distributed); the
+# oracle replays 40 peel rounds as a recursive CTE (idempotent after
+# convergence, so fixpoint == fixed-round).
+# ---------------------------------------------------------------------------
+
+def q_k_core_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts in the 3-core of the co-purchase graph (edge = the pair
+    co-occurs in >= 2 orders), with their within-core degree."""
+    from sf_datalake_spark.operators.components import k_core
+
+    baskets = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, (x, i) -> "
+                    "transform(slice(items, i + 2, size(items)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= 2)
+    )
+    return k_core(pairs, 3, "u", "v")
+
+
+_K_CORE_SQL = """
+    WITH RECURSIVE pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    und AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+    peel AS (
+        SELECT 0 AS r, u, v FROM und
+        UNION ALL
+        SELECT r + 1, u, v FROM (
+            SELECT r, u, v,
+                   count(*) OVER (PARTITION BY u) AS du,
+                   count(*) OVER (PARTITION BY v) AS dv
+            FROM peel WHERE r < 40
+        ) WHERE du >= 3 AND dv >= 3
+    )
+    SELECT u AS id, CAST(count(*) AS INT) AS core_degree
+    FROM peel WHERE r = 40 GROUP BY u
+"""
+
+
 QUERIES_MINING: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ssjoin_exact": q_ssjoin_exact,
     "scd2_dimension": q_scd2_dimension,
@@ -541,6 +603,7 @@ QUERIES_MINING: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mad_outlier_days": q_mad_outlier_days,
     "scd2_pit_join": q_scd2_pit_join,
     "streaming_scd2": q_streaming_scd2,
+    "k_core_parts": q_k_core_parts,
 }
 
 ORACLES_MINING: dict[str, str] = {
@@ -553,4 +616,5 @@ ORACLES_MINING: dict[str, str] = {
     "mad_outlier_days": _MAD_SQL,
     "scd2_pit_join": _SCD2_PIT_SQL,
     "streaming_scd2": _SCD2_SQL,
+    "k_core_parts": _K_CORE_SQL,
 }

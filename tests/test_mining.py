@@ -230,3 +230,74 @@ def test_acf_short_and_constant_series(spark):
     assert out["c"].acf_1 is None          # n <= k
     assert out["s"].acf_1 is None          # constant -> den == 0
     assert out["s"].n_obs == 2
+
+
+# ---------------------------------------------------------------------------
+# k-core
+# ---------------------------------------------------------------------------
+
+def _kcore_edges(spark):
+    # triangle {1,2,3} + pendant 4 + square {5,6,7,8} with a chord
+    rows = [
+        (1, 2), (1, 3), (2, 3), (3, 4),
+        (5, 6), (6, 7), (7, 8), (8, 5), (5, 7),
+    ]
+    return spark.createDataFrame(rows, ["a", "b"])
+
+
+def test_k_core_golden(spark):
+    from sf_datalake_spark.operators.components import k_core
+
+    got = {
+        (r.id, r.core_degree)
+        for r in k_core(_kcore_edges(spark), 2, "a", "b").collect()
+    }
+    # pendant 4 peels; triangle and square (with chord) survive at k=2
+    assert got == {
+        (1, 2), (2, 2), (3, 2),
+        (5, 3), (6, 2), (7, 3), (8, 2),
+    }
+    # k=3: only the chorded square's {5,7} have degree 3, but removing
+    # 6/8 drops them below 3 -> empty 3-core
+    assert k_core(_kcore_edges(spark), 3, "a", "b").count() == 0
+
+
+def test_k_core_driver_equals_distributed(spark):
+    from sf_datalake_spark.operators.components import k_core
+
+    edges = _kcore_edges(spark)
+    drv = {
+        (r.id, r.core_degree)
+        for r in k_core(edges, 2, "a", "b").collect()
+    }
+    dist = {
+        (r.id, r.core_degree)
+        for r in k_core(edges, 2, "a", "b", driver_threshold=0).collect()
+    }
+    assert drv == dist
+
+
+def test_k_core_duplicate_and_reversed_edges_collapse(spark):
+    from sf_datalake_spark.operators.components import k_core
+
+    rows = [(1, 2), (2, 1), (1, 2), (2, 3), (3, 1), (1, 1)]
+    edges = spark.createDataFrame(rows, ["a", "b"])
+    for thr in (0, 10**6):   # both paths
+        got = {
+            (r.id, r.core_degree)
+            for r in k_core(edges, 2, "a", "b", driver_threshold=thr).collect()
+        }
+        assert got == {(1, 2), (2, 2), (3, 2)}
+
+
+def test_k_core_cache_hygiene(spark):
+    """The explicit edge-list persist is released on exit.  (The
+    distributed path's localCheckpoint snapshots are ContextCleaner-
+    freed after JVM GC — the same documented lifecycle as
+    connected_components — so the strict zero-delta assertion applies
+    to the driver path, like the dedup_clusters plan test.)"""
+    from sf_datalake_spark.operators.components import k_core
+
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    k_core(_kcore_edges(spark), 2, "a", "b").collect()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before
