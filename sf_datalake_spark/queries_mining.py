@@ -593,6 +593,203 @@ _K_CORE_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC): change feed between two versions of the orders
+# table (simulated deletes / updates / inserts on modular key slices),
+# aggregated per change type in exact cents.
+# ---------------------------------------------------------------------------
+
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between orders and a modified snapshot:
+    per change type, the row count and cents total of the feed the
+    diff operator emits."""
+    from sf_datalake_spark.operators.diff import table_diff
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    new = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)      # deletes
+        .withColumn(
+            "cents",
+            F.when(
+                F.col("o_orderkey") % 89 == 0, F.col("cents") + 100
+            ).otherwise(F.col("cents")),                   # updates
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 83 == 0).select(
+                (F.col("o_orderkey") + F.lit(30_000_000)).alias("o_orderkey"),
+                "o_orderstatus",
+                "cents",
+            )                                             # inserts
+        )
+    )
+    feed = table_diff(orders, new, ["o_orderkey"])
+    return feed.groupBy("change_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("cents").alias("cents_total"),
+    )
+
+
+_TABLE_DIFF_SQL = """
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    new AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 89 = 0 THEN cents + 100 ELSE cents END
+                   AS cents
+        FROM old WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 30000000, o_orderstatus, cents
+        FROM old WHERE o_orderkey % 83 = 0
+    ),
+    feed AS (
+        SELECT CASE
+                 WHEN o.o_orderkey IS NULL THEN 'insert'
+                 WHEN n.o_orderkey IS NULL THEN 'delete'
+                 WHEN n.o_orderstatus IS DISTINCT FROM o.o_orderstatus
+                   OR n.cents IS DISTINCT FROM o.cents THEN 'update'
+               END AS change_type,
+               coalesce(n.cents, o.cents) AS cents
+        FROM new n FULL OUTER JOIN old o ON n.o_orderkey = o.o_orderkey
+    )
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS cents_total
+    FROM feed WHERE change_type IS NOT NULL
+    GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit: orphan counts per foreign-key relation
+# (one relation with simulated missing parents, two true ones).
+# ---------------------------------------------------------------------------
+
+def q_fk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per FK relation: child row count and orphans (children whose
+    parent key is absent) — lineitem->orders runs against a parent
+    slice with 1-in-10 keys removed to exercise the violation path."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    part = _t(spark, sf_dir, "part")
+
+    def audit(rel, child, ck, parent, pk):
+        orphans = child.join(
+            parent.select(F.col(pk).alias(ck)), ck, "left_anti"
+        )
+        return child.agg(
+            F.lit(rel).alias("relation"),
+            F.count("*").alias("n_children"),
+        ).crossJoin(
+            orphans.agg(F.count("*").alias("n_orphans"))
+        )
+
+    holey = orders.filter(F.col("o_orderkey") % 10 != 0)
+    return (
+        audit("lineitem->orders_holey", li.select("l_orderkey"), "l_orderkey",
+              holey, "o_orderkey")
+        .unionByName(
+            audit("orders->customer", orders.select("o_custkey"), "o_custkey",
+                  cust, "c_custkey")
+        )
+        .unionByName(
+            audit("lineitem->part", li.select("l_partkey"), "l_partkey",
+                  part, "p_partkey")
+        )
+    )
+
+
+_FK_SQL = """
+    SELECT 'lineitem->orders_holey' AS relation,
+           CAST(count(*) AS BIGINT) AS n_children,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans
+    FROM lineitem LEFT JOIN (
+        SELECT o_orderkey FROM orders WHERE o_orderkey % 10 <> 0
+    ) p ON l_orderkey = o_orderkey
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    UNION ALL
+    SELECT 'lineitem->part',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact two-sample Kolmogorov-Smirnov drift per priority: early orders
+# (<= 1994) vs late.  ECDFs via RANGE-frame cumulative counts (ties
+# land in both CDFs at once, the exact definition); the statistic is a
+# max over exact-rational doubles — no rounding decides it.
+# ---------------------------------------------------------------------------
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per priority: the exact KS distance between the early and late
+    order-total distributions."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.year("o_orderdate") <= 1997).cast("int").alias("g1"),
+    )
+    w_all = Window.partitionBy("o_orderpriority")
+    w_cum = w_all.orderBy("cents")   # default frame: RANGE -> ties together
+    scored = orders.select(
+        "o_orderpriority",
+        (
+            F.abs(
+                F.sum("g1").over(w_cum) / F.sum("g1").over(w_all)
+                - (F.count("*").over(w_cum) - F.sum("g1").over(w_cum))
+                / (F.count("*").over(w_all) - F.sum("g1").over(w_all))
+            )
+        ).alias("d"),
+        F.col("g1"),
+    )
+    return scored.groupBy("o_orderpriority").agg(
+        F.sum("g1").alias("n_early"),
+        (F.count("*") - F.sum("g1")).alias("n_late"),
+        F.max("d").alias("ks_stat"),
+    )
+
+
+_KS_SQL = """
+    WITH v AS (
+        SELECT o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 0 END AS g1
+        FROM orders
+    ),
+    scored AS (
+        SELECT o_orderpriority, g1,
+               abs(
+                 CAST(sum(g1) OVER wc AS DOUBLE)
+                   / sum(g1) OVER wa
+                 - CAST(count(*) OVER wc - sum(g1) OVER wc AS DOUBLE)
+                   / (count(*) OVER wa - sum(g1) OVER wa)
+               ) AS d
+        FROM v
+        WINDOW wc AS (PARTITION BY o_orderpriority ORDER BY cents),
+               wa AS (PARTITION BY o_orderpriority)
+    )
+    SELECT o_orderpriority,
+           CAST(sum(g1) AS BIGINT) AS n_early,
+           CAST(count(*) - sum(g1) AS BIGINT) AS n_late,
+           max(d) AS ks_stat
+    FROM scored GROUP BY 1
+"""
+
+
 QUERIES_MINING: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ssjoin_exact": q_ssjoin_exact,
     "scd2_dimension": q_scd2_dimension,
@@ -604,6 +801,9 @@ QUERIES_MINING: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_pit_join": q_scd2_pit_join,
     "streaming_scd2": q_streaming_scd2,
     "k_core_parts": q_k_core_parts,
+    "table_diff": q_table_diff,
+    "fk_violations": q_fk_violations,
+    "ks_drift": q_ks_drift,
 }
 
 ORACLES_MINING: dict[str, str] = {
@@ -617,4 +817,7 @@ ORACLES_MINING: dict[str, str] = {
     "scd2_pit_join": _SCD2_PIT_SQL,
     "streaming_scd2": _SCD2_SQL,
     "k_core_parts": _K_CORE_SQL,
+    "table_diff": _TABLE_DIFF_SQL,
+    "fk_violations": _FK_SQL,
+    "ks_drift": _KS_SQL,
 }

@@ -301,3 +301,41 @@ def test_k_core_cache_hygiene(spark):
     before = len(spark.sparkContext._jsc.getPersistentRDDs())
     k_core(_kcore_edges(spark), 2, "a", "b").collect()
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before
+
+
+# ---------------------------------------------------------------------------
+# table diff (CDC)
+# ---------------------------------------------------------------------------
+
+def test_table_diff_classifies_all_change_types(spark):
+    from sf_datalake_spark.operators.diff import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k int, s string, v int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10),        # unchanged -> dropped
+         (2, "B", 20),        # update (string)
+         (4, None, 41),       # update (value; null attr compares safely)
+         (5, "e", 50)],       # insert
+        "k int, s string, v int",
+    )
+    got = {(r.k, r.change_type, r.s, r.v) for r in table_diff(old, new, ["k"]).collect()}
+    assert got == {
+        (2, "update", "B", 20),
+        (3, "delete", "c", 30),
+        (4, "update", None, 41),
+        (5, "insert", "e", 50),
+    }
+
+
+def test_table_diff_schema_mismatch_raises(spark):
+    import pytest as _pytest
+
+    from sf_datalake_spark.operators.diff import table_diff
+
+    a = spark.createDataFrame([(1, 2)], "k int, v int")
+    b = spark.createDataFrame([(1, 2)], "k int, w int")
+    with _pytest.raises(ValueError):
+        table_diff(a, b, ["k"])
