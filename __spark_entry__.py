@@ -97,7 +97,7 @@ _NEW_R04 = frozenset({
     "ssjoin_exact", "scd2_dimension", "pareto_parts", "pareto_parts_3d",
     "acf_revenue", "benford_profile", "mad_outlier_days",
     "scd2_pit_join", "streaming_scd2", "k_core_parts",
-    "table_diff", "fk_violations", "ks_drift",
+    "table_diff", "fk_violations", "ks_drift", "isotonic_trend",
 })
 
 

@@ -790,6 +790,66 @@ _KS_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Isotonic (monotone non-decreasing) fit of monthly revenue per
+# priority via PAVA (operators/isotonic.py).  Oracled through the
+# classical minimax identity fit[i] = max_{j<=i} min_{k>=i} avg(j..k)
+# over integer prefix sums: distinct segment averages differ by at
+# least 1/(n_max^2) absolutely (cross-multiplied integers), far above
+# double ulp at these magnitudes, so the SQL min/max over doubles
+# picks the same rational — and the same division operands — as the
+# PAVA pool.
+# ---------------------------------------------------------------------------
+
+def q_isotonic_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue per priority with its isotonic best monotone
+    fit — the binning-free calibration/trend primitive."""
+    from sf_datalake_spark.operators.isotonic import isotonic_fit
+
+    monthly = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority",
+            F.date_trunc("month", "o_orderdate").alias("m"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    return isotonic_fit(monthly, ["o_orderpriority"], "m", "rev_cents")
+
+
+_ISOTONIC_SQL = """
+    WITH mon AS (
+        SELECT o_orderpriority,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM orders GROUP BY 1, 2
+    ),
+    ps AS (
+        SELECT o_orderpriority, m, rev_cents,
+               CAST(row_number() OVER w AS INT) AS i,
+               CAST(sum(rev_cents) OVER w AS BIGINT) AS s
+        FROM mon
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY m)
+    ),
+    inner_min AS (
+        SELECT a.o_orderpriority, a.i, a.m, a.rev_cents, j.i AS j,
+               min(CAST(k.s - (j.s - j.rev_cents) AS DOUBLE)
+                   / (k.i - j.i + 1)) AS v
+        FROM ps a
+        JOIN ps j ON j.o_orderpriority = a.o_orderpriority AND j.i <= a.i
+        JOIN ps k ON k.o_orderpriority = a.o_orderpriority AND k.i >= a.i
+        GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT o_orderpriority, m, rev_cents, max(v) AS fitted
+    FROM inner_min GROUP BY 1, 2, 3
+"""
+
+
 QUERIES_MINING: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ssjoin_exact": q_ssjoin_exact,
     "scd2_dimension": q_scd2_dimension,
@@ -804,6 +864,7 @@ QUERIES_MINING: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_diff": q_table_diff,
     "fk_violations": q_fk_violations,
     "ks_drift": q_ks_drift,
+    "isotonic_trend": q_isotonic_trend,
 }
 
 ORACLES_MINING: dict[str, str] = {
@@ -820,4 +881,5 @@ ORACLES_MINING: dict[str, str] = {
     "table_diff": _TABLE_DIFF_SQL,
     "fk_violations": _FK_SQL,
     "ks_drift": _KS_SQL,
+    "isotonic_trend": _ISOTONIC_SQL,
 }

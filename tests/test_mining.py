@@ -339,3 +339,59 @@ def test_table_diff_schema_mismatch_raises(spark):
     b = spark.createDataFrame([(1, 2)], "k int, w int")
     with _pytest.raises(ValueError):
         table_diff(a, b, ["k"])
+
+
+# ---------------------------------------------------------------------------
+# isotonic (PAVA)
+# ---------------------------------------------------------------------------
+
+def test_pava_known_fit():
+    from sf_datalake_spark.operators.isotonic import pava_fit_int
+
+    # textbook case: [4, 2, 3, 5] -> pools {4,2,3}->3, {5}
+    assert pava_fit_int([4, 2, 3, 5]) == [3.0, 3.0, 3.0, 5.0]
+    # already monotone -> identity
+    assert pava_fit_int([1, 2, 3]) == [1.0, 2.0, 3.0]
+    # strictly decreasing -> global mean
+    assert pava_fit_int([3, 2, 1]) == [2.0, 2.0, 2.0]
+    assert pava_fit_int([]) == []
+
+
+@settings(max_examples=60, deadline=None)
+@given(ys=st.lists(st.integers(min_value=0, max_value=50), max_size=12))
+def test_pava_properties(ys):
+    from sf_datalake_spark.operators.isotonic import pava_fit_int
+
+    fit = pava_fit_int(ys)
+    # monotone
+    assert all(a <= b for a, b in zip(fit, fit[1:]))
+    # mean-preserving (PAVA pools preserve the total)
+    if ys:
+        assert sum(fit) == pytest.approx(sum(ys), abs=1e-9)
+    # minimax identity on small inputs
+    n = len(ys)
+    for i in range(n):
+        want = max(
+            min(
+                sum(ys[j:k + 1]) / (k - j + 1)
+                for k in range(i, n)
+            )
+            for j in range(i + 1)
+        )
+        assert fit[i] == pytest.approx(want, abs=1e-12)
+
+
+def test_isotonic_fit_groups(spark):
+    from sf_datalake_spark.operators.isotonic import isotonic_fit
+
+    rows = [("a", 1, 4), ("a", 2, 2), ("a", 3, 3), ("a", 4, 5),
+            ("b", 1, 7)]
+    df = spark.createDataFrame(rows, ["k", "t", "y"])
+    got = {
+        (r.k, r.t, r.fitted)
+        for r in isotonic_fit(df, ["k"], "t", "y").collect()
+    }
+    assert got == {
+        ("a", 1, 3.0), ("a", 2, 3.0), ("a", 3, 3.0), ("a", 4, 5.0),
+        ("b", 1, 7.0),
+    }
