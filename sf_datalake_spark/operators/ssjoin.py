@@ -85,24 +85,21 @@ def set_similarity_join(
         )
     )
 
+    # Candidate pairs carry ONLY (id, n) through the token join and the
+    # dedup shuffle — the token arrays rejoin after dropDuplicates, so
+    # the heavy payload moves once per SURVIVING pair, not once per
+    # (pair × shared-prefix-token) occurrence.
     prefixes = ordered.select(
         "__id",
         "n",
-        "toks",
         F.explode(F.slice("toks", F.lit(1), _prefix_len(threshold))).alias("tok"),
     )
 
     a = prefixes.select(
-        F.col("__id").alias("id_a"),
-        F.col("n").alias("n_a"),
-        F.col("toks").alias("toks_a"),
-        "tok",
+        F.col("__id").alias("id_a"), F.col("n").alias("n_a"), "tok"
     )
     b = prefixes.select(
-        F.col("__id").alias("id_b"),
-        F.col("n").alias("n_b"),
-        F.col("toks").alias("toks_b"),
-        "tok",
+        F.col("__id").alias("id_b"), F.col("n").alias("n_b"), "tok"
     )
     cand = (
         a.join(b, "tok")
@@ -114,8 +111,16 @@ def set_similarity_join(
                 >= F.ceil(F.greatest("n_a", "n_b") * F.lit(threshold))
             )
         )
-        .select("id_a", "id_b", "n_a", "n_b", "toks_a", "toks_b")
+        .select("id_a", "id_b", "n_a", "n_b")
         .dropDuplicates(["id_a", "id_b"])
+        .join(
+            ordered.select(F.col("__id").alias("id_a"), F.col("toks").alias("toks_a")),
+            "id_a",
+        )
+        .join(
+            ordered.select(F.col("__id").alias("id_b"), F.col("toks").alias("toks_b")),
+            "id_b",
+        )
     )
 
     inter = F.size(F.array_intersect("toks_a", "toks_b"))

@@ -850,6 +850,64 @@ _ISOTONIC_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact phrase search: documents containing the 3-token phrase
+# "stream table hash" with occurrence counts — a positional query the
+# bag-of-words retrieval (bm25_search) cannot answer.  Zero joins:
+# the consecutive-position test is one scan-stage HOF fold per
+# document (the inverted-index formulation needs 2 positional
+# self-joins; at any scale the scan form wins until the corpus is
+# reused across many phrase queries).
+# ---------------------------------------------------------------------------
+
+_PHRASE = ["stream", "table", "hash"]
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents containing the exact phrase, with occurrence counts."""
+    from sf_datalake_spark.functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", tokenize("text").alias("t")
+    )
+    w1, w2, w3 = (F.lit(w) for w in _PHRASE)
+    n_occ = F.aggregate(
+        F.when(
+            F.size("t") >= 3, F.sequence(F.lit(1), F.size("t") - 2)
+        ).otherwise(F.array().cast("array<int>")),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            (F.element_at("t", i) == w1)
+            & (F.element_at("t", i + 1) == w2)
+            & (F.element_at("t", i + 2) == w3),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        docs.select("doc_id", n_occ.alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+    )
+
+
+_PHRASE_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(range(1, len(t) - 1),
+                    i -> t[i] = 'stream' AND t[i + 1] = 'table'
+                         AND t[i + 2] = 'hash')) AS INT) AS n_occurrences
+    FROM toks
+    WHERE len(t) >= 3
+      AND len(list_filter(range(1, len(t) - 1),
+              i -> t[i] = 'stream' AND t[i + 1] = 'table'
+                   AND t[i + 2] = 'hash')) > 0
+"""
+
+
 QUERIES_MINING: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ssjoin_exact": q_ssjoin_exact,
     "scd2_dimension": q_scd2_dimension,
@@ -865,6 +923,7 @@ QUERIES_MINING: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fk_violations": q_fk_violations,
     "ks_drift": q_ks_drift,
     "isotonic_trend": q_isotonic_trend,
+    "phrase_search": q_phrase_search,
 }
 
 ORACLES_MINING: dict[str, str] = {
@@ -882,4 +941,5 @@ ORACLES_MINING: dict[str, str] = {
     "fk_violations": _FK_SQL,
     "ks_drift": _KS_SQL,
     "isotonic_trend": _ISOTONIC_SQL,
+    "phrase_search": _PHRASE_SQL,
 }
