@@ -908,6 +908,79 @@ _PHRASE_SQL = r"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution: each purchase credits its user's
+# touch events (view/click) in the preceding 7 days equally.  Credits
+# are exact integer parts-per-million (1_000_000 div n_touches) so the
+# per-channel totals are overflow-safe BIGINTs — no float credit sums
+# to drift between engines; the div remainder stays with the purchase
+# (documented, identical in both engines).
+# ---------------------------------------------------------------------------
+
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per touch channel: touches credited, purchases reached, and the
+    exact ppm credit total under linear attribution."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "event_type", F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("touch_id"),
+    )
+    matched = purchases.join(
+        touches,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("purchase_id")
+    # `div`, not `/`: Spark's slash on longs is double division — the
+    # exact-ppm contract needs the integer floor, which matches
+    # DuckDB's `//` (both truncate toward zero)
+    credited = matched.withColumn("__n", F.count("*").over(w)).withColumn(
+        "credit_ppm", F.expr("1000000L div __n")
+    )
+    return credited.groupBy("event_type").agg(
+        F.count("*").alias("n_touches"),
+        F.countDistinct("purchase_id").alias("n_purchases_reached"),
+        F.sum("credit_ppm").alias("credit_ppm_total"),
+    )
+
+
+_ATTRIBUTION_SQL = """
+    WITH purchases AS (
+        SELECT user_id AS p_user, event_id AS purchase_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT user_id, event_type, ts AS t_ts, event_id AS touch_id
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    matched AS (
+        SELECT * FROM purchases JOIN touches
+          ON p_user = user_id
+         AND t_ts < p_ts AND t_ts >= p_ts - INTERVAL 7 DAY
+    ),
+    credited AS (
+        SELECT event_type, purchase_id,
+               1000000 // count(*) OVER (PARTITION BY purchase_id)
+                   AS credit_ppm
+        FROM matched
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(count(DISTINCT purchase_id) AS BIGINT)
+               AS n_purchases_reached,
+           CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_total
+    FROM credited GROUP BY 1
+"""
+
+
 QUERIES_MINING: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ssjoin_exact": q_ssjoin_exact,
     "scd2_dimension": q_scd2_dimension,
@@ -924,6 +997,7 @@ QUERIES_MINING: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ks_drift": q_ks_drift,
     "isotonic_trend": q_isotonic_trend,
     "phrase_search": q_phrase_search,
+    "linear_attribution": q_linear_attribution,
 }
 
 ORACLES_MINING: dict[str, str] = {
@@ -942,4 +1016,5 @@ ORACLES_MINING: dict[str, str] = {
     "ks_drift": _KS_SQL,
     "isotonic_trend": _ISOTONIC_SQL,
     "phrase_search": _PHRASE_SQL,
+    "linear_attribution": _ATTRIBUTION_SQL,
 }
