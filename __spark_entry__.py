@@ -98,7 +98,7 @@ _NEW_R04 = frozenset({
     "acf_revenue", "benford_profile", "mad_outlier_days",
     "scd2_pit_join", "streaming_scd2", "k_core_parts",
     "table_diff", "fk_violations", "ks_drift", "isotonic_trend",
-    "phrase_search", "linear_attribution",
+    "phrase_search", "linear_attribution", "streaming_skyline",
 })
 
 

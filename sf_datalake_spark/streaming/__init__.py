@@ -7,6 +7,7 @@ from sf_datalake_spark.streaming.streams import (
     run_near_dup_gate,
     run_to_memory,
     run_scd2_sink,
+    run_skyline_sink,
     run_upsert_sink,
     running_total_alerts,
     running_total_alerts_tws,
@@ -24,6 +25,7 @@ __all__ = [
     "run_near_dup_gate",
     "run_to_memory",
     "run_scd2_sink",
+    "run_skyline_sink",
     "run_upsert_sink",
     "running_total_alerts",
     "running_total_alerts_tws",

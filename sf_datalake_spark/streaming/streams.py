@@ -815,3 +815,57 @@ def run_scd2_sink(
             .start()
         )
         q.awaitTermination()
+
+
+def run_skyline_sink(
+    stream: DataFrame,
+    target_path: str,
+    max_col: str,
+    min_col: str,
+    query_name: str = "skyline_sink",
+    state_partitions: int | None = 8,
+) -> None:
+    """Maintain a 2-D Pareto frontier under an insert stream.
+
+    Dominance is transitive, so ``skyline(S ∪ B) = skyline(skyline(S)
+    ∪ B)`` — each micro-batch only re-skylines the STORED FRONTIER
+    plus the batch, never the full history.  Per-batch cost is
+    ``|frontier| + |batch|`` (the frontier of a 2-D set is its
+    distinct-maximized-value staircase — tiny), which is what makes a
+    continuously-maintained skyline viable when the accumulated input
+    is unbounded.  Stage-and-swap parquet commit like the other
+    foreachBatch sinks; deletions would need the full history (a
+    dominated-once point never returns under inserts — the monotone
+    property this sink exploits).
+    """
+    import os
+    import shutil
+
+    from sf_datalake_spark.operators.skyline import skyline_2d
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cols = batch_df.columns
+        if os.path.exists(target_path):
+            union = (
+                spark.read.parquet(target_path)
+                .select(*cols)
+                .unionByName(batch_df)
+            )
+        else:
+            union = batch_df
+        front = skyline_2d(union, max_col, min_col)
+        staging = f"{target_path}.staging-{batch_id}"
+        front.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(target_path, ignore_errors=True)
+        os.replace(staging, target_path)
+
+    with _state_partitions(stream.sparkSession, state_partitions):
+        q = (
+            stream.writeStream.foreachBatch(step)
+            .outputMode("append")
+            .queryName(query_name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

@@ -501,3 +501,34 @@ def test_scd2_sink_out_of_order_batches_equal_batch_build(spark, tmp_path):
     # sanity: A(compressed) -> B for key 1, single version for key 2
     assert (1, "A", dt.date(2023, 1, 1), dt.date(2023, 3, 1), 1, False) in got
     assert (2, "X", dt.date(2023, 1, 5), None, 1, True) in got
+
+
+def test_skyline_sink_incremental_equals_batch(spark, tmp_path):
+    """Frontier maintained over two micro-batches — with the second
+    batch dominating part of the first's frontier — must equal the
+    batch skyline of the union."""
+    from sf_datalake_spark.operators.skyline import skyline_2d
+    from sf_datalake_spark.streaming import run_skyline_sink
+
+    schema = "id int, a int, b int"
+    b1 = [(1, 10, 5), (2, 8, 3), (3, 12, 9)]
+    b2 = [(4, 10, 2), (5, 12, 9), (6, 1, 1)]   # 4 dominates 1 and 2
+    src = str(tmp_path / "sky_in")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    target = str(tmp_path / "sky_dim")
+    run_skyline_sink(stream, target, "a", "b", query_name="t_sky_sink")
+    got = {(r.id, r.a, r.b) for r in spark.read.parquet(target).collect()}
+    want = {
+        (r.id, r.a, r.b)
+        for r in skyline_2d(
+            spark.createDataFrame(b1 + b2, schema), "a", "b"
+        ).collect()
+    }
+    assert got == want
+    assert (4, 10, 2) in got and (1, 10, 5) not in got
