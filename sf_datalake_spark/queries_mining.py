@@ -1028,6 +1028,58 @@ def q_streaming_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(root, "dim"))
 
 
+# ---------------------------------------------------------------------------
+# int8 scalar-quantized similarity search: SQ8 compression (4x over
+# float32) with EXACT integer dot-product scoring — unlike the
+# rows-only PQ/IVF/LSH variants this one is fully oracled, because
+# 255²·64 < 2^53 keeps every score an exact integer in both engines.
+# ---------------------------------------------------------------------------
+
+def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 neighbors by int8-quantized dot product for the 1-in-100
+    query vectors; scores exact integers, ties broken by neighbor id."""
+    from sf_datalake_spark.operators.similarity import (
+        int8_scalar_quantize,
+        int8_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = int8_scalar_quantize(emb, "vec_id", "embedding", dims=64)
+    queries = codes.filter(F.col("vec_id") % 100 == 0).select("vec_id")
+    return int8_topk(codes, queries, "vec_id", k=3)
+
+
+_ANN_INT8_SQL = """
+    WITH stats AS (
+        SELECT i, min(embedding[i]::DOUBLE) AS mn, max(embedding[i]::DOUBLE) AS mx
+        FROM embeddings, unnest(range(1, 65)) t(i)
+        GROUP BY i
+    ),
+    codes AS (
+        SELECT vec_id,
+               list(CASE WHEN mx = mn THEN 0
+                         ELSE CAST(least(255, greatest(0,
+                              floor((embedding[i]::DOUBLE - mn) * 255
+                                    / (mx - mn)))) AS BIGINT)
+                    END ORDER BY i) AS c
+        FROM embeddings, unnest(range(1, 65)) t(i)
+        JOIN stats USING (i)
+        GROUP BY vec_id
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(list_inner_product(q.c, c.c) AS BIGINT) AS score
+        FROM codes q JOIN codes c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id % 100 = 0
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER w AS INT) AS rank, score
+    FROM scored
+    WINDOW w AS (PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+    QUALIFY row_number() OVER w <= 3
+"""
+
+
 QUERIES_MINING: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ssjoin_exact": q_ssjoin_exact,
     "scd2_dimension": q_scd2_dimension,
@@ -1046,6 +1098,7 @@ QUERIES_MINING: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_search": q_phrase_search,
     "linear_attribution": q_linear_attribution,
     "streaming_skyline": q_streaming_skyline,
+    "ann_int8_topk": q_ann_int8_topk,
 }
 
 ORACLES_MINING: dict[str, str] = {
@@ -1066,4 +1119,5 @@ ORACLES_MINING: dict[str, str] = {
     "phrase_search": _PHRASE_SQL,
     "linear_attribution": _ATTRIBUTION_SQL,
     "streaming_skyline": _PARETO_SQL,
+    "ann_int8_topk": _ANN_INT8_SQL,
 }

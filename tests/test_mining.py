@@ -395,3 +395,40 @@ def test_isotonic_fit_groups(spark):
         ("a", 1, 3.0), ("a", 2, 3.0), ("a", 3, 3.0), ("a", 4, 5.0),
         ("b", 1, 7.0),
     }
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization
+# ---------------------------------------------------------------------------
+
+def test_int8_quantize_bounds_and_extremes(spark):
+    from sf_datalake_spark.operators.similarity import int8_scalar_quantize
+
+    rows = [
+        (1, [0.0, 5.0, -1.0]),
+        (2, [10.0, 5.0, 3.0]),
+        (3, [5.0, 5.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.codes for r in
+           int8_scalar_quantize(df, "vec_id", "embedding", dims=3).collect()}
+    # dim 1: min 0 max 10 -> 0, 255, floor(5*25.5)=127
+    # dim 2: constant -> 0 everywhere
+    # dim 3: min -1 max 3 -> 0, 255, floor(2*63.75)=127
+    assert got[1] == [0, 0, 0]
+    assert got[2] == [255, 0, 255]
+    assert got[3] == [127, 0, 127]
+    assert all(0 <= c <= 255 for codes in got.values() for c in codes)
+
+
+def test_int8_topk_exact_scores(spark):
+    from sf_datalake_spark.operators.similarity import int8_topk
+
+    codes = spark.createDataFrame(
+        [(1, [255, 0]), (2, [255, 10]), (3, [0, 255]), (4, [200, 200])],
+        "vec_id long, codes array<bigint>",
+    )
+    q = spark.createDataFrame([(1,)], "vec_id long")
+    got = [(r.neighbor_id, r.rank, r.score)
+           for r in int8_topk(codes, q, k=3).orderBy("rank").collect()]
+    assert got == [(2, 1, 255 * 255), (4, 2, 255 * 200), (3, 3, 0)]
