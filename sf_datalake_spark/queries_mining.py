@@ -1080,6 +1080,53 @@ _ANN_INT8_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Cross-source duplicate overlap: for every PAIR of sources, how many
+# near-duplicate document pairs (token Jaccard >= 0.6 on the sliced
+# corpus) cross them — the curation diagnostic that tells you which
+# feeds re-crawl each other before you pay for full dedup.
+# ---------------------------------------------------------------------------
+
+def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair counts per (source_a, source_b) bucket, built on
+    the exact set-similarity join's sliced output."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = q_ssjoin_exact(spark, sf_dir).select("id_a", "id_b")
+    sa = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")
+    )
+    sb = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")
+    )
+    tagged = pairs.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+    # unordered source pair: (least, greatest)
+    return (
+        tagged.groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_dup_pairs"))
+    )
+
+
+_CROSS_SOURCE_SQL = (
+    """
+    WITH pairs AS ("""
+    + _SSJOIN_SQL
+    + """
+    ),
+    d AS (SELECT doc_id, source FROM documents)
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_dup_pairs
+    FROM pairs
+    JOIN d da ON pairs.id_a = da.doc_id
+    JOIN d db ON pairs.id_b = db.doc_id
+    GROUP BY 1, 2
+"""
+)
+
+
 QUERIES_MINING: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ssjoin_exact": q_ssjoin_exact,
     "scd2_dimension": q_scd2_dimension,
@@ -1099,6 +1146,7 @@ QUERIES_MINING: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "linear_attribution": q_linear_attribution,
     "streaming_skyline": q_streaming_skyline,
     "ann_int8_topk": q_ann_int8_topk,
+    "cross_source_overlap": q_cross_source_overlap,
 }
 
 ORACLES_MINING: dict[str, str] = {
@@ -1120,4 +1168,5 @@ ORACLES_MINING: dict[str, str] = {
     "linear_attribution": _ATTRIBUTION_SQL,
     "streaming_skyline": _PARETO_SQL,
     "ann_int8_topk": _ANN_INT8_SQL,
+    "cross_source_overlap": _CROSS_SOURCE_SQL,
 }

@@ -555,3 +555,36 @@ def test_scd2_windows_share_one_exchange(spark):
     )
     rep = plan_report(dim, execute=True)
     assert rep["n_exchanges"] == 1
+
+
+def test_round4c_query_plan_shapes(spark):
+    """Late round-4 batch: CDC diff is ONE full-outer shuffle join (no
+    cartesian, JVM-only); ks_drift's two windows share the priority
+    exchange; attribution joins purchases to touches on the user key
+    (equi + time residual, no BNLJ); int8 ANN's only nested loop is
+    the broadcast of the tiny query/stats sides; phrase_search stays
+    JVM-only with zero joins."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    sf = "/root/testdata/sf0.001"
+
+    for name in ("table_diff", "ks_drift", "linear_attribution",
+                 "k_core_parts", "isotonic_trend"):
+        rep = plan_report(qs[name](spark, sf), execute=True)
+        assert rep["n_cartesian_products"] == 0, name
+        assert rep["n_nested_loop_joins"] == 0, name
+        if name not in ("isotonic_trend",):   # PAVA is the documented
+            assert rep["n_python_evals"] == 0, name   # Python boundary
+
+    rep = plan_report(qs["phrase_search"](spark, sf), execute=True)
+    assert rep["n_python_evals"] == 0
+    assert rep["n_sort_merge_joins"] + rep["n_hash_joins"] == 0
+    assert rep["n_nested_loop_joins"] == 0
+
+    # int8 ANN: stats row + query codes broadcast; scoring join is the
+    # broadcast nested loop over the tiny query side only
+    rep = plan_report(qs["ann_int8_topk"](spark, sf), execute=True)
+    assert rep["n_python_evals"] == 0
+    assert rep["n_cartesian_products"] == 0
+    assert rep["n_broadcasts"] >= 2
