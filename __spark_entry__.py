@@ -99,7 +99,7 @@ _NEW_R04 = frozenset({
     "scd2_pit_join", "streaming_scd2", "k_core_parts",
     "table_diff", "fk_violations", "ks_drift", "isotonic_trend",
     "phrase_search", "linear_attribution", "streaming_skyline",
-    "ann_int8_topk", "cross_source_overlap",
+    "ann_int8_topk", "cross_source_overlap", "robust_trend",
 })
 
 

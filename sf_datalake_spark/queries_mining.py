@@ -1127,6 +1127,104 @@ _CROSS_SOURCE_SQL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Robust trend battery per priority: Mann-Kendall S (an exact integer
+# pair-sign sum), its normal approximation Z (sqrt is IEEE-exact on
+# identical operands), and the Theil-Sen median slope (median over
+# exact-ratio pairwise slopes; both engines interpolate percentiles
+# identically).  Pairs come from the same per-key HOF expansion shape
+# as frequent_pairs — no self-join.
+# ---------------------------------------------------------------------------
+
+def q_robust_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test + Theil-Sen slope of monthly revenue
+    per priority (month index as the x axis)."""
+    monthly = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority",
+            F.date_trunc("month", "o_orderdate").alias("m"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev"
+            )
+        )
+    )
+    series = monthly.groupBy("o_orderpriority").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "rev"))),
+            lambda s: s["rev"].cast("double"),
+        ).alias("x")
+    )
+    # all i<j pairs of (gap j-i, diff x[j]-x[i]) per key, one HOF pass
+    pairs = F.expr(
+        "flatten(transform(x, (xi, i) -> "
+        "transform(slice(x, i + 2, size(x)), (xj, jrel) -> "
+        "struct(CAST(jrel + 1 AS DOUBLE) AS gap, xj - xi AS diff))))"
+    )
+    exploded = series.select(
+        "o_orderpriority", F.size("x").cast("int").alias("n_months"),
+        F.explode(pairs).alias("p")
+    )
+    per_pair = exploded.select(
+        "o_orderpriority",
+        "n_months",
+        F.signum(F.col("p.diff")).cast("long").alias("sgn"),
+        (F.col("p.diff") / F.col("p.gap")).alias("slope"),
+    )
+    n = F.col("n_months").cast("double")
+    var_s = n * (n - 1) * (2 * n + 5) / 18
+    s_stat = F.sum("sgn")
+    z = (
+        F.when(s_stat > 0, (s_stat - 1) / F.sqrt(var_s))
+        .when(s_stat < 0, (s_stat + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return per_pair.groupBy("o_orderpriority", "n_months").agg(
+        s_stat.alias("mk_s"),
+        z.alias("mk_z"),
+        F.percentile("slope", F.lit(0.5)).alias("theil_sen_slope"),
+    )
+
+
+_ROBUST_TREND_SQL = """
+    WITH mon AS (
+        SELECT o_orderpriority, date_trunc('month', o_orderdate) AS m,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    pos AS (
+        SELECT o_orderpriority, CAST(rev AS DOUBLE) AS rev,
+               CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                       ORDER BY m) AS INT) AS i,
+               CAST(count(*) OVER (PARTITION BY o_orderpriority) AS INT)
+                   AS n_months
+        FROM mon
+    ),
+    pairs AS (
+        SELECT a.o_orderpriority, a.n_months,
+               CASE WHEN b.rev > a.rev THEN 1
+                    WHEN b.rev < a.rev THEN -1 ELSE 0 END AS sgn,
+               (b.rev - a.rev) / CAST(b.i - a.i AS DOUBLE) AS slope
+        FROM pos a JOIN pos b
+          ON a.o_orderpriority = b.o_orderpriority AND a.i < b.i
+    )
+    SELECT o_orderpriority, n_months,
+           CAST(sum(sgn) AS BIGINT) AS mk_s,
+           CASE WHEN sum(sgn) > 0 THEN (sum(sgn) - 1)
+                     / sqrt(n_months * (n_months - 1.0) * (2.0 * n_months + 5)
+                            / 18)
+                WHEN sum(sgn) < 0 THEN (sum(sgn) + 1)
+                     / sqrt(n_months * (n_months - 1.0) * (2.0 * n_months + 5)
+                            / 18)
+                ELSE 0.0 END AS mk_z,
+           quantile_cont(slope, 0.5) AS theil_sen_slope
+    FROM pairs GROUP BY 1, 2
+"""
+
+
 QUERIES_MINING: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ssjoin_exact": q_ssjoin_exact,
     "scd2_dimension": q_scd2_dimension,
@@ -1147,6 +1245,7 @@ QUERIES_MINING: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_skyline": q_streaming_skyline,
     "ann_int8_topk": q_ann_int8_topk,
     "cross_source_overlap": q_cross_source_overlap,
+    "robust_trend": q_robust_trend,
 }
 
 ORACLES_MINING: dict[str, str] = {
@@ -1169,4 +1268,5 @@ ORACLES_MINING: dict[str, str] = {
     "streaming_skyline": _PARETO_SQL,
     "ann_int8_topk": _ANN_INT8_SQL,
     "cross_source_overlap": _CROSS_SOURCE_SQL,
+    "robust_trend": _ROBUST_TREND_SQL,
 }
