@@ -1225,6 +1225,136 @@ _ROBUST_TREND_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Join-key skew report: the diagnostic that drives the salt/broadcast
+# decision (operators/skew.py) — per candidate join key: cardinality,
+# hottest-key share, and the strategy the thresholds recommend.  All
+# counts exact; the one ratio is a single division of exact integers.
+# ---------------------------------------------------------------------------
+
+def _key_skew(df: DataFrame, rel: str, key: str) -> DataFrame:
+    freq = df.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("c"))
+    return freq.agg(
+        F.lit(rel).alias("relation"),
+        F.lit(key).alias("key"),
+        F.sum("c").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("c").alias("max_key_rows"),
+    ).select(
+        "*",
+        (F.col("max_key_rows") * F.col("n_keys") / F.col("n_rows")).alias(
+            "skew_ratio"
+        ),
+        F.when(F.col("n_keys") <= 1000, F.lit("broadcast"))
+        .when(
+            F.col("max_key_rows") * F.col("n_keys") > 10 * F.col("n_rows"),
+            F.lit("salt"),
+        )
+        .otherwise(F.lit("hash_join"))
+        .alias("recommendation"),
+    )
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per join key: rows, distinct keys, hottest key, skew ratio
+    (max_freq / mean_freq), and the recommended join strategy."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        _key_skew(li, "lineitem", "l_orderkey")
+        .unionByName(_key_skew(li, "lineitem", "l_suppkey"))
+        .unionByName(_key_skew(li, "lineitem", "l_partkey"))
+        .unionByName(_key_skew(orders, "orders", "o_custkey"))
+    )
+
+
+_SKEW_REPORT_SQL = """
+    WITH f AS (
+        SELECT 'lineitem' AS relation, 'l_orderkey' AS key,
+               count(*) AS c
+        FROM lineitem GROUP BY l_orderkey
+        UNION ALL
+        SELECT 'lineitem', 'l_suppkey', count(*)
+        FROM lineitem GROUP BY l_suppkey
+        UNION ALL
+        SELECT 'lineitem', 'l_partkey', count(*)
+        FROM lineitem GROUP BY l_partkey
+        UNION ALL
+        SELECT 'orders', 'o_custkey', count(*)
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT relation, key,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(c) AS BIGINT) AS max_key_rows,
+           CAST(max(c) * count(*) AS DOUBLE) / sum(c) AS skew_ratio,
+           CASE WHEN count(*) <= 1000 THEN 'broadcast'
+                WHEN max(c) * count(*) > 10 * sum(c) THEN 'salt'
+                ELSE 'hash_join' END AS recommendation
+    FROM f GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Join-size estimation: |orders ⋈ lineitem| predicted from a 1/16
+# deterministic KEY sample (md5 of the key — sampling KEYS, not rows,
+# keeps the two sides correlated, which is what makes the estimator
+# unbiased: E[Σ_sampled fA·fB / p] = Σ fA·fB).  Exact truth computed
+# beside it; everything integer except the final scale-up and error
+# ratio (single divisions of exact ints).
+# ---------------------------------------------------------------------------
+
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vs key-sampled estimate of the orders-lineitem join size
+    — the estimate-before-you-shuffle planning discipline."""
+    li = _t(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_orderkey").alias("k")
+    ).agg(F.count("*").alias("fb"))
+    o = _t(spark, sf_dir, "orders").groupBy(
+        F.col("o_orderkey").alias("k")
+    ).agg(F.count("*").alias("fa"))
+    prod = o.join(li, "k").select(
+        "k", (F.col("fa") * F.col("fb")).alias("fab"),
+        # deterministic 1/16 key sample: first md5 nibble == '0'
+        (F.substring(F.md5(F.col("k").cast("string")), 1, 1) == "0").alias(
+            "sampled"
+        ),
+    )
+    return prod.agg(
+        F.sum("fab").alias("exact_rows"),
+        (F.sum(F.when(F.col("sampled"), F.col("fab")).otherwise(0)) * 16)
+        .alias("est_rows"),
+        F.count("*").alias("n_join_keys"),
+        F.sum(F.col("sampled").cast("long")).alias("n_sampled_keys"),
+    ).select(
+        "*",
+        (
+            F.abs(F.col("est_rows") - F.col("exact_rows"))
+            / F.col("exact_rows")
+        ).alias("rel_error"),
+    )
+
+
+_JOIN_SIZE_SQL = """
+    WITH a AS (SELECT o_orderkey AS k, count(*) AS fa FROM orders GROUP BY 1),
+    b AS (SELECT l_orderkey AS k, count(*) AS fb FROM lineitem GROUP BY 1),
+    prod AS (
+        SELECT a.k, fa * fb AS fab,
+               substr(md5(CAST(a.k AS VARCHAR)), 1, 1) = '0' AS sampled
+        FROM a JOIN b USING (k)
+    )
+    SELECT CAST(sum(fab) AS BIGINT) AS exact_rows,
+           CAST(sum(CASE WHEN sampled THEN fab ELSE 0 END) * 16 AS BIGINT)
+               AS est_rows,
+           CAST(count(*) AS BIGINT) AS n_join_keys,
+           CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled_keys,
+           CAST(abs(sum(CASE WHEN sampled THEN fab ELSE 0 END) * 16
+                    - sum(fab)) AS DOUBLE) / sum(fab) AS rel_error
+    FROM prod
+"""
+
+
 QUERIES_MINING: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ssjoin_exact": q_ssjoin_exact,
     "scd2_dimension": q_scd2_dimension,
@@ -1246,6 +1376,8 @@ QUERIES_MINING: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_int8_topk": q_ann_int8_topk,
     "cross_source_overlap": q_cross_source_overlap,
     "robust_trend": q_robust_trend,
+    "skew_report": q_skew_report,
+    "join_size_estimate": q_join_size_estimate,
 }
 
 ORACLES_MINING: dict[str, str] = {
@@ -1269,4 +1401,6 @@ ORACLES_MINING: dict[str, str] = {
     "ann_int8_topk": _ANN_INT8_SQL,
     "cross_source_overlap": _CROSS_SOURCE_SQL,
     "robust_trend": _ROBUST_TREND_SQL,
+    "skew_report": _SKEW_REPORT_SQL,
+    "join_size_estimate": _JOIN_SIZE_SQL,
 }
