@@ -100,7 +100,7 @@ _NEW_R04 = frozenset({
     "table_diff", "fk_violations", "ks_drift", "isotonic_trend",
     "phrase_search", "linear_attribution", "streaming_skyline",
     "ann_int8_topk", "cross_source_overlap", "robust_trend",
-    "skew_report", "join_size_estimate",
+    "skew_report", "join_size_estimate", "core_decomposition",
 })
 
 

@@ -1355,6 +1355,70 @@ _JOIN_SIZE_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Full core-number decomposition of the co-purchase graph via the
+# h-index fixpoint (h starts at degree, repeatedly becomes the H-index
+# of neighbor h values, converges DOWN to the core number — all small
+# integers).  The oracle replays 40 fixed rounds as a recursive CTE
+# (idempotent after convergence); the Spark loop stops at fixpoint.
+# ---------------------------------------------------------------------------
+
+def q_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core number of every part in the co-purchase graph (edges =
+    pairs co-occurring in >= 2 orders)."""
+    from sf_datalake_spark.operators.components import core_numbers
+
+    baskets = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, (x, i) -> "
+                    "transform(slice(items, i + 2, size(items)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s") >= 2)
+    )
+    return core_numbers(pairs, "u", "v")
+
+
+_CORE_SQL = """
+    WITH RECURSIVE pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    und AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+    h AS (
+        SELECT 0 AS r, u AS id, CAST(count(*) AS INT) AS hv
+        FROM und GROUP BY u
+        UNION ALL
+        SELECT r + 1, id, hv FROM (
+            SELECT r, id, CAST(max(least(rnk, nh)) AS INT) AS hv FROM (
+                SELECT p.r AS r, e.u AS id, p.hv AS nh,
+                       CAST(row_number() OVER (PARTITION BY p.r, e.u
+                            ORDER BY p.hv DESC) AS INT) AS rnk
+                FROM h p JOIN und e ON e.v = p.id
+                WHERE p.r < 40
+            ) GROUP BY r, id
+        )
+    )
+    SELECT id, hv AS core FROM h WHERE r = 40
+"""
+
+
 QUERIES_MINING: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ssjoin_exact": q_ssjoin_exact,
     "scd2_dimension": q_scd2_dimension,
@@ -1378,6 +1442,7 @@ QUERIES_MINING: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robust_trend": q_robust_trend,
     "skew_report": q_skew_report,
     "join_size_estimate": q_join_size_estimate,
+    "core_decomposition": q_core_decomposition,
 }
 
 ORACLES_MINING: dict[str, str] = {
@@ -1403,4 +1468,5 @@ ORACLES_MINING: dict[str, str] = {
     "robust_trend": _ROBUST_TREND_SQL,
     "skew_report": _SKEW_REPORT_SQL,
     "join_size_estimate": _JOIN_SIZE_SQL,
+    "core_decomposition": _CORE_SQL,
 }

@@ -432,3 +432,38 @@ def test_int8_topk_exact_scores(spark):
     got = [(r.neighbor_id, r.rank, r.score)
            for r in int8_topk(codes, q, k=3).orderBy("rank").collect()]
     assert got == [(2, 1, 255 * 255), (4, 2, 255 * 200), (3, 3, 0)]
+
+
+# ---------------------------------------------------------------------------
+# core numbers
+# ---------------------------------------------------------------------------
+
+def test_core_numbers_golden_and_paths_agree(spark):
+    from sf_datalake_spark.operators.components import core_numbers
+
+    got_d = {
+        (r.id, r.core)
+        for r in core_numbers(_kcore_edges(spark), "a", "b").collect()
+    }
+    # triangle -> core 2; pendant 4 -> core 1; chorded square -> core 2
+    assert got_d == {
+        (1, 2), (2, 2), (3, 2), (4, 1),
+        (5, 2), (6, 2), (7, 2), (8, 2),
+    }
+    got_h = {
+        (r.id, r.core)
+        for r in core_numbers(
+            _kcore_edges(spark), "a", "b", driver_threshold=0
+        ).collect()
+    }
+    assert got_h == got_d
+
+
+def test_core_numbers_consistent_with_k_core(spark):
+    """Vertices with core >= k are exactly the k-core's members."""
+    from sf_datalake_spark.operators.components import core_numbers, k_core
+
+    edges = _kcore_edges(spark)
+    cores = {r.id: r.core for r in core_numbers(edges, "a", "b").collect()}
+    in_2core = {r.id for r in k_core(edges, 2, "a", "b").collect()}
+    assert {n for n, c in cores.items() if c >= 2} == in_2core
