@@ -1419,6 +1419,198 @@ _CORE_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Association metrics over co-purchase pairs: support, confidence,
+# lift, leverage — every float a fixed expression tree over exact
+# integer counts (lift = N·c_xy/(c_x·c_y) instead of log-PMI: same
+# ranking, no data-dependent libm call to drift between engines).
+# ---------------------------------------------------------------------------
+
+def q_association_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 part pairs by lift (ties broken by the pair ids), with
+    support, confidence and leverage."""
+    baskets = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+    )
+    n_baskets = baskets.agg(F.count("*").alias("n_b"))
+    item_counts = baskets.select(
+        F.explode("items").alias("item")
+    ).groupBy("item").agg(F.count("*").alias("c_x"))
+    pair_counts = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, (x, i) -> "
+                    "transform(slice(items, i + 2, size(items)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= 2)
+    )
+    joined = (
+        pair_counts.join(
+            F.broadcast(item_counts.select(F.col("item").alias("u"),
+                                           F.col("c_x").alias("cu"))), "u"
+        )
+        .join(
+            F.broadcast(item_counts.select(F.col("item").alias("v"),
+                                           F.col("c_x").alias("cv"))), "v"
+        )
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    lift = (F.col("c_xy") * F.col("n_b")) / (F.col("cu") * F.col("cv"))
+    out = joined.select(
+        "u", "v", "c_xy",
+        F.col("cu").alias("c_u"),
+        F.col("cv").alias("c_v"),
+        (F.col("c_xy") / F.col("n_b")).alias("support"),
+        (F.col("c_xy") / F.col("cu")).alias("confidence"),
+        lift.alias("lift"),
+        (
+            F.col("c_xy") / F.col("n_b")
+            - (F.col("cu") / F.col("n_b")) * (F.col("cv") / F.col("n_b"))
+        ).alias("leverage"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("lift").desc(), "u", "v")
+    return (
+        out.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .drop("rk")
+    )
+
+
+_ASSOCIATION_SQL = """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nb AS (SELECT count(DISTINCT l_orderkey) AS n_b FROM b),
+    ic AS (SELECT l_partkey AS item, count(*) AS c_x FROM b GROUP BY 1),
+    pc AS (
+        SELECT a.l_partkey AS u, c.l_partkey AS v, count(*) AS c_xy
+        FROM b a JOIN b c
+          ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT u, v, CAST(c_xy AS BIGINT) AS c_xy,
+           CAST(cu.c_x AS BIGINT) AS c_u, CAST(cv.c_x AS BIGINT) AS c_v,
+           CAST(c_xy AS DOUBLE) / n_b AS support,
+           CAST(c_xy AS DOUBLE) / cu.c_x AS confidence,
+           CAST(c_xy * n_b AS DOUBLE) / (cu.c_x * cv.c_x) AS lift,
+           CAST(c_xy AS DOUBLE) / n_b
+             - (CAST(cu.c_x AS DOUBLE) / n_b)
+               * (CAST(cv.c_x AS DOUBLE) / n_b) AS leverage
+    FROM pc
+    JOIN ic cu ON pc.u = cu.item
+    JOIN ic cv ON pc.v = cv.item
+    CROSS JOIN nb
+    ORDER BY lift DESC, u, v
+    LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic A/B test: users hash-split into two arms (md5 parity),
+# purchase conversion compared with the two-proportion z statistic —
+# every float a fixed expression over exact counts, sqrt IEEE-exact.
+# ---------------------------------------------------------------------------
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test of purchase conversion between the
+    md5-parity user arms."""
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct().select(
+        "user_id",
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 2),
+                   16, 10).cast("long") % 2
+        ).alias("arm"),
+    )
+    # the synthetic corpus gives EVERY user every event type, so
+    # "converted" = heavy purchaser (>= 14 purchase events) to get a
+    # non-degenerate split; the z expression is guarded for the
+    # all-or-nothing case (variance 0 -> NULL) either way
+    buyers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_p"))
+        .filter(F.col("n_p") >= 14)
+        .select("user_id", F.lit(1).cast("long").alias("bought"))
+    )
+    per_arm = (
+        users.join(buyers, "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.coalesce(F.col("bought"), F.lit(0))).alias("n_buyers"),
+        )
+    )
+    a = per_arm.filter(F.col("arm") == 0).select(
+        F.col("n_users").alias("n0"), F.col("n_buyers").alias("b0")
+    )
+    b = per_arm.filter(F.col("arm") == 1).select(
+        F.col("n_users").alias("n1"), F.col("n_buyers").alias("b1")
+    )
+    j = a.crossJoin(b)
+    n0d, n1d = F.col("n0").cast("double"), F.col("n1").cast("double")
+    p0 = F.col("b0") / n0d
+    p1 = F.col("b1") / n1d
+    pp = (F.col("b0") + F.col("b1")).cast("double") / (F.col("n0") + F.col("n1"))
+    se = F.sqrt(pp * (1 - pp) * (F.lit(1.0) / n0d + F.lit(1.0) / n1d))
+    z = F.when(se != 0.0, (p0 - p1) / se)
+    return j.select(
+        "n0", "b0", "n1", "b1",
+        p0.alias("conv_a"), p1.alias("conv_b"), z.alias("z_stat"),
+    )
+
+
+_AB_TEST_SQL = """
+    WITH users AS (
+        SELECT DISTINCT user_id,
+               CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2)
+                         AS BIGINT) % 2 AS BIGINT) AS arm
+        FROM events
+    ),
+    buyers AS (
+        SELECT user_id, 1 AS bought FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY user_id HAVING count(*) >= 14
+    ),
+    per_arm AS (
+        SELECT arm, count(*) AS n_users,
+               sum(coalesce(bought, 0)) AS n_buyers
+        FROM users LEFT JOIN buyers USING (user_id)
+        GROUP BY 1
+    ),
+    j AS (
+        SELECT a.n_users AS n0, a.n_buyers AS b0,
+               b.n_users AS n1, b.n_buyers AS b1
+        FROM per_arm a, per_arm b WHERE a.arm = 0 AND b.arm = 1
+    )
+    SELECT CAST(n0 AS BIGINT) AS n0, CAST(b0 AS BIGINT) AS b0,
+           CAST(n1 AS BIGINT) AS n1, CAST(b1 AS BIGINT) AS b1,
+           CAST(b0 AS DOUBLE) / n0 AS conv_a,
+           CAST(b1 AS DOUBLE) / n1 AS conv_b,
+           CASE WHEN sqrt((CAST(b0 + b1 AS DOUBLE) / (n0 + n1))
+                          * (1 - CAST(b0 + b1 AS DOUBLE) / (n0 + n1))
+                          * (CAST(1 AS DOUBLE) / n0
+                             + CAST(1 AS DOUBLE) / n1)) <> 0
+                THEN (CAST(b0 AS DOUBLE) / n0 - CAST(b1 AS DOUBLE) / n1)
+                     / sqrt((CAST(b0 + b1 AS DOUBLE) / (n0 + n1))
+                            * (1 - CAST(b0 + b1 AS DOUBLE) / (n0 + n1))
+                            * (CAST(1 AS DOUBLE) / n0
+                               + CAST(1 AS DOUBLE) / n1))
+           END AS z_stat
+    FROM j
+"""
+
+
 QUERIES_MINING: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ssjoin_exact": q_ssjoin_exact,
     "scd2_dimension": q_scd2_dimension,
@@ -1443,6 +1635,8 @@ QUERIES_MINING: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_report": q_skew_report,
     "join_size_estimate": q_join_size_estimate,
     "core_decomposition": q_core_decomposition,
+    "association_metrics": q_association_metrics,
+    "ab_test": q_ab_test,
 }
 
 ORACLES_MINING: dict[str, str] = {
@@ -1469,4 +1663,6 @@ ORACLES_MINING: dict[str, str] = {
     "skew_report": _SKEW_REPORT_SQL,
     "join_size_estimate": _JOIN_SIZE_SQL,
     "core_decomposition": _CORE_SQL,
+    "association_metrics": _ASSOCIATION_SQL,
+    "ab_test": _AB_TEST_SQL,
 }
