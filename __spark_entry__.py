@@ -101,7 +101,8 @@ _NEW_R04 = frozenset({
     "phrase_search", "linear_attribution", "streaming_skyline",
     "ann_int8_topk", "cross_source_overlap", "robust_trend",
     "skew_report", "join_size_estimate", "core_decomposition",
-    "association_metrics", "ab_test",
+    "association_metrics", "ab_test", "position_attribution",
+    "capped_balance", "tv_distance",
 })
 
 

@@ -1611,6 +1611,233 @@ _AB_TEST_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Position-based (U-shaped) attribution: first and last touch get 40%
+# each, the middle splits 20% — in exact ppm integers like the linear
+# model (remainders stay put; `div` == `//`).
+# ---------------------------------------------------------------------------
+
+def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per channel: U-shaped (40/20/40) ppm credit totals."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "event_type", F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("touch_id"),
+    )
+    matched = purchases.join(
+        touches,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    w = Window.partitionBy("purchase_id").orderBy("t_ts", "touch_id")
+    ranked = matched.select(
+        "event_type",
+        "purchase_id",
+        F.row_number().over(w).alias("pos"),
+        F.count("*").over(Window.partitionBy("purchase_id")).alias("n"),
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1_000_000))
+        .when(F.col("n") == 2, F.lit(500_000))
+        .when(F.col("pos") == 1, F.lit(400_000))
+        .when(F.col("pos") == F.col("n"), F.lit(400_000))
+        .otherwise(F.expr("200000L div (n - 2)"))
+    )
+    return ranked.groupBy("event_type").agg(
+        F.count("*").alias("n_touches"),
+        F.sum(credit.cast("long")).alias("credit_ppm_total"),
+    )
+
+
+_POSITION_ATTRIBUTION_SQL = """
+    WITH purchases AS (
+        SELECT user_id AS p_user, event_id AS purchase_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT user_id, event_type, ts AS t_ts, event_id AS touch_id
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    ranked AS (
+        SELECT event_type, purchase_id,
+               row_number() OVER (PARTITION BY purchase_id
+                                  ORDER BY t_ts, touch_id) AS pos,
+               count(*) OVER (PARTITION BY purchase_id) AS n
+        FROM purchases JOIN touches
+          ON p_user = user_id
+         AND t_ts < p_ts AND t_ts >= p_ts - INTERVAL 7 DAY
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(CASE WHEN n = 1 THEN 1000000
+                         WHEN n = 2 THEN 500000
+                         WHEN pos = 1 THEN 400000
+                         WHEN pos = n THEN 400000
+                         ELSE 200000 // (n - 2) END) AS BIGINT)
+               AS credit_ppm_total
+    FROM ranked GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Capped running balance: per-priority daily net flow folded with a
+# floor at zero (the inventory/credit-balance recurrence — order
+# dependent, so a genuine stateful fold: same bit-exact HOF + recursive
+# CTE pattern as holt/cusum/acf).  Net flow = revenue minus a fixed
+# daily drain so the cap actually binds.
+# ---------------------------------------------------------------------------
+
+def q_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per priority: final floored-at-zero running balance over daily
+    (revenue − mean-drain) cents, plus how often the floor bound."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority",
+            F.date_trunc("day", "o_orderdate").alias("d"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "x"
+            )
+        )
+    )
+    series = daily.groupBy("o_orderpriority").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "x"))),
+            lambda s: s["x"],
+        ).alias("v"),
+        F.sum("x").alias("s"),
+        F.count("*").alias("n"),
+    )
+    # drain = ceil(mean) cents: balance drifts to 0 and the cap binds
+    drain = F.expr("CAST(ceil(CAST(s AS DOUBLE) / n) AS BIGINT)")
+    init = F.struct(
+        F.lit(0).cast("long").alias("bal"),
+        F.lit(0).cast("long").alias("floors"),
+    )
+
+    def step(acc, x):
+        nxt = acc["bal"] + x - F.col("__drain")
+        return F.struct(
+            F.greatest(F.lit(0).cast("long"), nxt).alias("bal"),
+            (acc["floors"] + F.when(nxt < 0, 1).otherwise(0)).alias("floors"),
+        )
+
+    folded = series.select(
+        "o_orderpriority",
+        F.col("n").cast("int").alias("n_days"),
+        drain.alias("__drain"),
+        F.col("v"),
+    ).select(
+        "o_orderpriority",
+        "n_days",
+        F.col("__drain").alias("drain_cents"),
+        F.aggregate("v", init, step).alias("__st"),
+    )
+    return folded.select(
+        "o_orderpriority",
+        "n_days",
+        "drain_cents",
+        F.col("__st.bal").alias("final_balance_cents"),
+        F.col("__st.floors").cast("int").alias("n_floor_hits"),
+    )
+
+
+_CAPPED_BALANCE_SQL = """
+    WITH RECURSIVE daily AS (
+        SELECT o_orderpriority, date_trunc('day', o_orderdate) AS d,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS x
+        FROM orders GROUP BY 1, 2
+    ),
+    arr AS (
+        SELECT o_orderpriority, list(x ORDER BY d) AS v,
+               CAST(count(*) AS INT) AS n_days,
+               CAST(ceil(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT)
+                   AS drain
+        FROM daily GROUP BY 1
+    ),
+    rec AS (
+        SELECT o_orderpriority, v, n_days, drain, 0 AS i,
+               CAST(0 AS BIGINT) AS bal, 0 AS floors
+        FROM arr
+        UNION ALL
+        SELECT o_orderpriority, v, n_days, drain, i + 1,
+               greatest(CAST(0 AS BIGINT), bal + v[i + 1] - drain),
+               floors + CASE WHEN bal + v[i + 1] - drain < 0
+                             THEN 1 ELSE 0 END
+        FROM rec WHERE i < n_days
+    )
+    SELECT o_orderpriority, n_days, drain AS drain_cents,
+           bal AS final_balance_cents, CAST(floors AS INT) AS n_floor_hits
+    FROM rec WHERE i = n_days
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact total-variation distance between the early and late priority
+# mix: TV = Σ|b0_i·n1 − b1_i·n0| / (2·n0·n1) — the numerator an exact
+# BIGINT sum (order-free), one final division.  The binning-free KS
+# twin for CATEGORICAL drift.
+# ---------------------------------------------------------------------------
+
+def q_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation distance between the early (<= 1997) and late
+    order-priority distributions, exactly."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.year("o_orderdate") <= 1997).cast("long").alias("g1"),
+    )
+    per = orders.groupBy("o_orderpriority").agg(
+        F.sum("g1").alias("b0"),
+        (F.count("*") - F.sum("g1")).alias("b1"),
+    )
+    tot = per.agg(
+        F.sum("b0").alias("n0"),
+        F.sum("b1").alias("n1"),
+        F.count("*").alias("n_categories"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    cross = F.abs(F.col("b0") * F.col("n1") - F.col("b1") * F.col("n0"))
+    return j.groupBy("n0", "n1", "n_categories").agg(
+        (
+            F.sum(cross).cast("double")
+            / (F.lit(2.0) * F.col("n0") * F.col("n1"))
+        ).alias("tv_distance")
+    )
+
+
+_TV_SQL = """
+    WITH per AS (
+        SELECT o_orderpriority,
+               sum(CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 0 END)
+                   AS b0,
+               sum(CASE WHEN year(o_orderdate) <= 1997 THEN 0 ELSE 1 END)
+                   AS b1
+        FROM orders GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(b0) AS BIGINT) AS n0, CAST(sum(b1) AS BIGINT) AS n1,
+               CAST(count(*) AS BIGINT) AS n_categories
+        FROM per
+    )
+    SELECT n0, n1, n_categories,
+           CAST(sum(abs(b0 * n1 - b1 * n0)) AS DOUBLE) / (2.0 * n0 * n1)
+               AS tv_distance
+    FROM per CROSS JOIN tot
+    GROUP BY 1, 2, 3
+"""
+
+
 QUERIES_MINING: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ssjoin_exact": q_ssjoin_exact,
     "scd2_dimension": q_scd2_dimension,
@@ -1637,6 +1864,9 @@ QUERIES_MINING: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "core_decomposition": q_core_decomposition,
     "association_metrics": q_association_metrics,
     "ab_test": q_ab_test,
+    "position_attribution": q_position_attribution,
+    "capped_balance": q_capped_balance,
+    "tv_distance": q_tv_distance,
 }
 
 ORACLES_MINING: dict[str, str] = {
@@ -1665,4 +1895,7 @@ ORACLES_MINING: dict[str, str] = {
     "core_decomposition": _CORE_SQL,
     "association_metrics": _ASSOCIATION_SQL,
     "ab_test": _AB_TEST_SQL,
+    "position_attribution": _POSITION_ATTRIBUTION_SQL,
+    "capped_balance": _CAPPED_BALANCE_SQL,
+    "tv_distance": _TV_SQL,
 }
