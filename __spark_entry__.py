@@ -102,7 +102,7 @@ _NEW_R04 = frozenset({
     "ann_int8_topk", "cross_source_overlap", "robust_trend",
     "skew_report", "join_size_estimate", "core_decomposition",
     "association_metrics", "ab_test", "position_attribution",
-    "capped_balance", "tv_distance",
+    "capped_balance", "tv_distance", "concentration_metrics",
 })
 
 

@@ -1838,6 +1838,94 @@ _TV_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Revenue concentration per nation: Gini coefficient (rank-weighted
+# exact-integer form, tie-invariant) and the Herfindahl index over
+# ppm-QUANTIZED shares: s_i = (x_i·10^6) div Σx, HHI = Σs_i²/10^12 —
+# all-integer until one final division.  (The direct Σx² form needs
+# >2^63 intermediates, and DuckDB's HUGEINT→DOUBLE cast double-rounds
+# in the last ulp — quantized shares sidestep both.)
+# ---------------------------------------------------------------------------
+
+def q_concentration_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation: customer count, Gini of customer revenue, HHI of
+    revenue shares."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "x"
+            )
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "o_custkey", "x")
+    )
+    w = Window.partitionBy("n_name").orderBy("x", "o_custkey")
+    ranked = rev.withColumn("i", F.row_number().over(w).cast("long"))
+    agg = ranked.groupBy("n_name").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    n = F.col("n_customers").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("six") / (F.col("n_customers") * F.col("sx"))
+        - (F.col("n_customers") + 1) / n
+    )
+    # second (cheap) pass for the quantized shares: sx must be final
+    shares = ranked.join(
+        F.broadcast(agg.select("n_name", F.col("sx").alias("__sx"))), "n_name"
+    ).select(
+        "n_name",
+        F.expr("(x * 1000000L) div __sx").alias("s_ppm"),
+    )
+    hhi_frame = shares.groupBy("n_name").agg(
+        (F.sum(F.col("s_ppm") * F.col("s_ppm")) / F.lit(1e12)).alias("hhi")
+    )
+    agg = agg.join(F.broadcast(hhi_frame), "n_name")
+    return agg.select(
+        "n_name",
+        "n_customers",
+        F.col("sx").alias("revenue_cents"),
+        gini.alias("gini"),
+        "hhi",
+    )
+
+
+_CONCENTRATION_SQL = """
+    WITH rev AS (
+        SELECT n_name, o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS x
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT n_name, x,
+               CAST(row_number() OVER (PARTITION BY n_name
+                    ORDER BY x, o_custkey) AS BIGINT) AS i,
+               CAST(sum(x) OVER (PARTITION BY n_name) AS BIGINT) AS sx
+        FROM rev
+    )
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(min(sx) AS BIGINT) AS revenue_cents,
+           2.0 * CAST(sum(i * x) AS BIGINT) / (count(*) * min(sx))
+             - CAST(count(*) + 1 AS DOUBLE) / count(*) AS gini,
+           CAST(sum(((x * 1000000) // sx)
+                    * ((x * 1000000) // sx)) AS BIGINT) / 1e12 AS hhi
+    FROM ranked GROUP BY 1
+"""
+
+
 QUERIES_MINING: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ssjoin_exact": q_ssjoin_exact,
     "scd2_dimension": q_scd2_dimension,
@@ -1867,6 +1955,7 @@ QUERIES_MINING: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "position_attribution": q_position_attribution,
     "capped_balance": q_capped_balance,
     "tv_distance": q_tv_distance,
+    "concentration_metrics": q_concentration_metrics,
 }
 
 ORACLES_MINING: dict[str, str] = {
@@ -1898,4 +1987,5 @@ ORACLES_MINING: dict[str, str] = {
     "position_attribution": _POSITION_ATTRIBUTION_SQL,
     "capped_balance": _CAPPED_BALANCE_SQL,
     "tv_distance": _TV_SQL,
+    "concentration_metrics": _CONCENTRATION_SQL,
 }
