@@ -1926,6 +1926,48 @@ _CONCENTRATION_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Calendar seasonality: month-of-year revenue index (12 x share of
+# annual revenue, 1.0 = flat) — exact counts, one division per row.
+# ---------------------------------------------------------------------------
+
+def q_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per calendar month: orders, revenue, and the 12-normalized
+    revenue share."""
+    orders = _t(spark, sf_dir, "orders")
+    per_m = orders.groupBy(F.month("o_orderdate").alias("month_of_year")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        ),
+    )
+    tot = per_m.agg(F.sum("revenue_cents").alias("s_total"))
+    return per_m.crossJoin(F.broadcast(tot)).select(
+        "month_of_year",
+        "n_orders",
+        "revenue_cents",
+        (
+            (F.col("revenue_cents") * F.lit(12)).cast("double")
+            / F.col("s_total")
+        ).alias("seasonal_index"),
+    )
+
+
+_SEASONALITY_SQL = """
+    WITH per_m AS (
+        SELECT CAST(month(o_orderdate) AS INT) AS month_of_year,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(revenue_cents) AS BIGINT) AS s_total FROM per_m)
+    SELECT month_of_year, n_orders, revenue_cents,
+           CAST(revenue_cents * 12 AS DOUBLE) / s_total AS seasonal_index
+    FROM per_m CROSS JOIN tot
+"""
+
+
 QUERIES_MINING: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ssjoin_exact": q_ssjoin_exact,
     "scd2_dimension": q_scd2_dimension,
@@ -1956,6 +1998,7 @@ QUERIES_MINING: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "capped_balance": q_capped_balance,
     "tv_distance": q_tv_distance,
     "concentration_metrics": q_concentration_metrics,
+    "seasonality_index": q_seasonality_index,
 }
 
 ORACLES_MINING: dict[str, str] = {
@@ -1988,4 +2031,5 @@ ORACLES_MINING: dict[str, str] = {
     "capped_balance": _CAPPED_BALANCE_SQL,
     "tv_distance": _TV_SQL,
     "concentration_metrics": _CONCENTRATION_SQL,
+    "seasonality_index": _SEASONALITY_SQL,
 }
