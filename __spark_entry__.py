@@ -103,7 +103,7 @@ _NEW_R04 = frozenset({
     "skew_report", "join_size_estimate", "core_decomposition",
     "association_metrics", "ab_test", "position_attribution",
     "capped_balance", "tv_distance", "concentration_metrics",
-    "seasonality_index",
+    "seasonality_index", "km_survival",
 })
 
 

@@ -1968,6 +1968,137 @@ _SEASONALITY_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival of customer lifetime per market segment:
+# lifetime = days between first and last order, right-censored when
+# the customer is still active near the horizon.  The KM product
+# S(t) = Π (n_i − d_i)/n_i folds in event-time order — float products
+# are order-dependent, so this is the module's fifth bit-exact HOF
+# recurrence, mirrored by a recursive CTE.  All counts exact; the one
+# float is the survival product itself (identical operation streams).
+# ---------------------------------------------------------------------------
+
+def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per segment: customers, event times, final KM survival, and the
+    first lifetime (days) at which survival drops to <= 0.5."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    horizon = orders.agg(F.max("o_orderdate").alias("h"))
+    life = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("first_o"),
+            F.max("o_orderdate").alias("last_o"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_mktsegment",
+            F.datediff("last_o", "first_o").alias("t"),
+            # still ordering within 180 days of the horizon -> censored
+            (F.datediff("h", "last_o") >= 180).cast("int").alias("is_event"),
+        )
+    )
+    per_t = life.groupBy("c_mktsegment", "t").agg(
+        F.sum("is_event").alias("d"),
+        F.sum(F.lit(1) - F.col("is_event")).alias("c"),
+    )
+    series = per_t.groupBy("c_mktsegment").agg(
+        F.array_sort(F.collect_list(F.struct("t", "d", "c"))).alias("v"),
+        F.sum(F.col("d") + F.col("c")).alias("n0"),
+        F.count("*").alias("n_times"),
+    )
+    init = F.struct(
+        F.col("n0").alias("at_risk"),
+        F.lit(1.0).alias("s"),
+        F.lit(None).cast("int").alias("median_t"),
+    )
+
+    def step(acc, e):
+        s_new = F.when(
+            e["d"] > 0,
+            acc["s"]
+            * (
+                (acc["at_risk"] - e["d"]).cast("double")
+                / acc["at_risk"].cast("double")
+            ),
+        ).otherwise(acc["s"])
+        return F.struct(
+            (acc["at_risk"] - e["d"] - e["c"]).alias("at_risk"),
+            s_new.alias("s"),
+            F.coalesce(
+                acc["median_t"],
+                F.when(s_new <= 0.5, e["t"].cast("int")),
+            ).alias("median_t"),
+        )
+
+    folded = series.select(
+        "c_mktsegment",
+        F.col("n0").alias("n_customers"),
+        F.col("n_times").cast("int").alias("n_event_times"),
+        F.aggregate("v", init, step).alias("__st"),
+    )
+    return folded.select(
+        "c_mktsegment",
+        "n_customers",
+        "n_event_times",
+        F.col("__st.s").alias("final_survival"),
+        F.col("__st.median_t").alias("median_lifetime_days"),
+    )
+
+
+_KM_SQL = """
+    WITH RECURSIVE horizon AS (SELECT max(o_orderdate) AS h FROM orders),
+    life AS (
+        SELECT c_mktsegment,
+               CAST(date_diff('day', min(o_orderdate), max(o_orderdate))
+                    AS INT) AS t,
+               CASE WHEN date_diff('day', max(o_orderdate),
+                                   (SELECT h FROM horizon)) >= 180
+                    THEN 1 ELSE 0 END AS is_event
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment, o_custkey
+    ),
+    per_t AS (
+        SELECT c_mktsegment, t,
+               CAST(sum(is_event) AS BIGINT) AS d,
+               CAST(sum(1 - is_event) AS BIGINT) AS c
+        FROM life GROUP BY 1, 2
+    ),
+    arr AS (
+        SELECT c_mktsegment,
+               list(struct_pack(t := t, d := d, c := c) ORDER BY t) AS v,
+               CAST(sum(d + c) AS BIGINT) AS n0,
+               CAST(count(*) AS INT) AS n_times
+        FROM per_t GROUP BY 1
+    ),
+    rec AS (
+        SELECT c_mktsegment, v, n0, n_times, 0 AS i,
+               n0 AS at_risk, CAST(1 AS DOUBLE) AS s,
+               CAST(NULL AS INT) AS median_t
+        FROM arr
+        UNION ALL
+        SELECT c_mktsegment, v, n0, n_times, i + 1,
+               at_risk - v[i + 1].d - v[i + 1].c,
+               CASE WHEN v[i + 1].d > 0
+                    THEN s * (CAST(at_risk - v[i + 1].d AS DOUBLE)
+                              / CAST(at_risk AS DOUBLE))
+                    ELSE s END,
+               coalesce(median_t,
+                        CASE WHEN (CASE WHEN v[i + 1].d > 0
+                                   THEN s * (CAST(at_risk - v[i + 1].d
+                                                  AS DOUBLE)
+                                             / CAST(at_risk AS DOUBLE))
+                                   ELSE s END) <= 0.5
+                             THEN CAST(v[i + 1].t AS INT) END)
+        FROM rec WHERE i < n_times
+    )
+    SELECT c_mktsegment, n0 AS n_customers, n_times AS n_event_times,
+           s AS final_survival, median_t AS median_lifetime_days
+    FROM rec WHERE i = n_times
+"""
+
+
 QUERIES_MINING: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ssjoin_exact": q_ssjoin_exact,
     "scd2_dimension": q_scd2_dimension,
@@ -1999,6 +2130,7 @@ QUERIES_MINING: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tv_distance": q_tv_distance,
     "concentration_metrics": q_concentration_metrics,
     "seasonality_index": q_seasonality_index,
+    "km_survival": q_km_survival,
 }
 
 ORACLES_MINING: dict[str, str] = {
@@ -2032,4 +2164,5 @@ ORACLES_MINING: dict[str, str] = {
     "tv_distance": _TV_SQL,
     "concentration_metrics": _CONCENTRATION_SQL,
     "seasonality_index": _SEASONALITY_SQL,
+    "km_survival": _KM_SQL,
 }
