@@ -467,3 +467,58 @@ def test_core_numbers_consistent_with_k_core(spark):
     cores = {r.id: r.core for r in core_numbers(edges, "a", "b").collect()}
     in_2core = {r.id for r in k_core(edges, 2, "a", "b").collect()}
     assert {n for n, c in cores.items() if c >= 2} == in_2core
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier fold semantics (via the registry query's operator shape)
+# ---------------------------------------------------------------------------
+
+def test_km_survival_hand_computed(spark):
+    """3 customers, no censoring: S after t=0 events follows the exact
+    product; median is the first crossing at or below 0.5."""
+    import math
+
+    from sf_datalake_spark.queries_mining import q_km_survival  # noqa: F401
+
+    # exercise the fold directly with a hand-built per-t frame
+    from pyspark.sql import functions as F
+
+    per_t = spark.createDataFrame(
+        # (segment, t, deaths, censored)
+        [("A", 10, 1, 0), ("A", 20, 1, 0), ("A", 30, 0, 1),
+         ("B", 5, 2, 0)],
+        "c_mktsegment string, t int, d long, c long",
+    )
+    series = per_t.groupBy("c_mktsegment").agg(
+        F.array_sort(F.collect_list(F.struct("t", "d", "c"))).alias("v"),
+        F.sum(F.col("d") + F.col("c")).alias("n0"),
+        F.count("*").alias("n_times"),
+    )
+    init = F.struct(
+        F.col("n0").alias("at_risk"), F.lit(1.0).alias("s"),
+        F.lit(None).cast("int").alias("median_t"),
+    )
+
+    def step(acc, e):
+        s_new = F.when(
+            e["d"] > 0,
+            acc["s"] * ((acc["at_risk"] - e["d"]).cast("double")
+                        / acc["at_risk"].cast("double")),
+        ).otherwise(acc["s"])
+        return F.struct(
+            (acc["at_risk"] - e["d"] - e["c"]).alias("at_risk"),
+            s_new.alias("s"),
+            F.coalesce(acc["median_t"],
+                       F.when(s_new <= 0.5, e["t"].cast("int"))).alias("median_t"),
+        )
+
+    out = {r.c_mktsegment: r for r in series.select(
+        "c_mktsegment", F.aggregate("v", init, step).alias("st")
+    ).select("c_mktsegment", "st.*").collect()}
+    # A: n0=3 -> t10: 2/3; t20: 2/3 * 1/2 = 1/3 (median 20); t30 censored
+    assert math.isclose(out["A"].s, 1 / 3)
+    assert out["A"].median_t == 20
+    assert out["A"].at_risk == 0
+    # B: n0=2, both die at t5 -> s=0, median 5
+    assert out["B"].s == 0.0
+    assert out["B"].median_t == 5
