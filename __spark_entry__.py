@@ -24,6 +24,7 @@ from sf_datalake_spark.queries_sketch import ORACLES_SKETCH, QUERIES_SKETCH  # n
 from sf_datalake_spark.queries_tpch import ORACLES_TPCH, QUERIES_TPCH  # noqa: E402
 from sf_datalake_spark.queries_analytics import ORACLES_ANALYTICS, QUERIES_ANALYTICS  # noqa: E402
 from sf_datalake_spark.queries_mining import ORACLES_MINING, QUERIES_MINING  # noqa: E402
+from sf_datalake_spark.queries_stats import ORACLES_STATS, QUERIES_STATS  # noqa: E402
 
 # queries_sketch/queries_tpch are merged LAST so their (post-r02)
 # entries append after the fresh-oracled block and cannot displace any
@@ -31,10 +32,10 @@ from sf_datalake_spark.queries_mining import ORACLES_MINING, QUERIES_MINING  # n
 # snapshot cap.
 QUERIES = {**QUERIES, **QUERIES_EXT, **QUERIES_REL, **QUERIES_CORPUS,
            **QUERIES_SKETCH, **QUERIES_TPCH, **QUERIES_ANALYTICS,
-           **QUERIES_MINING}
+           **QUERIES_MINING, **QUERIES_STATS}
 ORACLES = {**ORACLES, **ORACLES_EXT, **ORACLES_REL, **ORACLES_CORPUS,
            **ORACLES_SKETCH, **ORACLES_TPCH, **ORACLES_ANALYTICS,
-           **ORACLES_MINING}
+           **ORACLES_MINING, **ORACLES_STATS}
 
 # Names already green in a driver CORRECTNESS snapshot (union of
 # r01 ∪ r02 ∪ r03, 100 names — minus merge_upsert, r03's one hash-fail,
@@ -104,6 +105,8 @@ _NEW_R04 = frozenset({
     "association_metrics", "ab_test", "position_attribution",
     "capped_balance", "tv_distance", "concentration_metrics",
     "seasonality_index", "km_survival",
+    "pettitt_changepoint", "weighted_median", "bitmap_distinct",
+    "decay_attribution", "nelson_aalen", "vocab_coverage", "rrf_fusion",
 })
 
 

@@ -117,3 +117,57 @@ def incremental_aggregate(
             for c in val_cols
         ],
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    quantiles: Sequence[tuple[int, int]] = ((1, 4), (1, 2), (3, 4)),
+) -> DataFrame:
+    """Exact weighted quantiles per key, engine-exact by construction.
+
+    The weighted q-quantile (q = num/den) is the smallest value whose
+    cumulative weight reaches ``q·W``; the reach test is kept in
+    integer cross-multiplied form (``den·cum ≥ num·W``) so no float
+    division ever happens — value and weight columns must be integral
+    (cents, counts).  Returns one row per key: total weight plus one
+    ``q_<num>_<den>`` column per requested quantile.
+
+    Spark-first, two shuffles total: (1) pre-aggregate weight per
+    (key, value) — this also makes the cumulative window's ROWS frame
+    deterministic, since values are unique after the group — then
+    (2) one window + groupBy on ``keys`` sharing a single exchange.
+    At 100 TB the (key, value) pre-aggregation is the map-side-combine
+    workhorse; per-key distinct-value count bounds the window state.
+    """
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    per_value = df.groupBy(*keys, value_col).agg(
+        F.sum(F.col(weight_col).cast("bigint")).alias("__w")
+    )
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_key = Window.partitionBy(*keys)
+    cum = per_value.select(
+        *keys,
+        F.col(value_col).alias("__v"),
+        F.sum("__w").over(w_cum).alias("__cum"),
+        F.sum("__w").over(w_key).alias("__tot"),
+    )
+    aggs = [F.max("__tot").alias("total_weight")]
+    for num, den in quantiles:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("__cum") * F.lit(den) >= F.col("__tot") * F.lit(num),
+                    F.col("__v"),
+                )
+            ).alias(f"q_{num}_{den}")
+        )
+    return cum.groupBy(*keys).agg(*aggs)

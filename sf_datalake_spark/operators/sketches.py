@@ -174,3 +174,52 @@ def cms_estimate_counts(
         bytes(row["cms"])
     )
     return {item: int(sketch.estimateCount(item)) for item in items}
+
+
+def bitmap_distinct(
+    df: DataFrame,
+    fine_keys: Sequence[str],
+    coarse_expr: Column,
+    id_col: str,
+) -> DataFrame:
+    """EXACT distinct-count rollup via mergeable 64-bit bitmap words —
+    the exact counterpart of the HLL rollup above for dense integer id
+    universes (user ids, customer keys).
+
+    Level 1 groups by ``fine_keys`` and packs ids into ``(word, bits)``
+    pairs (``word = id div 64``, ``bits = bit_or(1 << id mod 64)``);
+    level 2 re-groups the *words* under ``coarse_expr`` and ORs them —
+    the coarse distinct count is ``sum(bit_count(bits))`` with NO
+    second scan of the fact table, and unlike HLL the answer is exact.
+    Returns one row per coarse group: ``(group, n_distinct, n_words)``.
+
+    Scale: state per group is ``universe/64`` words at worst (dense
+    ids) and ``≤ n_distinct`` words always — a 10⁹-id universe is ≤
+    125 MB per group spread across the word-hash shuffle, never a
+    single-task hotspot because ``word`` is part of the grouping key
+    until the final per-group popcount sum.  Sparse/skewed universes
+    want roaring-style containers; this operator documents the dense
+    case the synthetic keys exercise.
+    """
+    fine = list(fine_keys)
+    level1 = (
+        df.select(
+            *fine,
+            # `div`, not `/`: integer floor, matching DuckDB's `//`
+            F.expr(f"`{id_col}` div 64").alias("__word"),
+            F.expr(
+                f"shiftleft(1L, cast(`{id_col}` % 64 as int))"
+            ).alias("__bit"),
+        )
+        .groupBy(*fine, "__word")
+        .agg(F.expr("bit_or(__bit)").alias("__bits"))
+    )
+    level2 = (
+        level1.select(coarse_expr.alias("grp"), "__word", "__bits")
+        .groupBy("grp", "__word")
+        .agg(F.expr("bit_or(__bits)").alias("__bits"))
+    )
+    return level2.groupBy("grp").agg(
+        F.sum(F.expr("bit_count(__bits)")).cast("bigint").alias("n_distinct"),
+        F.count("*").cast("bigint").alias("n_words"),
+    )

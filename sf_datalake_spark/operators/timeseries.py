@@ -238,3 +238,98 @@ def autocorrelation(
     # elimination shares the fold, and re-evaluation would be
     # bit-identical anyway.
     return base.select(*keys, *out)
+
+
+def pettitt_test(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Pettitt's nonparametric changepoint test per key (Pettitt 1979).
+
+    For a series x_1..x_n the statistic is ``U_t = 2·S_t − t·(n+1)``
+    where ``S_t`` is the running sum of the series' midranks; the test
+    reports ``K = max_t |U_t|`` (t = 1..n−1) and the order value at the
+    argmax (earliest on ties) as the most likely changepoint, plus the
+    standard significance approximation ``p ≈ 2·exp(−6K²/(n³+n²))``.
+
+    Exactness: midranks are carried doubled (``2·midrank = 2·rank_min
+    + ties − 1``, always an integer), so ``U_t = S2_t − t·(n+1)`` is
+    pure BIGINT arithmetic — K and the changepoint are engine-exact;
+    the only float is the rounded p-value.
+
+    Spark-first: no fold and no UDF — two window passes over each
+    key's series (one ordered by value for ranks, one ordered by time
+    for the running sum) and a final groupBy.  Shuffle count is one
+    exchange on ``keys`` (all three windows and the aggregation share
+    the partitioning).  Per-key series length is the memory bound, as
+    with any rank test — pre-aggregate tick data to the test
+    granularity first.
+    """
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    w_val = Window.partitionBy(*keys).orderBy(value_col)
+    w_tie = Window.partitionBy(*keys, value_col)
+    w_key = Window.partitionBy(*keys)
+    # ordered by the RENAMED __ord: the windows below run on `ranked`,
+    # where order_col no longer exists under its original name
+    w_ord = (
+        Window.partitionBy(*keys)
+        .orderBy("__ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = df.select(
+        *keys,
+        F.col(order_col).alias("__ord"),
+        (
+            F.rank().over(w_val) * F.lit(2)
+            + F.count("*").over(w_tie)
+            - F.lit(1)
+        )
+        .cast("bigint")
+        .alias("__r2"),
+        F.count("*").over(w_key).alias("__n"),
+    )
+    u = ranked.select(
+        *keys,
+        "__ord",
+        "__n",
+        F.row_number()
+        .over(Window.partitionBy(*keys).orderBy("__ord"))
+        .alias("__t"),
+        F.sum("__r2").over(w_ord).alias("__s2"),
+    ).withColumn(
+        "__absu",
+        F.abs(F.col("__s2") - F.col("__t") * (F.col("__n") + F.lit(1))),
+    )
+    best = (
+        u.filter(F.col("__t") < F.col("__n"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(*keys).orderBy(
+                    F.col("__absu").desc(), F.col("__ord").asc()
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+    )
+    n = F.col("__n").cast("double")
+    return best.select(
+        *keys,
+        F.col("__n").cast("int").alias("n_obs"),
+        F.col("__absu").alias("k_stat"),
+        F.col("__ord").alias("changepoint"),
+        F.round(
+            F.lit(2.0)
+            * F.exp(
+                F.lit(-6.0)
+                * F.col("__absu").cast("double")
+                * F.col("__absu").cast("double")
+                / (n * n * n + n * n)
+            ),
+            6,
+        ).alias("p_approx"),
+    )

@@ -1,0 +1,656 @@
+"""Statistical-monitoring and exact-arithmetic analytics batch (round 4,
+beyond the reference): Pettitt changepoint test, exact weighted
+quantiles, bitmap-exact distinct rollup, time-decay attribution,
+Nelson-Aalen cumulative hazard, vocabulary OOV coverage, reciprocal-
+rank fusion.
+
+Conventions follow ``queries.py``: every computed column is aliased
+identically in the Spark plan and the DuckDB oracle; money is summed
+as integer cents; shares/credits are parts-per-million integers
+(``div``, truncating like DuckDB's ``//``); the few floats that cross
+the engine boundary are single transcendental evaluations rounded at
+6, never accumulated sums.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sf_datalake_spark.queries import _t
+
+
+# ---------------------------------------------------------------------------
+# Pettitt changepoint test: the rank-based single-changepoint detector
+# for each priority's monthly revenue series.  Doubled midranks keep
+# U_t in pure BIGINT arithmetic (operators/timeseries.pettitt_test);
+# the only float is the rounded significance approximation.
+# ---------------------------------------------------------------------------
+
+def q_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order priority: Pettitt K statistic, the most likely
+    changepoint month of the monthly revenue-cents series, and the
+    approximate p-value."""
+    from sf_datalake_spark.operators.timeseries import pettitt_test
+
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        (
+            F.year("o_orderdate") * F.lit(100) + F.month("o_orderdate")
+        )
+        .cast("int")
+        .alias("month"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        )
+    )
+    return pettitt_test(
+        monthly, ["o_orderpriority"], "month", "revenue_cents"
+    ).select(
+        "o_orderpriority",
+        "n_obs",
+        "k_stat",
+        F.col("changepoint").alias("changepoint_month"),
+        "p_approx",
+    )
+
+
+_PETTITT_SQL = """
+    WITH monthly AS (
+        SELECT o_orderpriority,
+               CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT)
+                   AS month,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT o_orderpriority, month,
+               CAST(rank() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY revenue_cents) * 2
+                    + count(*) OVER (PARTITION BY o_orderpriority,
+                                                  revenue_cents)
+                    - 1 AS BIGINT) AS r2,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM monthly
+    ),
+    u AS (
+        SELECT o_orderpriority, month, n,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY month) AS t,
+               abs(sum(r2) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY month
+                                 ROWS UNBOUNDED PRECEDING)
+                   - row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY month) * (n + 1))
+                   AS absu
+        FROM ranked
+    ),
+    best AS (
+        SELECT o_orderpriority, n, absu, month,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY absu DESC, month ASC) AS rn
+        FROM u WHERE t < n
+    )
+    SELECT o_orderpriority,
+           CAST(n AS INT) AS n_obs,
+           CAST(absu AS BIGINT) AS k_stat,
+           month AS changepoint_month,
+           round(2.0 * exp(-6.0 * CAST(absu AS DOUBLE) * CAST(absu AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * n * n
+                              + CAST(n AS DOUBLE) * n)), 6) AS p_approx
+    FROM best WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted quantiles: quantity-weighted price quartiles per
+# return flag.  The reach test stays in integer cross-multiplied form
+# (operators/aggregates.weighted_quantiles) — zero float arithmetic.
+# ---------------------------------------------------------------------------
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per return flag: total shipped quantity and the exact
+    quantity-weighted price quartiles in cents."""
+    from sf_datalake_spark.operators.aggregates import weighted_quantiles
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    out = weighted_quantiles(
+        li, ["l_returnflag"], "price_cents", "qty"
+    )
+    return out.select(
+        "l_returnflag",
+        "total_weight",
+        F.col("q_1_4").alias("wq25_cents"),
+        F.col("q_1_2").alias("wmedian_cents"),
+        F.col("q_3_4").alias("wq75_cents"),
+    )
+
+
+_WEIGHTED_MEDIAN_SQL = """
+    WITH per_value AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT l_returnflag, price_cents,
+               sum(w) OVER (PARTITION BY l_returnflag ORDER BY price_cents
+                            ROWS UNBOUNDED PRECEDING) AS c,
+               sum(w) OVER (PARTITION BY l_returnflag) AS tot
+        FROM per_value
+    )
+    SELECT l_returnflag,
+           CAST(max(tot) AS BIGINT) AS total_weight,
+           CAST(min(price_cents) FILTER (WHERE c * 4 >= tot) AS BIGINT)
+               AS wq25_cents,
+           CAST(min(price_cents) FILTER (WHERE c * 2 >= tot) AS BIGINT)
+               AS wmedian_cents,
+           CAST(min(price_cents) FILTER (WHERE c * 4 >= tot * 3) AS BIGINT)
+               AS wq75_cents
+    FROM cum GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bitmap-exact distinct rollup: distinct ordering customers per
+# priority class, computed as mergeable 64-bit bitmap words — the
+# EXACT counterpart of hll_rollup (operators/sketches.bitmap_distinct):
+# level-2 merges level-1 bitmaps with no second scan of orders.
+# ---------------------------------------------------------------------------
+
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per priority class (high = 1-URGENT/2-HIGH): exact distinct
+    customer count from OR-merged per-priority bitmaps, plus the
+    bitmap word count."""
+    from sf_datalake_spark.operators.sketches import bitmap_distinct
+
+    orders = _t(spark, sf_dir, "orders")
+    cls = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit("high")
+    ).otherwise(F.lit("low"))
+    out = bitmap_distinct(
+        orders, ["o_orderpriority"], cls, "o_custkey"
+    )
+    return out.select(
+        F.col("grp").alias("priority_class"), "n_distinct", "n_words"
+    )
+
+
+_BITMAP_DISTINCT_SQL = """
+    SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 'high' ELSE 'low' END AS priority_class,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(count(DISTINCT o_custkey // 64) AS BIGINT) AS n_words
+    FROM orders GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-decay multi-touch attribution: completes the attribution family
+# (linear, position-based in queries_mining) with recency-halving
+# weights.  Weights are dyadic (1 << k) and credits exact ppm
+# integers, so totals are engine-exact BIGINTs; credit is truncated at
+# the 10 most recent touches (beyond that a half-life weight is below
+# ppm resolution anyway — documented, identical in both engines).
+# ---------------------------------------------------------------------------
+
+def q_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per touch channel: touches credited, purchases reached, and the
+    exact ppm credit total under exponential time-decay attribution."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("touch_id"),
+    )
+    matched = purchases.join(
+        touches,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    w_recency = Window.partitionBy("purchase_id").orderBy(
+        F.col("t_ts").desc(), F.col("touch_id").desc()
+    )
+    recent = matched.withColumn(
+        "rn", F.row_number().over(w_recency)
+    ).filter(F.col("rn") <= 10)
+    w_p = Window.partitionBy("purchase_id")
+    credited = recent.withColumn("m", F.max("rn").over(w_p)).withColumn(
+        # w_rn = 2^(10-rn); denom = sum over rn=1..m = 2^10 - 2^(10-m)
+        "credit_ppm",
+        F.expr(
+            "(1000000L * shiftleft(1L, 10 - rn))"
+            " div (shiftleft(1L, 10) - shiftleft(1L, 10 - m))"
+        ),
+    )
+    return credited.groupBy("event_type").agg(
+        F.count("*").alias("n_touches"),
+        F.countDistinct("purchase_id").alias("n_purchases_reached"),
+        F.sum("credit_ppm").alias("credit_ppm_total"),
+    )
+
+
+_DECAY_ATTRIBUTION_SQL = """
+    WITH purchases AS (
+        SELECT user_id AS p_user, event_id AS purchase_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT user_id, event_type, ts AS t_ts, event_id AS touch_id
+        FROM events WHERE event_type IN ('view', 'click')
+    ),
+    matched AS (
+        SELECT event_type, purchase_id, t_ts, touch_id
+        FROM purchases JOIN touches
+          ON p_user = user_id
+         AND t_ts < p_ts AND t_ts >= p_ts - INTERVAL 7 DAY
+    ),
+    recent AS (
+        SELECT event_type, purchase_id,
+               row_number() OVER (PARTITION BY purchase_id
+                                  ORDER BY t_ts DESC, touch_id DESC) AS rn
+        FROM matched
+        QUALIFY rn <= 10
+    ),
+    credited AS (
+        SELECT event_type, purchase_id,
+               (1000000 * (1::BIGINT << (10 - rn)))
+               // ((1::BIGINT << 10)
+                   - (1::BIGINT << (10 - max(rn) OVER (
+                         PARTITION BY purchase_id)))) AS credit_ppm
+        FROM recent
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(count(DISTINCT purchase_id) AS BIGINT)
+               AS n_purchases_reached,
+           CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_total
+    FROM credited GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard on the km_survival setup
+# (queries_mining.q_km_survival): unlike the KM product, the NA sum
+# needs NO iterative fold — at-risk counts are a window subtraction
+# and each hazard increment is an exact ppm integer, so the whole
+# curve is window arithmetic, engine-exact with zero floats.
+# ---------------------------------------------------------------------------
+
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per segment and event time: at-risk count, events, and the
+    Nelson-Aalen cumulative hazard in exact ppm."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    horizon = orders.agg(F.max("o_orderdate").alias("h"))
+    life = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("first_o"),
+            F.max("o_orderdate").alias("last_o"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_mktsegment",
+            F.datediff("last_o", "first_o").alias("t"),
+            (F.datediff("h", "last_o") >= 180).cast("int").alias("is_event"),
+        )
+    )
+    per_t = life.groupBy("c_mktsegment", "t").agg(
+        F.sum("is_event").cast("bigint").alias("d"),
+        F.sum(F.lit(1) - F.col("is_event")).cast("bigint").alias("c"),
+    )
+    w_prior = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_key = Window.partitionBy("c_mktsegment")
+    w_cum = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = (
+        per_t.withColumn(
+            "at_risk",
+            F.sum(F.col("d") + F.col("c")).over(w_key)
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prior), F.lit(0)
+            ),
+        )
+        .withColumn(
+            "hazard_ppm",
+            F.expr("(d * 1000000L) div at_risk"),
+        )
+        .withColumn("cum_hazard_ppm", F.sum("hazard_ppm").over(w_cum))
+    )
+    return curve.filter(F.col("d") > 0).select(
+        "c_mktsegment",
+        F.col("t").cast("int").alias("t"),
+        "at_risk",
+        "d",
+        "cum_hazard_ppm",
+    )
+
+
+_NELSON_AALEN_SQL = """
+    WITH horizon AS (SELECT max(o_orderdate) AS h FROM orders),
+    life AS (
+        SELECT c_mktsegment,
+               CAST(date_diff('day', min(o_orderdate), max(o_orderdate))
+                    AS INT) AS t,
+               CASE WHEN date_diff('day', max(o_orderdate),
+                                   (SELECT h FROM horizon)) >= 180
+                    THEN 1 ELSE 0 END AS is_event
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment, o_custkey
+    ),
+    per_t AS (
+        SELECT c_mktsegment, t,
+               CAST(sum(is_event) AS BIGINT) AS d,
+               CAST(sum(1 - is_event) AS BIGINT) AS c
+        FROM life GROUP BY 1, 2
+    ),
+    curve AS (
+        SELECT c_mktsegment, t, d,
+               sum(d + c) OVER (PARTITION BY c_mktsegment)
+               - coalesce(sum(d + c) OVER (PARTITION BY c_mktsegment
+                          ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS at_risk
+        FROM per_t
+    ),
+    hz AS (
+        SELECT c_mktsegment, t, d, at_risk,
+               sum((d * 1000000) // at_risk)
+                   OVER (PARTITION BY c_mktsegment ORDER BY t
+                         ROWS UNBOUNDED PRECEDING) AS cum_hazard_ppm
+        FROM curve
+    )
+    SELECT c_mktsegment, t, CAST(at_risk AS BIGINT) AS at_risk,
+           CAST(d AS BIGINT) AS d,
+           CAST(cum_hazard_ppm AS BIGINT) AS cum_hazard_ppm
+    FROM hz WHERE d > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary OOV coverage: the tokenizer-coverage audit an LLM data
+# pipeline runs before training — build the top-200 document-frequency
+# vocabulary from the corpus itself (deterministic df-desc/token-asc
+# cutoff), then measure per-language out-of-vocabulary token rates.
+# Spark-first: the vocabulary is a 200-row broadcast join against the
+# token stream; the corpus is scanned twice (df pass + coverage pass),
+# which at 100 TB is the standard two-pass vocab build — the vocab
+# side is kilobytes.
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 200
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per language: documents, total tokens, tokens outside the
+    corpus top-200 DF vocabulary, and the exact OOV rate in ppm."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+        ).alias("token"),
+    )
+    # global top-K selection as orderBy+limit, NOT a row_number over
+    # every distinct token: this compiles to TakeOrderedAndProject
+    # (per-partition top-K, merged on the driver) — no single-partition
+    # window over a 100 TB corpus's vocabulary
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("token").asc())
+        .limit(_VOCAB_K)
+        .select("token")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))),
+        "token",
+        "left",
+    )
+    return flagged.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("total_tokens"),
+        F.sum(
+            F.when(F.col("in_vocab").isNull(), F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("oov_tokens"),
+        F.expr(
+            "sum(case when in_vocab is null then 1 else 0 end)"
+            " * 1000000L div count(*)"
+        ).alias("oov_ppm"),
+    )
+
+
+_VOCAB_COVERAGE_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) AS token
+        FROM documents
+    ),
+    vocab AS (
+        SELECT token FROM (
+            SELECT token,
+                   row_number() OVER (ORDER BY count(DISTINCT doc_id) DESC,
+                                      token ASC) AS rn
+            FROM toks GROUP BY token
+        ) WHERE rn <= 200
+    ),
+    flagged AS (
+        SELECT t.doc_id, t.lang,
+               CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS is_oov
+        FROM toks t LEFT JOIN vocab v ON t.token = v.token
+    )
+    SELECT lang,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS total_tokens,
+           CAST(sum(is_oov) AS BIGINT) AS oov_tokens,
+           CAST(sum(is_oov) * 1000000 // count(*) AS BIGINT) AS oov_ppm
+    FROM flagged GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion: merge BM25 keyword ranks with embedding
+# cosine ranks (doc_id ≡ vec_id in the synthetic corpus) using exact
+# ppm RRF scores — 1e6 div (60 + rank), summed as integers, so the
+# fused ordering is engine-exact.  Both input rankings are rounded at
+# 6 before ranking with the id tiebreak (same discipline as
+# embedding_topk / bm25_search), killing ULP rank flips.
+# ---------------------------------------------------------------------------
+
+_RRF_TERMS = ["join", "window", "spark"]
+_RRF_K = 60
+_RRF_DEPTH = 50
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents under reciprocal-rank fusion of the BM25
+    keyword ranking and the cosine-to-query-vector ranking."""
+    from sf_datalake_spark.functions.text import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+
+    bm = bm25_topk(
+        docs, _RRF_TERMS, "doc_id", "text", top_k=_RRF_DEPTH
+    ).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .alias("r_bm25"),
+    )
+
+    qvec = emb.orderBy("vec_id").limit(1).select(
+        F.col("embedding").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("qv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def norm(col):
+        return F.sqrt(
+            F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+
+    # top-depth via orderBy+limit (TakeOrderedAndProject — distributed
+    # top-K, no global-window single partition over the corpus); the
+    # rank window then runs on ≤ depth rows
+    cos = (
+        emb.crossJoin(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            F.round(
+                dot / (norm(F.col("embedding")) * norm(F.col("qv"))), 6
+            ).alias("cos6"),
+        )
+        .orderBy(F.col("cos6").desc(), F.col("vec_id").asc())
+        .limit(_RRF_DEPTH)
+        .select(
+            "vec_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("cos6").desc(), F.col("vec_id").asc()))
+            .alias("r_cos"),
+        )
+    )
+
+    fused = bm.join(
+        cos, bm["doc_id"] == cos["vec_id"], "full_outer"
+    ).select(
+        F.coalesce(bm["doc_id"], cos["vec_id"]).alias("doc_id"),
+        "r_bm25",
+        "r_cos",
+        (
+            F.coalesce(
+                F.expr(f"1000000L div ({_RRF_K} + r_bm25)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"1000000L div ({_RRF_K} + r_cos)"), F.lit(0)
+            )
+        ).alias("rrf_ppm"),
+    )
+    return fused.orderBy(F.col("rrf_ppm").desc(), F.col("doc_id").asc()).limit(
+        20
+    )
+
+
+_RRF_FUSION_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+                   AS dl,
+               unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+                   AS term
+        FROM documents
+    ),
+    qt AS (SELECT * FROM (VALUES ('join'), ('window'), ('spark')) t(term)),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+        FROM toks JOIN qt USING (term) GROUP BY 1, 2
+    ),
+    dfv AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    stats AS (
+        SELECT count(*) AS n_docs,
+               sum(len(list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> ''))) AS total_dl
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl
+                                          / (total_dl / n_docs))))
+                   AS s
+        FROM tf JOIN dfv USING (term) CROSS JOIN stats
+    ),
+    bm_top AS (
+        SELECT doc_id, round(sum(s), 6) AS score
+        FROM scored GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC LIMIT 50
+    ),
+    bm AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                    AS INT) AS r_bm25
+        FROM bm_top
+    ),
+    qv AS (
+        SELECT embedding AS v FROM embeddings
+        ORDER BY vec_id LIMIT 1
+    ),
+    coss AS (
+        SELECT vec_id,
+               round(list_inner_product(embedding::DOUBLE[], v::DOUBLE[])
+                     / (sqrt(list_inner_product(embedding::DOUBLE[],
+                                                embedding::DOUBLE[]))
+                        * sqrt(list_inner_product(v::DOUBLE[],
+                                                  v::DOUBLE[]))), 6)
+                   AS cos6
+        FROM embeddings CROSS JOIN qv
+    ),
+    cos AS (
+        SELECT vec_id,
+               CAST(row_number() OVER (ORDER BY cos6 DESC, vec_id ASC)
+                    AS INT) AS r_cos
+        FROM coss
+        QUALIFY r_cos <= 50
+    )
+    SELECT coalesce(bm.doc_id, cos.vec_id) AS doc_id, r_bm25, r_cos,
+           CAST(coalesce(1000000 // (60 + r_bm25), 0)
+                + coalesce(1000000 // (60 + r_cos), 0) AS BIGINT) AS rrf_ppm
+    FROM bm FULL OUTER JOIN cos ON bm.doc_id = cos.vec_id
+    ORDER BY rrf_ppm DESC, doc_id ASC LIMIT 20
+"""
+
+
+QUERIES_STATS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pettitt_changepoint": q_pettitt_changepoint,
+    "weighted_median": q_weighted_median,
+    "bitmap_distinct": q_bitmap_distinct,
+    "decay_attribution": q_decay_attribution,
+    "nelson_aalen": q_nelson_aalen,
+    "vocab_coverage": q_vocab_coverage,
+    "rrf_fusion": q_rrf_fusion,
+}
+
+ORACLES_STATS: dict[str, str] = {
+    "pettitt_changepoint": _PETTITT_SQL,
+    "weighted_median": _WEIGHTED_MEDIAN_SQL,
+    "bitmap_distinct": _BITMAP_DISTINCT_SQL,
+    "decay_attribution": _DECAY_ATTRIBUTION_SQL,
+    "nelson_aalen": _NELSON_AALEN_SQL,
+    "vocab_coverage": _VOCAB_COVERAGE_SQL,
+    "rrf_fusion": _RRF_FUSION_SQL,
+}

@@ -1,0 +1,292 @@
+"""Tests for the round-4 statistical-monitoring batch: Pettitt
+changepoint, exact weighted quantiles, bitmap-exact distinct,
+time-decay attribution, Nelson-Aalen hazard, vocab coverage, RRF
+fusion.  Hand-computed and brute-force-verified cases, per the
+reference's golden-column strategy (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from sf_datalake_spark.operators.aggregates import weighted_quantiles
+from sf_datalake_spark.operators.sketches import bitmap_distinct
+from sf_datalake_spark.operators.timeseries import pettitt_test
+
+
+# ---------------------------------------------------------------------------
+# Pettitt changepoint
+# ---------------------------------------------------------------------------
+
+def _pettitt_brute(values):
+    """Brute-force Pettitt over one series: returns (K, argmax index
+    0-based, n) using midranks, U_t = 2*S_t - t*(n+1)."""
+    n = len(values)
+    ranks = []
+    for v in values:
+        lt = sum(1 for x in values if x < v)
+        eq = sum(1 for x in values if x == v)
+        ranks.append(lt + (eq + 1) / 2)
+    best_k, best_i = -1, None
+    s = 0.0
+    for t in range(1, n):
+        s += ranks[t - 1]
+        u = abs(2 * s - t * (n + 1))
+        if u > best_k:
+            best_k, best_i = u, t - 1
+    return best_k, best_i, n
+
+
+def test_pettitt_known_shift(spark):
+    # level shift after index 4: changepoint must land on the boundary
+    vals = [10, 12, 11, 13, 12, 55, 54, 53, 56, 57]
+    rows = [("a", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    out = pettitt_test(df, ["k"], "t", "v").collect()
+    assert len(out) == 1
+    r = out[0]
+    k_b, i_b, n = _pettitt_brute(vals)
+    assert r["n_obs"] == 10
+    assert r["k_stat"] == k_b
+    assert r["changepoint"] == i_b
+    # clean balanced shift: |U_t| = t(n-t) maximized at t=5 -> 25
+    assert r["k_stat"] == 25
+    assert r["changepoint"] == 4
+    assert 0.0 <= r["p_approx"] <= 1.0
+
+
+def test_pettitt_ties_and_multi_key(spark):
+    random.seed(7)
+    series = {
+        "flat": [5, 5, 5, 5, 5, 5],  # all tied: K = 0 everywhere
+        "noisy": [random.randint(0, 9) for _ in range(25)],
+    }
+    rows = [(k, i, v) for k, vs in series.items() for i, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, ["k", "t", "v"])
+    got = {r["k"]: r for r in pettitt_test(df, ["k"], "t", "v").collect()}
+    assert got["flat"]["k_stat"] == 0
+    assert got["flat"]["changepoint"] == 0  # earliest on ties
+    k_b, i_b, _ = _pettitt_brute(series["noisy"])
+    assert got["noisy"]["k_stat"] == k_b
+    assert got["noisy"]["changepoint"] == i_b
+
+
+# ---------------------------------------------------------------------------
+# weighted quantiles
+# ---------------------------------------------------------------------------
+
+def test_weighted_median_hand_case(spark):
+    # values 1..4 with weights 1,1,1,7 -> total 10; median reached at
+    # value 4 (cum 3 < 5 at value 3, cum 10 >= 5 at 4); q25 at 3
+    # (cum 2 < 2.5 at 2 -> 4*2 < 10; 4*3 >= 10 at 3)
+    rows = [("g", 1, 1), ("g", 2, 1), ("g", 3, 1), ("g", 4, 7)]
+    df = spark.createDataFrame(rows, ["k", "v", "w"])
+    r = weighted_quantiles(df, ["k"], "v", "w").collect()[0]
+    assert r["total_weight"] == 10
+    assert r["q_1_4"] == 3
+    assert r["q_1_2"] == 4
+    assert r["q_3_4"] == 4
+
+
+def test_weighted_median_equals_plain_median_on_unit_weights(spark):
+    vals = [9, 1, 7, 3, 5]
+    df = spark.createDataFrame(
+        [("g", v, 1) for v in vals], ["k", "v", "w"]
+    )
+    r = weighted_quantiles(df, ["k"], "v", "w").collect()[0]
+    # lower median of 1,3,5,7,9 with the "2*cum >= tot" reach rule: 5
+    assert r["q_1_2"] == 5
+
+
+def test_weighted_median_duplicate_values_merge(spark):
+    # same value appearing in many rows must pre-aggregate: weight of
+    # value 2 is 5 across three rows
+    rows = [("g", 2, 2), ("g", 2, 2), ("g", 2, 1), ("g", 1, 1)]
+    df = spark.createDataFrame(rows, ["k", "v", "w"])
+    r = weighted_quantiles(df, ["k"], "v", "w").collect()[0]
+    assert r["total_weight"] == 6
+    assert r["q_1_2"] == 2
+
+
+# ---------------------------------------------------------------------------
+# bitmap-exact distinct
+# ---------------------------------------------------------------------------
+
+def test_bitmap_distinct_matches_count_distinct(spark):
+    random.seed(11)
+    rows = [
+        (random.choice(["p1", "p2", "p3"]), random.randint(0, 999))
+        for _ in range(2000)
+    ]
+    df = spark.createDataFrame(rows, ["prio", "uid"])
+    cls = F.when(F.col("prio") == "p1", F.lit("hi")).otherwise(F.lit("lo"))
+    got = {
+        r["grp"]: (r["n_distinct"], r["n_words"])
+        for r in bitmap_distinct(df, ["prio"], cls, "uid").collect()
+    }
+    want = {
+        r["grp"]: (r["nd"], r["nw"])
+        for r in df.select(
+            cls.alias("grp"), "uid", F.expr("uid div 64").alias("w")
+        )
+        .groupBy("grp")
+        .agg(
+            F.countDistinct("uid").alias("nd"),
+            F.countDistinct("w").alias("nw"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_bitmap_distinct_bit63_boundary(spark):
+    # ids 63 and 64 straddle a word boundary; id 63 sets the sign bit
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 63), ("a", 64), ("a", 63)], ["k", "uid"]
+    )
+    r = bitmap_distinct(df, ["k"], F.lit("all"), "uid").collect()[0]
+    assert r["n_distinct"] == 3
+    assert r["n_words"] == 2
+
+
+# ---------------------------------------------------------------------------
+# registry queries on the sf0.001 tables
+# ---------------------------------------------------------------------------
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_decay_attribution_invariants(spark):
+    from sf_datalake_spark.queries_stats import q_decay_attribution
+
+    out = q_decay_attribution(spark, SF_DIR)
+    rows = {r["event_type"]: r for r in out.collect()}
+    assert set(rows) <= {"view", "click"}
+    # per-purchase credits sum to <= 1e6 with truncation loss < m <= 10:
+    # check the global invariant  sum(credits) <= 1e6 * purchases_reached
+    total_credit = sum(r["credit_ppm_total"] for r in rows.values())
+    n_purch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert total_credit <= 1_000_000 * n_purch
+    # most-recent-touch dominance: with every user having dense touch
+    # history, credited touch counts are capped at 10 per purchase
+    n_reached = max(r["n_purchases_reached"] for r in rows.values())
+    n_touches = sum(r["n_touches"] for r in rows.values())
+    assert n_touches <= 10 * n_reached
+
+
+def test_decay_attribution_weights_hand_case(spark):
+    import datetime as dt
+    import tempfile
+
+    # one purchase, three prior touches: weights 512,256,128 of
+    # denom 1024-128=896 -> ppm 571428, 285714, 142857
+    base = dt.datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        (1, base, 9, "purchase", 0.0, None),
+        (2, base - dt.timedelta(hours=1), 9, "click", 0.0, None),
+        (3, base - dt.timedelta(hours=2), 9, "view", 0.0, None),
+        (4, base - dt.timedelta(hours=3), 9, "view", 0.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    tmp = tempfile.mkdtemp(prefix="decay-attr-")
+    df.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    from sf_datalake_spark.queries_stats import q_decay_attribution
+
+    got = {
+        r["event_type"]: r["credit_ppm_total"]
+        for r in q_decay_attribution(spark, tmp).collect()
+    }
+    # click (most recent): 1e6*512 div 896; views: 256 and 128
+    assert got["click"] == 1_000_000 * 512 // 896
+    assert got["view"] == 1_000_000 * 256 // 896 + 1_000_000 * 128 // 896
+
+
+def test_nelson_aalen_curve_properties(spark):
+    from sf_datalake_spark.queries_stats import q_nelson_aalen
+
+    out = q_nelson_aalen(spark, SF_DIR).collect()
+    assert len(out) > 0
+    by_seg: dict = {}
+    for r in out:
+        by_seg.setdefault(r["c_mktsegment"], []).append(r)
+    for seg, rows in by_seg.items():
+        rows.sort(key=lambda r: r["t"])
+        # cumulative hazard is nondecreasing; at_risk strictly
+        # decreasing across event times; d <= at_risk
+        for a, b in zip(rows, rows[1:]):
+            assert b["cum_hazard_ppm"] >= a["cum_hazard_ppm"]
+            assert b["at_risk"] < a["at_risk"]
+        for r in rows:
+            assert 0 < r["d"] <= r["at_risk"]
+        # first increment is exactly d*1e6 div at_risk
+        f = rows[0]
+        assert f["cum_hazard_ppm"] == f["d"] * 1_000_000 // f["at_risk"]
+
+
+def test_vocab_coverage_hand_case(spark):
+    import tempfile
+
+    rows = [
+        (0, "a a b", "en", "s", 5),
+        (1, "a c", "en", "s", 3),
+        (2, "d d d", "fr", "s", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="vocab-cov-")
+    df.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    import sf_datalake_spark.queries_stats as qs
+
+    old_k = qs._VOCAB_K
+    qs._VOCAB_K = 2  # df: a->2 docs, d->1, b->1, c->1; top2 = {a, b}
+    try:
+        got = {r["lang"]: r for r in qs.q_vocab_coverage(spark, tmp).collect()}
+    finally:
+        qs._VOCAB_K = old_k
+    # vocab = {a (df 2), b (df 1, token-asc beats c,d)}
+    en = got["en"]
+    assert en["total_tokens"] == 5
+    assert en["oov_tokens"] == 1  # 'c'
+    assert en["oov_ppm"] == 1_000_000 // 5
+    fr = got["fr"]
+    assert fr["oov_tokens"] == 3  # 'd' out of vocab entirely
+    assert fr["oov_ppm"] == 1_000_000
+
+
+def test_rrf_fusion_shape_and_order(spark):
+    from sf_datalake_spark.queries_stats import q_rrf_fusion
+
+    rows = q_rrf_fusion(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    scores = [r["rrf_ppm"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # the query vector's own doc ranks first on the cosine side
+    both = [r for r in rows if r["r_bm25"] is not None and r["r_cos"]]
+    for r in both:
+        assert r["rrf_ppm"] == 1_000_000 // (60 + r["r_bm25"]) + (
+            1_000_000 // (60 + r["r_cos"])
+        )
+    top_cos = [r for r in rows if r["r_cos"] == 1]
+    assert top_cos and top_cos[0]["doc_id"] == 0
+
+
+def test_pettitt_changepoint_registry(spark):
+    from sf_datalake_spark.queries_stats import q_pettitt_changepoint
+
+    rows = q_pettitt_changepoint(spark, SF_DIR).collect()
+    assert len(rows) == 5  # one per priority
+    for r in rows:
+        assert r["k_stat"] >= 0
+        assert 199000 <= r["changepoint_month"] <= 210012
+        assert 0.0 <= r["p_approx"] <= 2.0  # the approximation can exceed 1
