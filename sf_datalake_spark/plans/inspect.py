@@ -79,4 +79,5 @@ def plan_report(df: DataFrame, execute: bool = False) -> dict:
         "n_scans": len(re.findall(r"Scan (?:parquet|orc|csv|ExistingRDD|json)", plan)),
         "pushed_filters": re.findall(r"PushedFilters: \[([^\]]*)\]", formatted),
         "read_schemas": re.findall(r"ReadSchema: (struct<[^\n]*)", formatted),
+        "plan": plan,
     }

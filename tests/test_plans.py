@@ -588,3 +588,56 @@ def test_round4c_query_plan_shapes(spark):
     assert rep["n_python_evals"] == 0
     assert rep["n_cartesian_products"] == 0
     assert rep["n_broadcasts"] >= 2
+
+
+def test_stats_batch_plan_shapes(spark):
+    """Round-4 stats batch: Pettitt and weighted quantiles are pure
+    agg+window pipelines (zero joins, zero Python, shared key
+    exchanges); bitmap_distinct reads orders exactly once and merges
+    bitmaps without re-scanning; attribution/vocab joins are equi or
+    broadcast (no cartesian); rrf_fusion's only nested loop is the
+    broadcast of the single-row query vector."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    sf = "/root/testdata/sf0.001"
+
+    for name in ("pettitt_changepoint", "weighted_median"):
+        rep = plan_report(qs[name](spark, sf), execute=True)
+        assert rep["n_python_evals"] == 0, name
+        assert (
+            rep["n_sort_merge_joins"]
+            + rep["n_hash_joins"]
+            + rep["n_nested_loop_joins"]
+            + rep["n_cartesian_products"]
+        ) == 0, name
+        # one exchange for the (key, unit) pre-agg, one for the
+        # key-partitioned windows + final agg
+        assert rep["n_exchanges"] <= 3, (name, rep["n_exchanges"])
+
+    rep = plan_report(qs["bitmap_distinct"](spark, sf), execute=True)
+    assert rep["n_python_evals"] == 0
+    assert rep["n_scans"] == 1  # level-2 merge does NOT rescan orders
+    assert rep["n_hash_joins"] + rep["n_sort_merge_joins"] == 0
+
+    rep = plan_report(qs["decay_attribution"](spark, sf), execute=True)
+    assert rep["n_python_evals"] == 0
+    assert rep["n_cartesian_products"] == 0
+    assert rep["n_nested_loop_joins"] == 0  # equi on user key
+
+    rep = plan_report(qs["nelson_aalen"](spark, sf), execute=True)
+    assert rep["n_cartesian_products"] == 0
+    assert rep["n_broadcasts"] >= 2  # horizon scalar + customer dim
+
+    rep = plan_report(qs["vocab_coverage"](spark, sf), execute=True)
+    assert rep["n_python_evals"] == 0
+    assert rep["n_broadcasts"] >= 1  # 200-row vocab side
+    assert rep["n_cartesian_products"] == 0
+    assert "TakeOrderedAndProject" in rep["plan"]  # top-K, no global window
+
+    rep = plan_report(qs["rrf_fusion"](spark, sf), execute=True)
+    assert rep["n_cartesian_products"] == 0
+    # the only BNLJs are broadcast SINGLE-ROW sides: the query vector
+    # and bm25's corpus-stats scalar (n_docs/avgdl)
+    assert rep["n_nested_loop_joins"] <= 2
+    assert "TakeOrderedAndProject" in rep["plan"]
