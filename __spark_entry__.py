@@ -107,6 +107,8 @@ _NEW_R04 = frozenset({
     "seasonality_index", "km_survival",
     "pettitt_changepoint", "weighted_median", "bitmap_distinct",
     "decay_attribution", "nelson_aalen", "vocab_coverage", "rrf_fusion",
+    "containment_screen", "readability_scores", "seasonal_decomposition",
+    "time_to_convert", "streaming_bitmap_distinct",
 })
 
 

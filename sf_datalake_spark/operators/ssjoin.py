@@ -171,3 +171,72 @@ def brute_force_jaccard_pairs(
 def prefix_length_py(n: int, t: float) -> int:
     """Driver-side twin of :func:`_prefix_len` for tests/docs."""
     return n - math.ceil(t * n) + 1
+
+
+def containment_join(
+    df: DataFrame,
+    id_col: str,
+    toks_col: str,
+    threshold_ppm: int = 900_000,
+) -> DataFrame:
+    """Asymmetric near-containment pairs: (small, big) document pairs
+    where the smaller token set is ≥ ``threshold_ppm``/10⁶ contained
+    in the larger (``C(A,B) = |A∩B| / |A|``, |A| ≤ |B|, id tiebreak).
+
+    The subset-duplicate detector Jaccard misses: a doc pasted inside
+    a 10× larger doc has J ≈ 0.1 but containment 1.0 — quote/boiler
+    inclusion, versioned appends, chunk-of-doc leaks.
+
+    Exact, via the distinct-token equi-join: explode both sides, join
+    on the token, count shared tokens per pair, keep pairs passing the
+    integer cross-multiplied test ``inter·10⁶ ≥ threshold·|A|`` — no
+    float thresholds.  Scale: candidate generation is the token
+    shuffle (same economics as set_similarity_join, which adds prefix
+    filtering; containment's prefix bound depends only on |A|, so the
+    smaller side could prune to its first ``⌈(1−t)·|A|⌉+1`` tokens —
+    left direct here because the corpus slice bounds the output, and
+    production corpora run exact-dedup + a DF cap on hot tokens first
+    (operators/dedup.ngram_jaccard discipline)).
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(F.col(toks_col)).alias("__toks"),
+    ).filter(F.size("__toks") > 0)
+    toks = base.select(
+        "__id",
+        F.size("__toks").alias("__n"),
+        F.explode("__toks").alias("__tok"),
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.__tok") == F.col("b.__tok"))
+            & (
+                (F.col("a.__n") < F.col("b.__n"))
+                | (
+                    (F.col("a.__n") == F.col("b.__n"))
+                    & (F.col("a.__id") < F.col("b.__id"))
+                )
+            ),
+        )
+        .groupBy(
+            F.col("a.__id").alias("id_small"),
+            F.col("b.__id").alias("id_big"),
+            F.col("a.__n").alias("small_size"),
+        )
+        .agg(F.count("*").alias("inter_size"))
+    )
+    return inter.filter(
+        F.col("inter_size") * F.lit(1_000_000)
+        >= F.lit(threshold_ppm) * F.col("small_size")
+    ).select(
+        "id_small",
+        "id_big",
+        F.col("inter_size").cast("int").alias("inter_size"),
+        F.col("small_size").cast("int").alias("small_size"),
+        F.expr("inter_size * 1000000L div small_size").alias(
+            "containment_ppm"
+        ),
+    )

@@ -333,3 +333,78 @@ def pettitt_test(
             6,
         ).alias("p_approx"),
     )
+
+
+def classical_decomposition(
+    df: DataFrame,
+    keys: Sequence[str],
+    idx_col: str,
+    value_col: str,
+    period: int = 12,
+) -> DataFrame:
+    """Classical additive seasonal decomposition per key, in exact
+    integer arithmetic scaled by ``2·period``.
+
+    The textbook 2×p centered moving average (for even p):
+    ``trend_t = (x_{t−p/2} + 2·Σ_{t−p/2+1..t+p/2−1} x + x_{t+p/2}) /
+    2p`` — carried UNdivided as ``trend2p`` so trend, detrended
+    (``detr2p = 2p·x − trend2p``), per-phase seasonal means
+    (``seasonal2p = Σ detr2p div count``, truncating div) and residual
+    (``resid2p = detr2p − seasonal2p``) are all BIGINTs; callers
+    divide by 2p for display.  Rows whose ±p/2 window is incomplete
+    get NULL trend/detrended/residual (seasonal means use interior
+    rows only).
+
+    ``idx_col`` must be a consecutive integer time index per key
+    (e.g. year·12+month): the MA frame is ROW-based, so a GAP in the
+    series shifts the window to the nearest observed rows — same
+    documented row-based-calendar quirk as the reference's lag
+    (operators/windows.with_lag).  Phase = idx mod period.
+
+    Spark-first: one exchange on ``keys`` shared by the MA window and
+    a second on (keys, phase) for the seasonal means — no joins, no
+    folds, no floats.  Per-key series length bounds window state.
+    """
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    half = period // 2
+    w_ma = (
+        Window.partitionBy(*keys)
+        .orderBy(idx_col)
+        .rowsBetween(-(half - 1), half - 1)
+    )
+    w_full = (
+        Window.partitionBy(*keys).orderBy(idx_col).rowsBetween(-half, half)
+    )
+    w_key = Window.partitionBy(*keys).orderBy(idx_col)
+    x = F.col(value_col).cast("bigint")
+    with_trend = df.select(
+        *keys,
+        F.col(idx_col).alias("idx"),
+        x.alias("value"),
+        (F.col(idx_col) % period).cast("int").alias("phase"),
+        F.when(
+            F.count("*").over(w_full) == 2 * half + 1,
+            F.lag(x, half).over(w_key)
+            + F.lit(2) * F.sum(x).over(w_ma)
+            + F.lead(x, half).over(w_key),
+        ).alias("trend2p"),
+    ).withColumn(
+        "detr2p",
+        F.lit(2 * period) * F.col("value") - F.col("trend2p"),
+    )
+    w_phase = Window.partitionBy(*keys, "phase")
+    out = with_trend.withColumn(
+        "seasonal2p",
+        F.expr(
+            "sum(detr2p) over (partition by {p}, phase)"
+            " div count(detr2p) over (partition by {p}, phase)".format(
+                p=", ".join(keys)
+            )
+        ),
+    ).withColumn("resid2p", F.col("detr2p") - F.col("seasonal2p"))
+    return out.select(
+        *keys, "idx", "value", "phase",
+        "trend2p", "detr2p", "seasonal2p", "resid2p",
+    )

@@ -654,3 +654,353 @@ ORACLES_STATS: dict[str, str] = {
     "vocab_coverage": _VOCAB_COVERAGE_SQL,
     "rrf_fusion": _RRF_FUSION_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric near-containment screen: the subset-duplicate detector
+# Jaccard misses (a doc pasted inside a 10x larger one has J ~= 0.1
+# but containment 1.0).  Same corpus-slice discipline as ssjoin_exact
+# (the clone-heavy synthetic corpus makes full-table pair OUTPUT
+# quadratic by construction — see queries_mining.q_ssjoin_exact).
+# ---------------------------------------------------------------------------
+
+def q_containment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs on the doc_id % 8 slice where the smaller
+    distinct-token set is >= 90% contained in the larger."""
+    from sf_datalake_spark.functions.text import tokenize
+    from sf_datalake_spark.operators.ssjoin import containment_join
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 8 == 0)
+        .select("doc_id", tokenize("text").alias("toks"))
+    )
+    return containment_join(docs, "doc_id", "toks", threshold_ppm=900_000)
+
+
+_CONTAINMENT_SQL = r"""
+    WITH s AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split_regex(text, '\s+'),
+                                         x -> x <> '')) AS toks
+        FROM documents
+        WHERE doc_id % 8 = 0
+          AND len(list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '')) > 0
+    )
+    SELECT a.doc_id AS id_small, b.doc_id AS id_big,
+           CAST(len(list_intersect(a.toks, b.toks)) AS INT) AS inter_size,
+           CAST(len(a.toks) AS INT) AS small_size,
+           CAST(len(list_intersect(a.toks, b.toks)) * 1000000
+                // len(a.toks) AS BIGINT) AS containment_ppm
+    FROM s a JOIN s b
+      ON (len(a.toks) < len(b.toks)
+          OR (len(a.toks) = len(b.toks) AND a.doc_id < b.doc_id))
+    WHERE len(list_intersect(a.toks, b.toks)) * 1000000
+          >= 900000 * len(a.toks)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Readability profile per language: exact word/sentence/vowel-group
+# counts (shared Java-regex/RE2 character classes, no lookahead), one
+# Flesch reading-ease float per language computed from the aggregate
+# ratios in a fixed expression tree, rounded at 6.
+# ---------------------------------------------------------------------------
+
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per language: documents, exact token/sentence/vowel-group
+    totals, and the corpus-level Flesch reading-ease score."""
+    from sf_datalake_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        token_count("text").cast("bigint").alias("w"),
+        F.greatest(
+            F.lit(1), F.regexp_count(F.col("text"), F.lit(r"[.!?]+"))
+        )
+        .cast("bigint")
+        .alias("s"),
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiou]+"))
+        .cast("bigint")
+        .alias("v"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("w").alias("words"),
+        F.sum("s").alias("sentences"),
+        F.sum("v").alias("vowel_groups"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "words",
+        "sentences",
+        "vowel_groups",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("words") / F.col("sentences"))
+            - F.lit(84.6) * (F.col("vowel_groups") / F.col("words")),
+            6,
+        ).alias("flesch"),
+    )
+
+
+_READABILITY_SQL = r"""
+    WITH per_doc AS (
+        SELECT lang,
+               CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x <> '')) AS BIGINT) AS w,
+               CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                    AS BIGINT) AS s,
+               CAST(len(regexp_extract_all(lower(text), '[aeiou]+'))
+                    AS BIGINT) AS v
+        FROM documents
+    ),
+    agg AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(w) AS BIGINT) AS words,
+               CAST(sum(s) AS BIGINT) AS sentences,
+               CAST(sum(v) AS BIGINT) AS vowel_groups
+        FROM per_doc GROUP BY 1
+    )
+    SELECT lang, n_docs, words, sentences, vowel_groups,
+           round(CAST(206.835 AS DOUBLE)
+                 - CAST(1.015 AS DOUBLE)
+                   * (CAST(words AS DOUBLE) / sentences)
+                 - CAST(84.6 AS DOUBLE)
+                   * (CAST(vowel_groups AS DOUBLE) / words), 6) AS flesch
+    FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Classical additive seasonal decomposition of each priority's monthly
+# revenue series, all-integer (scaled by 2*period = 24) — trend via
+# the textbook 2x12 centered MA, per-phase seasonal means with
+# truncating div, residual by subtraction.  NULL trend at the +-6
+# edges; ROW-based frames (gaps shift the window — documented
+# row-based-calendar quirk, same as operators/windows.with_lag).
+# ---------------------------------------------------------------------------
+
+def q_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per priority and month: revenue cents with 24x-scaled trend,
+    detrended, seasonal, and residual integer components."""
+    from sf_datalake_spark.operators.timeseries import classical_decomposition
+
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        (
+            F.year("o_orderdate") * F.lit(12)
+            + F.month("o_orderdate")
+            - F.lit(1)
+        )
+        .cast("int")
+        .alias("midx"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        )
+    )
+    out = classical_decomposition(
+        monthly, ["o_orderpriority"], "midx", "revenue_cents", period=12
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("idx").alias("midx"),
+        F.col("value").alias("revenue_cents"),
+        "phase",
+        "trend2p",
+        "detr2p",
+        "seasonal2p",
+        "resid2p",
+    )
+
+
+_SEASONAL_DECOMP_SQL = """
+    WITH monthly AS (
+        SELECT o_orderpriority,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS INT)
+                   AS midx,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM orders GROUP BY 1, 2
+    ),
+    with_trend AS (
+        SELECT o_orderpriority, midx, revenue_cents,
+               CAST(midx % 12 AS INT) AS phase,
+               CASE WHEN count(*) OVER w_full = 13 THEN
+                    lag(revenue_cents, 6) OVER w_ord
+                    + 2 * sum(revenue_cents) OVER w_ma
+                    + lead(revenue_cents, 6) OVER w_ord
+               END AS trend2p
+        FROM monthly
+        WINDOW w_ord AS (PARTITION BY o_orderpriority ORDER BY midx),
+               w_ma AS (PARTITION BY o_orderpriority ORDER BY midx
+                        ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING),
+               w_full AS (PARTITION BY o_orderpriority ORDER BY midx
+                          ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+    ),
+    detr AS (
+        SELECT *, 24 * revenue_cents - trend2p AS detr2p FROM with_trend
+    ),
+    seas AS (
+        SELECT *,
+               sum(detr2p) OVER (PARTITION BY o_orderpriority, phase)
+               // count(detr2p) OVER (PARTITION BY o_orderpriority, phase)
+                   AS seasonal2p
+        FROM detr
+    )
+    SELECT o_orderpriority, midx, revenue_cents, phase,
+           CAST(trend2p AS BIGINT) AS trend2p,
+           CAST(detr2p AS BIGINT) AS detr2p,
+           CAST(seasonal2p AS BIGINT) AS seasonal2p,
+           CAST(detr2p - seasonal2p AS BIGINT) AS resid2p
+    FROM seas
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-to-convert percentiles: exact p50/p90 of first-view ->
+# first-purchase latency per first-view cohort month, via the
+# weighted_quantiles operator with unit weights (integer
+# cross-multiplied reach tests, zero floats).
+# ---------------------------------------------------------------------------
+
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per first-view cohort month: converting users and the exact
+    p50/p90 view->purchase latency in seconds."""
+    from sf_datalake_spark.operators.aggregates import weighted_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    conv = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") > F.col("first_view"))
+    ).select(
+        (
+            F.year("first_view") * F.lit(100) + F.month("first_view")
+        )
+        .cast("int")
+        .alias("cohort_month"),
+        (
+            F.unix_timestamp("first_purchase")
+            - F.unix_timestamp("first_view")
+        ).alias("delta_s"),
+        F.lit(1).alias("w"),
+    )
+    out = weighted_quantiles(
+        conv, ["cohort_month"], "delta_s", "w",
+        quantiles=((1, 2), (9, 10)),
+    )
+    return out.select(
+        "cohort_month",
+        F.col("total_weight").alias("n_converting"),
+        F.col("q_1_2").alias("p50_s"),
+        F.col("q_9_10").alias("p90_s"),
+    )
+
+
+_TIME_TO_CONVERT_SQL = """
+    WITH firsts AS (
+        SELECT user_id,
+               min(ts) FILTER (WHERE event_type = 'view') AS first_view,
+               min(ts) FILTER (WHERE event_type = 'purchase')
+                   AS first_purchase
+        FROM events GROUP BY 1
+    ),
+    conv AS (
+        SELECT CAST(year(first_view) * 100 + month(first_view) AS INT)
+                   AS cohort_month,
+               CAST(date_diff('second', first_view, first_purchase)
+                    AS BIGINT) AS delta_s
+        FROM firsts
+        WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+          AND first_purchase > first_view
+    ),
+    per_value AS (
+        SELECT cohort_month, delta_s, CAST(count(*) AS BIGINT) AS w
+        FROM conv GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT cohort_month, delta_s,
+               sum(w) OVER (PARTITION BY cohort_month ORDER BY delta_s
+                            ROWS UNBOUNDED PRECEDING) AS c,
+               sum(w) OVER (PARTITION BY cohort_month) AS tot
+        FROM per_value
+    )
+    SELECT cohort_month,
+           CAST(max(tot) AS BIGINT) AS n_converting,
+           CAST(min(delta_s) FILTER (WHERE c * 2 >= tot) AS BIGINT) AS p50_s,
+           CAST(min(delta_s) FILTER (WHERE c * 10 >= tot * 9) AS BIGINT)
+               AS p90_s
+    FROM cum GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming EXACT distinct via bitmap words: the streaming twin of
+# bitmap_distinct — per (event_type, word) bitmap state under a file
+# stream in complete mode, popcounted in batch afterwards.  Unlike
+# streaming_hll_distinct the answer is exact; state is bounded by
+# universe/64 words per type, not by user rows.
+# ---------------------------------------------------------------------------
+
+def q_streaming_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type maintained as streaming
+    bitmap-word state, popcounted after the replay."""
+    from sf_datalake_spark.queries_ext import _events_stream
+    from sf_datalake_spark.streaming import run_to_memory
+
+    words_stream = (
+        _events_stream(spark, sf_dir)
+        .select(
+            "event_type",
+            F.expr("user_id div 64").alias("word"),
+            F.expr("shiftleft(1L, cast(user_id % 64 as int))").alias("bit"),
+        )
+        .groupBy("event_type", "word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+    words = run_to_memory(
+        words_stream, "q_streaming_bitmap_distinct", output_mode="complete"
+    )
+    return words.groupBy("event_type").agg(
+        F.sum(F.expr("bit_count(bits)")).cast("bigint").alias("n_distinct"),
+        F.count("*").cast("bigint").alias("n_words"),
+    )
+
+
+_STREAMING_BITMAP_SQL = """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+           CAST(count(DISTINCT user_id // 64) AS BIGINT) AS n_words
+    FROM events GROUP BY 1
+"""
+
+
+QUERIES_STATS.update({
+    "containment_screen": q_containment_screen,
+    "readability_scores": q_readability_scores,
+    "seasonal_decomposition": q_seasonal_decomposition,
+    "time_to_convert": q_time_to_convert,
+    "streaming_bitmap_distinct": q_streaming_bitmap_distinct,
+})
+
+ORACLES_STATS.update({
+    "containment_screen": _CONTAINMENT_SQL,
+    "readability_scores": _READABILITY_SQL,
+    "seasonal_decomposition": _SEASONAL_DECOMP_SQL,
+    "time_to_convert": _TIME_TO_CONVERT_SQL,
+    "streaming_bitmap_distinct": _STREAMING_BITMAP_SQL,
+})

@@ -641,3 +641,33 @@ def test_stats_batch_plan_shapes(spark):
     # and bm25's corpus-stats scalar (n_docs/avgdl)
     assert rep["n_nested_loop_joins"] <= 2
     assert "TakeOrderedAndProject" in rep["plan"]
+
+
+def test_stats_batch2_plan_shapes(spark):
+    """Batch 2: containment's candidate join is the token equi-join
+    (no BNLJ/cartesian despite the inequality residuals);
+    readability/decomposition are pure scan-agg-window (zero joins,
+    zero Python); time_to_convert shares one user exchange."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    sf = "/root/testdata/sf0.001"
+
+    rep = plan_report(qs["containment_screen"](spark, sf), execute=True)
+    assert rep["n_python_evals"] == 0
+    assert rep["n_cartesian_products"] == 0
+    assert rep["n_nested_loop_joins"] == 0  # token equi-key extracted
+
+    for name in ("readability_scores", "seasonal_decomposition"):
+        rep = plan_report(qs[name](spark, sf), execute=True)
+        assert rep["n_python_evals"] == 0, name
+        assert (
+            rep["n_sort_merge_joins"]
+            + rep["n_hash_joins"]
+            + rep["n_nested_loop_joins"]
+            + rep["n_cartesian_products"]
+        ) == 0, name
+
+    rep = plan_report(qs["time_to_convert"](spark, sf), execute=True)
+    assert rep["n_python_evals"] == 0
+    assert rep["n_cartesian_products"] == 0

@@ -290,3 +290,129 @@ def test_pettitt_changepoint_registry(spark):
         assert r["k_stat"] >= 0
         assert 199000 <= r["changepoint_month"] <= 210012
         assert 0.0 <= r["p_approx"] <= 2.0  # the approximation can exceed 1
+
+
+# ---------------------------------------------------------------------------
+# batch 2: containment, decomposition, readability, time-to-convert
+# ---------------------------------------------------------------------------
+
+def test_containment_join_hand_case(spark):
+    from sf_datalake_spark.operators.ssjoin import containment_join
+
+    rows = [
+        (1, ["a", "b"]),                      # fully inside 2 and 3
+        (2, ["a", "b", "c", "d", "e"]),
+        (3, ["a", "b", "z"]),
+        (4, ["q", "r", "s"]),                 # disjoint
+        (5, ["a", "x", "y", "w"]),            # 1/2 of doc1 -> below 0.9
+    ]
+    df = spark.createDataFrame(rows, ["id", "toks"])
+    got = {
+        (r["id_small"], r["id_big"], r["containment_ppm"])
+        for r in containment_join(df, "id", "toks", 900_000).collect()
+    }
+    # doc1 ({a,b}) contained in doc2 and doc3; doc3 in doc2 is 2/3
+    assert got == {(1, 2, 1_000_000), (1, 3, 1_000_000)}
+
+
+def test_containment_join_brute_force(spark):
+    random.seed(23)
+    alphabet = list("abcdefghij")
+    rows = [
+        (i, random.sample(alphabet, random.randint(1, 8)))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["id", "toks"])
+    from sf_datalake_spark.operators.ssjoin import containment_join
+
+    got = {
+        (r["id_small"], r["id_big"])
+        for r in containment_join(df, "id", "toks", 800_000).collect()
+    }
+    want = set()
+    for i, ta in rows:
+        for j, tb in rows:
+            sa, sb = set(ta), set(tb)
+            if (len(sa), i) >= (len(sb), j):
+                continue
+            if len(sa & sb) * 1_000_000 >= 800_000 * len(sa):
+                want.add((i, j))
+    assert got == want
+
+
+def test_classical_decomposition_reconstruction(spark):
+    from sf_datalake_spark.operators.timeseries import classical_decomposition
+
+    # deterministic seasonal + trend series: x = 100*phase + 10*idx
+    rows = [("k", i, 100 * (i % 4) + 10 * i) for i in range(16)]
+    df = spark.createDataFrame(rows, ["k", "i", "x"])
+    out = classical_decomposition(df, ["k"], "i", "x", period=4).collect()
+    by_idx = {r["idx"]: r for r in out}
+    assert len(by_idx) == 16
+    for i, r in by_idx.items():
+        if i < 2 or i > 13:  # +-p/2 edges
+            assert r["trend2p"] is None and r["resid2p"] is None
+        else:
+            # identity: detr = 2p*x - trend; resid = detr - seasonal
+            assert r["detr2p"] == 8 * r["value"] - r["trend2p"]
+            assert r["resid2p"] == r["detr2p"] - r["seasonal2p"]
+            # 2x4 MA of the linear component is exact: trend2p/8 =
+            # 10*i + mean seasonal (100*1.5); check the scaled identity
+            assert r["trend2p"] == 8 * (10 * i + 150)
+
+
+def test_readability_counts(spark):
+    from sf_datalake_spark.queries_stats import q_readability_scores
+    import tempfile
+
+    rows = [
+        (0, "Hello world. How are you?", "en", "s", 25),
+        (1, "no sentence marker here", "en", "s", 23),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="readability-")
+    df.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    r = q_readability_scores(spark, tmp).collect()[0]
+    # words: 5 + 4; sentences: 2 + max(1,0)=1 -> 3
+    assert r["words"] == 9
+    assert r["sentences"] == 3
+    # vowel groups: hello(e,o) world(o) how(o) are(a,e) you(ou) = 7;
+    # no(o) sentence(e,e,e) marker(a,e) here(e,e) = 8 -> 15
+    assert r["vowel_groups"] == 15
+    expected = round(206.835 - 1.015 * (9 / 3) - 84.6 * (15 / 9), 6)
+    assert abs(r["flesch"] - expected) < 1e-9
+
+
+def test_time_to_convert_matches_direct_quantile(spark):
+    from sf_datalake_spark.queries_stats import q_time_to_convert
+
+    rows = q_time_to_convert(spark, SF_DIR).collect()
+    assert rows
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    # recompute p50 for one cohort directly in python
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
+        )
+        .filter(F.col("v").isNotNull() & F.col("p").isNotNull() & (F.col("p") > F.col("v")))
+        .select(
+            (F.year("v") * 100 + F.month("v")).cast("int").alias("cm"),
+            (F.unix_timestamp("p") - F.unix_timestamp("v")).alias("d"),
+        )
+        .collect()
+    )
+    cohort = rows[0]["cohort_month"]
+    deltas = sorted(r["d"] for r in firsts if r["cm"] == cohort)
+    assert rows[0]["n_converting"] == len(deltas)
+    # lower weighted median with unit weights: first value where
+    # 2*rank >= n
+    import math
+    p50 = deltas[math.ceil(len(deltas) / 2) - 1]
+    assert rows[0]["p50_s"] == p50
+    p90 = deltas[math.ceil(9 * len(deltas) / 10) - 1]
+    assert rows[0]["p90_s"] == p90
