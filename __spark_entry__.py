@@ -109,6 +109,8 @@ _NEW_R04 = frozenset({
     "decay_attribution", "nelson_aalen", "vocab_coverage", "rrf_fusion",
     "containment_screen", "readability_scores", "seasonal_decomposition",
     "time_to_convert", "streaming_bitmap_distinct",
+    "seasonal_anomaly", "trimmed_stats", "hierarchy_shares",
+    "busday_latency",
 })
 
 

@@ -1004,3 +1004,342 @@ ORACLES_STATS.update({
     "time_to_convert": _TIME_TO_CONVERT_SQL,
     "streaming_bitmap_distinct": _STREAMING_BITMAP_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# Seasonal anomaly flags: months whose decomposition residual exceeds
+# 2.5 sigma-equivalents of the per-priority residual MAD — composed from
+# classical_decomposition + an exact integer MAD (lower median of
+# |resid| via the cumulative-count reach test).  The sigma factor
+# 1.4826 is carried as the integer inequality 10000*|resid| >
+# 37065*MAD (k = 2.5, the usual screening strength) — zero floats
+# anywhere.
+# ---------------------------------------------------------------------------
+
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous (priority, month) revenue points: |residual| >
+    2.5 x 1.4826 x MAD of the priority's decomposition residuals."""
+    from sf_datalake_spark.operators.timeseries import classical_decomposition
+
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        (
+            F.year("o_orderdate") * F.lit(12)
+            + F.month("o_orderdate")
+            - F.lit(1)
+        )
+        .cast("int")
+        .alias("midx"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        )
+    )
+    decomp = classical_decomposition(
+        monthly, ["o_orderpriority"], "midx", "revenue_cents", period=12
+    ).filter(F.col("resid2p").isNotNull())
+    # exact lower median of |resid| per priority: distinct-value
+    # pre-agg + cumulative reach (the weighted_quantiles discipline)
+    per_v = decomp.select(
+        "o_orderpriority", F.abs("resid2p").alias("av")
+    ).groupBy("o_orderpriority", "av").agg(F.count("*").alias("w"))
+    w_cum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("av")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_key = Window.partitionBy("o_orderpriority")
+    mad = (
+        per_v.select(
+            "o_orderpriority",
+            "av",
+            F.sum("w").over(w_cum).alias("c"),
+            F.sum("w").over(w_key).alias("tot"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min(
+                F.when(F.col("c") * 2 >= F.col("tot"), F.col("av"))
+            ).alias("mad2p")
+        )
+    )
+    return (
+        decomp.join(F.broadcast(mad), "o_orderpriority")
+        .filter(
+            F.abs(F.col("resid2p")) * F.lit(10_000)
+            > F.lit(37_065) * F.col("mad2p")
+        )
+        .select(
+            "o_orderpriority",
+            F.col("idx").alias("midx"),
+            F.col("value").alias("revenue_cents"),
+            "resid2p",
+            "mad2p",
+        )
+    )
+
+
+# composed oracle: the decomposition CTE is the seasonal_decomposition
+# oracle verbatim (same text, same engine), wrapped with the MAD and
+# the integer 2.5x1.4826 threshold
+_SEASONAL_ANOMALY_SQL = f"""
+    WITH decomp AS ({_SEASONAL_DECOMP_SQL}),
+    interior AS (SELECT * FROM decomp WHERE resid2p IS NOT NULL),
+    per_v AS (
+        SELECT o_orderpriority, abs(resid2p) AS av,
+               CAST(count(*) AS BIGINT) AS w
+        FROM interior GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT o_orderpriority, av,
+               sum(w) OVER (PARTITION BY o_orderpriority ORDER BY av
+                            ROWS UNBOUNDED PRECEDING) AS c,
+               sum(w) OVER (PARTITION BY o_orderpriority) AS tot
+        FROM per_v
+    ),
+    mad AS (
+        SELECT o_orderpriority,
+               min(av) FILTER (WHERE c * 2 >= tot) AS mad2p
+        FROM cum GROUP BY 1
+    )
+    SELECT i.o_orderpriority, i.midx, i.revenue_cents,
+           CAST(i.resid2p AS BIGINT) AS resid2p,
+           CAST(m.mad2p AS BIGINT) AS mad2p
+    FROM interior i JOIN mad m ON i.o_orderpriority = m.o_orderpriority
+    WHERE abs(i.resid2p) * 10000 > 37065 * m.mad2p
+"""
+
+
+# ---------------------------------------------------------------------------
+# Trimmed and winsorized means per return flag: order-statistic robust
+# location estimates in pure integer arithmetic (k = n div 10 rows off
+# each end; winsorizing clamps to the k+1'th / n-k'th values).
+# Complements robust_stats (median/MAD) with the trimming family.
+# NO per-row sort: everything runs on the (key, value) pre-aggregate —
+# a tied value group straddling the trim boundary is trimmed
+# partially by count (the multiset definition), and the window state
+# is |distinct values| per key, not |rows|.
+# ---------------------------------------------------------------------------
+
+def q_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per return flag: 10%-trimmed and 10%-winsorized mean price in
+    cents (truncating integer division, documented)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("v"),
+    )
+    per_value = li.groupBy("l_returnflag", "v").agg(
+        F.count("*").alias("w")
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_key = Window.partitionBy("l_returnflag")
+    cum = per_value.select(
+        "l_returnflag",
+        "v",
+        "w",
+        F.sum("w").over(w_cum).alias("c"),
+        F.sum("w").over(w_key).alias("n"),
+    ).withColumn("k", F.expr("n div 10"))
+    # per-value kept weight after trimming k off each end:
+    # max(0, min(c, n-k) - max(c-w, k)); winsorized bounds are the
+    # first values whose cumulative count reaches k+1 / n-k
+    return cum.groupBy("l_returnflag").agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        F.expr(
+            "sum(v * greatest(0L, least(c, n - k) - greatest(c - w, k)))"
+            " div (max(n) - 2 * max(k))"
+        ).alias("trimmed_mean_cents"),
+        F.expr(
+            "(sum(v * greatest(0L, least(c, n - k) - greatest(c - w, k)))"
+            " + min(case when c >= k + 1 then v end) * max(k)"
+            " + min(case when c >= n - k then v end) * max(k))"
+            " div max(n)"
+        ).alias("winsorized_mean_cents"),
+    )
+
+
+_TRIMMED_SQL = """
+    WITH per_value AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT l_returnflag, v, w,
+               sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS c,
+               sum(w) OVER (PARTITION BY l_returnflag) AS n
+        FROM per_value
+    ),
+    with_k AS (SELECT *, n // 10 AS k FROM cum)
+    SELECT l_returnflag,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(sum(v * greatest(0, least(c, n - k) - greatest(c - w, k)))
+                // (max(n) - 2 * max(k)) AS BIGINT) AS trimmed_mean_cents,
+           CAST((sum(v * greatest(0, least(c, n - k) - greatest(c - w, k)))
+                 + min(v) FILTER (WHERE c >= k + 1) * max(k)
+                 + min(v) FILTER (WHERE c >= n - k) * max(k))
+                // max(n) AS BIGINT) AS winsorized_mean_cents
+    FROM with_k GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical revenue shares (percent-of-parent): nation within
+# region, region within total — broadcast dim joins, exact ppm shares.
+# ---------------------------------------------------------------------------
+
+def q_hierarchy_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation: revenue cents, exact ppm share of its region, and
+    the region's ppm share of global revenue."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            )
+        )
+    )
+    return rev.select(
+        "r_name",
+        "n_name",
+        "revenue_cents",
+        F.expr(
+            "revenue_cents * 1000000L div"
+            " sum(revenue_cents) over (partition by r_name)"
+        ).alias("nation_share_ppm"),
+        F.expr(
+            "sum(revenue_cents) over (partition by r_name) * 1000000L"
+            " div sum(revenue_cents) over ()"
+        ).alias("region_share_ppm"),
+    )
+
+
+_HIERARCHY_SQL = """
+    WITH rev AS (
+        SELECT r_name, n_name,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT r_name, n_name, revenue_cents,
+           CAST(revenue_cents * 1000000
+                // sum(revenue_cents) OVER (PARTITION BY r_name) AS BIGINT)
+               AS nation_share_ppm,
+           CAST(sum(revenue_cents) OVER (PARTITION BY r_name) * 1000000
+                // sum(revenue_cents) OVER () AS BIGINT)
+               AS region_share_ppm
+    FROM rev
+"""
+
+
+# ---------------------------------------------------------------------------
+# Business-day shipping latency: weekdays strictly after the order
+# date up to the ship date, via the closed-form business-day counter
+# g(d) = 5*(idx div 7) + least(idx mod 7, 4) with idx = days since a
+# Monday epoch — pure integer arithmetic, no calendar explode.
+# ---------------------------------------------------------------------------
+
+def q_busday_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per ship-month: lineitems, total and mean (ppm) business-day
+    order->ship latency."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        (
+            F.year("l_shipdate") * F.lit(100) + F.month("l_shipdate")
+        )
+        .cast("int")
+        .alias("ship_month"),
+        (
+            (
+                F.lit(5)
+                * F.expr(
+                    "datediff(l_shipdate, date'1970-01-05') div 7"
+                )
+                + F.least(
+                    F.expr("datediff(l_shipdate, date'1970-01-05') % 7"),
+                    F.lit(4),
+                )
+            )
+            - (
+                F.lit(5)
+                * F.expr(
+                    "datediff(o_orderdate, date'1970-01-05') div 7"
+                )
+                + F.least(
+                    F.expr("datediff(o_orderdate, date'1970-01-05') % 7"),
+                    F.lit(4),
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("busdays"),
+    )
+    return joined.groupBy("ship_month").agg(
+        F.count("*").alias("n_items"),
+        F.sum("busdays").alias("busdays_total"),
+        F.expr("sum(busdays) * 1000000L div count(*)").alias(
+            "mean_busdays_ppm"
+        ),
+    )
+
+
+_BUSDAY_SQL = """
+    WITH j AS (
+        SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT)
+                   AS ship_month,
+               CAST((5 * (date_diff('day', DATE '1970-01-05', l_shipdate)
+                          // 7)
+                     + least(date_diff('day', DATE '1970-01-05',
+                                       l_shipdate) % 7, 4))
+                    - (5 * (date_diff('day', DATE '1970-01-05',
+                                      o_orderdate) // 7)
+                       + least(date_diff('day', DATE '1970-01-05',
+                                         o_orderdate) % 7, 4))
+                    AS BIGINT) AS busdays
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT ship_month,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(busdays) AS BIGINT) AS busdays_total,
+           CAST(sum(busdays) * 1000000 // count(*) AS BIGINT)
+               AS mean_busdays_ppm
+    FROM j GROUP BY 1
+"""
+
+
+QUERIES_STATS.update({
+    "seasonal_anomaly": q_seasonal_anomaly,
+    "trimmed_stats": q_trimmed_stats,
+    "hierarchy_shares": q_hierarchy_shares,
+    "busday_latency": q_busday_latency,
+})
+
+ORACLES_STATS.update({
+    "seasonal_anomaly": _SEASONAL_ANOMALY_SQL,
+    "trimmed_stats": _TRIMMED_SQL,
+    "hierarchy_shares": _HIERARCHY_SQL,
+    "busday_latency": _BUSDAY_SQL,
+})

@@ -671,3 +671,29 @@ def test_stats_batch2_plan_shapes(spark):
     rep = plan_report(qs["time_to_convert"](spark, sf), execute=True)
     assert rep["n_python_evals"] == 0
     assert rep["n_cartesian_products"] == 0
+
+
+def test_stats_batch3_plan_shapes(spark):
+    """Batch 3: anomaly/trimmed are window+broadcast-join-back shapes
+    (no SMJ on the tiny bounds side); hierarchy_shares broadcasts all
+    three dims; busday latency is one equi-join + one agg, all-JVM."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    sf = "/root/testdata/sf0.001"
+
+    for name in ("seasonal_anomaly", "trimmed_stats"):
+        rep = plan_report(qs[name](spark, sf), execute=True)
+        assert rep["n_python_evals"] == 0, name
+        assert rep["n_cartesian_products"] == 0, name
+        assert rep["n_broadcasts"] >= 1, name  # bounds/MAD join-back
+
+    rep = plan_report(qs["hierarchy_shares"](spark, sf), execute=True)
+    assert rep["n_python_evals"] == 0
+    assert rep["n_broadcasts"] >= 3
+    assert rep["n_sort_merge_joins"] == 0
+
+    rep = plan_report(qs["busday_latency"](spark, sf), execute=True)
+    assert rep["n_python_evals"] == 0
+    assert rep["n_cartesian_products"] == 0
+    assert rep["n_nested_loop_joins"] == 0

@@ -416,3 +416,105 @@ def test_time_to_convert_matches_direct_quantile(spark):
     assert rows[0]["p50_s"] == p50
     p90 = deltas[math.ceil(9 * len(deltas) / 10) - 1]
     assert rows[0]["p90_s"] == p90
+
+
+# ---------------------------------------------------------------------------
+# batch 3: anomaly, trimmed stats, hierarchy shares, business days
+# ---------------------------------------------------------------------------
+
+def test_busday_counter_hand_cases(spark):
+    # g(d) = 5*(idx div 7) + least(idx % 7, 4), idx days since Mon
+    # 1970-01-05. Mon->Fri same week = 4 busdays; Fri->Mon = 1;
+    # Sat->Sun = 0; Mon->Mon next week = 5.
+    import datetime as dt
+
+    def g(d):
+        idx = (d - dt.date(1970, 1, 5)).days
+        return 5 * (idx // 7) + min(idx % 7, 4)
+
+    mon = dt.date(2024, 1, 8)
+    fri = dt.date(2024, 1, 12)
+    sat = dt.date(2024, 1, 13)
+    sun = dt.date(2024, 1, 14)
+    next_mon = dt.date(2024, 1, 15)
+    assert g(fri) - g(mon) == 4
+    assert g(next_mon) - g(fri) == 1
+    assert g(sun) - g(sat) == 0
+    assert g(next_mon) - g(mon) == 5
+    # spark expression agrees
+    df = spark.createDataFrame(
+        [(mon, fri), (fri, next_mon), (sat, sun), (mon, next_mon)],
+        ["a", "b"],
+    )
+    got = [
+        r["bd"]
+        for r in df.select(
+            (
+                F.expr("5 * (datediff(b, date'1970-01-05') div 7)")
+                + F.least(F.expr("datediff(b, date'1970-01-05') % 7"), F.lit(4))
+                - F.expr("5 * (datediff(a, date'1970-01-05') div 7)")
+                - F.least(F.expr("datediff(a, date'1970-01-05') % 7"), F.lit(4))
+            ).alias("bd")
+        ).collect()
+    ]
+    assert got == [4, 1, 0, 5]
+
+
+def test_trimmed_stats_hand_case(spark):
+    import tempfile
+
+    # 10 values 1..9 + outlier 1000 (cents scale: /100). k = 1:
+    # trimmed drops min (1) and max (1000): mean of 2..9 = 44/8 = 5
+    # winsorized clamps 1->2 and 1000->9: (2+2+...+9+9)/10
+    rows = [
+        (i, 1, i, v / 100.0, 0.0, 0.0, "N", "O", None)
+        for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 1000])
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate date",
+    )
+    tmp = tempfile.mkdtemp(prefix="trimmed-")
+    df.write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
+    from sf_datalake_spark.queries_stats import q_trimmed_stats
+
+    r = q_trimmed_stats(spark, tmp).collect()[0]
+    assert r["n_rows"] == 10
+    assert r["trimmed_mean_cents"] == (2 + 3 + 4 + 5 + 6 + 7 + 8 + 9) // 8
+    assert r["winsorized_mean_cents"] == (2 + 2 + 3 + 4 + 5 + 6 + 7 + 8 + 9 + 9) // 10
+
+
+def test_hierarchy_shares_sum_to_million(spark):
+    from sf_datalake_spark.queries_stats import q_hierarchy_shares
+
+    rows = q_hierarchy_shares(spark, SF_DIR).collect()
+    assert len(rows) == 25
+    by_region: dict = {}
+    for r in rows:
+        by_region.setdefault(r["r_name"], []).append(r)
+    for reg, rs in by_region.items():
+        # truncating div: region total within 1e6 and within n ulps under
+        s = sum(r["nation_share_ppm"] for r in rs)
+        assert 1_000_000 - len(rs) <= s <= 1_000_000
+        # region share identical on every nation row of the region
+        assert len({r["region_share_ppm"] for r in rs}) == 1
+
+
+def test_seasonal_anomaly_rows_are_extreme(spark):
+    from sf_datalake_spark.queries_stats import (
+        q_seasonal_anomaly,
+        q_seasonal_decomposition,
+    )
+
+    anom = q_seasonal_anomaly(spark, SF_DIR).collect()
+    assert anom  # fires at sf0.001
+    decomp = {
+        (r["o_orderpriority"], r["midx"]): r
+        for r in q_seasonal_decomposition(spark, SF_DIR).collect()
+    }
+    for r in anom:
+        d = decomp[(r["o_orderpriority"], r["midx"])]
+        assert d["resid2p"] == r["resid2p"]
+        assert abs(r["resid2p"]) * 10_000 > 37_065 * r["mad2p"]
