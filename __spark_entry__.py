@@ -110,7 +110,7 @@ _NEW_R04 = frozenset({
     "containment_screen", "readability_scores", "seasonal_decomposition",
     "time_to_convert", "streaming_bitmap_distinct",
     "seasonal_anomaly", "trimmed_stats", "hierarchy_shares",
-    "busday_latency",
+    "busday_latency", "mmr_diverse_topk",
 })
 
 

@@ -1098,3 +1098,72 @@ def int8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "score")
     )
+
+
+def mmr_select(cands: DataFrame, k: int) -> DataFrame:
+    """Maximal-marginal-relevance greedy selection over a bounded
+    candidate set: pick ``k`` items maximizing ``rel − max_sim_to_
+    selected`` (λ = 1/2 MMR, Carbonell & Goldstein 1998 — with equal
+    weights the λ factors cancel into this difference), ties to the
+    smaller id.
+
+    ``cands`` must have ``id`` (integral), ``rel_ppm`` (BIGINT
+    relevance), and ``sims`` (map id → BIGINT similarity ppm to every
+    other candidate).  Returns ``(sel_rank, id)``.
+
+    Spark-first split of work: candidate GENERATION is the distributed
+    part (top-N scans, pair sims over N² small rows) and stays outside
+    this function; the greedy selection itself is inherently
+    sequential (each pick depends on all previous), so it folds k
+    steps over the collected candidate array in ONE JVM
+    ``F.aggregate`` — a single task over N structs, no driver loop, no
+    Python.  N (candidate depth) is the knob: selection cost is
+    O(k·N·k) map lookups on kilobytes of state.  All-integer ppm
+    scores: the argmax is engine-exact (DuckDB oracle replays the
+    greedy loop as a recursive CTE with a correlated argmax).
+    """
+    one = cands.agg(
+        F.collect_list(F.struct("id", "rel_ppm", "sims")).alias("__c")
+    )
+
+    def sel_step(acc, _i):
+        def score(c):
+            maxsim = F.aggregate(
+                acc,
+                F.lit(0).cast("long"),
+                lambda m, s: F.greatest(
+                    m, F.coalesce(c["sims"][s], F.lit(0).cast("long"))
+                ),
+            )
+            return c["rel_ppm"] - maxsim
+
+        best = F.aggregate(
+            F.filter(
+                F.col("__c"), lambda c: ~F.array_contains(acc, c["id"])
+            ),
+            F.struct(
+                F.lit(None).cast("long").alias("bid"),
+                F.lit(None).cast("long").alias("bscore"),
+            ),
+            lambda b, c: F.when(
+                b["bid"].isNull()
+                | (score(c) > b["bscore"])
+                | ((score(c) == b["bscore"]) & (c["id"] < b["bid"])),
+                F.struct(
+                    c["id"].cast("long").alias("bid"),
+                    score(c).alias("bscore"),
+                ),
+            ).otherwise(b),
+        )
+        return F.array_append(acc, best["bid"])
+
+    folded = one.select(
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(int(k))),
+            F.array().cast("array<long>"),
+            sel_step,
+        ).alias("sel")
+    )
+    return folded.select(
+        F.posexplode("sel").alias("__pos", "id")
+    ).select((F.col("__pos") + 1).cast("int").alias("sel_rank"), "id")

@@ -1343,3 +1343,157 @@ ORACLES_STATS.update({
     "hierarchy_shares": _HIERARCHY_SQL,
     "busday_latency": _BUSDAY_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# MMR diverse top-k: retrieval diversification — greedy maximal
+# marginal relevance over the top-24 cosine candidates to the query
+# vector.  Candidate generation (top-N + N^2 pair sims) is
+# distributed; the inherently-sequential greedy picks fold in one JVM
+# HOF over the collected candidates (operators/similarity.mmr_select).
+# All scores are exact integer ppm (round-6 cosines scaled), so the
+# selection order is engine-exact against a recursive-CTE oracle.
+# ---------------------------------------------------------------------------
+
+_MMR_DEPTH = 24
+_MMR_K = 8
+
+
+def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8 diverse documents from the top-24 cosine candidates under
+    lambda=1/2 MMR, with selection ranks and relevance ppm."""
+    from sf_datalake_spark.operators.similarity import mmr_select
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.orderBy("vec_id").limit(1).select(
+        F.col("embedding").alias("qv")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def norm(a):
+        return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+    cand = (
+        emb.crossJoin(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(
+                dot(F.col("embedding"), F.col("qv"))
+                / (norm(F.col("embedding")) * norm(F.col("qv"))),
+                6,
+            ).alias("cos6"),
+        )
+        .orderBy(F.col("cos6").desc(), F.col("vec_id").asc())
+        .limit(_MMR_DEPTH)
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(F.col("cos6") * 1_000_000).cast("long").alias("rel_ppm"),
+        )
+    )
+    a = cand.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
+    )
+    b = cand.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
+    )
+    sims = (
+        a.join(F.broadcast(b), F.col("a_id") != F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.round(
+                    dot(F.col("a_emb"), F.col("b_emb"))
+                    / (norm(F.col("a_emb")) * norm(F.col("b_emb"))),
+                    6,
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("sim_ppm"),
+        )
+        .groupBy("a_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("b_id", "sim_ppm"))
+            ).alias("sims")
+        )
+    )
+    full = cand.join(sims, cand["vec_id"] == sims["a_id"]).select(
+        F.col("vec_id").alias("id"), "rel_ppm", "sims"
+    )
+    sel = mmr_select(full, _MMR_K)
+    return sel.join(full, "id").select(
+        "sel_rank", F.col("id").alias("vec_id"), "rel_ppm"
+    ).orderBy("sel_rank")
+
+
+_MMR_SQL = """
+    WITH RECURSIVE qv AS (
+        SELECT embedding AS v FROM embeddings ORDER BY vec_id LIMIT 1
+    ),
+    scored AS (
+        SELECT vec_id, embedding,
+               round(list_inner_product(embedding::DOUBLE[], v::DOUBLE[])
+                     / (sqrt(list_inner_product(embedding::DOUBLE[],
+                                                embedding::DOUBLE[]))
+                        * sqrt(list_inner_product(v::DOUBLE[],
+                                                  v::DOUBLE[]))), 6)
+                   AS cos6
+        FROM embeddings CROSS JOIN qv
+    ),
+    cand AS (
+        SELECT vec_id, embedding,
+               CAST(round(cos6 * 1000000) AS BIGINT) AS rel_ppm
+        FROM scored ORDER BY cos6 DESC, vec_id ASC LIMIT 24
+    ),
+    sims AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               CAST(round(round(
+                   list_inner_product(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[])
+                   / (sqrt(list_inner_product(a.embedding::DOUBLE[],
+                                              a.embedding::DOUBLE[]))
+                      * sqrt(list_inner_product(b.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]))), 6)
+                   * 1000000) AS BIGINT) AS sim_ppm
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    rec AS (
+        SELECT 0 AS iter, CAST([] AS BIGINT[]) AS sel
+        UNION ALL
+        SELECT iter + 1,
+               list_append(sel, (
+                   SELECT c.vec_id FROM cand c
+                   WHERE NOT list_contains(rec.sel, c.vec_id)
+                   ORDER BY c.rel_ppm - coalesce((
+                       SELECT max(p.sim_ppm) FROM sims p
+                       WHERE p.a_id = c.vec_id
+                         AND list_contains(rec.sel, p.b_id)), 0)
+                       DESC, c.vec_id ASC
+                   LIMIT 1))
+        FROM rec WHERE iter < 8
+    ),
+    final AS (
+        SELECT unnest(sel) AS vec_id,
+               generate_subscripts(sel, 1) AS sel_rank
+        FROM rec WHERE iter = 8
+    )
+    SELECT CAST(f.sel_rank AS INT) AS sel_rank,
+           CAST(f.vec_id AS BIGINT) AS vec_id,
+           c.rel_ppm
+    FROM final f JOIN cand c ON f.vec_id = c.vec_id
+    ORDER BY sel_rank
+"""
+
+
+QUERIES_STATS.update({"mmr_diverse_topk": q_mmr_diverse_topk})
+ORACLES_STATS.update({"mmr_diverse_topk": _MMR_SQL})

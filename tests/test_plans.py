@@ -697,3 +697,20 @@ def test_stats_batch3_plan_shapes(spark):
     assert rep["n_python_evals"] == 0
     assert rep["n_cartesian_products"] == 0
     assert rep["n_nested_loop_joins"] == 0
+
+
+def test_mmr_plan_shape(spark):
+    """MMR: candidate generation distributed (TakeOrderedAndProject +
+    broadcast pair sims), the greedy fold JVM-side — zero Python
+    stages; the only nested loops are the broadcast 1-row query vector
+    and the 24-row candidate pair join."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    rep = plan_report(
+        qs["mmr_diverse_topk"](spark, "/root/testdata/sf0.001"),
+        execute=True,
+    )
+    assert rep["n_python_evals"] == 0
+    assert rep["n_cartesian_products"] == 0
+    assert "TakeOrderedAndProject" in rep["plan"]

@@ -518,3 +518,78 @@ def test_seasonal_anomaly_rows_are_extreme(spark):
         d = decomp[(r["o_orderpriority"], r["midx"])]
         assert d["resid2p"] == r["resid2p"]
         assert abs(r["resid2p"]) * 10_000 > 37_065 * r["mad2p"]
+
+
+# ---------------------------------------------------------------------------
+# MMR diverse top-k
+# ---------------------------------------------------------------------------
+
+def _mmr_brute(cands, k):
+    """cands: list of (id, rel, {other_id: sim}); greedy lambda=1/2 MMR."""
+    sel = []
+    for _ in range(k):
+        best = None
+        for i, r, s in cands:
+            if i in sel:
+                continue
+            ms = max((s.get(j, 0) for j in sel), default=0)
+            sc = r - ms
+            if best is None or sc > best[0] or (sc == best[0] and i < best[1]):
+                best = (sc, i)
+        sel.append(best[1])
+    return sel
+
+
+def test_mmr_select_matches_brute_force(spark):
+    from sf_datalake_spark.operators.similarity import mmr_select
+
+    random.seed(31)
+    n = 12
+    cands = []
+    sims_all = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            sims_all[(i, j)] = random.randint(0, 1_000_000)
+    for i in range(n):
+        s = {
+            j: sims_all[(min(i, j), max(i, j))]
+            for j in range(n) if j != i
+        }
+        cands.append((i, random.randint(500_000, 1_000_000), s))
+    df = spark.createDataFrame(
+        cands, "id long, rel_ppm long, sims map<long,long>"
+    )
+    got = [
+        r["id"]
+        for r in mmr_select(df, 5).orderBy("sel_rank").collect()
+    ]
+    assert got == _mmr_brute(cands, 5)
+
+
+def test_mmr_prefers_diversity_over_pure_relevance(spark):
+    from sf_datalake_spark.operators.similarity import mmr_select
+
+    # two near-identical high-relevance docs + one distinct medium one:
+    # pure top-2 by relevance picks the twins; MMR must skip the twin
+    cands = [
+        (1, 990_000, {2: 990_000, 3: 50_000}),
+        (2, 980_000, {1: 990_000, 3: 50_000}),
+        (3, 800_000, {1: 50_000, 2: 50_000}),
+    ]
+    df = spark.createDataFrame(
+        cands, "id long, rel_ppm long, sims map<long,long>"
+    )
+    got = [r["id"] for r in mmr_select(df, 2).orderBy("sel_rank").collect()]
+    assert got == [1, 3]
+
+
+def test_mmr_registry_query(spark):
+    from sf_datalake_spark.queries_stats import q_mmr_diverse_topk
+
+    rows = q_mmr_diverse_topk(spark, SF_DIR).collect()
+    assert len(rows) == 8
+    assert [r["sel_rank"] for r in rows] == list(range(1, 9))
+    # the query vector's own doc is maximally relevant -> picked first
+    assert rows[0]["vec_id"] == 0
+    # no duplicate picks
+    assert len({r["vec_id"] for r in rows}) == 8
