@@ -111,6 +111,7 @@ _NEW_R04 = frozenset({
     "time_to_convert", "streaming_bitmap_distinct",
     "seasonal_anomaly", "trimmed_stats", "hierarchy_shares",
     "busday_latency", "mmr_diverse_topk",
+    "proximity_search", "token_pmi", "sprt_decision",
 })
 
 

@@ -1497,3 +1497,356 @@ _MMR_SQL = """
 
 QUERIES_STATS.update({"mmr_diverse_topk": q_mmr_diverse_topk})
 ORACLES_STATS.update({"mmr_diverse_topk": _MMR_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Proximity search: documents where 'join' and 'window' occur within 5
+# tokens — positional retrieval beyond exact-phrase adjacency
+# (queries_mining.q_phrase_search).  Positions come from an indexed
+# transform + filter; pair counting and min-distance are nested HOFs
+# over the two (short) position lists.  Distances are index
+# differences, so the engines' 0- vs 1-based lambda indexes cancel.
+# ---------------------------------------------------------------------------
+
+_PROX_A, _PROX_B, _PROX_D = "join", "window", 5
+
+
+def q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with 'join' within 5 tokens of 'window': occurrence
+    counts, close-pair count, and the minimum token distance."""
+    from sf_datalake_spark.functions.text import tokenize
+    from sf_datalake_spark.operators.skew import spread_narrow_scan
+
+    docs = spread_narrow_scan(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", tokenize("text").alias("t"))
+
+    def positions(term):
+        return F.filter(
+            F.transform(F.col("t"), lambda x, i: F.when(x == term, i)),
+            lambda p: p.isNotNull(),
+        )
+
+    with_pos = docs.select(
+        "doc_id",
+        positions(_PROX_A).alias("pa"),
+        positions(_PROX_B).alias("pb"),
+    )
+    big = F.lit(1 << 30)
+    n_close = F.aggregate(
+        F.col("pa"),
+        F.lit(0),
+        lambda acc, x: acc
+        + F.size(F.filter(F.col("pb"), lambda y: F.abs(x - y) <= _PROX_D)),
+    )
+    min_dist = F.aggregate(
+        F.col("pa"),
+        big,
+        lambda m, x: F.least(
+            m,
+            F.aggregate(
+                F.col("pb"), big, lambda m2, y: F.least(m2, F.abs(x - y))
+            ),
+        ),
+    )
+    return (
+        with_pos.select(
+            "doc_id",
+            F.size("pa").alias("n_a"),
+            F.size("pb").alias("n_b"),
+            n_close.alias("n_close_pairs"),
+            min_dist.alias("min_dist"),
+        )
+        .filter(F.col("n_close_pairs") > 0)
+    )
+
+
+_PROXIMITY_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+                   AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id,
+               list_filter(list_transform(t, (x, i) ->
+                   CASE WHEN x = 'join' THEN i END), p -> p IS NOT NULL)
+                   AS pa,
+               list_filter(list_transform(t, (x, i) ->
+                   CASE WHEN x = 'window' THEN i END), p -> p IS NOT NULL)
+                   AS pb
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(pa) AS INT) AS n_a,
+           CAST(len(pb) AS INT) AS n_b,
+           CAST(list_sum(list_transform(pa, x ->
+                len(list_filter(pb, y -> abs(x - y) <= 5)))) AS INT)
+               AS n_close_pairs,
+           CAST(list_min(list_transform(pa, x ->
+                list_min(list_transform(pb, y -> abs(x - y))))) AS INT)
+               AS min_dist
+    FROM pos
+    WHERE list_sum(list_transform(pa, x ->
+          len(list_filter(pb, y -> abs(x - y) <= 5)))) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token-pair PMI: pointwise mutual information of top-vocabulary token
+# co-occurrence (document level) — collocation mining.  Ranked by the
+# exact integer ratio N·c_ab·10⁶ div (c_a·c_b) (ln is monotonic, so
+# the integer rank IS the PMI rank); the PMI itself is the one float,
+# rounded at 6.
+# ---------------------------------------------------------------------------
+
+_PMI_VOCAB_K = 50
+_PMI_MIN_CAB = 5
+_PMI_TOP = 30
+
+
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 co-occurring token pairs from the top-50 DF vocabulary
+    by PMI (ties by pair), with exact support counts."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+            )
+        ).alias("token"),
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("token").asc())
+        .limit(_PMI_VOCAB_K)
+    )
+    vt = toks.join(F.broadcast(vocab.select("token")), "token")
+    n_docs = docs.count()  # one scalar, reused as a literal
+    a = vt.select(F.col("doc_id"), F.col("token").alias("tok_a"))
+    b = vt.select(F.col("doc_id").alias("doc_b"), F.col("token").alias("tok_b"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("doc_b"))
+            & (F.col("tok_a") < F.col("tok_b")),
+        )
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_CAB)
+    )
+    dfs = vt.groupBy("token").agg(F.count("*").alias("c"))
+    out = (
+        pairs.join(
+            F.broadcast(dfs.select(F.col("token").alias("tok_a"), F.col("c").alias("c_a"))),
+            "tok_a",
+        )
+        .join(
+            F.broadcast(dfs.select(F.col("token").alias("tok_b"), F.col("c").alias("c_b"))),
+            "tok_b",
+        )
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_a",
+            "c_b",
+            "c_ab",
+            F.expr(
+                f"c_ab * {n_docs}L * 1000000L div (c_a * c_b)"
+            ).alias("ratio_ppm"),
+            F.round(
+                F.log(
+                    F.col("c_ab").cast("double")
+                    * F.lit(float(n_docs))
+                    / (F.col("c_a").cast("double") * F.col("c_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return out.orderBy(
+        F.col("ratio_ppm").desc(), F.col("tok_a").asc(), F.col("tok_b").asc()
+    ).limit(_PMI_TOP)
+
+
+_PMI_SQL = r"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> '')) AS token
+        FROM documents
+    ),
+    vocab AS (
+        SELECT token FROM (
+            SELECT token, count(*) AS df FROM toks GROUP BY 1
+            ORDER BY df DESC, token ASC LIMIT 50
+        )
+    ),
+    vt AS (SELECT t.doc_id, t.token FROM toks t JOIN vocab USING (token)),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    pairs AS (
+        SELECT a.token AS tok_a, b.token AS tok_b,
+               CAST(count(*) AS BIGINT) AS c_ab
+        FROM vt a JOIN vt b
+          ON a.doc_id = b.doc_id AND a.token < b.token
+        GROUP BY 1, 2 HAVING count(*) >= 5
+    ),
+    dfs AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM vt GROUP BY 1)
+    SELECT tok_a, tok_b, ca.c AS c_a, cb.c AS c_b, c_ab,
+           CAST(c_ab * n_docs * 1000000 // (ca.c * cb.c) AS BIGINT)
+               AS ratio_ppm,
+           round(ln(CAST(c_ab AS DOUBLE) * n_docs / (ca.c * cb.c)), 6)
+               AS pmi
+    FROM pairs
+    JOIN dfs ca ON ca.token = tok_a
+    JOIN dfs cb ON cb.token = tok_b
+    CROSS JOIN n
+    ORDER BY ratio_ppm DESC, tok_a ASC, tok_b ASC LIMIT 30
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wald SPRT: sequential probability ratio test on view->purchase
+# conversion per A/B variant (user_id % 2).  Per-observation
+# log-likelihood increments are fixed INTEGER milli-nats
+# (ln(0.5/0.4) ~= +223, ln(0.5/0.6) ~= -182, documented approximation
+# carried identically in both engines), thresholds +-ln(19) ~= +-2944
+# milli-nats (alpha = beta = 0.05) — the running LLR is a window
+# cumsum and the decision time the first threshold crossing, all
+# BIGINT.
+# ---------------------------------------------------------------------------
+
+_SPRT_UP, _SPRT_DOWN, _SPRT_BAR = 223, -182, 2944
+
+
+def q_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per variant: observations, successes, the final LLR milli-nats,
+    the SPRT decision, and the first-crossing observation index."""
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    obs = (
+        views.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 DAY")),
+            "left",
+        )
+        .groupBy("view_id", "user_id", "v_ts")
+        .agg(F.max(F.col("p_ts").isNotNull().cast("int")).alias("success"))
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("variant"),
+            "view_id",
+            "v_ts",
+            "success",
+            F.when(F.col("success") == 1, F.lit(_SPRT_UP))
+            .otherwise(F.lit(_SPRT_DOWN))
+            .cast("bigint")
+            .alias("llr_inc"),
+        )
+    )
+    w_ord = (
+        Window.partitionBy("variant")
+        .orderBy("v_ts", "view_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = obs.select(
+        "variant",
+        "success",
+        F.row_number()
+        .over(Window.partitionBy("variant").orderBy("v_ts", "view_id"))
+        .alias("t"),
+        F.sum("llr_inc").over(w_ord).alias("llr"),
+    )
+    # first crossing: its t via a per-variant window, the decision
+    # string read AT that t (not a min over all crossing rows' strings)
+    w_var = Window.partitionBy("variant")
+    flagged = run.withColumn(
+        "dt",
+        F.min(
+            F.when(F.abs(F.col("llr")) >= _SPRT_BAR, F.col("t"))
+        ).over(w_var),
+    )
+    return flagged.groupBy("variant").agg(
+        F.count("*").alias("n_obs"),
+        F.sum("success").cast("bigint").alias("successes"),
+        F.max("dt").alias("decision_t"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("t") == F.col("dt"),
+                    F.when(F.col("llr") > 0, F.lit("accept_h1")).otherwise(
+                        F.lit("accept_h0")
+                    ),
+                )
+            ),
+            F.lit("continue"),
+        ).alias("decision"),
+    )
+
+
+_SPRT_SQL = """
+    WITH views AS (
+        SELECT event_id AS view_id, user_id, ts AS v_ts
+        FROM events WHERE event_type = 'view'
+    ),
+    purchases AS (
+        SELECT user_id AS p_user, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    obs AS (
+        SELECT CAST(user_id % 2 AS INT) AS variant, view_id, v_ts,
+               max(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS success
+        FROM views LEFT JOIN purchases
+          ON user_id = p_user AND p_ts > v_ts
+         AND p_ts <= v_ts + INTERVAL 1 DAY
+        GROUP BY 1, 2, 3
+    ),
+    run AS (
+        SELECT variant, success,
+               row_number() OVER (PARTITION BY variant
+                                  ORDER BY v_ts, view_id) AS t,
+               sum(CASE WHEN success = 1 THEN 223 ELSE -182 END)
+                   OVER (PARTITION BY variant ORDER BY v_ts, view_id
+                         ROWS UNBOUNDED PRECEDING) AS llr
+        FROM obs
+    ),
+    flagged AS (
+        SELECT *,
+               min(CASE WHEN abs(llr) >= 2944 THEN t END)
+                   OVER (PARTITION BY variant) AS dt
+        FROM run
+    )
+    SELECT variant,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(sum(success) AS BIGINT) AS successes,
+           CAST(max(dt) AS BIGINT) AS decision_t,
+           coalesce(max(CASE WHEN t = dt THEN
+                        CASE WHEN llr > 0 THEN 'accept_h1'
+                             ELSE 'accept_h0' END END), 'continue')
+               AS decision
+    FROM flagged GROUP BY 1
+"""
+
+
+QUERIES_STATS.update({
+    "proximity_search": q_proximity_search,
+    "token_pmi": q_token_pmi,
+    "sprt_decision": q_sprt_decision,
+})
+
+ORACLES_STATS.update({
+    "proximity_search": _PROXIMITY_SQL,
+    "token_pmi": _PMI_SQL,
+    "sprt_decision": _SPRT_SQL,
+})

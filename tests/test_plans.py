@@ -714,3 +714,33 @@ def test_mmr_plan_shape(spark):
     assert rep["n_python_evals"] == 0
     assert rep["n_cartesian_products"] == 0
     assert "TakeOrderedAndProject" in rep["plan"]
+
+
+def test_stats_batch4_plan_shapes(spark):
+    """Batch 4: proximity is a zero-join HOF scan; PMI's pair join is
+    doc-equi (no cartesian) with the vocab and df sides broadcast;
+    SPRT is one user-equi left join + shared variant windows."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    sf = "/root/testdata/sf0.001"
+
+    rep = plan_report(qs["proximity_search"](spark, sf), execute=True)
+    assert rep["n_python_evals"] == 0
+    assert (
+        rep["n_sort_merge_joins"]
+        + rep["n_hash_joins"]
+        + rep["n_nested_loop_joins"]
+        + rep["n_cartesian_products"]
+    ) == 0
+
+    rep = plan_report(qs["token_pmi"](spark, sf), execute=True)
+    assert rep["n_python_evals"] == 0
+    assert rep["n_cartesian_products"] == 0
+    assert rep["n_broadcasts"] >= 2  # vocab + df sides
+    assert "TakeOrderedAndProject" in rep["plan"]
+
+    rep = plan_report(qs["sprt_decision"](spark, sf), execute=True)
+    assert rep["n_python_evals"] == 0
+    assert rep["n_cartesian_products"] == 0
+    assert rep["n_nested_loop_joins"] == 0

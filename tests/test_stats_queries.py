@@ -593,3 +593,93 @@ def test_mmr_registry_query(spark):
     assert rows[0]["vec_id"] == 0
     # no duplicate picks
     assert len({r["vec_id"] for r in rows}) == 8
+
+
+# ---------------------------------------------------------------------------
+# batch 4: proximity, PMI, SPRT
+# ---------------------------------------------------------------------------
+
+def test_proximity_search_hand_case(spark):
+    import tempfile
+
+    rows = [
+        (0, "join x window", "en", "s", 1),          # dist 2
+        (1, "join a b c d e window", "en", "s", 1),  # dist 6 -> no
+        (2, "window join", "en", "s", 1),            # dist 1
+        (3, "join only here", "en", "s", 1),         # no window
+        (4, "join join window", "en", "s", 1),       # 2 close pairs
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="prox-")
+    df.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    from sf_datalake_spark.queries_stats import q_proximity_search
+
+    got = {r["doc_id"]: r for r in q_proximity_search(spark, tmp).collect()}
+    assert set(got) == {0, 2, 4}
+    assert got[0]["min_dist"] == 2 and got[0]["n_close_pairs"] == 1
+    assert got[2]["min_dist"] == 1
+    assert got[4]["n_close_pairs"] == 2 and got[4]["min_dist"] == 1
+
+
+def test_token_pmi_identities(spark):
+    from sf_datalake_spark.queries_stats import q_token_pmi
+    import math
+
+    rows = q_token_pmi(spark, SF_DIR).collect()
+    assert len(rows) == 30
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    ratios = [r["ratio_ppm"] for r in rows]
+    assert ratios == sorted(ratios, reverse=True)
+    for r in rows:
+        assert r["tok_a"] < r["tok_b"]
+        assert r["c_ab"] >= 5
+        assert r["c_ab"] <= min(r["c_a"], r["c_b"])
+        assert r["ratio_ppm"] == r["c_ab"] * n_docs * 1_000_000 // (
+            r["c_a"] * r["c_b"]
+        )
+        want = round(math.log(r["c_ab"] * n_docs / (r["c_a"] * r["c_b"])), 6)
+        assert abs(r["pmi"] - want) < 1e-9
+
+
+def test_sprt_hand_case_all_successes(spark):
+    import datetime as dt
+    import tempfile
+
+    # 14 consecutive converting views for one even user: LLR = 223*t
+    # crosses +2944 at t = 14 (223*13 = 2899 < 2944 <= 3122)
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    for i in range(14):
+        eid += 1
+        rows.append((eid, base + dt.timedelta(days=i), 2, "view", 0.0, None))
+        eid += 1
+        rows.append(
+            (eid, base + dt.timedelta(days=i, hours=1), 2, "purchase", 0.0, None)
+        )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    tmp = tempfile.mkdtemp(prefix="sprt-")
+    df.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    from sf_datalake_spark.queries_stats import q_sprt_decision
+
+    got = {r["variant"]: r for r in q_sprt_decision(spark, tmp).collect()}
+    r = got[0]
+    assert r["n_obs"] == 14 and r["successes"] == 14
+    assert r["decision"] == "accept_h1"
+    assert r["decision_t"] == 14
+
+
+def test_sprt_registry_consistency(spark):
+    from sf_datalake_spark.queries_stats import q_sprt_decision
+
+    rows = q_sprt_decision(spark, SF_DIR).collect()
+    assert {r["variant"] for r in rows} == {0, 1}
+    for r in rows:
+        assert (r["decision"] == "continue") == (r["decision_t"] is None)
+        assert 0 <= r["successes"] <= r["n_obs"]
