@@ -730,3 +730,125 @@ def _core_numbers_driver(directed: DataFrame) -> DataFrame:
     return directed.sparkSession.createDataFrame(
         [(n, c) for n, c in core.items()], f"id {id_type}, core int"
     )
+
+
+def bfs_k_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "id",
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance (0..k) from any seed node,
+    over the undirected graph ``edges``.
+
+    Returns ``(id, min_hops int)`` for every node reachable within
+    ``k`` hops; unreachable nodes are absent.  The classic frontier
+    pattern (Pregel/GraphX ShortestPaths restricted to hop counts):
+    each round expands the CURRENT frontier only —
+
+        frontier_{h} = neighbors(frontier_{h-1}) \\ visited
+
+    so a node's distance is fixed the first time it is seen, which IS
+    the minimum (BFS invariant), and no node is ever expanded twice.
+
+    Scale design:
+    - The undirected edge list is persisted once and drives every
+      round; each round is ONE equi-join (frontier ⋈ edges on src) +
+      distinct + left-anti against visited — all shuffle on node id,
+      so a cluster that bucket-stores edges by src runs the join
+      exchange-free on the big side.
+    - Frontiers are ``localCheckpoint``-ed per round: k joins of
+      accumulated lineage is the iterative-plan trap (same discipline
+      as :func:`connected_components`).
+    - Cost is proportional to edges INCIDENT to each frontier, not the
+      whole graph, every round — the reason frontier BFS beats k
+      rounds of full-graph propagation when seeds are few.
+    """
+    und = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .persist()
+    )
+    try:
+        frontier = (
+            seeds.select(F.col(seed_col).alias("id")).distinct()
+            .localCheckpoint(eager=True)
+        )
+        visited = frontier.withColumn("min_hops", F.lit(0))
+        for h in range(1, k + 1):
+            frontier = (
+                frontier.join(und, frontier.id == und.s)
+                .select(F.col("d").alias("id"))
+                .distinct()
+                .join(visited.select("id"), "id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if not frontier.take(1):
+                break
+            visited = visited.union(
+                frontier.withColumn("min_hops", F.lit(h))
+            ).localCheckpoint(eager=True)
+        return visited.select("id", F.col("min_hops").cast("int").alias("min_hops"))
+    finally:
+        und.unpersist()
+
+
+def label_propagation_sync(
+    edges: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic SYNCHRONOUS label propagation (community
+    detection): every node starts labeled with its own id; each round
+    every node simultaneously adopts the most frequent label among its
+    neighbors, ties broken by the SMALLEST label.
+
+    Classic async LPA is run-order dependent; the synchronous variant
+    with a total tie order is a pure function of (graph, rounds) — the
+    property that makes it oracle-checkable and reproducible across
+    engines, at the cost of the known bipartite-oscillation mode
+    (communities on bipartite-ish graphs can blink between two states;
+    callers pick ``rounds`` and compare consecutive rounds if they need
+    oscillation detection).
+
+    Returns ``(id, label)`` for every node incident to an edge.  Each
+    round is ONE join (edges ⋈ labels on src) + ONE count aggregation +
+    ONE window argmax — all keyed by node id, same bucketing story as
+    :func:`bfs_k_hops`. Labels are localCheckpoint-ed per round
+    (iterative-lineage discipline).
+    """
+    from pyspark.sql import Window
+
+    und = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .persist()
+    )
+    try:
+        labels = (
+            und.select(F.col("s").alias("id")).distinct()
+            .withColumn("label", F.col("id"))
+            .localCheckpoint(eager=True)
+        )
+        w = Window.partitionBy("id").orderBy(
+            F.col("c").desc(), F.col("label").asc()
+        )
+        for _ in range(rounds):
+            msgs = und.join(
+                labels.withColumnRenamed("id", "s"), "s"
+            ).select(F.col("d").alias("id"), "label")
+            counts = msgs.groupBy("id", "label").agg(F.count("*").alias("c"))
+            labels = (
+                counts.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("id", "label")
+                .localCheckpoint(eager=True)
+            )
+        return labels
+    finally:
+        und.unpersist()

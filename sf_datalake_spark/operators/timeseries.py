@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -407,4 +407,63 @@ def classical_decomposition(
     return out.select(
         *keys, "idx", "value", "phase",
         "trend2p", "detr2p", "seasonal2p", "resid2p",
+    )
+
+
+def time_weighted_average(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_cents: "Column | str",
+    order_tiebreak: "Column | str | None" = None,
+) -> DataFrame:
+    """Exact time-weighted average of a piecewise-constant signal: each
+    observation's value holds from its timestamp until the NEXT
+    observation (last-observation-carried-forward), weighted by that
+    holding duration in whole seconds.
+
+    The TWAP/TWAB primitive of tick pipelines: a value sampled at
+    irregular times must be averaged by HOW LONG it held, not by how
+    often it was sampled — the row-mean over-weights bursty periods.
+
+    Exact-arithmetic contract: values enter as integer cents, durations
+    as integer epoch-second differences; the weighted sum is one BIGINT
+    Σ cents·seconds per key.  Only the final ratio is a float — a
+    single IEEE division of two exactly-agreed integers, bit-identical
+    in any engine.  The window's ordering is totalized with
+    ``order_tiebreak`` (pass the event id) so duplicate timestamps
+    cannot make the lead() pairing — and hence the durations —
+    engine-dependent.
+
+    One window (lead) + one aggregation, both keyed/partitioned by
+    ``keys``: a single shuffle when the input is not already
+    distributed by key.  The last observation per key has no successor
+    and contributes zero duration (the observation window closes at the
+    last event).
+
+    Returns ``keys + (weighted_cents_seconds, span_seconds, twap)``.
+    """
+    val = F.col(value_cents) if isinstance(value_cents, str) else value_cents
+    order = [F.col(ts_col)]
+    if order_tiebreak is not None:
+        order.append(
+            F.col(order_tiebreak)
+            if isinstance(order_tiebreak, str)
+            else order_tiebreak
+        )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    epoch = F.unix_timestamp(F.col(ts_col))
+    dur = (F.lead(epoch).over(w) - epoch).cast("bigint")
+    stepped = df.select(
+        *keys,
+        (val.cast("bigint") * F.coalesce(dur, F.lit(0))).alias("__wv"),
+        F.coalesce(dur, F.lit(0)).alias("__d"),
+    )
+    return stepped.groupBy(*keys).agg(
+        F.sum("__wv").alias("weighted_cents_seconds"),
+        F.sum("__d").alias("span_seconds"),
+        F.when(
+            F.sum("__d") > 0,
+            F.sum("__wv").cast("double") / F.sum("__d").cast("double"),
+        ).alias("twap"),
     )

@@ -674,19 +674,29 @@ def test_stats_batch2_plan_shapes(spark):
 
 
 def test_stats_batch3_plan_shapes(spark):
-    """Batch 3: anomaly/trimmed are window+broadcast-join-back shapes
-    (no SMJ on the tiny bounds side); hierarchy_shares broadcasts all
-    three dims; busday latency is one equi-join + one agg, all-JVM."""
+    """Batch 3: seasonal_anomaly is a window+broadcast-join-back shape
+    (no SMJ on the tiny bounds side); trimmed_stats is the SORT-FREE
+    per-value-weight form — no join at all, so zero broadcast/SMJ/NLJ
+    and only the groupBy+window exchanges; hierarchy_shares broadcasts
+    all three dims; busday latency is one equi-join + one agg, all-JVM."""
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
     sf = "/root/testdata/sf0.001"
 
-    for name in ("seasonal_anomaly", "trimmed_stats"):
-        rep = plan_report(qs[name](spark, sf), execute=True)
-        assert rep["n_python_evals"] == 0, name
-        assert rep["n_cartesian_products"] == 0, name
-        assert rep["n_broadcasts"] >= 1, name  # bounds/MAD join-back
+    rep = plan_report(qs["seasonal_anomaly"](spark, sf), execute=True)
+    assert rep["n_python_evals"] == 0
+    assert rep["n_cartesian_products"] == 0
+    assert rep["n_broadcasts"] >= 1  # bounds/MAD join-back
+
+    rep = plan_report(qs["trimmed_stats"](spark, sf), execute=True)
+    assert rep["n_python_evals"] == 0
+    assert rep["n_cartesian_products"] == 0
+    # join-free: weights/bounds come from ONE cumulative window over the
+    # per-value histogram, not a per-group bounds join
+    assert rep["n_sort_merge_joins"] == 0
+    assert rep["n_hash_joins"] == 0
+    assert rep["n_nested_loop_joins"] == 0
 
     rep = plan_report(qs["hierarchy_shares"](spark, sf), execute=True)
     assert rep["n_python_evals"] == 0
@@ -744,3 +754,32 @@ def test_stats_batch4_plan_shapes(spark):
     assert rep["n_python_evals"] == 0
     assert rep["n_cartesian_products"] == 0
     assert rep["n_nested_loop_joins"] == 0
+
+
+def test_graph_batch_plan_shapes(spark):
+    """Batch 4c: the spatial join is a blocked EQUI-join (no cartesian /
+    nested-loop anywhere, even though the semantic is a distance
+    predicate); linkage scoring adds zero Python and no extra joins
+    beyond the block; TWAP's window and aggregation share the user_id
+    partitioning so the whole query is one shuffle."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    sf = "/root/testdata/sf0.001"
+
+    rep = plan_report(qs["geo_distance_join"](spark, sf), execute=True)
+    assert rep["n_python_evals"] == 0
+    assert rep["n_cartesian_products"] == 0
+    assert rep["n_nested_loop_joins"] == 0
+
+    rep = plan_report(qs["record_linkage"](spark, sf), execute=True)
+    assert rep["n_python_evals"] == 0
+    assert rep["n_cartesian_products"] == 0
+    assert rep["n_nested_loop_joins"] == 0
+
+    rep = plan_report(qs["twap_value"](spark, sf), execute=True)
+    assert rep["n_python_evals"] == 0
+    # lead() window and the groupBy both key on user_id: Catalyst reuses
+    # the window's hash partitioning for the aggregation — one exchange
+    # in the whole plan (a second would mean the reuse regressed)
+    assert rep["n_exchanges"] == 1
