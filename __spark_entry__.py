@@ -26,6 +26,7 @@ from sf_datalake_spark.queries_analytics import ORACLES_ANALYTICS, QUERIES_ANALY
 from sf_datalake_spark.queries_mining import ORACLES_MINING, QUERIES_MINING  # noqa: E402
 from sf_datalake_spark.queries_stats import ORACLES_STATS, QUERIES_STATS  # noqa: E402
 from sf_datalake_spark.queries_graph import ORACLES_GRAPH, QUERIES_GRAPH  # noqa: E402
+from sf_datalake_spark.queries_prep import ORACLES_PREP, QUERIES_PREP  # noqa: E402
 
 # queries_sketch/queries_tpch are merged LAST so their (post-r02)
 # entries append after the fresh-oracled block and cannot displace any
@@ -33,10 +34,10 @@ from sf_datalake_spark.queries_graph import ORACLES_GRAPH, QUERIES_GRAPH  # noqa
 # snapshot cap.
 QUERIES = {**QUERIES, **QUERIES_EXT, **QUERIES_REL, **QUERIES_CORPUS,
            **QUERIES_SKETCH, **QUERIES_TPCH, **QUERIES_ANALYTICS,
-           **QUERIES_MINING, **QUERIES_STATS, **QUERIES_GRAPH}
+           **QUERIES_MINING, **QUERIES_STATS, **QUERIES_GRAPH, **QUERIES_PREP}
 ORACLES = {**ORACLES, **ORACLES_EXT, **ORACLES_REL, **ORACLES_CORPUS,
            **ORACLES_SKETCH, **ORACLES_TPCH, **ORACLES_ANALYTICS,
-           **ORACLES_MINING, **ORACLES_STATS, **ORACLES_GRAPH}
+           **ORACLES_MINING, **ORACLES_STATS, **ORACLES_GRAPH, **ORACLES_PREP}
 
 # Names already green in a driver CORRECTNESS snapshot (union of
 # r01 ∪ r02 ∪ r03, 100 names — minus merge_upsert, r03's one hash-fail,
@@ -115,6 +116,8 @@ _NEW_R04 = frozenset({
     "proximity_search", "token_pmi", "sprt_decision",
     "bfs_khop", "label_propagation", "geo_distance_join",
     "twap_value", "record_linkage",
+    "feature_hash_score", "quantile_normalize", "sliding_distinct",
+    "k_anonymity", "dp_noisy_counts",
 })
 
 

@@ -319,3 +319,41 @@ def bm25_topk(
     return per_doc.orderBy(
         F.desc("score"), F.asc(id_col)
     ).limit(top_k)
+
+
+def feature_hash_score(
+    col: Column | str,
+    n_buckets: int = 2001,
+    salt: str = "fh",
+) -> Column:
+    """Hashing-trick linear score of a text column: each whitespace
+    token hashes to an integer weight in [-(n_buckets-1)/2,
+    +(n_buckets-1)/2] via md5 (the feature-hashing kernel of
+    Weinberger et al. 2009, with the weight TABLE itself replaced by a
+    hash — the degenerate but deterministic "random projection" case
+    used for smoke-scoring and lsh-style signatures).
+
+    Pure JVM higher-order functions: transform(tokens, md5-weight) →
+    aggregate(sum). Integer arithmetic end-to-end, so the score is
+    engine-exact; external systems reproduce it from the md5 contract
+    alone (same idiom as operators/split.hash_bucket). Real models
+    swap the md5 weight for a lookup into a broadcast weight map —
+    the plumbing (tokenize → hash → sum at scan stage, zero joins,
+    zero shuffles) is identical.
+    """
+    half = (n_buckets - 1) // 2
+    toks = tokenize(col)
+    return F.aggregate(
+        F.transform(
+            toks,
+            lambda t: (
+                F.conv(
+                    F.substring(F.md5(F.concat(t, F.lit(salt))), 1, 8), 16, 10
+                ).cast("bigint")
+                % n_buckets
+            )
+            - F.lit(half),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -171,3 +171,71 @@ def weighted_quantiles(
             ).alias(f"q_{num}_{den}")
         )
     return cum.groupBy(*keys).agg(*aggs)
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    tiebreak_col: str,
+    out_col: str = "norm_value",
+) -> DataFrame:
+    """Quantile normalization: map each row's value onto the POOLED
+    distribution at the same quantile position (nearest-rank) — the
+    rank-transform used to make per-group feature distributions
+    comparable (the microarray-normalization classic, Bolstad 2003).
+
+    target global rank p = ceil(r_g · N / n_g) where r_g is the row's
+    rank within its group (ordered by value, then ``tiebreak_col`` for
+    a total order), n_g the group size, N the pooled count; the output
+    value is the p-th smallest pooled value. All-integer rank
+    arithmetic — engine-exact.
+
+    Scale design: the pooled ranking is NOT a global row sort. The
+    pooled (value → rank interval) table comes from the per-value
+    histogram (one aggregation, |distinct values| rows) + one
+    cumulative window over those values; each value's interval
+    [cum−w+1, cum] is then exploded into its per-rank rows — a
+    data-linear 2-column table joined back by EQUI-join on p.
+    The only unpartitioned window runs over the distinct-value
+    histogram (state = |distinct values|, not rows); at extreme value
+    cardinality swap it for the two-pass range-partitioned rank the
+    repo documents for quantile_summary.
+    """
+    group_cols = list(group_cols)
+    w_g = Window.partitionBy(*group_cols).orderBy(value_col, tiebreak_col)
+    w_n = Window.partitionBy(*group_cols)
+    ranked = df.select(
+        *group_cols,
+        value_col,
+        tiebreak_col,
+        F.row_number().over(w_g).alias("__rg"),
+        F.count("*").over(w_n).alias("__ng"),
+    )
+    hist = df.groupBy(value_col).agg(F.count("*").alias("__w"))
+    w_cum = Window.orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pooled = (
+        hist.select(
+            F.col(value_col).alias(out_col),
+            F.sum("__w").over(w_cum).alias("__cum"),
+            F.col("__w"),
+        )
+        .select(
+            out_col,
+            F.explode(
+                F.sequence(F.col("__cum") - F.col("__w") + 1, F.col("__cum"))
+            ).alias("__p"),
+        )
+    )
+    # pooled N as a broadcast 1-row cross join (no driver action, no
+    # second scan — derived from the histogram already in the plan)
+    total = hist.agg(F.sum("__w").alias("__N"))
+    target = ranked.crossJoin(F.broadcast(total)).withColumn(
+        "__p",
+        F.expr("(__rg * __N + __ng - 1L) div __ng"),
+    )
+    return target.join(pooled, "__p").select(
+        *group_cols, value_col, tiebreak_col, out_col
+    )

@@ -1,0 +1,239 @@
+"""Feature-prep / privacy-release batch (round 4c, beyond the
+reference): hashing-trick text scoring, quantile normalization,
+sliding exact-distinct windows, k-anonymity auditing, and
+deterministic Laplace-noised counts.
+
+Conventions follow ``queries.py``: identical column aliases in both
+engines; money in integer cents, shares in ppm, hash weights in
+integers; the only floats crossing the engine boundary are a single
+``ln`` rounded at 6 (dp_noisy_counts) — everything else is BIGINT.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sf_datalake_spark.queries import _t
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing: md5-weight linear score per document
+# ---------------------------------------------------------------------------
+
+
+def q_feature_hash_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: whitespace token count, hashing-trick linear score
+    (functions/text.feature_hash_score — scan-stage JVM HOFs, zero
+    joins), and the sign prediction. Empty documents score 0."""
+    from sf_datalake_spark.functions.text import (
+        feature_hash_score,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("bigint").alias("n_tokens"),
+        feature_hash_score("text").alias("fh_score"),
+        (feature_hash_score("text") > 0).cast("int").alias("fh_pred"),
+    )
+
+
+_FEATURE_HASH_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(text, '\s+')) AS tok
+        FROM documents
+    ),
+    w AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(
+                   CAST(('0x' || substr(md5(tok || 'fh'), 1, 8))::BIGINT
+                        % 2001 AS BIGINT) - 1000
+               ) AS BIGINT) AS fh_score
+        FROM toks WHERE tok <> '' GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(w.n_tokens, 0) AS n_tokens,
+           COALESCE(w.fh_score, 0) AS fh_score,
+           CAST(COALESCE(w.fh_score, 0) > 0 AS INT) AS fh_pred
+    FROM documents d LEFT JOIN w USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization of order prices across priority groups
+# ---------------------------------------------------------------------------
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each order's price mapped onto the POOLED price distribution at
+    its within-priority quantile position (nearest-rank) — quantile
+    normalization via the per-value histogram + exploded rank table,
+    never a global row sort (operators/aggregates.quantile_normalize)."""
+    from sf_datalake_spark.operators.aggregates import quantile_normalize
+
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    return quantile_normalize(
+        base, ["prio"], "cents", "o_orderkey", out_col="norm_cents"
+    )
+
+
+_QUANTILE_NORMALIZE_SQL = """
+    WITH base AS (
+        SELECT o_orderpriority AS prio,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY prio
+                                  ORDER BY cents, o_orderkey) AS rg,
+               count(*) OVER (PARTITION BY prio) AS ng,
+               count(*) OVER () AS n
+        FROM base
+    ),
+    pooled AS (
+        SELECT cents AS norm_cents,
+               row_number() OVER (ORDER BY cents, o_orderkey) AS p
+        FROM base
+    )
+    SELECT r.prio, r.cents, r.o_orderkey, pooled.norm_cents
+    FROM (SELECT *, (rg * n + ng - 1) // ng AS p FROM ranked) r
+    JOIN pooled USING (p)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sliding exact distinct: trailing-7-day distinct users per day
+# ---------------------------------------------------------------------------
+
+
+def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event day: EXACT distinct users over the trailing 7 days,
+    via bitmap words replicated to the windows they serve
+    (operators/sketches.sliding_bitmap_distinct) — rows are scanned
+    once; the oracle's range join rescans events per window."""
+    from sf_datalake_spark.operators.sketches import sliding_bitmap_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return sliding_bitmap_distinct(ev, F.to_date("ts"), "user_id", 7)
+
+
+_SLIDING_DISTINCT_SQL = """
+    WITH ev AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events),
+    days AS (SELECT DISTINCT d FROM ev)
+    SELECT days.d AS window_day,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_distinct,
+           CAST(count(DISTINCT e.user_id // 64) AS BIGINT) AS n_words
+    FROM days JOIN ev e ON e.d BETWEEN days.d - 6 AND days.d
+    GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over (segment, balance-bucket) per nation
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation: k=5 anonymity audit of the (market segment,
+    $1000-balance-bucket) quasi-identifier — classes, unsafe classes,
+    rows needing suppression, exact ppm suppression rate
+    (operators/privacy.k_anonymity_audit). Buckets shift cents by
+    +$100k so truncating division equals floor for negative balances."""
+    from sf_datalake_spark.operators.privacy import k_anonymity_audit
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "(cast(round(c_acctbal * 100) as bigint) + 10000000) div 100000"
+        ).alias("bal_bucket"),
+    )
+    return k_anonymity_audit(
+        cust, ["c_mktsegment", "bal_bucket"], _KANON_K, by=["c_nationkey"]
+    )
+
+
+_KANON_SQL = f"""
+    WITH classes AS (
+        SELECT c_nationkey, c_mktsegment,
+               (CAST(round(c_acctbal * 100) AS BIGINT) + 10000000) // 100000
+                   AS bal_bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(CASE WHEN n < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unsafe_classes,
+           CAST(sum(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS BIGINT)
+               AS rows_unsafe,
+           CAST(sum(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END)
+                * 1000000 // sum(n) AS BIGINT) AS suppress_ppm
+    FROM classes GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Laplace-noised counts per order priority (deterministic noise — see
+# operators/privacy.py for the mechanism-vs-guarantee caveat)
+# ---------------------------------------------------------------------------
+
+
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts per priority released through the Laplace mechanism
+    (scale b = 20 ⇒ ε = 0.05 for a count), noise derived from md5 of
+    the group key so the release is engine-reproducible
+    (operators/privacy.laplace_noisy_counts)."""
+    from sf_datalake_spark.operators.privacy import laplace_noisy_counts
+
+    orders = _t(spark, sf_dir, "orders")
+    return laplace_noisy_counts(orders, ["o_orderpriority"], 20.0, "dp")
+
+
+_DP_SQL = """
+    WITH agg AS (
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS true_n
+        FROM orders GROUP BY 1
+    ),
+    nz AS (
+        SELECT *,
+               (CAST(('0x' || substr(md5(o_orderpriority || 'dp'), 1, 8))
+                     ::BIGINT % 1000000 AS BIGINT) + 0.5) / 1000000.0 AS u
+        FROM agg
+    )
+    SELECT o_orderpriority, true_n,
+           round(true_n + (-20.0 * sign(u - 0.5)
+                           * ln(1 - 2 * abs(u - 0.5))), 6) AS noisy_n
+    FROM nz
+"""
+
+
+QUERIES_PREP: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "feature_hash_score": q_feature_hash_score,
+    "quantile_normalize": q_quantile_normalize,
+    "sliding_distinct": q_sliding_distinct,
+    "k_anonymity": q_k_anonymity,
+    "dp_noisy_counts": q_dp_noisy_counts,
+}
+
+ORACLES_PREP: dict[str, str] = {
+    "feature_hash_score": _FEATURE_HASH_SQL,
+    "quantile_normalize": _QUANTILE_NORMALIZE_SQL,
+    "sliding_distinct": _SLIDING_DISTINCT_SQL,
+    "k_anonymity": _KANON_SQL,
+    "dp_noisy_counts": _DP_SQL,
+}
