@@ -118,6 +118,8 @@ _NEW_R04 = frozenset({
     "twap_value", "record_linkage",
     "feature_hash_score", "quantile_normalize", "sliding_distinct",
     "k_anonymity", "dp_noisy_counts",
+    "chi_square_independence", "growth_streaks", "rake_keywords",
+    "embedding_gram", "weighted_paths",
 })
 
 

@@ -852,3 +852,74 @@ def label_propagation_sync(
         return labels
     finally:
         und.unpersist()
+
+
+def bellman_k_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "wgt",
+    seed_col: str = "id",
+) -> DataFrame:
+    """Minimum path COST from any seed using at most ``k`` edges, over
+    the undirected weighted graph ``edges`` — k rounds of Bellman–Ford
+    relaxation (min-plus semiring), the weighted twin of
+    :func:`bfs_k_hops`.
+
+    Returns ``(id, min_cost)`` for every node reachable within ``k``
+    edges (seeds at cost 0). Weights must be non-negative integers
+    (the callers use exact integer distances; negative weights would
+    need the full n-round algorithm and cycle detection).
+
+    Unlike BFS, a node's cost can IMPROVE after first discovery (a
+    longer-hop but cheaper path), so every round relaxes the full
+    current estimate set against the edge list — no frontier shrink:
+
+        dist_{h} = min(dist_{h-1}, min over edges (u,v,w) of
+                       dist_{h-1}[u] + w)
+
+    Each round is ONE equi-join (dist ⋈ edges on src) + union + ONE
+    groupBy-min, all keyed by node id; estimates are
+    localCheckpoint-ed per round (iterative-lineage discipline). At
+    100 TB the edge list is the reused side — persist it, bucket it
+    by src, and the per-round join is exchange-free on the big side.
+    """
+    und = (
+        edges.select(
+            F.col(src).alias("s"), F.col(dst).alias("d"),
+            F.col(weight).cast("bigint").alias("w"),
+        )
+        .union(
+            edges.select(
+                F.col(dst).alias("s"), F.col(src).alias("d"),
+                F.col(weight).cast("bigint").alias("w"),
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    try:
+        dist = (
+            seeds.select(F.col(seed_col).alias("id")).distinct()
+            .withColumn("min_cost", F.lit(0).cast("bigint"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(k):
+            relaxed = (
+                dist.join(und, dist.id == und.s)
+                .select(
+                    F.col("d").alias("id"),
+                    (F.col("min_cost") + F.col("w")).alias("min_cost"),
+                )
+            )
+            dist = (
+                dist.union(relaxed)
+                .groupBy("id")
+                .agg(F.min("min_cost").alias("min_cost"))
+                .localCheckpoint(eager=True)
+            )
+        return dist
+    finally:
+        und.unpersist()

@@ -1167,3 +1167,57 @@ def mmr_select(cands: DataFrame, k: int) -> DataFrame:
     return folded.select(
         F.posexplode("sel").alias("__pos", "id")
     ).select((F.col("__pos") + 1).cast("int").alias("sel_rank"), "id")
+
+
+def gram_matrix_int(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Exact integer Gram matrix of an embedding column: G[i,j] =
+    Σ_rows q_i·q_j over micro-quantized components q = round(x·quant)
+    (HALF_UP, matching SQL ``round``) — the X**T**X primitive behind
+    covariance/PCA/linear-model normal equations, computed with the
+    canonical distributed-matrix trick: each partition accumulates its
+    own D×D int64 Gram with ONE BLAS-style outer-product matmul, then
+    emits the D·(D+1)/2 upper-triangle cells; a final groupBy sums the
+    per-partition partials.
+
+    Rows are touched once; the shuffle carries partitions × D²/2
+    CELLS (kilobytes), never data. Integer quantization (not float
+    sums) makes the result bit-exact regardless of partitioning,
+    row order, or engine — the float version of this operator is
+    where distributed X**T**X silently stops being reproducible.
+
+    Returns ``(i, j, gram)`` with 1-based dims, i ≤ j. Python stage
+    justification (SCALE.md table): D² multiply-accumulate per row is
+    a BLAS matmul in numpy, a quadratic HOF expansion in Catalyst.
+    """
+    import pandas as pd
+
+    def gram_batches(batches):
+        acc = None
+        dim = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64) * float(quant)
+            # HALF_UP (away from zero), NOT numpy's half-to-even
+            q = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(
+                np.int64
+            )
+            g = q.T @ q
+            dim = g.shape[0]
+            acc = g if acc is None else acc + g
+        if acc is not None:
+            iu, ju = np.triu_indices(dim)
+            yield pd.DataFrame(
+                {"i": iu + 1, "j": ju + 1, "gram": acc[iu, ju]}
+            )
+
+    partial = df.select(vec_col).mapInPandas(
+        gram_batches, schema="i int, j int, gram long"
+    )
+    return partial.groupBy("i", "j").agg(
+        F.sum("gram").cast("bigint").alias("gram")
+    )

@@ -1102,3 +1102,126 @@ ORACLES_CORPUS: dict[str, str] = {
     "contamination_check": _CONTAMINATION_SQL,
     "redact_pii": _REDACT_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+# maximal stopword/punctuation-free token runs; word score = deg/freq
+# over ALL phrase occurrences corpus-wide (deg = sum of lengths of
+# phrases containing the word, freq = occurrences); a phrase scores
+# the sum of its words' scores.  Scores are exact ppm integers
+# (truncating div per word, BIGINT sum), tie-break lexicographic —
+# engine-exact end to end.
+# ---------------------------------------------------------------------------
+
+_RAKE_STOP = (
+    "the", "and", "of", "to", "a", "in", "is", "for", "on", "with",
+    "as", "by", "at", "an", "be", "are", "was", "or", "it", "that",
+    "this", "from",
+)
+_RAKE_STOP_RE = r"\b(" + "|".join(_RAKE_STOP) + r")\b"
+
+
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top RAKE keyword phrase per document (score desc, phrase asc):
+    phrase splitting and word stats as scan-stage JVM expressions, one
+    shuffle for the corpus word stats (broadcast back), one for the
+    per-phrase score."""
+    docs = _t(spark, sf_dir, "documents")
+    s = F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 \t\n\r]", "|")
+    s = F.regexp_replace(s, _RAKE_STOP_RE, "|")
+    phrases = F.filter(
+        F.transform(
+            F.split(s, r"\|"),
+            lambda p: F.filter(
+                F.split(p, r"\s+"), lambda w: w != F.lit("")
+            ),
+        ),
+        lambda ws: F.size(ws) > 0,
+    )
+    ph = docs.select("doc_id", F.explode(phrases).alias("words"))
+    occ = ph.select(
+        F.size("words").alias("plen"), F.explode("words").alias("w")
+    )
+    wstats = occ.groupBy("w").agg(
+        F.count("*").alias("freq"),
+        F.sum("plen").cast("bigint").alias("deg"),
+    )
+    cand = ph.select(
+        "doc_id", F.array_join("words", " ").alias("phrase")
+    ).distinct()
+    cw = cand.select(
+        "doc_id", "phrase", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    scored = (
+        cw.join(F.broadcast(wstats), "w")
+        .groupBy("doc_id", "phrase")
+        .agg(
+            F.sum(F.expr("deg * 1000000L div freq")).alias("score_ppm"),
+            F.count("*").cast("bigint").alias("n_words"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w_top = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ppm").desc(), F.col("phrase").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("phrase").alias("top_phrase"),
+            "score_ppm",
+            "n_words",
+        )
+    )
+
+
+_RAKE_SQL = r"""
+    WITH cleaned AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 \t\n\r]', '|', 'g'),
+                   '\b(STOPWORDS)\b', '|', 'g') AS s
+        FROM documents
+    ),
+    raw AS (SELECT doc_id, unnest(string_split(s, '|')) AS p FROM cleaned),
+    ph AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(p, '\s+'), w -> w <> '')
+                   AS words
+        FROM raw
+    ),
+    ph2 AS (SELECT * FROM ph WHERE len(words) > 0),
+    occ AS (SELECT len(words) AS plen, unnest(words) AS w FROM ph2),
+    wstats AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(plen) AS BIGINT) AS deg
+        FROM occ GROUP BY 1
+    ),
+    cand AS (
+        SELECT DISTINCT doc_id, array_to_string(words, ' ') AS phrase
+        FROM ph2
+    ),
+    cw AS (
+        SELECT doc_id, phrase, unnest(string_split(phrase, ' ')) AS w
+        FROM cand
+    ),
+    scored AS (
+        SELECT doc_id, phrase,
+               CAST(sum(deg * 1000000 // freq) AS BIGINT) AS score_ppm,
+               CAST(count(*) AS BIGINT) AS n_words
+        FROM cw JOIN wstats USING (w) GROUP BY 1, 2
+    )
+    SELECT doc_id, phrase AS top_phrase, score_ppm, n_words FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score_ppm DESC, phrase ASC)
+                      AS rn
+        FROM scored
+    ) WHERE rn = 1
+""".replace("STOPWORDS", "|".join(_RAKE_STOP))
+
+
+QUERIES_CORPUS.update({"rake_keywords": q_rake_keywords})
+ORACLES_CORPUS.update({"rake_keywords": _RAKE_SQL})

@@ -440,3 +440,78 @@ ORACLES_GRAPH: dict[str, str] = {
     "twap_value": _TWAP_SQL,
     "record_linkage": _LINKAGE_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Weighted shortest paths: 3-round Bellman-Ford over the co-purchase
+# graph with integer affinity distances (1000 div co-count)
+# ---------------------------------------------------------------------------
+
+
+def q_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum path cost within 3 edges from any Brand#11 part, edge
+    cost = 1000 div co-purchase-count (stronger ties are shorter) —
+    min-plus Bellman-Ford relaxation (operators/components.
+    bellman_k_hops), each round one join + one groupBy-min.
+
+    The oracle enumerates every <=3-edge walk in a recursive CTE and
+    takes the min — exponential in principle, fine at sf0.01, and the
+    contrast with k relaxation rounds is the point."""
+    from sf_datalake_spark.operators.components import bellman_k_hops
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= _EDGE_MIN_COUNT)
+        .select("src", "dst", F.expr("1000L div w").alias("wgt"))
+    )
+    seeds = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == _BFS_BRAND)
+        .select(F.col("p_partkey").alias("id"))
+    )
+    dist = bellman_k_hops(edges, seeds, _BFS_K)
+    return dist.select(F.col("id").alias("part_node"), "min_cost")
+
+
+_WEIGHTED_PATHS_SQL = f"""
+    WITH RECURSIVE {_EDGES_CTE},
+    wedges AS (
+        SELECT src, dst, CAST(1000 // w AS BIGINT) AS wgt
+        FROM pairs WHERE w >= 2
+    ),
+    wund AS (
+        SELECT src, dst, wgt FROM wedges
+        UNION ALL
+        SELECT dst AS src, src AS dst, wgt FROM wedges
+    ),
+    seeds AS (SELECT p_partkey AS id FROM part WHERE p_brand = '{_BFS_BRAND}'),
+    walk(id, cost, hops) AS (
+        SELECT id, CAST(0 AS BIGINT), 0 FROM seeds
+        UNION
+        SELECT e.dst, w.cost + e.wgt, w.hops + 1
+        FROM walk w JOIN wund e ON e.src = w.id
+        WHERE w.hops < {_BFS_K}
+    )
+    SELECT id AS part_node, CAST(min(cost) AS BIGINT) AS min_cost
+    FROM walk GROUP BY 1
+"""
+
+
+QUERIES_GRAPH.update({"weighted_paths": q_weighted_paths})
+ORACLES_GRAPH.update({"weighted_paths": _WEIGHTED_PATHS_SQL})

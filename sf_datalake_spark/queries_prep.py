@@ -237,3 +237,40 @@ ORACLES_PREP: dict[str, str] = {
     "k_anonymity": _KANON_SQL,
     "dp_noisy_counts": _DP_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Exact integer Gram matrix of the embedding corpus
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle X^T X of the micro-quantized embedding corpus
+    (operators/similarity.gram_matrix_int): per-partition BLAS
+    accumulation, D^2-cell merge — rows touched once, shuffle carries
+    kilobytes. The integer quantization is what keeps a distributed
+    X^T X reproducible (float partial sums are partitioning-dependent)."""
+    from sf_datalake_spark.operators.similarity import gram_matrix_int
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return gram_matrix_int(emb, "embedding", 1_000_000)
+
+
+_EMBEDDING_GRAM_SQL = """
+    WITH q AS (
+        SELECT list_transform(
+                   embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+               ) AS v
+        FROM embeddings
+    )
+    SELECT CAST(i.i AS INT) AS i, CAST(j.j AS INT) AS j,
+           CAST(sum(v[i.i] * v[j.j]) AS BIGINT) AS gram
+    FROM q, generate_series(1, 64) i(i), generate_series(1, 64) j(j)
+    WHERE j.j >= i.i
+    GROUP BY 1, 2
+"""
+
+
+QUERIES_PREP.update({"embedding_gram": q_embedding_gram})
+ORACLES_PREP.update({"embedding_gram": _EMBEDDING_GRAM_SQL})

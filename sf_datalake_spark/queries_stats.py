@@ -1850,3 +1850,232 @@ ORACLES_STATS.update({
     "token_pmi": _PMI_SQL,
     "sprt_decision": _SPRT_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence: market segment × order priority.
+# Exact-ppm statistic: each cell's (o-e)^2/e is pure IEEE arithmetic on
+# exactly-agreed integers (one division, one subtraction, one square,
+# one division — no transcendentals), quantized to ppm BEFORE the sum
+# so the cross-cell addition is BIGINT and order-free.  The p-value
+# uses the closed-form chi-square survival function for EVEN dof
+# (dof = 16 here): Q = exp(-h)·Σ_{j<8} h^j/j!, written as one Horner
+# chain so both engines evaluate the identical op sequence; the single
+# exp is rounded away at 6.  The 5% decision compares the INTEGER
+# statistic to the dof-16 critical value 26.296 — no float decides.
+# ---------------------------------------------------------------------------
+
+
+def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market segment × order priority independence test: exact ppm
+    chi-square statistic, dof, closed-form p (dof-16 guard), and the
+    integer-compared 5% rejection flag."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("o"))
+    )
+    w_r = Window.partitionBy("c_mktsegment")
+    w_c = Window.partitionBy("o_orderpriority")
+    w_all = Window.partitionBy()
+    with_margins = cells.select(
+        "c_mktsegment",
+        "o_orderpriority",
+        "o",
+        F.sum("o").over(w_r).alias("r"),
+        F.sum("o").over(w_c).alias("c"),
+        F.sum("o").over(w_all).alias("n"),
+    )
+    e = (F.col("r") * F.col("c")).cast("double") / F.col("n").cast("double")
+    term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    agg = with_margins.agg(
+        F.sum(F.round(term * 1_000_000).cast("bigint")).alias("chi2_ppm"),
+        (
+            (F.countDistinct("c_mktsegment") - 1)
+            * (F.countDistinct("o_orderpriority") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+    )
+    h = F.col("chi2_ppm").cast("double") / F.lit(2_000_000.0)
+    horner = F.lit(1.0)
+    for j in range(7, 0, -1):
+        horner = F.lit(1.0) + h / F.lit(float(j)) * horner
+    return agg.select(
+        "chi2_ppm",
+        "dof",
+        F.when(F.col("dof") == 16, F.round(F.exp(-h) * horner, 6)).alias(
+            "p_value"
+        ),
+        F.when(
+            F.col("dof") == 16, (F.col("chi2_ppm") >= 26_296_000).cast("int")
+        ).alias("reject_05"),
+    )
+
+
+_CHI2_SQL = """
+    WITH cells AS (
+        SELECT c_mktsegment, o_orderpriority, CAST(count(*) AS BIGINT) AS o
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT *,
+               sum(o) OVER (PARTITION BY c_mktsegment) AS r,
+               sum(o) OVER (PARTITION BY o_orderpriority) AS c,
+               sum(o) OVER () AS n
+        FROM cells
+    ),
+    agg AS (
+        SELECT CAST(sum(CAST(round(
+                   (CAST(o AS DOUBLE) - CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(o AS DOUBLE) - CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
+                   * 1000000) AS BIGINT)) AS BIGINT) AS chi2_ppm,
+               CAST((count(DISTINCT c_mktsegment) - 1)
+                    * (count(DISTINCT o_orderpriority) - 1) AS BIGINT) AS dof
+        FROM m
+    )
+    SELECT chi2_ppm, dof,
+           CASE WHEN dof = 16 THEN round(
+               exp(-(CAST(chi2_ppm AS DOUBLE) / 2000000.0))
+               * (1.0 + (CAST(chi2_ppm AS DOUBLE) / 2000000.0) / 1.0
+                 * (1.0 + (CAST(chi2_ppm AS DOUBLE) / 2000000.0) / 2.0
+                 * (1.0 + (CAST(chi2_ppm AS DOUBLE) / 2000000.0) / 3.0
+                 * (1.0 + (CAST(chi2_ppm AS DOUBLE) / 2000000.0) / 4.0
+                 * (1.0 + (CAST(chi2_ppm AS DOUBLE) / 2000000.0) / 5.0
+                 * (1.0 + (CAST(chi2_ppm AS DOUBLE) / 2000000.0) / 6.0
+                 * (1.0 + (CAST(chi2_ppm AS DOUBLE) / 2000000.0) / 7.0))))))),
+               6) END AS p_value,
+           CASE WHEN dof = 16 THEN
+               CAST(chi2_ppm >= 26296000 AS INT) END AS reject_05
+    FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Growth streaks: gaps-and-islands over a DERIVED flag (month-over-month
+# revenue increase) — longest and current consecutive-up runs per
+# priority, all integer.
+# ---------------------------------------------------------------------------
+
+
+def q_growth_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order priority: number of months, the longest run of
+    consecutive month-over-month revenue-cents increases, and the
+    length of the run ending at the latest month."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("month"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = monthly.select(
+        "o_orderpriority",
+        "month",
+        F.when(F.col("rev") > F.lag("rev").over(w), 1)
+        .otherwise(0)
+        .alias("up"),
+    )
+    islands = flagged.select(
+        "o_orderpriority",
+        "month",
+        "up",
+        F.sum(1 - F.col("up")).over(w_cum).alias("break_id"),
+        F.max("month").over(Window.partitionBy("o_orderpriority")).alias(
+            "last_month"
+        ),
+    )
+    runs = (
+        islands.filter(F.col("up") == 1)
+        .groupBy("o_orderpriority", "break_id")
+        .agg(
+            F.count("*").alias("run_len"),
+            F.max(
+                (F.col("month") == F.col("last_month")).cast("int")
+            ).alias("is_current"),
+        )
+    )
+    totals = islands.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_months")
+    )
+    per_prio = runs.groupBy("o_orderpriority").agg(
+        F.max("run_len").cast("bigint").alias("longest_up_streak"),
+        F.coalesce(
+            F.max(F.when(F.col("is_current") == 1, F.col("run_len"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("current_up_streak"),
+    )
+    return totals.join(per_prio, "o_orderpriority", "left").select(
+        "o_orderpriority",
+        "n_months",
+        F.coalesce("longest_up_streak", F.lit(0)).alias("longest_up_streak"),
+        F.coalesce("current_up_streak", F.lit(0)).alias("current_up_streak"),
+    )
+
+
+_GROWTH_STREAKS_SQL = """
+    WITH monthly AS (
+        SELECT o_orderpriority,
+               CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT)
+                   AS month,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    flagged AS (
+        SELECT o_orderpriority, month,
+               CASE WHEN rev > lag(rev) OVER (PARTITION BY o_orderpriority
+                                              ORDER BY month)
+                    THEN 1 ELSE 0 END AS up
+        FROM monthly
+    ),
+    islands AS (
+        SELECT o_orderpriority, month, up,
+               sum(1 - up) OVER (PARTITION BY o_orderpriority ORDER BY month
+                                 ROWS UNBOUNDED PRECEDING) AS break_id,
+               max(month) OVER (PARTITION BY o_orderpriority) AS last_month
+        FROM flagged
+    ),
+    runs AS (
+        SELECT o_orderpriority, break_id,
+               count(*) AS run_len,
+               max(CASE WHEN month = last_month THEN 1 ELSE 0 END)
+                   AS is_current
+        FROM islands WHERE up = 1 GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_months
+        FROM islands GROUP BY 1
+    ),
+    per_prio AS (
+        SELECT o_orderpriority,
+               CAST(max(run_len) AS BIGINT) AS longest_up_streak,
+               CAST(COALESCE(max(CASE WHEN is_current = 1 THEN run_len END),
+                             0) AS BIGINT) AS current_up_streak
+        FROM runs GROUP BY 1
+    )
+    SELECT t.o_orderpriority, t.n_months,
+           COALESCE(p.longest_up_streak, 0) AS longest_up_streak,
+           COALESCE(p.current_up_streak, 0) AS current_up_streak
+    FROM totals t LEFT JOIN per_prio p USING (o_orderpriority)
+"""
+
+
+QUERIES_STATS.update({
+    "chi_square_independence": q_chi_square_independence,
+    "growth_streaks": q_growth_streaks,
+})
+ORACLES_STATS.update({
+    "chi_square_independence": _CHI2_SQL,
+    "growth_streaks": _GROWTH_STREAKS_SQL,
+})
