@@ -120,6 +120,7 @@ _NEW_R04 = frozenset({
     "k_anonymity", "dp_noisy_counts",
     "chi_square_independence", "growth_streaks", "rake_keywords",
     "embedding_gram", "weighted_paths",
+    "max_drawdown", "burstiness", "coverage_select",
 })
 
 

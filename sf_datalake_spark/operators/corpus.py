@@ -741,3 +741,76 @@ def redact_pii(
             ),
         )
     )
+
+
+def greedy_coverage_select(
+    tokens: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    token_col: str = "tok",
+) -> DataFrame:
+    """Greedy maximum-coverage selection of ``k`` documents: each round
+    picks the document adding the most NOT-YET-COVERED tokens (ties to
+    the smallest id) — the classic (1−1/e)-approximate submodular
+    data-selection primitive (diverse corpus subsetting, benchmark
+    seed picking).
+
+    ``tokens`` is the (id, token) incidence — pre-DISTINCT it if raw.
+    Returns one row per pick: ``(rank, doc_id, new_tokens,
+    cumulative_coverage)``; stops early when no document adds anything.
+
+    Execution: k rounds; each round is one anti-join against the
+    covered-token set + one count aggregation + a 1-ROW argmax collect
+    (count desc, id asc). The per-round driver traffic is one scalar —
+    the selection is inherently sequential (each pick conditions on
+    all previous), the scoring is fully distributed.  The covered set
+    is a token DataFrame rebuilt as (winner tokens ∪ previous),
+    localCheckpoint-ed per round (iterative-lineage discipline); its
+    size is bounded by the union vocabulary, not the corpus.
+
+    At 100 TB: scoring shuffles (id, token) once per round — same as
+    any distinct-count; with k in the tens this is k scans of a
+    2-column frame. For large k switch to the streaming sieve
+    algorithms; this operator is the exact greedy the sieve
+    approximates.
+    """
+    toks = tokens.select(
+        F.col(id_col).alias("id"), F.col(token_col).alias("tok")
+    ).distinct().persist()
+    picks = []
+    covered = None
+    taken: list = []
+    try:
+        for rank in range(1, k + 1):
+            cand = toks
+            if taken:
+                cand = cand.filter(~F.col("id").isin(taken))
+            if covered is not None:
+                cand = cand.join(covered, "tok", "left_anti")
+            scores = cand.groupBy("id").agg(F.count("*").alias("m"))
+            top = scores.orderBy(
+                F.col("m").desc(), F.col("id").asc()
+            ).take(1)
+            if not top or top[0]["m"] <= 0:
+                break
+            winner, marginal = top[0]["id"], top[0]["m"]
+            taken.append(winner)
+            picks.append((rank, winner, marginal))
+            new_cov = toks.filter(F.col("id") == winner).select("tok")
+            covered = (
+                new_cov
+                if covered is None
+                else covered.union(new_cov).distinct()
+            ).localCheckpoint(eager=True)
+        spark = tokens.sparkSession
+        out = spark.createDataFrame(
+            [
+                (r, d, m, sum(p[2] for p in picks[:i + 1]))
+                for i, (r, d, m) in enumerate(picks)
+            ],
+            f"rank int, doc_id {dict(toks.dtypes)['id']}, "
+            "new_tokens bigint, cumulative_coverage bigint",
+        )
+        return out
+    finally:
+        toks.unpersist()

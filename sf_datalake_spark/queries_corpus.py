@@ -1225,3 +1225,98 @@ _RAKE_SQL = r"""
 
 QUERIES_CORPUS.update({"rake_keywords": q_rake_keywords})
 ORACLES_CORPUS.update({"rake_keywords": _RAKE_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Greedy max-coverage selection: 3 documents covering the most distinct
+# tokens (diverse-subset data selection, (1-1/e) greedy).  The oracle
+# unrolls the 3 greedy rounds as CTEs — same engine-vs-unroll contrast
+# as label_propagation.
+# ---------------------------------------------------------------------------
+
+
+def q_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3 documents a greedy max-coverage pass selects (marginal
+    new-shingle count desc, doc_id asc per round), with per-pick
+    marginal and cumulative coverage (operators/corpus.
+    greedy_coverage_select).
+
+    Coverage universe = word BIGRAMS, not unigrams: the synthetic
+    corpus draws from a ~31-word pool, so a single document covers the
+    whole unigram vocabulary and greedy selection degenerates to one
+    pick; bigrams (~900 realized at sf0.01) make the submodular
+    trade-off real — the same reason shingle-based dedup uses n-grams."""
+    from sf_datalake_spark.functions.text import tokenize
+    from sf_datalake_spark.operators.corpus import greedy_coverage_select
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", tokenize("text").alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("ws") >= 2,
+                    F.expr(
+                        "zip_with(slice(ws, 1, size(ws) - 1),"
+                        "         slice(ws, 2, size(ws) - 1),"
+                        "         (a, b) -> concat(a, ' ', b))"
+                    ),
+                ).otherwise(F.expr("array()"))
+            ).alias("tok"),
+        )
+    )
+    return greedy_coverage_select(toks, 3)
+
+
+_COVERAGE_SELECT_SQL = r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'),
+                           w -> w <> '') AS ws
+        FROM documents
+    ),
+    toks AS (
+        SELECT DISTINCT doc_id, z[1] || ' ' || z[2] AS tok
+        FROM (SELECT doc_id,
+                     unnest(list_zip(ws[1:len(ws) - 1],
+                                     ws[2:len(ws)])) AS z
+              FROM t WHERE len(ws) >= 2)
+    ),
+    s1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM toks GROUP BY 1),
+    w1 AS (SELECT doc_id, m FROM s1 ORDER BY m DESC, doc_id LIMIT 1),
+    c1 AS (SELECT DISTINCT tok FROM toks
+           WHERE doc_id IN (SELECT doc_id FROM w1)),
+    s2 AS (
+        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS m
+        FROM toks t ANTI JOIN c1 ON t.tok = c1.tok
+        WHERE t.doc_id NOT IN (SELECT doc_id FROM w1)
+        GROUP BY 1
+    ),
+    w2 AS (SELECT doc_id, m FROM s2 WHERE m > 0
+           ORDER BY m DESC, doc_id LIMIT 1),
+    c2 AS (SELECT tok FROM c1
+           UNION
+           SELECT tok FROM toks WHERE doc_id IN (SELECT doc_id FROM w2)),
+    s3 AS (
+        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS m
+        FROM toks t ANTI JOIN c2 ON t.tok = c2.tok
+        WHERE t.doc_id NOT IN (SELECT doc_id FROM w1
+                               UNION SELECT doc_id FROM w2)
+        GROUP BY 1
+    ),
+    w3 AS (SELECT doc_id, m FROM s3 WHERE m > 0
+           ORDER BY m DESC, doc_id LIMIT 1)
+    SELECT CAST(r AS INT) AS rank, doc_id, m AS new_tokens,
+           CAST(sum(m) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cumulative_coverage
+    FROM (
+        SELECT 1 AS r, doc_id, m FROM w1
+        UNION ALL SELECT 2 AS r, doc_id, m FROM w2
+        UNION ALL SELECT 3 AS r, doc_id, m FROM w3
+    )
+"""
+
+
+QUERIES_CORPUS.update({"coverage_select": q_coverage_select})
+ORACLES_CORPUS.update({"coverage_select": _COVERAGE_SELECT_SQL})

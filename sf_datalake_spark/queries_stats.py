@@ -2079,3 +2079,145 @@ ORACLES_STATS.update({
     "chi_square_independence": _CHI2_SQL,
     "growth_streaks": _GROWTH_STREAKS_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# Max drawdown: peak-to-trough revenue decline per priority — running
+# max + argmax window, all integer cents.
+# ---------------------------------------------------------------------------
+
+
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per priority: the deepest peak-to-trough decline of the monthly
+    revenue-cents series (running max minus current, maximized), with
+    the trough month (earliest on ties)."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("month"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+    )
+    w_run = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = monthly.select(
+        "o_orderpriority",
+        "month",
+        (F.max("rev").over(w_run) - F.col("rev")).alias("drawdown"),
+    )
+    with_max = dd.withColumn(
+        "max_dd",
+        F.max("drawdown").over(Window.partitionBy("o_orderpriority")),
+    )
+    return with_max.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_months"),
+        F.max("drawdown").cast("bigint").alias("max_drawdown_cents"),
+        F.min(
+            F.when(F.col("drawdown") == F.col("max_dd"), F.col("month"))
+        )
+        .cast("int")
+        .alias("trough_month"),
+    )
+
+
+_MAX_DRAWDOWN_SQL = """
+    WITH monthly AS (
+        SELECT o_orderpriority,
+               CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT)
+                   AS month,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    dd AS (
+        SELECT o_orderpriority, month,
+               max(rev) OVER (PARTITION BY o_orderpriority ORDER BY month
+                              ROWS UNBOUNDED PRECEDING) - rev AS drawdown
+        FROM monthly
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_months,
+           CAST(max(drawdown) AS BIGINT) AS max_drawdown_cents,
+           CAST(min(CASE WHEN drawdown = max_dd THEN month END) AS INT)
+               AS trough_month
+    FROM (SELECT *, max(drawdown) OVER (PARTITION BY o_orderpriority)
+                        AS max_dd
+          FROM dd)
+    GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Burstiness: Fano factor (variance-to-mean of daily event counts,
+# zero days included via the calendar span) per event type — exact ppm.
+# ---------------------------------------------------------------------------
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: observation span (days), total events, exact ppm
+    Fano factor F = s²/x̄ over the daily count series (days without
+    events count as zero), and the overdispersion flag (F > 1)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("c"))
+    agg = daily.groupBy("event_type").agg(
+        (F.datediff(F.max("d"), F.min("d")) + 1)
+        .cast("bigint")
+        .alias("span_days"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    fano = F.expr(
+        "(span_days * s2 - s1 * s1) * 1000000L div (s1 * (span_days - 1))"
+    )
+    return agg.select(
+        "event_type",
+        "span_days",
+        F.col("s1").alias("n_events"),
+        F.when(F.col("span_days") > 1, fano).alias("fano_ppm"),
+        F.when(F.col("span_days") > 1, (fano > 1_000_000).cast("int")).alias(
+            "overdispersed"
+        ),
+    )
+
+
+_BURSTINESS_SQL = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(date_diff('day', min(d), max(d)) + 1 AS BIGINT)
+                   AS span_days,
+               CAST(sum(c) AS BIGINT) AS s1,
+               CAST(sum(c * c) AS BIGINT) AS s2
+        FROM daily GROUP BY 1
+    )
+    SELECT event_type, span_days, s1 AS n_events,
+           CASE WHEN span_days > 1 THEN
+               (span_days * s2 - s1 * s1) * 1000000 // (s1 * (span_days - 1))
+           END AS fano_ppm,
+           CASE WHEN span_days > 1 THEN
+               CAST((span_days * s2 - s1 * s1) * 1000000
+                    // (s1 * (span_days - 1)) > 1000000 AS INT)
+           END AS overdispersed
+    FROM agg
+"""
+
+
+QUERIES_STATS.update({
+    "max_drawdown": q_max_drawdown,
+    "burstiness": q_burstiness,
+})
+ORACLES_STATS.update({
+    "max_drawdown": _MAX_DRAWDOWN_SQL,
+    "burstiness": _BURSTINESS_SQL,
+})

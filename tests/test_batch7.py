@@ -84,3 +84,33 @@ def test_gram_matrix_half_up_negative(spark):
         for r in gram_matrix_int(df, quant=1).collect()
     }
     assert got == {(1, 1): 9, (1, 2): -9, (2, 2): 9}
+
+
+def test_greedy_coverage_select_hand_case(spark):
+    from sf_datalake_spark.operators.corpus import greedy_coverage_select
+
+    # doc 1: {a,b,c}; doc 2: {c,d}; doc 3: {a,b}; doc 4: {e}
+    # pick 1 → doc 1 (3 new). pick 2: doc 2 adds {d} (1), doc 4 adds
+    # {e} (1) — tie broken to the SMALLER id → doc 2. pick 3 → doc 4.
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "c"), (2, "d"),
+            (3, "a"), (3, "b"), (4, "e")]
+    toks = spark.createDataFrame(rows, "doc_id bigint, tok string")
+    got = [
+        (r["rank"], r["doc_id"], r["new_tokens"], r["cumulative_coverage"])
+        for r in greedy_coverage_select(toks, 3)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [(1, 1, 3, 3), (2, 2, 1, 4), (3, 4, 1, 5)]
+
+
+def test_greedy_coverage_select_stops_when_covered(spark):
+    from sf_datalake_spark.operators.corpus import greedy_coverage_select
+
+    # doc 2 is a strict subset of doc 1: after pick 1 nothing adds
+    # coverage, so k=3 returns ONE row, not three
+    rows = [(1, "a"), (1, "b"), (2, "a")]
+    toks = spark.createDataFrame(rows, "doc_id bigint, tok string")
+    got = greedy_coverage_select(toks, 3).collect()
+    assert len(got) == 1
+    assert got[0]["doc_id"] == 1 and got[0]["new_tokens"] == 2
