@@ -121,6 +121,7 @@ _NEW_R04 = frozenset({
     "chi_square_independence", "growth_streaks", "rake_keywords",
     "embedding_gram", "weighted_paths",
     "max_drawdown", "burstiness", "coverage_select",
+    "grid_density_clusters", "conformal_interval",
 })
 
 

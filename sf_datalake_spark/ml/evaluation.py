@@ -264,3 +264,107 @@ def population_stability(
         )
         .select(F.col("grp").alias(group_col), "psi")
     )
+
+
+def split_conformal_intervals(
+    df: DataFrame,
+    group_col: str,
+    value_cents: str,
+    split_bucket: Column,
+    alpha_ppm: int = 100_000,
+) -> DataFrame:
+    """Split-conformal prediction intervals per group, all-integer
+    (Vovk/Papadopoulos split-conformal, the distribution-free coverage
+    recipe): a train fold fits the point predictor (here the per-group
+    lower median), a calibration fold takes the ceil((n+1)·(1−α))-th
+    smallest absolute residual as the interval half-width q̂, and a
+    test fold measures realized coverage.
+
+    ``split_bucket`` is a deterministic 0–9999 bucket column (use
+    ``operators.split.hash_bucket`` — reproducible splits are what
+    makes the whole procedure oracle-checkable): train <6000,
+    calibration 6000–7999, test ≥8000.
+
+    Exact-arithmetic contract: values are integer cents; the median is
+    nearest-rank (lower); q̂'s rank is ceil in integer arithmetic with
+    the conformal +1; ranks beyond n_cal clamp to the max residual (the
+    finite-sample ∞ case, documented); coverage is exact ppm.  Three
+    groupBy/window passes over the fold frames, all partitioned by the
+    group — no driver math.
+
+    Returns one row per group: ``(group, n_train, n_cal, n_test,
+    med_cents, q_hat_cents, coverage_ppm)``.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_cents).cast("bigint").alias("v"),
+        split_bucket.alias("b"),
+    )
+    train = base.filter(F.col("b") < 6000)
+    cal = base.filter((F.col("b") >= 6000) & (F.col("b") < 8000))
+    test = base.filter(F.col("b") >= 8000)
+
+    w_med = Window.partitionBy("g").orderBy("v")
+    med = (
+        train.select(
+            "g",
+            "v",
+            F.row_number().over(w_med).alias("rn"),
+            F.count("*").over(Window.partitionBy("g")).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("g", F.col("v").alias("med_cents"), F.col("n").alias("n_train"))
+    )
+
+    w_res = Window.partitionBy("g").orderBy("r")
+    resid = cal.join(med, "g").select(
+        "g",
+        "med_cents",
+        "n_train",
+        F.abs(F.col("v") - F.col("med_cents")).alias("r"),
+    )
+    qhat = (
+        resid.select(
+            "g",
+            "med_cents",
+            "n_train",
+            "r",
+            F.row_number().over(w_res).alias("rn"),
+            F.count("*").over(Window.partitionBy("g")).alias("n_cal"),
+        )
+        .filter(
+            F.col("rn")
+            == F.least(
+                # integer ceil((n+1)·(1−α)): no float ever touches the rank
+                F.expr(
+                    f"((n_cal + 1) * {1_000_000 - alpha_ppm}L + 999999L) "
+                    "div 1000000"
+                ),
+                F.col("n_cal"),
+            )
+        )
+        .select("g", "med_cents", "n_train", "n_cal",
+                F.col("r").alias("q_hat_cents"))
+    )
+    cov = (
+        test.join(qhat, "g")
+        .groupBy("g", "med_cents", "n_train", "n_cal", "q_hat_cents")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.expr(
+                "sum(case when abs(v - med_cents) <= q_hat_cents "
+                "then 1 else 0 end) * 1000000L div count(*)"
+            ).alias("coverage_ppm"),
+        )
+    )
+    return cov.select(
+        F.col("g").alias(group_col),
+        F.col("n_train").cast("bigint"),
+        F.col("n_cal").cast("bigint"),
+        "n_test",
+        "med_cents",
+        "q_hat_cents",
+        "coverage_ppm",
+    )

@@ -274,3 +274,135 @@ _EMBEDDING_GRAM_SQL = """
 
 QUERIES_PREP.update({"embedding_gram": q_embedding_gram})
 ORACLES_PREP.update({"embedding_gram": _EMBEDDING_GRAM_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Grid-density clustering of the embedding corpus (DBSCAN-on-grid)
+# ---------------------------------------------------------------------------
+
+_GDC_CELL = 100_000  # 0.1 in micro-units
+_GDC_MINPTS = 5
+
+
+def q_grid_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every embedding labeled with its grid-density cluster over the
+    first two dimensions (cells of 0.1, core = ≥5 rows, clusters =
+    connected core cells) or -1 noise
+    (operators/clustering.grid_density_clusters). The oracle computes
+    the same cells and takes the transitive closure of the core-cell
+    adjacency in a recursive CTE — cell-sized, so closure is fine
+    there and the engine side still never touches anything bigger
+    than the occupied-cell list."""
+    from sf_datalake_spark.operators.clustering import grid_density_clusters
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return grid_density_clusters(
+        emb, "vec_id", "embedding", _GDC_CELL, _GDC_MINPTS
+    )
+
+
+_GDC_SQL = f"""
+    WITH RECURSIVE pts AS (
+        SELECT vec_id,
+               ((CAST(round(CAST(embedding[1] AS DOUBLE) * 1000000)
+                      AS BIGINT) + 1000000000) // {_GDC_CELL}) * 1000000
+               + ((CAST(round(CAST(embedding[2] AS DOUBLE) * 1000000)
+                        AS BIGINT) + 1000000000) // {_GDC_CELL}) AS cell_key
+        FROM embeddings
+    ),
+    cells AS (SELECT cell_key, count(*) AS n FROM pts GROUP BY 1),
+    core AS (SELECT cell_key FROM cells WHERE n >= {_GDC_MINPTS}),
+    adj AS (
+        SELECT a.cell_key AS u, b.cell_key AS v
+        FROM core a JOIN core b
+          ON abs(a.cell_key // 1000000 - b.cell_key // 1000000) <= 1
+         AND abs(a.cell_key % 1000000 - b.cell_key % 1000000) <= 1
+    ),
+    reach(orig, cur) AS (
+        SELECT cell_key, cell_key FROM core
+        UNION
+        SELECT r.orig, a.v FROM reach r JOIN adj a ON a.u = r.cur
+    ),
+    comp AS (SELECT orig AS cell_key, min(cur) AS cluster
+             FROM reach GROUP BY 1)
+    SELECT p.vec_id,
+           CAST(COALESCE(c.cluster, -1) AS BIGINT) AS cluster
+    FROM pts p LEFT JOIN comp c USING (cell_key)
+"""
+
+
+QUERIES_PREP.update({"grid_density_clusters": q_grid_density_clusters})
+ORACLES_PREP.update({"grid_density_clusters": _GDC_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction intervals for account balances per segment
+# ---------------------------------------------------------------------------
+
+
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per market segment: split-conformal 90% interval around the
+    train-fold median balance — calibration-fold residual quantile as
+    half-width, test-fold realized coverage in exact ppm
+    (ml/evaluation.split_conformal_intervals; folds via the
+    deterministic md5 bucket, so the whole procedure replays in SQL)."""
+    from sf_datalake_spark.ml.evaluation import split_conformal_intervals
+    from sf_datalake_spark.operators.split import hash_bucket
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    return split_conformal_intervals(
+        cust,
+        "c_mktsegment",
+        "cents",
+        hash_bucket("c_custkey", 10_000, salt="conf"),
+        alpha_ppm=100_000,
+    )
+
+
+_CONFORMAL_SQL = """
+    WITH base AS (
+        SELECT c_mktsegment AS g,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS v,
+               CAST(('0x' || substr(md5(c_custkey::VARCHAR || 'conf'), 1, 8))
+                    ::BIGINT % 10000 AS BIGINT) AS b
+        FROM customer
+    ),
+    med AS (
+        SELECT g, v AS med_cents, n AS n_train FROM (
+            SELECT g, v,
+                   row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+                   count(*) OVER (PARTITION BY g) AS n
+            FROM base WHERE b < 6000
+        ) WHERE rn = (n + 1) // 2
+    ),
+    qhat AS (
+        SELECT g, med_cents, n_train, n_cal, r AS q_hat_cents FROM (
+            SELECT c.g, m.med_cents, m.n_train,
+                   abs(c.v - m.med_cents) AS r,
+                   row_number() OVER (PARTITION BY c.g
+                                      ORDER BY abs(c.v - m.med_cents)) AS rn,
+                   count(*) OVER (PARTITION BY c.g) AS n_cal
+            FROM base c JOIN med m USING (g)
+            WHERE c.b >= 6000 AND c.b < 8000
+        ) WHERE rn = least(((n_cal + 1) * 900000 + 999999) // 1000000, n_cal)
+    )
+    SELECT t.g AS c_mktsegment,
+           CAST(q.n_train AS BIGINT) AS n_train,
+           CAST(q.n_cal AS BIGINT) AS n_cal,
+           CAST(count(*) AS BIGINT) AS n_test,
+           q.med_cents, q.q_hat_cents,
+           CAST(sum(CASE WHEN abs(t.v - q.med_cents) <= q.q_hat_cents
+                         THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+               AS coverage_ppm
+    FROM base t JOIN qhat q USING (g)
+    WHERE t.b >= 8000
+    GROUP BY 1, 2, 3, 5, 6
+"""
+
+
+QUERIES_PREP.update({"conformal_interval": q_conformal_interval})
+ORACLES_PREP.update({"conformal_interval": _CONFORMAL_SQL})

@@ -114,3 +114,70 @@ def test_greedy_coverage_select_stops_when_covered(spark):
     got = greedy_coverage_select(toks, 3).collect()
     assert len(got) == 1
     assert got[0]["doc_id"] == 1 and got[0]["new_tokens"] == 2
+
+
+def test_grid_density_clusters_two_blobs_and_noise(spark):
+    from sf_datalake_spark.operators.clustering import grid_density_clusters
+
+    # blob A: 5 points near (0, 0); blob B: 5 points near (3, 3) —
+    # separated by > one cell; one lone point at (10, 10) = noise
+    rows = (
+        [(i, [0.01 * i, 0.02 * i, 0.0]) for i in range(5)]
+        + [(10 + i, [3.0 + 0.01 * i, 3.0, 0.0]) for i in range(5)]
+        + [(99, [10.0, 10.0, 0.0])]
+    )
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in grid_density_clusters(
+            df, "vec_id", cell_micro=500_000, min_pts=5
+        ).collect()
+    }
+    a_labels = {got[i] for i in range(5)}
+    b_labels = {got[10 + i] for i in range(5)}
+    assert len(a_labels) == 1 and len(b_labels) == 1
+    assert a_labels != b_labels          # two separate clusters
+    assert got[99] == -1                  # sparse cell = noise
+    assert all(v != -1 for k, v in got.items() if k != 99)
+
+
+def test_grid_density_clusters_adjacent_cells_merge(spark):
+    from sf_datalake_spark.operators.clustering import grid_density_clusters
+
+    # two dense cells sharing a corner (Chebyshev distance 1): one cluster
+    rows = [(i, [0.1, 0.1, 0.0]) for i in range(5)] + [
+        (10 + i, [0.6, 0.6, 0.0]) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in grid_density_clusters(
+            df, "vec_id", cell_micro=500_000, min_pts=5
+        ).collect()
+    }
+    assert len(set(got.values())) == 1
+
+
+def test_split_conformal_hand_coverage(spark):
+    from pyspark.sql import functions as F
+    from sf_datalake_spark.ml.evaluation import split_conformal_intervals
+
+    # one group; buckets hand-assigned: train {0..5999}=values 0,100,200
+    # (median 100); calibration residuals |v-100| = {0, 50, 300}; 90%
+    # rank = least(ceil(4*0.9)=4, 3)=3 → q_hat=300; test: |150-100|=50
+    # covered, |900-100|=800 not → coverage 500000 ppm
+    rows = [
+        ("g", 0, 0), ("g", 100, 1000), ("g", 200, 2000),
+        ("g", 100, 6000), ("g", 150, 6500), ("g", 400, 7000),
+        ("g", 150, 8000), ("g", 900, 9000),
+    ]
+    df = spark.createDataFrame(rows, "seg string, cents bigint, bkt int")
+    out = split_conformal_intervals(
+        df, "seg", "cents", F.col("bkt"), alpha_ppm=100_000
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_train"], r["n_cal"], r["n_test"]) == (3, 3, 2)
+    assert r["med_cents"] == 100
+    assert r["q_hat_cents"] == 300
+    assert r["coverage_ppm"] == 500_000

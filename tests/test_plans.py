@@ -783,3 +783,47 @@ def test_graph_batch_plan_shapes(spark):
     # the window's hash partitioning for the aggregation — one exchange
     # in the whole plan (a second would mean the reuse regressed)
     assert rep["n_exchanges"] == 1
+
+
+def test_prep_batch_plan_shapes(spark):
+    """Batch 4c prep/privacy: feature hashing is scan-stage only (zero
+    joins would be ideal but the plan must at least stay Python-free
+    and shuffle-free); quantile_normalize's pooled lookup is an
+    EQUI-join (no BNLJ/cartesian despite the rank semantics);
+    embedding_gram has EXACTLY one Arrow stage (the BLAS accumulator);
+    rake keeps the word-stats join broadcast."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    sf = "/root/testdata/sf0.001"
+
+    rep = plan_report(qs["feature_hash_score"](spark, sf), execute=True)
+    assert rep["n_python_evals"] == 0
+    assert rep["n_exchanges"] == 0      # pure scan-stage projection
+    assert rep["n_scans"] == 1
+
+    rep = plan_report(qs["quantile_normalize"](spark, sf), execute=True)
+    assert rep["n_python_evals"] == 0
+    assert rep["n_cartesian_products"] == 0
+    # the only BNLJ allowed is the broadcast 1-row pooled-count join
+    assert rep["n_nested_loop_joins"] <= 1
+
+    rep = plan_report(qs["embedding_gram"](spark, sf), execute=True)
+    assert rep["n_python_evals"] == 1   # exactly the BLAS mapInPandas
+    assert rep["n_exchanges"] == 1      # the D²/2-cell merge
+
+    rep = plan_report(qs["rake_keywords"](spark, sf), execute=True)
+    assert rep["n_python_evals"] == 0
+    assert rep["n_cartesian_products"] == 0
+    assert rep["n_broadcasts"] >= 1     # word-stats broadcast back
+
+    rep = plan_report(qs["chi_square_independence"](spark, sf), execute=True)
+    assert rep["n_python_evals"] == 0
+    assert rep["n_cartesian_products"] == 0
+
+    rep = plan_report(qs["sliding_distinct"](spark, sf), execute=True)
+    assert rep["n_python_evals"] == 0
+    # the whole point: no range join — candidate generation is the
+    # sequence+explode projection, merges are hash aggregations
+    assert rep["n_nested_loop_joins"] == 0
+    assert rep["n_cartesian_products"] == 0
