@@ -122,6 +122,7 @@ _NEW_R04 = frozenset({
     "embedding_gram", "weighted_paths",
     "max_drawdown", "burstiness", "coverage_select",
     "grid_density_clusters", "conformal_interval",
+    "best_split", "woe_iv", "target_encoding",
 })
 
 

@@ -406,3 +406,267 @@ _CONFORMAL_SQL = """
 
 QUERIES_PREP.update({"conformal_interval": q_conformal_interval})
 ORACLES_PREP.update({"conformal_interval": _CONFORMAL_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Decision-stump best split: the threshold on l_quantity minimizing
+# weighted Gini impurity for the returned-flag target.  Σc²/n terms are
+# IEEE arithmetic on exactly-agreed integers with an identical op
+# sequence in both engines; the per-split impurity is ppm-quantized
+# before the argmin so the comparison is integer (threshold asc breaks
+# quantization ties).
+# ---------------------------------------------------------------------------
+
+
+def q_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The best single split of l_quantity for predicting returns
+    (weighted two-class Gini, ppm), with the split sizes and the
+    unsplit baseline impurity."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("int").alias("qty"),
+        (F.col("l_returnflag") == "R").cast("bigint").alias("pos"),
+    )
+    per_v = li.groupBy("qty").agg(
+        F.count("*").alias("n_v"), F.sum("pos").alias("p_v")
+    )
+    from pyspark.sql import Window
+
+    w_cum = Window.orderBy("qty").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = per_v.select(
+        F.col("qty").alias("threshold"),
+        F.sum("n_v").over(w_cum).alias("nl"),
+        F.sum("p_v").over(w_cum).alias("pl"),
+        F.sum("n_v").over(w_all).alias("n"),
+        F.sum("p_v").over(w_all).alias("p"),
+    ).filter(F.col("nl") < F.col("n"))
+    f = (
+        (F.col("pl") * F.col("pl")).cast("double") / F.col("nl")
+        + ((F.col("nl") - F.col("pl")) * (F.col("nl") - F.col("pl")))
+        .cast("double")
+        / F.col("nl")
+        + ((F.col("p") - F.col("pl")) * (F.col("p") - F.col("pl")))
+        .cast("double")
+        / (F.col("n") - F.col("nl"))
+        + (
+            (F.col("n") - F.col("nl") - F.col("p") + F.col("pl"))
+            * (F.col("n") - F.col("nl") - F.col("p") + F.col("pl"))
+        ).cast("double")
+        / (F.col("n") - F.col("nl"))
+    )
+    base = (
+        (F.col("p") * F.col("p")).cast("double") / F.col("n")
+        + ((F.col("n") - F.col("p")) * (F.col("n") - F.col("p")))
+        .cast("double")
+        / F.col("n")
+    )
+    scored = cum.select(
+        "threshold",
+        F.col("nl").alias("n_left"),
+        (F.col("n") - F.col("nl")).alias("n_right"),
+        F.round((F.col("n").cast("double") - f) * 1_000_000 / F.col("n"))
+        .cast("bigint")
+        .alias("impurity_ppm"),
+        F.round(
+            (F.col("n").cast("double") - base) * 1_000_000 / F.col("n")
+        )
+        .cast("bigint")
+        .alias("baseline_ppm"),
+    )
+    w_best = Window.orderBy(
+        F.col("impurity_ppm").asc(), F.col("threshold").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "threshold", "n_left", "n_right", "impurity_ppm", "baseline_ppm"
+        )
+    )
+
+
+_BEST_SPLIT_SQL = """
+    WITH li AS (
+        SELECT CAST(l_quantity AS INT) AS qty,
+               CAST(l_returnflag = 'R' AS BIGINT) AS pos
+        FROM lineitem
+    ),
+    per_v AS (
+        SELECT qty, CAST(count(*) AS BIGINT) AS n_v,
+               CAST(sum(pos) AS BIGINT) AS p_v
+        FROM li GROUP BY 1
+    ),
+    cum AS (
+        SELECT qty AS threshold,
+               sum(n_v) OVER (ORDER BY qty ROWS UNBOUNDED PRECEDING) AS nl,
+               sum(p_v) OVER (ORDER BY qty ROWS UNBOUNDED PRECEDING) AS pl,
+               sum(n_v) OVER () AS n,
+               sum(p_v) OVER () AS p
+        FROM per_v
+    ),
+    scored AS (
+        SELECT threshold,
+               CAST(nl AS BIGINT) AS n_left,
+               CAST(n - nl AS BIGINT) AS n_right,
+               CAST(round((CAST(n AS DOUBLE)
+                   - (CAST(pl * pl AS DOUBLE) / nl
+                      + CAST((nl - pl) * (nl - pl) AS DOUBLE) / nl
+                      + CAST((p - pl) * (p - pl) AS DOUBLE) / (n - nl)
+                      + CAST((n - nl - p + pl) * (n - nl - p + pl) AS DOUBLE)
+                        / (n - nl))) * 1000000 / n) AS BIGINT)
+                   AS impurity_ppm,
+               CAST(round((CAST(n AS DOUBLE)
+                   - (CAST(p * p AS DOUBLE) / n
+                      + CAST((n - p) * (n - p) AS DOUBLE) / n))
+                   * 1000000 / n) AS BIGINT) AS baseline_ppm
+        FROM cum WHERE nl < n
+    )
+    SELECT threshold, n_left, n_right, impurity_ppm, baseline_ppm
+    FROM (SELECT *, row_number() OVER (ORDER BY impurity_ppm, threshold)
+                        AS rn
+          FROM scored)
+    WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weight-of-evidence / information value of the market segment for the
+# positive-balance target — the credit-scoring encoding classic.
+# ---------------------------------------------------------------------------
+
+
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per market segment: good/bad counts for the positive-balance
+    target, WoE in micro-nats (single ln of an exact integer ratio,
+    rounded at source), and the IV contribution in micro units."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        (F.col("c_acctbal") > 0).cast("bigint").alias("good"),
+    )
+    seg = cust.groupBy("c_mktsegment").agg(
+        F.sum("good").alias("n_good"),
+        (F.count("*") - F.sum("good")).alias("n_bad"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    tot = seg.select(
+        "c_mktsegment",
+        "n_good",
+        "n_bad",
+        F.sum("n_good").over(w).alias("g"),
+        F.sum("n_bad").over(w).alias("b"),
+    )
+    ratio = (F.col("n_good") * F.col("b")).cast("double") / (
+        F.col("n_bad") * F.col("g")
+    ).cast("double")
+    woe = F.round(F.log(ratio) * 1_000_000).cast("bigint")
+    iv = F.round(
+        (
+            F.col("n_good").cast("double") / F.col("g")
+            - F.col("n_bad").cast("double") / F.col("b")
+        )
+        * F.log(ratio)
+        * 1_000_000
+    ).cast("bigint")
+    return tot.select(
+        "c_mktsegment",
+        F.col("n_good").cast("bigint").alias("n_good"),
+        F.col("n_bad").cast("bigint").alias("n_bad"),
+        F.when((F.col("n_bad") > 0) & (F.col("n_good") > 0), woe).alias(
+            "woe_micro"
+        ),
+        F.when((F.col("n_bad") > 0) & (F.col("n_good") > 0), iv).alias(
+            "iv_contrib_micro"
+        ),
+    )
+
+
+_WOE_IV_SQL = """
+    WITH seg AS (
+        SELECT c_mktsegment,
+               CAST(sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_good,
+               CAST(sum(CASE WHEN c_acctbal > 0 THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_bad
+        FROM customer GROUP BY 1
+    ),
+    tot AS (
+        SELECT *, sum(n_good) OVER () AS g, sum(n_bad) OVER () AS b FROM seg
+    )
+    SELECT c_mktsegment, n_good, n_bad,
+           CASE WHEN n_bad > 0 AND n_good > 0 THEN
+               CAST(round(ln(CAST(n_good * b AS DOUBLE)
+                             / CAST(n_bad * g AS DOUBLE)) * 1000000)
+                    AS BIGINT) END AS woe_micro,
+           CASE WHEN n_bad > 0 AND n_good > 0 THEN
+               CAST(round((CAST(n_good AS DOUBLE) / g
+                           - CAST(n_bad AS DOUBLE) / b)
+                          * ln(CAST(n_good * b AS DOUBLE)
+                               / CAST(n_bad * g AS DOUBLE))
+                          * 1000000) AS BIGINT) END AS iv_contrib_micro
+    FROM tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding of the market segment — the
+# leakage-free categorical encoding: each row's code excludes itself.
+# ---------------------------------------------------------------------------
+
+
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per customer: the leave-one-out target rate of their segment in
+    exact ppm — (segment positives − own) · 10⁶ div (segment size − 1);
+    NULL for singleton segments (undefined, not 0)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal") > 0).cast("bigint").alias("target"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "target",
+        F.when(
+            F.count("*").over(w) > 1,
+            F.expr(
+                "(sum(target) over (partition by c_mktsegment) - target)"
+                " * 1000000L div"
+                " (count(*) over (partition by c_mktsegment) - 1)"
+            ),
+        ).alias("loo_ppm"),
+    )
+
+
+_TARGET_ENCODING_SQL = """
+    WITH cust AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(c_acctbal > 0 AS BIGINT) AS target
+        FROM customer
+    )
+    SELECT c_custkey, c_mktsegment, target,
+           CASE WHEN count(*) OVER (PARTITION BY c_mktsegment) > 1 THEN
+               CAST((sum(target) OVER (PARTITION BY c_mktsegment) - target)
+                    * 1000000
+                    // (count(*) OVER (PARTITION BY c_mktsegment) - 1)
+                    AS BIGINT) END AS loo_ppm
+    FROM cust
+"""
+
+
+QUERIES_PREP.update({
+    "best_split": q_best_split,
+    "woe_iv": q_woe_iv,
+    "target_encoding": q_target_encoding,
+})
+ORACLES_PREP.update({
+    "best_split": _BEST_SPLIT_SQL,
+    "woe_iv": _WOE_IV_SQL,
+    "target_encoding": _TARGET_ENCODING_SQL,
+})
