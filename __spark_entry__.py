@@ -123,6 +123,7 @@ _NEW_R04 = frozenset({
     "max_drawdown", "burstiness", "coverage_select",
     "grid_density_clusters", "conformal_interval",
     "best_split", "woe_iv", "target_encoding",
+    "ncd_pairs",
 })
 
 

@@ -1320,3 +1320,48 @@ _COVERAGE_SELECT_SQL = r"""
 
 QUERIES_CORPUS.update({"coverage_select": q_coverage_select})
 ORACLES_CORPUS.update({"coverage_select": _COVERAGE_SELECT_SQL})
+
+
+# ---------------------------------------------------------------------------
+# NCD near-dup rerank (rows-only: DuckDB has no zlib; deterministic —
+# fixed zlib level, exact integer ppm)
+# ---------------------------------------------------------------------------
+
+
+def q_ncd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-distance rerank of length-blocked candidates: docs
+    in the doc_id % 16 == 0 slice pair up only within the same
+    200-char length bucket (an EQUI-join — similar raw length is a
+    necessary condition for low NCD, so the block is also a filter),
+    the 20 most-compressible-together pairs by exact-ppm NCD
+    (operators/dedup.ncd_scores; ties broken by ids). Deterministic
+    for the pinned zlib level."""
+    from sf_datalake_spark.operators.dedup import ncd_scores
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 16 == 0)
+        .select(
+            "doc_id", "text", F.expr("n_chars div 200").alias("len_bucket")
+        )
+    )
+    a = docs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("text").alias("text_a"),
+        "len_bucket",
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("text").alias("text_b"),
+        "len_bucket",
+    )
+    pairs = a.join(b, "len_bucket").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        ncd_scores(pairs.drop("len_bucket"))
+        .select("id_a", "id_b", "c_a", "c_b", "c_ab", "ncd_ppm")
+        .orderBy("ncd_ppm", "id_a", "id_b")
+        .limit(20)
+    )
+
+
+QUERIES_CORPUS.update({"ncd_pairs": q_ncd_pairs})

@@ -181,3 +181,27 @@ def test_split_conformal_hand_coverage(spark):
     assert r["med_cents"] == 100
     assert r["q_hat_cents"] == 300
     assert r["coverage_ppm"] == 500_000
+
+
+def test_ncd_scores_identical_and_unrelated(spark):
+    import zlib
+
+    from sf_datalake_spark.operators.dedup import ncd_scores
+
+    same = "the quick brown fox jumps over the lazy dog " * 20
+    other = "completely different content with its own words 123 " * 20
+    pairs = spark.createDataFrame(
+        [(1, 2, same, same), (1, 3, same, other)],
+        "id_a bigint, id_b bigint, text_a string, text_b string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["c_a"], r["c_ab"], r["ncd_ppm"])
+        for r in ncd_scores(pairs).collect()
+    }
+    # identical texts: C(xx) barely exceeds C(x) — zlib's window/header
+    # overhead keeps it ~0.1 on short strings, far below any real pair
+    assert got[(1, 2)][2] < 200_000
+    # unrelated texts: C(xy) ≈ C(x) + C(y) → NCD near 1e6
+    assert got[(1, 3)][2] > 600_000
+    # sizes replay exactly through python zlib (same level)
+    assert got[(1, 2)][0] == len(zlib.compress(same.encode(), 6))
