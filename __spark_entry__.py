@@ -124,6 +124,7 @@ _NEW_R04 = frozenset({
     "grid_density_clusters", "conformal_interval",
     "best_split", "woe_iv", "target_encoding",
     "ncd_pairs",
+    "item_cf_topk", "apportion_slots", "abc_xyz",
 })
 
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sf_datalake_spark.queries import _t
@@ -745,3 +745,307 @@ ORACLES_ANALYTICS: dict[str, str] = {
     "equidepth_buckets": _EQUIDEPTH_SQL,
     "incremental_join": _INCREMENTAL_JOIN_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Item-based collaborative filtering: top-3 neighbors per part by
+# squared-cosine over the user co-purchase incidence.  sim² =
+# c_ij²/(c_i·c_j) is an exact integer ppm — the square avoids the
+# per-pair sqrt (monotone for ranking), the repo's standard trick for
+# float-free ordering.
+# ---------------------------------------------------------------------------
+
+
+def q_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 co-purchase neighbors per part (squared-cosine ppm desc,
+    neighbor asc): distinct user-item incidence → per-user pair
+    explode (bounded by basket size) → pair counts → join item
+    degrees → window top-k."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ui = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    deg = ui.groupBy("i").agg(F.count("*").alias("c"))
+    a = ui.alias("a")
+    b = ui.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.u") == F.col("b.u")) & (F.col("a.i") < F.col("b.i")),
+        )
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.count("*").alias("cij"))
+    )
+    both = pair.union(
+        pair.select(F.col("j").alias("i"), F.col("i").alias("j"), "cij")
+    )
+    scored = (
+        both.join(deg.select(F.col("i"), F.col("c").alias("ci")), "i")
+        .join(deg.select(F.col("i").alias("j"), F.col("c").alias("cj")), "j")
+        .select(
+            "i",
+            "j",
+            F.col("cij").cast("bigint").alias("cij"),
+            F.expr("cij * cij * 1000000L div (ci * cj)").alias("sim2_ppm"),
+        )
+    )
+    w = Window.partitionBy("i").orderBy(
+        F.col("sim2_ppm").desc(), F.col("j").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("i").alias("part"),
+            F.col("j").alias("neighbor"),
+            "cij",
+            "sim2_ppm",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+_ITEM_CF_SQL = """
+    WITH ui AS (
+        SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    deg AS (SELECT i, CAST(count(*) AS BIGINT) AS c FROM ui GROUP BY 1),
+    pair AS (
+        SELECT a.i AS i, b.i AS j, CAST(count(*) AS BIGINT) AS cij
+        FROM ui a JOIN ui b ON a.u = b.u AND a.i < b.i
+        GROUP BY 1, 2
+    ),
+    sym AS (
+        SELECT i, j, cij FROM pair
+        UNION ALL
+        SELECT j AS i, i AS j, cij FROM pair
+    ),
+    scored AS (
+        SELECT b.i, b.j, b.cij,
+               CAST(b.cij * b.cij * 1000000 // (di.c * dj.c) AS BIGINT)
+                   AS sim2_ppm
+        FROM sym b
+        JOIN deg di ON di.i = b.i
+        JOIN deg dj ON dj.i = b.j
+    )
+    SELECT i AS part, j AS neighbor, cij, sim2_ppm, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY i
+                                       ORDER BY sim2_ppm DESC, j ASC) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder (Hamilton) apportionment: 1000 sample slots across
+# nations proportional to revenue — the exact-integer allocation
+# primitive behind stratified sampling budgets.
+# ---------------------------------------------------------------------------
+
+_APPORTION_BUDGET = 1000
+
+
+def q_apportion_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1000 slots across customer nations proportional to order
+    revenue: floor quotas + the remainder to the largest fractional
+    parts (B·rev mod total, ties to the smaller nation key) — pure
+    BIGINT arithmetic, Σslots = 1000 by construction."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            )
+        )
+    )
+    w_all = Window.partitionBy()
+    quota = rev.select(
+        "c_nationkey",
+        "revenue_cents",
+        (F.lit(_APPORTION_BUDGET) * F.col("revenue_cents")).alias("num"),
+        F.sum("revenue_cents").over(w_all).alias("den"),
+    )
+    based = quota.select(
+        "c_nationkey",
+        "revenue_cents",
+        F.expr("num div den").alias("base"),
+        F.expr("num % den").alias("frac"),
+        (
+            F.lit(_APPORTION_BUDGET)
+            - F.sum(F.expr("num div den")).over(w_all)
+        ).alias("r"),
+    )
+    w_frac = Window.orderBy(F.col("frac").desc(), F.col("c_nationkey").asc())
+    return based.select(
+        "c_nationkey",
+        "revenue_cents",
+        F.col("base").cast("bigint").alias("base"),
+        F.when(F.row_number().over(w_frac) <= F.col("r"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("extra"),
+    ).withColumn("slots", F.col("base") + F.col("extra"))
+
+
+_APPORTION_SQL = f"""
+    WITH rev AS (
+        SELECT c_nationkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    ),
+    quota AS (
+        SELECT c_nationkey, revenue_cents,
+               {_APPORTION_BUDGET} * revenue_cents AS num,
+               sum(revenue_cents) OVER () AS den
+        FROM rev
+    ),
+    based AS (
+        SELECT c_nationkey, revenue_cents,
+               num // den AS base, num % den AS frac,
+               {_APPORTION_BUDGET} - sum(num // den) OVER () AS r
+        FROM quota
+    )
+    SELECT c_nationkey, revenue_cents,
+           CAST(base AS BIGINT) AS base,
+           CAST(CASE WHEN row_number() OVER (ORDER BY frac DESC,
+                                             c_nationkey ASC) <= r
+                     THEN 1 ELSE 0 END AS BIGINT) AS extra,
+           CAST(base + CASE WHEN row_number() OVER (ORDER BY frac DESC,
+                                                    c_nationkey ASC) <= r
+                            THEN 1 ELSE 0 END AS BIGINT) AS slots
+    FROM based
+"""
+
+
+# ---------------------------------------------------------------------------
+# ABC-XYZ inventory classification: Pareto revenue bands × demand
+# variability bands, both decided by exact integer cross-multiplication.
+# ---------------------------------------------------------------------------
+
+
+def q_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per part: ABC class (cumulative revenue share ≤70% A, ≤90% B,
+    else C — cum·100 vs threshold·total cross-mult, ordered revenue
+    desc / part asc) and XYZ demand-variability class (population CV²
+    of monthly shipped quantity over the GLOBAL month span, zero
+    months included: X ≤ 0.25, Y ≤ 1.0, else Z in ppm)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("m"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    span = li.agg(
+        (F.max("m") - F.min("m") + 1).cast("bigint").alias("n_months")
+    )
+    monthly = li.groupBy("l_partkey", "m").agg(F.sum("qty").alias("q"))
+    stats = monthly.groupBy("l_partkey").agg(
+        F.sum("q").alias("s1"), F.sum(F.col("q") * F.col("q")).alias("s2")
+    )
+    rev = li.groupBy("l_partkey").agg(F.sum("cents").alias("revenue_cents"))
+    w_cum = Window.orderBy(
+        F.col("revenue_cents").desc(), F.col("l_partkey").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    abc = rev.select(
+        "l_partkey",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w_cum).alias("cum"),
+        F.sum("revenue_cents").over(w_all).alias("tot"),
+    ).select(
+        "l_partkey",
+        "revenue_cents",
+        F.when(F.col("cum") * 100 <= F.col("tot") * 70, "A")
+        .when(F.col("cum") * 100 <= F.col("tot") * 90, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    cv = stats.crossJoin(F.broadcast(span)).select(
+        "l_partkey",
+        F.expr(
+            "(n_months * s2 - s1 * s1) * 1000000L div (s1 * s1)"
+        ).alias("cv2_ppm"),
+    )
+    return (
+        abc.join(cv, "l_partkey")
+        .select(
+            "l_partkey",
+            "revenue_cents",
+            "abc",
+            "cv2_ppm",
+            F.when(F.col("cv2_ppm") <= 250_000, "X")
+            .when(F.col("cv2_ppm") <= 1_000_000, "Y")
+            .otherwise("Z")
+            .alias("xyz"),
+        )
+    )
+
+
+_ABC_XYZ_SQL = """
+    WITH li AS (
+        SELECT l_partkey,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               year(l_shipdate) * 12 + month(l_shipdate) AS m,
+               CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem
+    ),
+    span AS (SELECT CAST(max(m) - min(m) + 1 AS BIGINT) AS n_months FROM li),
+    monthly AS (
+        SELECT l_partkey, m, CAST(sum(qty) AS BIGINT) AS q
+        FROM li GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT l_partkey, CAST(sum(q) AS BIGINT) AS s1,
+               CAST(sum(q * q) AS BIGINT) AS s2
+        FROM monthly GROUP BY 1
+    ),
+    rev AS (
+        SELECT l_partkey, CAST(sum(cents) AS BIGINT) AS revenue_cents
+        FROM li GROUP BY 1
+    ),
+    abc AS (
+        SELECT l_partkey, revenue_cents,
+               CASE WHEN cum * 100 <= tot * 70 THEN 'A'
+                    WHEN cum * 100 <= tot * 90 THEN 'B'
+                    ELSE 'C' END AS abc
+        FROM (SELECT l_partkey, revenue_cents,
+                     sum(revenue_cents) OVER (ORDER BY revenue_cents DESC,
+                                              l_partkey ASC
+                                              ROWS UNBOUNDED PRECEDING)
+                         AS cum,
+                     sum(revenue_cents) OVER () AS tot
+              FROM rev)
+    ),
+    cv AS (
+        SELECT l_partkey,
+               CAST((n_months * s2 - s1 * s1) * 1000000 // (s1 * s1)
+                    AS BIGINT) AS cv2_ppm
+        FROM stats CROSS JOIN span
+    )
+    SELECT a.l_partkey, a.revenue_cents, a.abc, c.cv2_ppm,
+           CASE WHEN c.cv2_ppm <= 250000 THEN 'X'
+                WHEN c.cv2_ppm <= 1000000 THEN 'Y'
+                ELSE 'Z' END AS xyz
+    FROM abc a JOIN cv c USING (l_partkey)
+"""
+
+
+QUERIES_ANALYTICS.update({
+    "item_cf_topk": q_item_cf_topk,
+    "apportion_slots": q_apportion_slots,
+    "abc_xyz": q_abc_xyz,
+})
+ORACLES_ANALYTICS.update({
+    "item_cf_topk": _ITEM_CF_SQL,
+    "apportion_slots": _APPORTION_SQL,
+    "abc_xyz": _ABC_XYZ_SQL,
+})
