@@ -125,6 +125,7 @@ _NEW_R04 = frozenset({
     "best_split", "woe_iv", "target_encoding",
     "ncd_pairs",
     "item_cf_topk", "apportion_slots", "abc_xyz",
+    "ohlc_bars", "growth_contrib",
 })
 
 

@@ -1049,3 +1049,160 @@ ORACLES_ANALYTICS.update({
     "apportion_slots": _APPORTION_SQL,
     "abc_xyz": _ABC_XYZ_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# OHLC daily bars over the event value stream — open/close by a
+# TOTALLY ordered argmin/argmax (ts, event_id), the same
+# duplicate-timestamp discipline as twap_value.
+# ---------------------------------------------------------------------------
+
+
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event type, day): open / high / low / close value in cents
+    and the tick count — open/close by the (ts, event_id) TOTAL order
+    via two row_number windows over the shared bar partition (the same
+    duplicate-timestamp discipline as twap_value; packing the order
+    into one BIGINT would overflow — epoch-micros × 2^20 > 2^63)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "ts",
+        "event_id",
+    )
+    w_a = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_d = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    flagged = ev.select(
+        "event_type",
+        "day",
+        "cents",
+        F.row_number().over(w_a).alias("ra"),
+        F.row_number().over(w_d).alias("rd"),
+    )
+    return flagged.groupBy("event_type", "day").agg(
+        F.min(F.when(F.col("ra") == 1, F.col("cents"))).alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.min(F.when(F.col("rd") == 1, F.col("cents"))).alias("close_cents"),
+        F.count("*").cast("bigint").alias("n_ticks"),
+    )
+
+
+_OHLC_SQL = """
+    WITH ev AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(round(value * 100) AS BIGINT) AS cents, ts, event_id
+        FROM events
+    ),
+    flagged AS (
+        SELECT event_type, day, cents,
+               row_number() OVER (PARTITION BY event_type, day
+                                  ORDER BY ts ASC, event_id ASC) AS ra,
+               row_number() OVER (PARTITION BY event_type, day
+                                  ORDER BY ts DESC, event_id DESC) AS rd
+        FROM ev
+    )
+    SELECT event_type, day,
+           CAST(min(CASE WHEN ra = 1 THEN cents END) AS BIGINT)
+               AS open_cents,
+           CAST(max(cents) AS BIGINT) AS high_cents,
+           CAST(min(cents) AS BIGINT) AS low_cents,
+           CAST(min(CASE WHEN rd = 1 THEN cents END) AS BIGINT)
+               AS close_cents,
+           CAST(count(*) AS BIGINT) AS n_ticks
+    FROM flagged GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting: month-over-month revenue growth decomposed into
+# per-priority contributions that sum exactly to the total (shared
+# denominator, exact ppm).
+# ---------------------------------------------------------------------------
+
+
+def q_growth_contrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (month, priority): the priority's contribution to total
+    month-over-month revenue growth in exact ppm of the PRIOR month's
+    total — contributions sum to the total growth row-exactly because
+    every term shares the same truncating denominator... almost: the
+    decomposition emits the truncated per-priority terms AND the total
+    computed the same way, so the audit delta (total − Σ contrib) is
+    also exact and exposed."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("month"),
+        "o_orderpriority",
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+    )
+    w_p = Window.partitionBy("o_orderpriority").orderBy("month")
+    w_m = Window.partitionBy("month")
+    cur = monthly.select(
+        "month",
+        "o_orderpriority",
+        "rev",
+        F.lag("rev").over(w_p).alias("prev"),
+    )
+    tot = cur.select(
+        "month",
+        "o_orderpriority",
+        "rev",
+        "prev",
+        F.sum("prev").over(w_m).alias("prev_tot"),
+        F.sum("rev").over(w_m).alias("cur_tot"),
+    ).filter(F.col("prev").isNotNull())
+    return tot.select(
+        "month",
+        "o_orderpriority",
+        F.expr("(rev - prev) * 1000000L div prev_tot").alias("contrib_ppm"),
+        F.expr("(cur_tot - prev_tot) * 1000000L div prev_tot").alias(
+            "total_growth_ppm"
+        ),
+    )
+
+
+_GROWTH_CONTRIB_SQL = """
+    WITH monthly AS (
+        SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT)
+                   AS month,
+               o_orderpriority,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    cur AS (
+        SELECT month, o_orderpriority, rev,
+               lag(rev) OVER (PARTITION BY o_orderpriority ORDER BY month)
+                   AS prev
+        FROM monthly
+    ),
+    tot AS (
+        SELECT *, sum(prev) OVER (PARTITION BY month) AS prev_tot,
+                  sum(rev) OVER (PARTITION BY month) AS cur_tot
+        FROM cur
+    )
+    SELECT month, o_orderpriority,
+           CAST((rev - prev) * 1000000 // prev_tot AS BIGINT)
+               AS contrib_ppm,
+           CAST((cur_tot - prev_tot) * 1000000 // prev_tot AS BIGINT)
+               AS total_growth_ppm
+    FROM tot WHERE prev IS NOT NULL
+"""
+
+
+QUERIES_ANALYTICS.update({
+    "ohlc_bars": q_ohlc_bars,
+    "growth_contrib": q_growth_contrib,
+})
+ORACLES_ANALYTICS.update({
+    "ohlc_bars": _OHLC_SQL,
+    "growth_contrib": _GROWTH_CONTRIB_SQL,
+})
