@@ -827,3 +827,34 @@ def test_prep_batch_plan_shapes(spark):
     # sequence+explode projection, merges are hash aggregations
     assert rep["n_nested_loop_joins"] == 0
     assert rep["n_cartesian_products"] == 0
+
+
+def test_round4c_late_batch_plan_shapes(spark):
+    """Late 4c batches: item-CF is equi-joins only (the pair space
+    comes from the per-user explode, never a cartesian); apportionment
+    runs on the nation aggregate; OHLC shares one (type, day) exchange
+    across both row_number windows and the final aggregation."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    sf = "/root/testdata/sf0.001"
+
+    rep = plan_report(qs["item_cf_topk"](spark, sf), execute=True)
+    assert rep["n_python_evals"] == 0
+    assert rep["n_cartesian_products"] == 0
+    assert rep["n_nested_loop_joins"] == 0
+
+    rep = plan_report(qs["apportion_slots"](spark, sf), execute=True)
+    assert rep["n_python_evals"] == 0
+    assert rep["n_cartesian_products"] == 0
+
+    rep = plan_report(qs["ohlc_bars"](spark, sf), execute=True)
+    assert rep["n_python_evals"] == 0
+    # one exchange: both windows and the groupBy key on (type, day)
+    assert rep["n_exchanges"] == 1
+
+    rep = plan_report(qs["grid_density_clusters"](spark, sf), execute=True)
+    assert rep["n_python_evals"] == 0
+    assert rep["n_cartesian_products"] == 0
+    # the point-level side joins a BROADCAST cell-label table
+    assert rep["n_broadcasts"] >= 1

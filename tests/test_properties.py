@@ -482,3 +482,157 @@ def test_incremental_join_view_equals_rebuild_any_split(spark, data):
         (r["k"], r["lv"], r["rv"]) for r in ldf.join(rdf, "k").collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-4c batch properties
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def grouped_values(draw):
+    n = draw(st.integers(4, 40))
+    groups = ["a", "b", "c"]
+    return [
+        (draw(st.sampled_from(groups)), draw(st.integers(-1000, 1000)), i)
+        for i in range(n)
+    ]
+
+
+@given(rows=grouped_values())
+@SLOW
+def test_quantile_normalize_pooled_image_property(spark, rows):
+    """The multiset of normalized values is drawn from the pooled
+    value multiset, and within each group the map is monotone in the
+    original value (rank transforms preserve order)."""
+    from sf_datalake_spark.operators.aggregates import quantile_normalize
+
+    df = spark.createDataFrame(rows, "g string, v bigint, id bigint")
+    out = quantile_normalize(df, ["g"], "v", "id").collect()
+    pooled = sorted(v for _, v, _ in rows)
+    assert all(r["norm_value"] in pooled for r in out)
+    by_g: dict = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append((r["v"], r["id"], r["norm_value"]))
+    for vals in by_g.values():
+        vals.sort()
+        normed = [n for _, _, n in vals]
+        assert normed == sorted(normed)  # monotone within the group
+        # highest-ranked row maps to the pooled maximum
+        assert normed[-1] == pooled[-1]
+
+
+@st.composite
+def weighted_graphs(draw):
+    n_nodes = draw(st.integers(3, 10))
+    n_edges = draw(st.integers(2, 25))
+    edges = [
+        (
+            draw(st.integers(1, n_nodes)),
+            draw(st.integers(1, n_nodes)),
+            draw(st.integers(1, 50)),
+        )
+        for _ in range(n_edges)
+    ]
+    edges = [(a, b, w) for a, b, w in edges if a != b]
+    seeds = sorted({a for a, _, _ in edges})[:1]
+    return edges, seeds
+
+
+@given(gs=weighted_graphs())
+@SLOW
+def test_bellman_matches_networkx_free_reference(spark, gs):
+    """k-hop Bellman-Ford equals a plain Python dynamic program over
+    the same relaxation count."""
+    from sf_datalake_spark.operators.components import bellman_k_hops
+
+    edges, seeds = gs
+    if not edges or not seeds:
+        return
+    k = 3
+    df = spark.createDataFrame(edges, "src bigint, dst bigint, wgt bigint")
+    sf = spark.createDataFrame([(s,) for s in seeds], "id bigint")
+    got = {
+        r["id"]: r["min_cost"]
+        for r in bellman_k_hops(df, sf, k).collect()
+    }
+    und = edges + [(b, a, w) for a, b, w in edges]
+    dist = {s: 0 for s in seeds}
+    for _ in range(k):
+        nxt = dict(dist)
+        for a, b, w in und:
+            if a in dist and dist[a] + w < nxt.get(b, float("inf")):
+                nxt[b] = dist[a] + w
+        dist = nxt
+    assert got == dist
+
+
+@given(
+    revs=st.lists(st.integers(1, 10**9), min_size=1, max_size=30),
+    budget=st.integers(1, 5000),
+)
+@SLOW
+def test_hamilton_apportionment_properties(spark, revs, budget):
+    """Σ slots == budget exactly, and every allocation is within one
+    slot of its exact quota (the Hamilton quota property)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(revs)], "k int, rev bigint"
+    )
+    w_all = Window.partitionBy()
+    based = df.select(
+        "k",
+        "rev",
+        (F.lit(budget) * F.col("rev")).alias("num"),
+        F.sum("rev").over(w_all).alias("den"),
+    ).select(
+        "k",
+        "rev",
+        "den",
+        F.expr("num div den").alias("base"),
+        F.expr("num % den").alias("frac"),
+        (F.lit(budget) - F.sum(F.expr("num div den")).over(w_all)).alias("r"),
+    )
+    w_f = Window.orderBy(F.col("frac").desc(), F.col("k").asc())
+    out = based.select(
+        "k",
+        "rev",
+        "den",
+        (
+            F.col("base")
+            + F.when(F.row_number().over(w_f) <= F.col("r"), 1).otherwise(0)
+        ).alias("slots"),
+    ).collect()
+    total = sum(r["slots"] for r in out)
+    assert total == budget
+    for r in out:
+        quota = budget * r["rev"] / r["den"]
+        assert quota - 1 < r["slots"] < quota + 1
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-2, 2, allow_nan=False, width=32), min_size=3,
+            max_size=3
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SLOW
+def test_gram_matrix_equals_numpy_reference(spark, vecs):
+    from sf_datalake_spark.operators.similarity import gram_matrix_int
+
+    df = spark.createDataFrame([(v,) for v in vecs], "embedding array<float>")
+    got = {
+        (r["i"], r["j"]): r["gram"]
+        for r in gram_matrix_int(df, quant=1000).collect()
+    }
+    x = np.array(vecs, dtype=np.float64) * 1000.0
+    q = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
+    ref = q.T @ q
+    for (i, j), v in got.items():
+        assert v == ref[i - 1, j - 1]
