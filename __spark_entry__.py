@@ -126,6 +126,7 @@ _NEW_R04 = frozenset({
     "ncd_pairs",
     "item_cf_topk", "apportion_slots", "abc_xyz",
     "ohlc_bars", "growth_contrib",
+    "bandit_replay", "dau_wau_mau",
 })
 
 

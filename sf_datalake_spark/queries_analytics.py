@@ -1206,3 +1206,183 @@ ORACLES_ANALYTICS.update({
     "ohlc_bars": _OHLC_SQL,
     "growth_contrib": _GROWTH_CONTRIB_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# Offline greedy-bandit replay: per month, a greedy policy picks the
+# priority class with the best cumulative past success ppm (ties to
+# the smaller class; unexplored arms rank last via a -1 default) and
+# collects that month's realized reward — offline policy evaluation as
+# pure window arithmetic, no per-step recursion.
+# ---------------------------------------------------------------------------
+
+
+def q_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per month: the arm (order priority) a greedy replay chooses on
+    PAST cumulative fill-rate ppm, its realized reward that month, the
+    per-month oracle arm's reward, and the regret — all exact ppm."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("month"),
+        F.col("o_orderpriority").alias("arm"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("o_orderstatus") == "F").cast("bigint")).alias("succ"),
+    )
+    w_hist = (
+        Window.partitionBy("arm")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = monthly.select(
+        "month",
+        "arm",
+        F.expr("succ * 1000000L div n").alias("reward_ppm"),
+        F.coalesce(
+            F.expr(
+                "sum(succ) over (partition by arm order by month"
+                " rows between unbounded preceding and 1 preceding)"
+                " * 1000000L div"
+                " sum(n) over (partition by arm order by month"
+                " rows between unbounded preceding and 1 preceding)"
+            ),
+            F.lit(-1),
+        ).alias("past_ppm"),
+    )
+    w_pick = Window.partitionBy("month").orderBy(
+        F.col("past_ppm").desc(), F.col("arm").asc()
+    )
+    w_oracle = Window.partitionBy("month").orderBy(
+        F.col("reward_ppm").desc(), F.col("arm").asc()
+    )
+    ranked = hist.select(
+        "month",
+        "arm",
+        "reward_ppm",
+        F.row_number().over(w_pick).alias("pick"),
+        F.row_number().over(w_oracle).alias("orc"),
+    )
+    chosen = ranked.filter(F.col("pick") == 1).select(
+        "month",
+        F.col("arm").alias("chosen_arm"),
+        F.col("reward_ppm").alias("chosen_ppm"),
+    )
+    oracle = ranked.filter(F.col("orc") == 1).select(
+        "month", F.col("reward_ppm").alias("oracle_ppm")
+    )
+    return chosen.join(oracle, "month").select(
+        "month",
+        "chosen_arm",
+        "chosen_ppm",
+        "oracle_ppm",
+        (F.col("oracle_ppm") - F.col("chosen_ppm")).alias("regret_ppm"),
+    )
+
+
+_BANDIT_SQL = """
+    WITH monthly AS (
+        SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT)
+                   AS month,
+               o_orderpriority AS arm,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS succ
+        FROM orders GROUP BY 1, 2
+    ),
+    hist AS (
+        SELECT month, arm,
+               CAST(succ * 1000000 // n AS BIGINT) AS reward_ppm,
+               CAST(COALESCE(
+                   sum(succ) OVER (PARTITION BY arm ORDER BY month
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING)
+                   * 1000000
+                   // sum(n) OVER (PARTITION BY arm ORDER BY month
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING),
+                   -1) AS BIGINT) AS past_ppm
+        FROM monthly
+    ),
+    ranked AS (
+        SELECT month, arm, reward_ppm,
+               row_number() OVER (PARTITION BY month
+                                  ORDER BY past_ppm DESC, arm ASC) AS pick,
+               row_number() OVER (PARTITION BY month
+                                  ORDER BY reward_ppm DESC, arm ASC) AS orc
+        FROM hist
+    )
+    SELECT c.month, c.arm AS chosen_arm, c.reward_ppm AS chosen_ppm,
+           o.reward_ppm AS oracle_ppm,
+           CAST(o.reward_ppm - c.reward_ppm AS BIGINT) AS regret_ppm
+    FROM (SELECT * FROM ranked WHERE pick = 1) c
+    JOIN (SELECT * FROM ranked WHERE orc = 1) o USING (month)
+"""
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU / MAU and stickiness: three sliding-bitmap windows (1, 7,
+# 30 days) over one shared day-grain word table's worth of scans.
+# ---------------------------------------------------------------------------
+
+
+def q_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event day: exact distinct users over trailing 1 / 7 / 30
+    days and the DAU/MAU stickiness in ppm — three
+    sliding_bitmap_distinct passes joined on the day."""
+    from sf_datalake_spark.operators.sketches import sliding_bitmap_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    dau = sliding_bitmap_distinct(ev, day, "user_id", 1).select(
+        "window_day", F.col("n_distinct").alias("dau")
+    )
+    wau = sliding_bitmap_distinct(ev, day, "user_id", 7).select(
+        "window_day", F.col("n_distinct").alias("wau")
+    )
+    mau = sliding_bitmap_distinct(ev, day, "user_id", 30).select(
+        "window_day", F.col("n_distinct").alias("mau")
+    )
+    return (
+        dau.join(wau, "window_day")
+        .join(mau, "window_day")
+        .select(
+            "window_day",
+            "dau",
+            "wau",
+            "mau",
+            F.expr("dau * 1000000L div mau").alias("stickiness_ppm"),
+        )
+    )
+
+
+_DAU_WAU_MAU_SQL = """
+    WITH ev AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events),
+    days AS (SELECT DISTINCT d FROM ev),
+    win AS (
+        SELECT days.d AS window_day,
+               CAST(count(DISTINCT CASE WHEN e.d = days.d
+                                        THEN e.user_id END) AS BIGINT)
+                   AS dau,
+               CAST(count(DISTINCT CASE WHEN e.d >= days.d - 6
+                                        THEN e.user_id END) AS BIGINT)
+                   AS wau,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS mau
+        FROM days JOIN ev e ON e.d BETWEEN days.d - 29 AND days.d
+        GROUP BY 1
+    )
+    SELECT window_day, dau, wau, mau,
+           CAST(dau * 1000000 // mau AS BIGINT) AS stickiness_ppm
+    FROM win
+"""
+
+
+QUERIES_ANALYTICS.update({
+    "bandit_replay": q_bandit_replay,
+    "dau_wau_mau": q_dau_wau_mau,
+})
+ORACLES_ANALYTICS.update({
+    "bandit_replay": _BANDIT_SQL,
+    "dau_wau_mau": _DAU_WAU_MAU_SQL,
+})
