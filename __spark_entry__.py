@@ -127,6 +127,7 @@ _NEW_R04 = frozenset({
     "item_cf_topk", "apportion_slots", "abc_xyz",
     "ohlc_bars", "growth_contrib",
     "bandit_replay", "dau_wau_mau",
+    "streaming_ohlc",
 })
 
 

@@ -2785,3 +2785,61 @@ ORACLES_EXT: dict[str, str] = {
     # multimodal_decode, ml_train_predict, resampled_counts,
     # grouped_split_counts, tree_contributions.
 }
+
+
+def q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming daily OHLC bars per event type — open/close via
+    MIN/MAX over a (ts, event_id, cents) struct (lexicographic struct
+    ordering gives the first/last tick WITHOUT window functions, which
+    streaming aggregation forbids); availableNow replay, batch-SQL
+    twin with DuckDB's ROW ordering. The struct-min trick is also the
+    one-aggregation form of the batch ohlc_bars."""
+    from sf_datalake_spark.streaming import run_to_memory
+
+    ev = _events_stream(spark, sf_dir).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    agg = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy("event_type", F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.min(F.struct("ts", "event_id", "cents")).alias("o"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.max(F.struct("ts", "event_id", "cents")).alias("c"),
+            F.count("*").cast("bigint").alias("n_ticks"),
+        )
+    )
+    out = run_to_memory(agg, "q_streaming_ohlc", output_mode="complete")
+    return out.select(
+        "event_type",
+        F.to_date("w.start").alias("day"),
+        F.col("o.cents").alias("open_cents"),
+        "high_cents",
+        "low_cents",
+        F.col("c.cents").alias("close_cents"),
+        "n_ticks",
+    )
+
+
+_STREAMING_OHLC_SQL = """
+    WITH ev AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT event_type, day,
+           CAST((min(row(ts, event_id, cents)))[3] AS BIGINT) AS open_cents,
+           CAST(max(cents) AS BIGINT) AS high_cents,
+           CAST(min(cents) AS BIGINT) AS low_cents,
+           CAST((max(row(ts, event_id, cents)))[3] AS BIGINT) AS close_cents,
+           CAST(count(*) AS BIGINT) AS n_ticks
+    FROM ev GROUP BY 1, 2
+"""
+
+
+QUERIES_EXT.update({"streaming_ohlc": q_streaming_ohlc})
+ORACLES_EXT.update({"streaming_ohlc": _STREAMING_OHLC_SQL})
