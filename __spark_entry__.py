@@ -128,6 +128,7 @@ _NEW_R04 = frozenset({
     "ohlc_bars", "growth_contrib",
     "bandit_replay", "dau_wau_mau",
     "streaming_ohlc",
+    "top_decile_share", "audience_overlap",
 })
 
 

@@ -1386,3 +1386,172 @@ ORACLES_ANALYTICS.update({
     "bandit_replay": _BANDIT_SQL,
     "dau_wau_mau": _DAU_WAU_MAU_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# Top-decile concentration: share of national revenue from the top 10%
+# of customers (ceil decile by rank), exact ppm — the "whale share"
+# complement to the Gini in concentration_metrics.
+# ---------------------------------------------------------------------------
+
+
+def q_top_decile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation: customer count, the ceil-10% whale count, and the
+    ppm share of revenue those customers hold (revenue desc, custkey
+    asc total order)."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    per_cust = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev"
+            )
+        )
+    )
+    w_rank = Window.partitionBy("c_nationkey").orderBy(
+        F.col("rev").desc(), F.col("c_custkey").asc()
+    )
+    w_nat = Window.partitionBy("c_nationkey")
+    ranked = per_cust.select(
+        "c_nationkey",
+        "rev",
+        F.row_number().over(w_rank).alias("rnk"),
+        F.count("*").over(w_nat).alias("n"),
+        F.sum("rev").over(w_nat).alias("tot"),
+    )
+    return (
+        ranked.withColumn("k", F.expr("(n + 9) div 10"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.max("n").cast("bigint").alias("n_customers"),
+            F.max("k").cast("bigint").alias("whales"),
+            F.expr(
+                "sum(case when rnk <= k then rev else 0 end)"
+                " * 1000000L div max(tot)"
+            ).alias("top_decile_ppm"),
+        )
+    )
+
+
+_TOP_DECILE_SQL = """
+    WITH per_cust AS (
+        SELECT c_nationkey, c_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT c_nationkey, rev,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY rev DESC, c_custkey ASC) AS rnk,
+               count(*) OVER (PARTITION BY c_nationkey) AS n,
+               sum(rev) OVER (PARTITION BY c_nationkey) AS tot
+        FROM per_cust
+    )
+    SELECT c_nationkey,
+           CAST(max(n) AS BIGINT) AS n_customers,
+           CAST(max((n + 9) // 10) AS BIGINT) AS whales,
+           CAST(sum(CASE WHEN rnk <= (n + 9) // 10 THEN rev ELSE 0 END)
+                * 1000000 // max(tot) AS BIGINT) AS top_decile_ppm
+    FROM ranked GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap between consecutive months: Jaccard / churn / new
+# shares of the monthly active customer sets, exact ppm.
+# ---------------------------------------------------------------------------
+
+
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per consecutive month pair (keyed by the LATER month): active
+    customers in each month, the intersection, Jaccard ppm, the
+    churned share of the earlier month and the new share of the later
+    month — one FULL OUTER join of the month-shifted active set
+    against itself, then one aggregation; all exact ppm."""
+    orders = _t(spark, sf_dir, "orders")
+    active = orders.select(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("month"),
+        "o_custkey",
+    ).distinct()
+    # calendar-successor month key (December rolls to January)
+    prev_shifted = active.select(
+        F.expr(
+            "case when month % 100 = 12 then month + 89 else month + 1 end"
+        ).alias("month"),
+        "o_custkey",
+        F.lit(1).alias("in_prev"),
+    )
+    nxt = active.select("month", "o_custkey", F.lit(1).alias("in_next"))
+    j = prev_shifted.join(nxt, ["month", "o_custkey"], "full_outer")
+    agg = j.groupBy("month").agg(
+        F.sum(F.coalesce("in_prev", F.lit(0))).alias("n_prev"),
+        F.sum(F.coalesce("in_next", F.lit(0))).alias("n_next"),
+        F.sum(
+            F.coalesce("in_prev", F.lit(0)) * F.coalesce("in_next", F.lit(0))
+        ).alias("n_inter"),
+    )
+    return agg.filter((F.col("n_prev") > 0) & (F.col("n_next") > 0)).select(
+        "month",
+        F.col("n_prev").cast("bigint").alias("n_prev"),
+        F.col("n_next").cast("bigint").alias("n_next"),
+        F.col("n_inter").cast("bigint").alias("n_inter"),
+        F.expr(
+            "n_inter * 1000000L div (n_prev + n_next - n_inter)"
+        ).alias("jaccard_ppm"),
+        F.expr("(n_prev - n_inter) * 1000000L div n_prev").alias(
+            "churn_ppm"
+        ),
+        F.expr("(n_next - n_inter) * 1000000L div n_next").alias("new_ppm"),
+    )
+
+
+_AUDIENCE_OVERLAP_SQL = """
+    WITH active AS (
+        SELECT DISTINCT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                             AS INT) AS month,
+               o_custkey
+        FROM orders
+    ),
+    j AS (
+        SELECT COALESCE(p.month, n.month) AS month,
+               COALESCE(p.in_prev, 0) AS in_prev,
+               COALESCE(n.in_next, 0) AS in_next
+        FROM (SELECT CASE WHEN month % 100 = 12 THEN month + 89
+                          ELSE month + 1 END AS month,
+                     o_custkey, 1 AS in_prev
+              FROM active) p
+        FULL OUTER JOIN
+             (SELECT month, o_custkey, 1 AS in_next FROM active) n
+        USING (month, o_custkey)
+    ),
+    agg AS (
+        SELECT month,
+               CAST(sum(in_prev) AS BIGINT) AS n_prev,
+               CAST(sum(in_next) AS BIGINT) AS n_next,
+               CAST(sum(in_prev * in_next) AS BIGINT) AS n_inter
+        FROM j GROUP BY 1
+    )
+    SELECT month, n_prev, n_next, n_inter,
+           CAST(n_inter * 1000000 // (n_prev + n_next - n_inter) AS BIGINT)
+               AS jaccard_ppm,
+           CAST((n_prev - n_inter) * 1000000 // n_prev AS BIGINT)
+               AS churn_ppm,
+           CAST((n_next - n_inter) * 1000000 // n_next AS BIGINT) AS new_ppm
+    FROM agg WHERE n_prev > 0 AND n_next > 0
+"""
+
+
+QUERIES_ANALYTICS.update({
+    "top_decile_share": q_top_decile_share,
+    "audience_overlap": q_audience_overlap,
+})
+ORACLES_ANALYTICS.update({
+    "top_decile_share": _TOP_DECILE_SQL,
+    "audience_overlap": _AUDIENCE_OVERLAP_SQL,
+})
