@@ -129,6 +129,7 @@ _NEW_R04 = frozenset({
     "bandit_replay", "dau_wau_mau",
     "streaming_ohlc",
     "top_decile_share", "audience_overlap",
+    "pipe_syntax_report",
 })
 
 

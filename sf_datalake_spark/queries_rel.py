@@ -1229,3 +1229,54 @@ ORACLES_REL: dict[str, str] = {
     "map_functions": _MAP_FUNCTIONS_SQL,
     "fuzzy_name_match": _FUZZY_MATCH_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 SQL pipe syntax: the same logical plan Catalyst sees from
+# the chained-DataFrame form, written as |> stages — registered to
+# prove the engine's SQL surface covers the new composition syntax
+# end-to-end (parse → analyze → optimize → exact results).
+# ---------------------------------------------------------------------------
+
+
+def q_pipe_syntax_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 (priority, month) revenue cells of finalized orders,
+    written entirely in Spark 4 SQL pipe syntax (FROM |> WHERE
+    |> AGGREGATE |> WHERE |> ORDER BY |> LIMIT) over a temp view;
+    deterministic total order before the LIMIT."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__pipe_orders")
+    return spark.sql(
+        """
+        FROM __pipe_orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE count(*) AS n_orders,
+                     sum(cast(round(o_totalprice * 100) as bigint))
+                         AS revenue_cents
+           GROUP BY o_orderpriority,
+                    cast(year(o_orderdate) * 100 + month(o_orderdate) as int)
+                        AS month
+        |> WHERE n_orders >= 5
+        |> ORDER BY revenue_cents DESC, o_orderpriority ASC, month ASC
+        |> LIMIT 25
+        """
+    )
+
+
+_PIPE_SYNTAX_SQL = """
+    SELECT o_orderpriority,
+           CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT)
+               AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY 1, 2
+    HAVING count(*) >= 5
+    ORDER BY revenue_cents DESC, o_orderpriority ASC, month ASC
+    LIMIT 25
+"""
+
+
+QUERIES_REL.update({"pipe_syntax_report": q_pipe_syntax_report})
+ORACLES_REL.update({"pipe_syntax_report": _PIPE_SYNTAX_SQL})
