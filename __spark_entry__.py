@@ -130,6 +130,7 @@ _NEW_R04 = frozenset({
     "streaming_ohlc",
     "top_decile_share", "audience_overlap",
     "pipe_syntax_report",
+    "logrank_test", "did_estimate",
 })
 
 

@@ -2221,3 +2221,241 @@ ORACLES_STATS.update({
     "max_drawdown": _MAX_DRAWDOWN_SQL,
     "burstiness": _BURSTINESS_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# Two-group log-rank test on the customer-lifetime framing of
+# km_survival (BUILDING vs rest, 180-day churn rule): per event time,
+# observed vs expected events in group 1 under the null, hypergeometric
+# variance — per-term milli-quantized so the sums are BIGINT, the 5%
+# decision an INTEGER comparison ((O·10³−E_m)² ≥ 3841·V_m ⇔ χ² ≥
+# 3.841), and the reported statistic a single rounded float.
+# ---------------------------------------------------------------------------
+
+
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank comparison of BUILDING-segment customer lifetimes vs
+    all other segments: subjects, observed/expected events (milli),
+    variance (milli), the chi-square statistic and the integer-decided
+    5% rejection."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    horizon = orders.agg(F.max("o_orderdate").alias("h"))
+    life = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("first_o"),
+            F.max("o_orderdate").alias("last_o"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            (F.col("c_mktsegment") == "BUILDING").cast("int").alias("g"),
+            F.datediff("last_o", "first_o").alias("t"),
+            (F.datediff("h", "last_o") >= 180).cast("int").alias("ev"),
+        )
+    )
+    per_t = life.groupBy("t").agg(
+        F.sum(F.col("ev") * F.col("g")).alias("d1"),
+        F.sum("ev").alias("d"),
+        F.sum("g").alias("a1"),
+        F.count("*").alias("a"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    risk = per_t.select(
+        "t",
+        "d1",
+        "d",
+        (F.sum("a1").over(w_all) - F.coalesce(F.sum("a1").over(w), F.lit(0)))
+        .alias("n1"),
+        (F.sum("a").over(w_all) - F.coalesce(F.sum("a").over(w), F.lit(0)))
+        .alias("n"),
+        F.sum("a1").over(w_all).alias("n1_total"),
+        F.sum("a").over(w_all).alias("n_total"),
+    ).filter((F.col("d") > 0) & (F.col("n") > 1))
+    terms = risk.select(
+        "d1",
+        "n1_total",
+        "n_total",
+        F.expr("d * n1 * 1000L div n").alias("e1_m"),
+        # factored divisions keep every intermediate < 1e15 (the naive
+        # d·n1·(n−n1)·(n−d)·1000 product overflows int64 past ~SF 1)
+        F.expr(
+            "(d * n1 * (n - n1) div n) * ((n - d) * 1000L)"
+            " div (n * (n - 1))"
+        ).alias("v_m"),
+    )
+    agg = terms.agg(
+        F.max("n1_total").cast("bigint").alias("n_group1"),
+        (F.max("n_total") - F.max("n1_total")).cast("bigint").alias(
+            "n_group0"
+        ),
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum("e1_m").cast("bigint").alias("e1_milli"),
+        F.sum("v_m").cast("bigint").alias("v_milli"),
+    )
+    dev = F.col("o1") * 1000 - F.col("e1_milli")
+    return agg.select(
+        "n_group1",
+        "n_group0",
+        "o1",
+        "e1_milli",
+        "v_milli",
+        F.round(
+            (dev.cast("double") * dev.cast("double"))
+            / (F.lit(1000.0) * F.col("v_milli").cast("double")),
+            6,
+        ).alias("logrank_stat"),
+        (dev * dev >= F.lit(3841) * F.col("v_milli")).cast("int").alias(
+            "reject_05"
+        ),
+    )
+
+
+_LOGRANK_SQL = """
+    WITH life AS (
+        SELECT CAST(c_mktsegment = 'BUILDING' AS INT) AS g,
+               date_diff('day', first_o, last_o) AS t,
+               CAST(date_diff('day', last_o, h) >= 180 AS INT) AS ev
+        FROM (SELECT o_custkey, min(o_orderdate) AS first_o,
+                     max(o_orderdate) AS last_o
+              FROM orders GROUP BY 1) l
+        CROSS JOIN (SELECT max(o_orderdate) AS h FROM orders) hz
+        JOIN customer ON o_custkey = c_custkey
+    ),
+    per_t AS (
+        SELECT t, CAST(sum(ev * g) AS BIGINT) AS d1,
+               CAST(sum(ev) AS BIGINT) AS d,
+               CAST(sum(g) AS BIGINT) AS a1,
+               CAST(count(*) AS BIGINT) AS a
+        FROM life GROUP BY 1
+    ),
+    risk AS (
+        SELECT t, d1, d,
+               sum(a1) OVER () - COALESCE(sum(a1) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n1,
+               sum(a) OVER () - COALESCE(sum(a) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n,
+               sum(a1) OVER () AS n1_total,
+               sum(a) OVER () AS n_total
+        FROM per_t
+    ),
+    terms AS (
+        SELECT d1, n1_total, n_total,
+               d * n1 * 1000 // n AS e1_m,
+               (d * n1 * (n - n1) // n) * ((n - d) * 1000)
+                   // (n * (n - 1)) AS v_m
+        FROM risk WHERE d > 0 AND n > 1
+    ),
+    agg AS (
+        SELECT CAST(max(n1_total) AS BIGINT) AS n_group1,
+               CAST(max(n_total) - max(n1_total) AS BIGINT) AS n_group0,
+               CAST(sum(d1) AS BIGINT) AS o1,
+               CAST(sum(e1_m) AS BIGINT) AS e1_milli,
+               CAST(sum(v_m) AS BIGINT) AS v_milli
+        FROM terms
+    )
+    SELECT n_group1, n_group0, o1, e1_milli, v_milli,
+           round(CAST((o1 * 1000 - e1_milli) AS DOUBLE)
+                 * CAST((o1 * 1000 - e1_milli) AS DOUBLE)
+                 / (1000.0 * CAST(v_milli AS DOUBLE)), 6) AS logrank_stat,
+           CAST((o1 * 1000 - e1_milli) * (o1 * 1000 - e1_milli)
+                >= 3841 * v_milli AS INT) AS reject_05
+    FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences: BUILDING (treated) vs MACHINERY (control)
+# mean order value, pre/post 1995-01-01 — cell means milli-quantized,
+# the DiD contrast pure integer arithmetic on them.
+# ---------------------------------------------------------------------------
+
+
+def q_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 difference-in-differences on mean order value (milli-cents):
+    one row with the four cell means and the DiD contrast."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_orderdate") >= F.lit("1995-01-01")).cast("int").alias(
+            "post"
+        ),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    ).select(
+        "c_custkey",
+        (F.col("c_mktsegment") == "BUILDING").cast("int").alias("treated"),
+    )
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("treated", "post")
+        .agg(F.expr("sum(cents) * 1000L div count(*)").alias("mean_milli"))
+    )
+    flat = cells.agg(
+        F.max(
+            F.when((F.col("treated") == 1) & (F.col("post") == 0),
+                   F.col("mean_milli"))
+        ).alias("treated_pre_milli"),
+        F.max(
+            F.when((F.col("treated") == 1) & (F.col("post") == 1),
+                   F.col("mean_milli"))
+        ).alias("treated_post_milli"),
+        F.max(
+            F.when((F.col("treated") == 0) & (F.col("post") == 0),
+                   F.col("mean_milli"))
+        ).alias("control_pre_milli"),
+        F.max(
+            F.when((F.col("treated") == 0) & (F.col("post") == 1),
+                   F.col("mean_milli"))
+        ).alias("control_post_milli"),
+    )
+    return flat.select(
+        "*",
+        (
+            (F.col("treated_post_milli") - F.col("treated_pre_milli"))
+            - (F.col("control_post_milli") - F.col("control_pre_milli"))
+        ).alias("did_milli"),
+    )
+
+
+_DID_SQL = """
+    WITH cells AS (
+        SELECT CAST(c_mktsegment = 'BUILDING' AS INT) AS treated,
+               CAST(o_orderdate >= DATE '1995-01-01' AS INT) AS post,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) * 1000
+                    // count(*) AS BIGINT) AS mean_milli
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        GROUP BY 1, 2
+    )
+    SELECT
+        max(CASE WHEN treated = 1 AND post = 0 THEN mean_milli END)
+            AS treated_pre_milli,
+        max(CASE WHEN treated = 1 AND post = 1 THEN mean_milli END)
+            AS treated_post_milli,
+        max(CASE WHEN treated = 0 AND post = 0 THEN mean_milli END)
+            AS control_pre_milli,
+        max(CASE WHEN treated = 0 AND post = 1 THEN mean_milli END)
+            AS control_post_milli,
+        (max(CASE WHEN treated = 1 AND post = 1 THEN mean_milli END)
+         - max(CASE WHEN treated = 1 AND post = 0 THEN mean_milli END))
+        - (max(CASE WHEN treated = 0 AND post = 1 THEN mean_milli END)
+           - max(CASE WHEN treated = 0 AND post = 0 THEN mean_milli END))
+            AS did_milli
+    FROM cells
+"""
+
+
+QUERIES_STATS.update({
+    "logrank_test": q_logrank_test,
+    "did_estimate": q_did_estimate,
+})
+ORACLES_STATS.update({
+    "logrank_test": _LOGRANK_SQL,
+    "did_estimate": _DID_SQL,
+})
