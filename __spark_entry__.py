@@ -131,6 +131,7 @@ _NEW_R04 = frozenset({
     "top_decile_share", "audience_overlap",
     "pipe_syntax_report",
     "logrank_test", "did_estimate",
+    "stratified_att", "bootstrap_ci",
 })
 
 
