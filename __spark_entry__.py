@@ -132,6 +132,7 @@ _NEW_R04 = frozenset({
     "pipe_syntax_report",
     "logrank_test", "did_estimate",
     "stratified_att", "bootstrap_ci",
+    "mv_rewrite",
 })
 
 

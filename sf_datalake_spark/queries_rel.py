@@ -1280,3 +1280,57 @@ _PIPE_SYNTAX_SQL = """
 
 QUERIES_REL.update({"pipe_syntax_report": q_pipe_syntax_report})
 ORACLES_REL.update({"pipe_syntax_report": _PIPE_SYNTAX_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Materialized-view rewrite: answer a QUARTERLY query from the stored
+# MONTHLY rollup (aggregate-on-aggregate — sums and counts re-combine,
+# the mergeable-summary rule incremental_rollup maintains), while the
+# oracle answers from the base table. Hash-equality of the two IS the
+# rewrite-correctness proof.
+# ---------------------------------------------------------------------------
+
+
+def q_mv_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarterly revenue/order-count per priority computed ONLY from
+    the monthly materialized view (never re-reading order rows for the
+    quarter grain); the oracle aggregates the base table directly."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly_mv = orders.groupBy(
+        "o_orderpriority",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("month"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "rev_cents"
+        ),
+        F.count("*").alias("n_orders"),
+    )
+    # the rewrite: quarter rolls up the VIEW (sum of sums, sum of
+    # counts) — decomposable aggregates re-combine losslessly
+    return monthly_mv.groupBy(
+        "o_orderpriority",
+        F.expr("(month div 100) * 10 + ((month % 100) + 2) div 3").alias(
+            "quarter"
+        ),
+    ).agg(
+        F.sum("rev_cents").cast("bigint").alias("rev_cents"),
+        F.sum("n_orders").cast("bigint").alias("n_orders"),
+    )
+
+
+_MV_REWRITE_SQL = """
+    SELECT o_orderpriority,
+           CAST(year(o_orderdate) * 10 + quarter(o_orderdate) AS BIGINT)
+               AS quarter,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+"""
+
+
+QUERIES_REL.update({"mv_rewrite": q_mv_rewrite})
+ORACLES_REL.update({"mv_rewrite": _MV_REWRITE_SQL})

@@ -858,3 +858,44 @@ def test_round4c_late_batch_plan_shapes(spark):
     assert rep["n_cartesian_products"] == 0
     # the point-level side joins a BROADCAST cell-label table
     assert rep["n_broadcasts"] >= 1
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """A partition-keyed fact joined to a selectively FILTERED parquet
+    dim must prune fact PARTITIONS at runtime (DPP) — the scan's
+    partition filters carry a dynamicpruning subquery, the 100 TB
+    mechanism that turns a dim filter into a fact-side skip.
+
+    Shape matters for the trigger: the fact must carry data columns
+    (a partition-column-only scan gets broadcast ITSELF and DPP is
+    moot) and the dim must be a relation with stats (a local-list
+    ExistingRDD has none), with the broadcast threshold low enough
+    that the fact side stays the probe side."""
+    fact_path = str(tmp_path / "fact_part")
+    dim_path = str(tmp_path / "dim")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(
+        fact_path
+    )
+    spark.createDataFrame(
+        [("1-URGENT", "keep"), ("5-LOW", "drop")],
+        "o_orderpriority string, tag string",
+    ).write.mode("overwrite").parquet(dim_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("tag") == "keep")
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(1024 * 1024))
+    try:
+        joined = fact.join(dim, "o_orderpriority").agg(
+            F.sum("o_totalprice").alias("s"), F.count("*").alias("n")
+        )
+        formatted = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "dynamicpruningexpression" in formatted
+        got = joined.collect()
+        assert got[0]["n"] > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
