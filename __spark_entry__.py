@@ -133,6 +133,7 @@ _NEW_R04 = frozenset({
     "logrank_test", "did_estimate",
     "stratified_att", "bootstrap_ci",
     "mv_rewrite",
+    "kl_daily_mix", "peak_detection",
 })
 
 

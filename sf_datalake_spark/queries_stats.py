@@ -2690,3 +2690,199 @@ ORACLES_STATS.update({
     "stratified_att": _STRATIFIED_ATT_SQL,
     "bootstrap_ci": _BOOTSTRAP_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# KL divergence of each day's event-type mix against the global mix —
+# the information-theoretic drift monitor next to psi_drift/tv_distance.
+# Each of the <=|event types| terms is ONE ln of an exact integer
+# ratio, rounded at source to micro-nats; the per-day sum is then a
+# BIGINT — no float accumulation crosses the engines.
+# ---------------------------------------------------------------------------
+
+
+def q_kl_daily_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per day: event count and KL(day mix ‖ global mix) in micro-nats
+    (terms rounded at source; zero-count categories contribute 0 by
+    the 0·ln0 = 0 convention — the global mix has every category)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    cell = ev.groupBy("day", "event_type").agg(F.count("*").alias("c"))
+    w_day = Window.partitionBy("day")
+    w_type = Window.partitionBy("event_type")
+    w_all = Window.partitionBy()
+    terms = cell.select(
+        "day",
+        "c",
+        F.sum("c").over(w_day).alias("n_day"),
+        F.sum("c").over(w_type).alias("c_type"),
+        F.sum("c").over(w_all).alias("n_all"),
+    ).select(
+        "day",
+        "n_day",
+        # KL term: (c/n_day) · ln( (c·n_all) / (n_day·c_type) ),
+        # rounded to micro-nats BEFORE summation
+        F.round(
+            (F.col("c").cast("double") / F.col("n_day").cast("double"))
+            * F.log(
+                (F.col("c") * F.col("n_all")).cast("double")
+                / (F.col("n_day") * F.col("c_type")).cast("double")
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("t"),
+    )
+    return terms.groupBy("day").agg(
+        F.max("n_day").cast("bigint").alias("n_events"),
+        F.sum("t").cast("bigint").alias("kl_micro_nats"),
+    )
+
+
+_KL_DAILY_SQL = """
+    WITH cell AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    terms AS (
+        SELECT day,
+               sum(c) OVER (PARTITION BY day) AS n_day,
+               CAST(round(
+                   (CAST(c AS DOUBLE) / CAST(sum(c) OVER (PARTITION BY day)
+                                             AS DOUBLE))
+                   * ln(CAST(c * sum(c) OVER () AS DOUBLE)
+                        / CAST(sum(c) OVER (PARTITION BY day)
+                               * sum(c) OVER (PARTITION BY event_type)
+                               AS DOUBLE))
+                   * 1000000) AS BIGINT) AS t
+        FROM cell
+    )
+    SELECT day, CAST(max(n_day) AS BIGINT) AS n_events,
+           CAST(sum(t) AS BIGINT) AS kl_micro_nats
+    FROM terms GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Local-peak detection on the monthly revenue series: strict local
+# maxima with an integer prominence floor (>= 105% of the neighbor
+# max, cross-multiplied — no float ratio).
+# ---------------------------------------------------------------------------
+
+
+def q_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per priority: number of monthly revenue peaks (strictly above
+    both neighbors AND >= 1.05× the larger neighbor, decided by
+    20·rev >= 21·max(neighbors)), the peak months, and the tallest
+    peak's month."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("month"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    flagged = monthly.select(
+        "o_orderpriority",
+        "month",
+        "rev",
+        F.lag("rev").over(w).alias("prev"),
+        F.lead("rev").over(w).alias("nxt"),
+    ).withColumn(
+        "is_peak",
+        (
+            F.col("prev").isNotNull()
+            & F.col("nxt").isNotNull()
+            & (F.col("rev") * 20 >= F.greatest("prev", "nxt") * 21)
+        ).cast("int"),
+    )
+    peaks = flagged.filter(F.col("is_peak") == 1)
+    return (
+        flagged.groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("n_months"))
+        .join(
+            peaks.groupBy("o_orderpriority").agg(
+                F.count("*").cast("bigint").alias("n_peaks"),
+                F.sort_array(F.collect_list("month")).alias("peak_months"),
+                F.expr("max_by(month, struct(rev, -month))").alias(
+                    "tallest_peak_month"
+                ),
+            ),
+            "o_orderpriority",
+            "left",
+        )
+        .select(
+            "o_orderpriority",
+            "n_months",
+            F.coalesce("n_peaks", F.lit(0)).alias("n_peaks"),
+            F.coalesce(
+                F.col("peak_months").cast("array<int>"),
+                F.expr("array()").cast("array<int>"),
+            ).alias("peak_months"),
+            F.col("tallest_peak_month").cast("int").alias(
+                "tallest_peak_month"
+            ),
+        )
+    )
+
+
+_PEAK_SQL = """
+    WITH monthly AS (
+        SELECT o_orderpriority,
+               CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT)
+                   AS month,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN prev IS NOT NULL AND nxt IS NOT NULL
+                         AND rev * 20 >= greatest(prev, nxt) * 21
+                    THEN 1 ELSE 0 END AS is_peak
+        FROM (SELECT o_orderpriority, month, rev,
+                     lag(rev) OVER (PARTITION BY o_orderpriority
+                                    ORDER BY month) AS prev,
+                     lead(rev) OVER (PARTITION BY o_orderpriority
+                                     ORDER BY month) AS nxt
+              FROM monthly)
+    ),
+    peaks AS (
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_peaks,
+               list_sort(list(month)) AS peak_months
+        FROM flagged WHERE is_peak = 1 GROUP BY 1
+    ),
+    tallest AS (
+        SELECT o_orderpriority, month AS tallest_peak_month FROM (
+            SELECT o_orderpriority, month,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY rev DESC, month ASC) AS rn
+            FROM flagged WHERE is_peak = 1
+        ) WHERE rn = 1
+    )
+    SELECT f.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_months,
+           COALESCE(max(p.n_peaks), 0) AS n_peaks,
+           COALESCE(max(p.peak_months), []) AS peak_months,
+           CAST(max(t.tallest_peak_month) AS INT) AS tallest_peak_month
+    FROM flagged f
+    LEFT JOIN peaks p USING (o_orderpriority)
+    LEFT JOIN tallest t USING (o_orderpriority)
+    GROUP BY 1
+"""
+
+
+QUERIES_STATS.update({
+    "kl_daily_mix": q_kl_daily_mix,
+    "peak_detection": q_peak_detection,
+})
+ORACLES_STATS.update({
+    "kl_daily_mix": _KL_DAILY_SQL,
+    "peak_detection": _PEAK_SQL,
+})
