@@ -134,6 +134,7 @@ _NEW_R04 = frozenset({
     "stratified_att", "bootstrap_ci",
     "mv_rewrite",
     "kl_daily_mix", "peak_detection",
+    "native_session_window", "federated_join",
 })
 
 

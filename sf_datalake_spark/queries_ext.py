@@ -2843,3 +2843,118 @@ _STREAMING_OHLC_SQL = """
 
 QUERIES_EXT.update({"streaming_ohlc": q_streaming_ohlc})
 ORACLES_EXT.update({"streaming_ohlc": _STREAMING_OHLC_SQL})
+
+
+def q_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user session via Spark's NATIVE session_window function (the
+    engine primitive the manual gaps-and-islands sessionize mirrors):
+    start, event count, exact cents value. Boundary semantics differ
+    from sessionize by one instant — session_window's [ts, ts+gap)
+    half-open interval starts a NEW session at diff == gap, the manual
+    `>` keeps it — so the oracle replays the gaps-and-islands with
+    `>=`, proving the native operator's exact contract."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("session_cents"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            "n_events",
+            "session_cents",
+        )
+    )
+
+
+_NATIVE_SESSION_SQL = """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR (epoch_us(ts) - epoch_us(lag(ts) OVER w))
+                        >= 1800 * 1000000::BIGINT
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT user_id, ts, cents,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS session_cents
+    FROM sess GROUP BY user_id, sid
+"""
+
+
+def q_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous-source star join: region re-written as CSV, nation
+    as ORC, customer read as the original parquet — three formats in
+    ONE plan (Catalyst treats each scan uniformly; format choice is a
+    physical detail), aggregated to customers and exact balance cents
+    per region name."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="federated_")
+    region_pq = _t(spark, sf_dir, "region")
+    nation_pq = _t(spark, sf_dir, "nation")
+    region_pq.write.mode("overwrite").option("header", True).csv(
+        base + "/region_csv"
+    )
+    nation_pq.write.mode("overwrite").orc(base + "/nation_orc")
+    region = (
+        spark.read.option("header", True)
+        .schema("r_regionkey bigint, r_name string, r_comment string")
+        .csv(base + "/region_csv")
+    )
+    nation = spark.read.orc(base + "/nation_orc")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.join(
+            F.broadcast(nation),
+            cust.c_nationkey == nation.n_nationkey,
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+            .cast("bigint")
+            .alias("balance_cents"),
+        )
+    )
+
+
+_FEDERATED_SQL = """
+    SELECT r_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS balance_cents
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1
+"""
+
+
+QUERIES_EXT.update({
+    "native_session_window": q_native_session_window,
+    "federated_join": q_federated_join,
+})
+ORACLES_EXT.update({
+    "native_session_window": _NATIVE_SESSION_SQL,
+    "federated_join": _FEDERATED_SQL,
+})
