@@ -135,6 +135,7 @@ _NEW_R04 = frozenset({
     "mv_rewrite",
     "kl_daily_mix", "peak_detection",
     "native_session_window", "federated_join",
+    "incremental_variance", "median_of_medians",
 })
 
 

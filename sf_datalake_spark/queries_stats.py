@@ -2886,3 +2886,172 @@ ORACLES_STATS.update({
     "kl_daily_mix": _KL_DAILY_SQL,
     "peak_detection": _PEAK_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# Incremental variance maintenance: (n, Σx, Σx²) moments stored for
+# history, a delta batch folded in by pure addition, variance derived
+# from the MERGED moments — the parallel/incremental variance rule
+# (sum-form of Chan et al.). The oracle computes from the full table
+# in one shot: hash equality proves the merge is lossless.  Values
+# quantized to KILO-dollars so n·Σx² stays inside int64 through the
+# ×8 scale probe and ~SF 10 (documented — coarser units are the
+# correct knob for the exact-integer moment path; beyond that, the
+# mergeable property is identical in DECIMAL(38)).
+# ---------------------------------------------------------------------------
+
+
+def q_incremental_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per priority: count, milli-mean and milli-sample-variance of
+    order value in kilo-dollars, computed by MERGING pre-1997 stored
+    moments with the 1997+ delta batch — never rescanning history."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr(
+            "cast(round(o_totalprice) as bigint) div 1000"
+        ).alias("h"),
+        (F.col("o_orderdate") < F.lit("1997-01-01")).alias("is_hist"),
+    )
+
+    def moments(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.sum("h").alias("s1"),
+            F.sum(F.col("h") * F.col("h")).alias("s2"),
+        )
+
+    hist = moments(orders.filter(F.col("is_hist")))
+    delta = moments(orders.filter(~F.col("is_hist")))
+    merged = (
+        hist.alias("a")
+        .join(delta.alias("b"), "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            *[
+                (
+                    F.coalesce(F.col(f"a.{c}"), F.lit(0))
+                    + F.coalesce(F.col(f"b.{c}"), F.lit(0))
+                ).alias(c)
+                for c in ("n", "s1", "s2")
+            ],
+        )
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("s1 * 1000L div n").alias("mean_kilo_milli"),
+        F.when(
+            F.col("n") > 1,
+            F.expr("(n * s2 - s1 * s1) * 1000L div (n * (n - 1))"),
+        ).alias("var_kilo2_milli"),
+    )
+
+
+_INCR_VARIANCE_SQL = """
+    WITH m AS (
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(o_totalprice) AS BIGINT) // 1000)
+                    AS BIGINT) AS s1,
+               CAST(sum((CAST(round(o_totalprice) AS BIGINT) // 1000)
+                        * (CAST(round(o_totalprice) AS BIGINT) // 1000))
+                    AS BIGINT) AS s2
+        FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, n,
+           CAST(s1 * 1000 // n AS BIGINT) AS mean_kilo_milli,
+           CASE WHEN n > 1 THEN
+               CAST((n * s2 - s1 * s1) * 1000 // (n * (n - 1)) AS BIGINT)
+           END AS var_kilo2_milli
+    FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Median of medians: per-customer median order value, then the median
+# of those medians per segment — nested exact quantiles, both levels
+# nearest-rank-lower with total tie orders.
+# ---------------------------------------------------------------------------
+
+
+def q_median_of_medians(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per market segment: customers with orders, and the median of
+    per-customer median order values (cents) — the robust two-level
+    location estimate (per-entity median kills within-entity outliers,
+    the cross-entity median kills entity outliers)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w_c = Window.partitionBy("o_custkey").orderBy("cents", "o_orderkey")
+    w_cn = Window.partitionBy("o_custkey")
+    per_cust = (
+        orders.select(
+            "o_custkey",
+            "cents",
+            F.row_number().over(w_c).alias("rn"),
+            F.count("*").over(w_cn).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("o_custkey", F.col("cents").alias("cust_median"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    w_s = Window.partitionBy("c_mktsegment").orderBy(
+        "cust_median", "o_custkey"
+    )
+    w_sn = Window.partitionBy("c_mktsegment")
+    return (
+        per_cust.select(
+            "c_mktsegment",
+            "cust_median",
+            F.row_number().over(w_s).alias("rn"),
+            F.count("*").over(w_sn).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(
+            "c_mktsegment",
+            F.col("n").cast("bigint").alias("n_customers"),
+            F.col("cust_median").alias("median_of_medians_cents"),
+        )
+    )
+
+
+_MEDIAN_OF_MEDIANS_SQL = """
+    WITH per_cust AS (
+        SELECT o_custkey, cents AS cust_median FROM (
+            SELECT o_custkey, cents,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY cents, o_orderkey) AS rn,
+                   count(*) OVER (PARTITION BY o_custkey) AS n
+            FROM (SELECT o_custkey, o_orderkey,
+                         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                  FROM orders)
+        ) WHERE rn = (n + 1) // 2
+    ),
+    seg AS (
+        SELECT c_mktsegment, cust_median, o_custkey
+        FROM per_cust JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT c_mktsegment,
+           CAST(max(n) AS BIGINT) AS n_customers,
+           max(CASE WHEN rn = (n + 1) // 2 THEN cust_median END)
+               AS median_of_medians_cents
+    FROM (SELECT c_mktsegment, cust_median,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY cust_median, o_custkey) AS rn,
+                 count(*) OVER (PARTITION BY c_mktsegment) AS n
+          FROM seg)
+    GROUP BY 1
+"""
+
+
+QUERIES_STATS.update({
+    "incremental_variance": q_incremental_variance,
+    "median_of_medians": q_median_of_medians,
+})
+ORACLES_STATS.update({
+    "incremental_variance": _INCR_VARIANCE_SQL,
+    "median_of_medians": _MEDIAN_OF_MEDIANS_SQL,
+})
