@@ -136,6 +136,7 @@ _NEW_R04 = frozenset({
     "kl_daily_mix", "peak_detection",
     "native_session_window", "federated_join",
     "incremental_variance", "median_of_medians",
+    "udtf_demo", "quantile_accuracy",
 })
 
 

@@ -1334,3 +1334,126 @@ _MV_REWRITE_SQL = """
 
 QUERIES_REL.update({"mv_rewrite": q_mv_rewrite})
 ORACLES_REL.update({"mv_rewrite": _MV_REWRITE_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF surface demo (Spark 4): a lateral table function that
+# splits an amount into equal parts with largest-remainder pennies.
+# API-surface coverage, deliberately on a 25-row dim — per-row Python
+# is the engine's SLOW path (SCALE.md's UDF table) and the repo's hot
+# paths stay JVM/Arrow; this query proves the UDTF plumbing (register
+# → LATERAL → exact results) works end to end.
+# ---------------------------------------------------------------------------
+
+
+def q_udtf_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each nation's synthetic budget split 4 ways by a registered
+    Python UDTF via LATERAL; exact integer pennies, oracle rebuilt
+    from generate_series arithmetic."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="part int, amount_cents bigint")
+    class SplitAmount:
+        def eval(self, total_cents: int, parts: int):
+            base = total_cents // parts
+            rem = total_cents % parts
+            for i in range(parts):
+                yield i + 1, base + (1 if i < rem else 0)
+
+    spark.udtf.register("split_amount", SplitAmount)
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("__udtf_nation")
+    return spark.sql(
+        """
+        SELECT n_nationkey, s.part, s.amount_cents
+        FROM __udtf_nation,
+        LATERAL split_amount(cast(n_nationkey * 1000 + 7 as int), 4) s
+        """
+    )
+
+
+_UDTF_DEMO_SQL = """
+    SELECT n_nationkey,
+           CAST(p.part AS INT) AS part,
+           CAST((n_nationkey * 1000 + 7) // 4
+                + CASE WHEN p.part <= (n_nationkey * 1000 + 7) % 4
+                       THEN 1 ELSE 0 END AS BIGINT) AS amount_cents
+    FROM nation, (SELECT unnest(range(1, 5)) AS part) p
+"""
+
+
+QUERIES_REL.update({"udtf_demo": q_udtf_demo})
+ORACLES_REL.update({"udtf_demo": _UDTF_DEMO_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Quantile accuracy harness: exact p50/p90 (the oracled truth) plus
+# flags asserting Spark's approx_percentile lands within ±1% of exact
+# — the sampled_groupby pattern applied to the sketch-quantile family
+# (a failing approximation surfaces as flag 0 ≠ the oracle's 1).
+# ---------------------------------------------------------------------------
+
+
+def q_quantile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per priority: exact median and p90 of order cents, plus
+    within-1% flags for approx_percentile against each — accuracy
+    audited in-band, like sampled_groupby's CLT flags."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    w_n = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(w_n).alias("n"),
+    )
+    exact = ranked.groupBy("o_orderpriority").agg(
+        F.min(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("cents"))
+        ).alias("p50_cents"),
+        F.min(
+            F.when(
+                F.col("rn") == F.expr("(n * 9 + 9) div 10"), F.col("cents")
+            )
+        ).alias("p90_cents"),
+    )
+    approx = orders.groupBy("o_orderpriority").agg(
+        F.expr("approx_percentile(cents, 0.5, 10000)").alias("a50"),
+        F.expr("approx_percentile(cents, 0.9, 10000)").alias("a90"),
+    )
+    return exact.join(approx, "o_orderpriority").select(
+        "o_orderpriority",
+        "p50_cents",
+        "p90_cents",
+        (F.abs(F.col("a50") - F.col("p50_cents")) * 100
+         <= F.col("p50_cents")).cast("int").alias("p50_within_1pct"),
+        (F.abs(F.col("a90") - F.col("p90_cents")) * 100
+         <= F.col("p90_cents")).cast("int").alias("p90_within_1pct"),
+    )
+
+
+_QUANTILE_ACCURACY_SQL = """
+    WITH ranked AS (
+        SELECT o_orderpriority, cents,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY cents, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM (SELECT o_orderpriority, o_orderkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders)
+    )
+    SELECT o_orderpriority,
+           min(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS p50_cents,
+           min(CASE WHEN rn = (n * 9 + 9) // 10 THEN cents END)
+               AS p90_cents,
+           1 AS p50_within_1pct,
+           1 AS p90_within_1pct
+    FROM ranked GROUP BY 1
+"""
+
+
+QUERIES_REL.update({"quantile_accuracy": q_quantile_accuracy})
+ORACLES_REL.update({"quantile_accuracy": _QUANTILE_ACCURACY_SQL})
