@@ -137,6 +137,7 @@ _NEW_R04 = frozenset({
     "native_session_window", "federated_join",
     "incremental_variance", "median_of_medians",
     "udtf_demo", "quantile_accuracy",
+    "volume_guardrail", "out_of_order_stats",
 })
 
 

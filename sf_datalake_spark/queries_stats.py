@@ -3055,3 +3055,140 @@ ORACLES_STATS.update({
     "incremental_variance": _INCR_VARIANCE_SQL,
     "median_of_medians": _MEDIAN_OF_MEDIANS_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# Volume guardrail: day-over-day event volume change in exact ppm with
+# a ±50% alarm — the first data-quality gate every ingest pipeline
+# wants, kept engine-exact (integer change ppm, integer compare).
+# ---------------------------------------------------------------------------
+
+
+def q_volume_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event day: row count, signed day-over-day change ppm
+    against the prior observed day, and the |change| > 50% alarm."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.orderBy("day")
+    flagged = daily.select(
+        "day",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.lag("n").over(w).alias("prev"),
+    )
+    change = F.expr("(n_rows - prev) * 1000000L div prev")
+    return flagged.select(
+        "day",
+        "n_rows",
+        F.when(F.col("prev").isNotNull(), change).alias("change_ppm"),
+        F.when(
+            F.col("prev").isNotNull(),
+            (F.abs(change) > 500_000).cast("int"),
+        ).alias("volume_alarm"),
+    )
+
+
+_VOLUME_GUARDRAIL_SQL = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY 1
+    ),
+    flagged AS (
+        SELECT day, n_rows,
+               lag(n_rows) OVER (ORDER BY day) AS prev
+        FROM daily
+    )
+    SELECT day, n_rows,
+           CASE WHEN prev IS NOT NULL THEN
+               CAST((n_rows - prev) * 1000000 // prev AS BIGINT)
+           END AS change_ppm,
+           CASE WHEN prev IS NOT NULL THEN
+               CAST(abs((n_rows - prev) * 1000000 // prev) > 500000 AS INT)
+           END AS volume_alarm
+    FROM flagged
+"""
+
+
+# ---------------------------------------------------------------------------
+# Out-of-orderness diagnostic: how late do events arrive relative to
+# arrival order (event_id as the arrival sequence)? The lateness
+# profile is THE input to watermark sizing — a "10 minutes" watermark
+# is a claim about exactly this distribution.
+# ---------------------------------------------------------------------------
+
+
+def q_out_of_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event day: events, how many arrived LATE (event time behind
+    the running event-time max in arrival order), the worst lateness
+    in seconds, and the late share ppm."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ev.select(
+        "day",
+        "us",
+        F.max("us").over(w).alias("run_max"),
+    ).select(
+        "day",
+        F.when(
+            F.col("run_max").isNotNull() & (F.col("us") < F.col("run_max")),
+            F.col("run_max") - F.col("us"),
+        ).alias("late_us"),
+    )
+    return flagged.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum((F.col("late_us").isNotNull()).cast("bigint")).alias("n_late"),
+        F.coalesce(
+            F.expr("max(late_us) div 1000000"), F.lit(0)
+        ).cast("bigint").alias("max_lateness_s"),
+        F.expr(
+            "sum(case when late_us is not null then 1 else 0 end)"
+            " * 1000000L div count(*)"
+        ).alias("late_ppm"),
+    )
+
+
+_OUT_OF_ORDER_SQL = """
+    WITH ev AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(epoch_us(ts) AS BIGINT) AS us, event_id
+        FROM events
+    ),
+    flagged AS (
+        SELECT day,
+               CASE WHEN run_max IS NOT NULL AND us < run_max
+                    THEN run_max - us END AS late_us
+        FROM (SELECT day, us,
+                     max(us) OVER (PARTITION BY day ORDER BY event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS run_max
+              FROM ev)
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN late_us IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late,
+           CAST(COALESCE(max(late_us) // 1000000, 0) AS BIGINT)
+               AS max_lateness_s,
+           CAST(sum(CASE WHEN late_us IS NOT NULL THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS late_ppm
+    FROM flagged GROUP BY 1
+"""
+
+
+QUERIES_STATS.update({
+    "volume_guardrail": q_volume_guardrail,
+    "out_of_order_stats": q_out_of_order_stats,
+})
+ORACLES_STATS.update({
+    "volume_guardrail": _VOLUME_GUARDRAIL_SQL,
+    "out_of_order_stats": _OUT_OF_ORDER_SQL,
+})
