@@ -138,6 +138,7 @@ _NEW_R04 = frozenset({
     "incremental_variance", "median_of_medians",
     "udtf_demo", "quantile_accuracy",
     "volume_guardrail", "out_of_order_stats",
+    "user_accounting", "key_gaps",
 })
 
 

@@ -1555,3 +1555,172 @@ ORACLES_ANALYTICS.update({
     "top_decile_share": _TOP_DECILE_SQL,
     "audience_overlap": _AUDIENCE_OVERLAP_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# User growth accounting: every month's active customers classified
+# NEW / RETAINED / RESURRECTED by their own activity history, churn
+# charged to the month a previously-active customer went dark — the
+# standard MAU bridge, all from one distinct (month, customer) frame.
+# ---------------------------------------------------------------------------
+
+
+def q_user_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per month: active customers split into new / retained /
+    resurrected, plus how many of the PRIOR month's actives churned
+    (retained + churned = prior actives, the bridge identity)."""
+    orders = _t(spark, sf_dir, "orders")
+    active = orders.select(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("month"),
+        "o_custkey",
+    ).distinct()
+    succ = F.expr(
+        "case when month % 100 = 12 then month + 89 else month + 1 end"
+    )
+    w_u = Window.partitionBy("o_custkey").orderBy("month")
+    classified = active.select(
+        "month",
+        "o_custkey",
+        F.lag("month").over(w_u).alias("prev_seen"),
+        succ.alias("next_month"),
+    ).select(
+        "month",
+        F.when(F.col("prev_seen").isNull(), "new")
+        .when(
+            F.expr(
+                "case when prev_seen % 100 = 12 then prev_seen + 89"
+                " else prev_seen + 1 end"
+            )
+            == F.col("month"),
+            "retained",
+        )
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    counts = classified.groupBy("month").agg(
+        F.count("*").cast("bigint").alias("active"),
+        F.sum((F.col("state") == "new").cast("bigint")).alias("n_new"),
+        F.sum((F.col("state") == "retained").cast("bigint")).alias(
+            "n_retained"
+        ),
+        F.sum((F.col("state") == "resurrected").cast("bigint")).alias(
+            "n_resurrected"
+        ),
+    )
+    w_m = Window.orderBy("month")
+    return counts.select(
+        "month",
+        "active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        # churned INTO this month = prior month's actives − retained
+        F.when(
+            F.lag("active").over(w_m).isNotNull(),
+            F.lag("active").over(w_m) - F.col("n_retained"),
+        )
+        .cast("bigint")
+        .alias("n_churned"),
+    )
+
+
+_USER_ACCOUNTING_SQL = """
+    WITH active AS (
+        SELECT DISTINCT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                             AS INT) AS month,
+               o_custkey
+        FROM orders
+    ),
+    classified AS (
+        SELECT month,
+               CASE WHEN prev_seen IS NULL THEN 'new'
+                    WHEN (CASE WHEN prev_seen % 100 = 12 THEN prev_seen + 89
+                               ELSE prev_seen + 1 END) = month
+                        THEN 'retained'
+                    ELSE 'resurrected' END AS state
+        FROM (SELECT month, o_custkey,
+                     lag(month) OVER (PARTITION BY o_custkey
+                                      ORDER BY month) AS prev_seen
+              FROM active)
+    ),
+    counts AS (
+        SELECT month,
+               CAST(count(*) AS BIGINT) AS active,
+               CAST(sum(CASE WHEN state = 'new' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+               CAST(sum(CASE WHEN state = 'retained' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_retained,
+               CAST(sum(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_resurrected
+        FROM classified GROUP BY 1
+    )
+    SELECT month, active, n_new, n_retained, n_resurrected,
+           CAST(lag(active) OVER (ORDER BY month) - n_retained AS BIGINT)
+               AS n_churned
+    FROM counts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Key-sequence gap analysis: TPC-H order keys are deliberately sparse;
+# profile the holes (count, largest, density ppm) with one lag window
+# over the sorted key column.
+# ---------------------------------------------------------------------------
+
+
+def q_key_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: key count, span, number of gaps, largest gap, and key
+    density in ppm of the span — the sequence-integrity audit for
+    id-assigned tables."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+    w = Window.orderBy("o_orderkey")
+    gaps = orders.select(
+        "o_orderkey",
+        (F.col("o_orderkey") - F.lag("o_orderkey").over(w)).alias("step"),
+    )
+    return gaps.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        (F.max("o_orderkey") - F.min("o_orderkey") + 1)
+        .cast("bigint")
+        .alias("span"),
+        F.sum((F.col("step") > 1).cast("bigint")).alias("n_gaps"),
+        F.coalesce(F.max(F.when(F.col("step") > 1, F.col("step") - 1)),
+                   F.lit(0))
+        .cast("bigint")
+        .alias("largest_gap"),
+        F.expr(
+            "count(*) * 1000000L div (max(o_orderkey) - min(o_orderkey) + 1)"
+        ).alias("density_ppm"),
+    )
+
+
+_KEY_GAPS_SQL = """
+    WITH gaps AS (
+        SELECT o_orderkey,
+               o_orderkey - lag(o_orderkey) OVER (ORDER BY o_orderkey)
+                   AS step
+        FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(o_orderkey) - min(o_orderkey) + 1 AS BIGINT) AS span,
+           CAST(sum(CASE WHEN step > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gaps,
+           CAST(COALESCE(max(CASE WHEN step > 1 THEN step - 1 END), 0)
+                AS BIGINT) AS largest_gap,
+           CAST(count(*) * 1000000
+                // (max(o_orderkey) - min(o_orderkey) + 1) AS BIGINT)
+               AS density_ppm
+    FROM gaps
+"""
+
+
+QUERIES_ANALYTICS.update({
+    "user_accounting": q_user_accounting,
+    "key_gaps": q_key_gaps,
+})
+ORACLES_ANALYTICS.update({
+    "user_accounting": _USER_ACCOUNTING_SQL,
+    "key_gaps": _KEY_GAPS_SQL,
+})
