@@ -139,6 +139,7 @@ _NEW_R04 = frozenset({
     "udtf_demo", "quantile_accuracy",
     "volume_guardrail", "out_of_order_stats",
     "user_accounting", "key_gaps",
+    "eb_shrinkage", "debounce_events",
 })
 
 

@@ -3192,3 +3192,132 @@ ORACLES_STATS.update({
     "volume_guardrail": _VOLUME_GUARDRAIL_SQL,
     "out_of_order_stats": _OUT_OF_ORDER_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes shrinkage of per-nation mean balances toward the
+# global mean with weight n/(n+λ) — the smoothing every per-group
+# estimate (target encoding, small-cell rates) should get; exact
+# integer blend of milli-quantized means.
+# ---------------------------------------------------------------------------
+
+_EB_LAMBDA = 50
+
+
+def q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation: raw mean balance (milli-cents), the λ=50 shrunk
+    mean (n·raw + λ·global) div (n+λ), and the shrink weight in ppm."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    per_n = cust.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("s")
+    )
+    w_all = Window.partitionBy()
+    with_g = per_n.select(
+        "c_nationkey",
+        "n",
+        F.expr("s * 1000L div n").alias("raw_milli"),
+        F.expr(
+            "sum(s) over () * 1000L div sum(n) over ()"
+        ).alias("global_milli"),
+    )
+    return with_g.select(
+        "c_nationkey",
+        F.col("n").cast("bigint").alias("n_customers"),
+        "raw_milli",
+        F.expr(
+            f"(n * raw_milli + {_EB_LAMBDA}L * global_milli)"
+            f" div (n + {_EB_LAMBDA})"
+        ).alias("shrunk_milli"),
+        F.expr(f"n * 1000000L div (n + {_EB_LAMBDA})").alias("weight_ppm"),
+    )
+
+
+_EB_SHRINKAGE_SQL = f"""
+    WITH per_n AS (
+        SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS s
+        FROM customer GROUP BY 1
+    ),
+    with_g AS (
+        SELECT c_nationkey, n,
+               s * 1000 // n AS raw_milli,
+               sum(s) OVER () * 1000 // sum(n) OVER () AS global_milli
+        FROM per_n
+    )
+    SELECT c_nationkey, n AS n_customers,
+           CAST(raw_milli AS BIGINT) AS raw_milli,
+           CAST((n * raw_milli + {_EB_LAMBDA} * global_milli)
+                // (n + {_EB_LAMBDA}) AS BIGINT) AS shrunk_milli,
+           CAST(n * 1000000 // (n + {_EB_LAMBDA}) AS BIGINT) AS weight_ppm
+    FROM with_g
+"""
+
+
+# ---------------------------------------------------------------------------
+# Debounce: suppress repeat events of the same (user, type) within a
+# 10-minute burst (keep the burst's FIRST event) — gaps-and-islands on
+# the inter-arrival gap; reports kept/dropped per type.
+# ---------------------------------------------------------------------------
+
+
+def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: events kept after 10-minute same-(user, type)
+    debouncing, events dropped, and the drop share ppm."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts",
+                                            "event_id")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    flagged = ev.select(
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                >= 600 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("keep"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.sum("keep").cast("bigint").alias("n_kept"),
+        F.sum(1 - F.col("keep")).cast("bigint").alias("n_dropped"),
+        F.expr(
+            "sum(1 - keep) * 1000000L div count(*)"
+        ).alias("drop_ppm"),
+    )
+
+
+_DEBOUNCE_SQL = """
+    WITH flagged AS (
+        SELECT event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                        >= 600 * 1000000::BIGINT
+                    THEN 1 ELSE 0 END AS keep
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           CAST(sum(keep) AS BIGINT) AS n_kept,
+           CAST(sum(1 - keep) AS BIGINT) AS n_dropped,
+           CAST(sum(1 - keep) * 1000000 // count(*) AS BIGINT) AS drop_ppm
+    FROM flagged GROUP BY 1
+"""
+
+
+QUERIES_STATS.update({
+    "eb_shrinkage": q_eb_shrinkage,
+    "debounce_events": q_debounce_events,
+})
+ORACLES_STATS.update({
+    "eb_shrinkage": _EB_SHRINKAGE_SQL,
+    "debounce_events": _DEBOUNCE_SQL,
+})
