@@ -140,6 +140,7 @@ _NEW_R04 = frozenset({
     "volume_guardrail", "out_of_order_stats",
     "user_accounting", "key_gaps",
     "eb_shrinkage", "debounce_events",
+    "wavelet_energy", "cohort_ltv",
 })
 
 

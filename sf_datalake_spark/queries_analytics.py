@@ -1724,3 +1724,76 @@ ORACLES_ANALYTICS.update({
     "user_accounting": _USER_ACCOUNTING_SQL,
     "key_gaps": _KEY_GAPS_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve: cumulative revenue per acquisition cohort by
+# month-age, normalized per cohort customer — exact milli-cents.
+# ---------------------------------------------------------------------------
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (acquisition cohort month, age in months): cohort size,
+    cumulative revenue cents, and cumulative LTV per customer in
+    milli-cents — the spend-side twin of cohort_retention."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    first = orders.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    sized = first.groupBy("m0").agg(F.count("*").alias("cohort_size"))
+    aged = (
+        orders.join(first, "o_custkey")
+        .groupBy("m0", (F.col("m") - F.col("m0")).alias("age"))
+        .agg(F.sum("cents").alias("rev"))
+    )
+    w_cum = (
+        Window.partitionBy("m0")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        aged.join(sized, "m0")
+        .select(
+            F.col("m0").alias("cohort_month_idx"),
+            "age",
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            F.sum("rev").over(w_cum).cast("bigint").alias("cum_rev_cents"),
+        )
+        .withColumn(
+            "ltv_milli",
+            F.expr("cum_rev_cents * 1000L div cohort_size"),
+        )
+    )
+
+
+_COHORT_LTV_SQL = """
+    WITH orders_m AS (
+        SELECT o_custkey,
+               year(o_orderdate) * 12 + month(o_orderdate) AS m,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    first AS (SELECT o_custkey, min(m) AS m0 FROM orders_m GROUP BY 1),
+    sized AS (SELECT m0, CAST(count(*) AS BIGINT) AS cohort_size
+              FROM first GROUP BY 1),
+    aged AS (
+        SELECT f.m0, o.m - f.m0 AS age, CAST(sum(o.cents) AS BIGINT) AS rev
+        FROM orders_m o JOIN first f USING (o_custkey)
+        GROUP BY 1, 2
+    )
+    SELECT CAST(a.m0 AS BIGINT) AS cohort_month_idx, a.age,
+           s.cohort_size,
+           CAST(sum(a.rev) OVER (PARTITION BY a.m0 ORDER BY a.age
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_rev_cents,
+           CAST(sum(a.rev) OVER (PARTITION BY a.m0 ORDER BY a.age
+                                 ROWS UNBOUNDED PRECEDING)
+                * 1000 // s.cohort_size AS BIGINT) AS ltv_milli
+    FROM aged a JOIN sized s USING (m0)
+"""
+
+
+QUERIES_ANALYTICS.update({"cohort_ltv": q_cohort_ltv})
+ORACLES_ANALYTICS.update({"cohort_ltv": _COHORT_LTV_SQL})

@@ -3321,3 +3321,117 @@ ORACLES_STATS.update({
     "eb_shrinkage": _EB_SHRINKAGE_SQL,
     "debounce_events": _DEBOUNCE_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet energy of the monthly revenue series (3 dyadic levels):
+# pair-difference details computed by (rank div 2) self-grouping —
+# exact kilo-dollar integers, energy = Σ detail² per level. The
+# multi-resolution twin of the seasonal/trend decompositions: energy
+# concentrated at level 1 = month-to-month noise, at level 3 =
+# quarter-scale structure.
+# ---------------------------------------------------------------------------
+
+
+def q_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per priority: Haar detail energy at dyadic levels 1-3 of the
+    monthly revenue series in kilo-dollars (odd tail months dropped
+    per level, the standard truncation)."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_orderpriority",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("month"),
+    ).agg(
+        F.expr(
+            "sum(cast(round(o_totalprice) as bigint)) div 1000"
+        ).alias("v")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    lvl = monthly.select(
+        "o_orderpriority",
+        "month",
+        "v",
+        (F.row_number().over(w) - 1).alias("idx"),
+    )
+    out = None
+    cur = lvl
+    for level in (1, 2, 3):
+        paired = cur.groupBy(
+            "o_orderpriority", F.expr("idx div 2").alias("pidx")
+        ).agg(
+            F.count("*").alias("k"),
+            F.min(F.struct("idx", "v")).alias("lo"),
+            F.max(F.struct("idx", "v")).alias("hi"),
+        ).filter(F.col("k") == 2)
+        details = paired.select(
+            "o_orderpriority",
+            F.col("pidx").alias("idx"),
+            (F.col("lo.v") + F.col("hi.v")).alias("v"),  # 2×average carry
+            (F.col("lo.v") - F.col("hi.v")).alias("d"),
+        )
+        energy = details.groupBy("o_orderpriority").agg(
+            F.sum(F.col("d") * F.col("d")).cast("bigint").alias(
+                f"energy_l{level}"
+            )
+        )
+        out = energy if out is None else out.join(
+            energy, "o_orderpriority", "left"
+        )
+        cur = details.select("o_orderpriority", "idx", "v")
+    return out
+
+
+_WAVELET_SQL = """
+    WITH monthly AS (
+        SELECT o_orderpriority,
+               CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT)
+                   AS month,
+               CAST(sum(CAST(round(o_totalprice) AS BIGINT)) // 1000
+                    AS BIGINT) AS v
+        FROM orders GROUP BY 1, 2
+    ),
+    l0 AS (
+        SELECT o_orderpriority, v,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY month) - 1 AS idx
+        FROM monthly
+    ),
+    p1 AS (
+        SELECT o_orderpriority, idx // 2 AS idx,
+               min(CASE WHEN idx % 2 = 0 THEN v END)
+                   + min(CASE WHEN idx % 2 = 1 THEN v END) AS v,
+               min(CASE WHEN idx % 2 = 0 THEN v END)
+                   - min(CASE WHEN idx % 2 = 1 THEN v END) AS d
+        FROM l0 GROUP BY 1, 2 HAVING count(*) = 2
+    ),
+    p2 AS (
+        SELECT o_orderpriority, idx // 2 AS idx,
+               min(CASE WHEN idx % 2 = 0 THEN v END)
+                   + min(CASE WHEN idx % 2 = 1 THEN v END) AS v,
+               min(CASE WHEN idx % 2 = 0 THEN v END)
+                   - min(CASE WHEN idx % 2 = 1 THEN v END) AS d
+        FROM p1 GROUP BY 1, 2 HAVING count(*) = 2
+    ),
+    p3 AS (
+        SELECT o_orderpriority, idx // 2 AS idx,
+               min(CASE WHEN idx % 2 = 0 THEN v END)
+                   - min(CASE WHEN idx % 2 = 1 THEN v END) AS d
+        FROM p2 GROUP BY 1, 2 HAVING count(*) = 2
+    )
+    SELECT e1.o_orderpriority,
+           e1.energy_l1, e2.energy_l2, e3.energy_l3
+    FROM (SELECT o_orderpriority, CAST(sum(d * d) AS BIGINT) AS energy_l1
+          FROM p1 GROUP BY 1) e1
+    LEFT JOIN (SELECT o_orderpriority,
+                      CAST(sum(d * d) AS BIGINT) AS energy_l2
+               FROM p2 GROUP BY 1) e2 USING (o_orderpriority)
+    LEFT JOIN (SELECT o_orderpriority,
+                      CAST(sum(d * d) AS BIGINT) AS energy_l3
+               FROM p3 GROUP BY 1) e3 USING (o_orderpriority)
+"""
+
+
+QUERIES_STATS.update({"wavelet_energy": q_wavelet_energy})
+ORACLES_STATS.update({"wavelet_energy": _WAVELET_SQL})
