@@ -141,6 +141,7 @@ _NEW_R04 = frozenset({
     "user_accounting", "key_gaps",
     "eb_shrinkage", "debounce_events",
     "wavelet_energy", "cohort_ltv",
+    "sla_trend", "borda_scorecard",
 })
 
 

@@ -1797,3 +1797,200 @@ _COHORT_LTV_SQL = """
 
 QUERIES_ANALYTICS.update({"cohort_ltv": q_cohort_ltv})
 ORACLES_ANALYTICS.update({"cohort_ltv": _COHORT_LTV_SQL})
+
+
+# ---------------------------------------------------------------------------
+# SLA trend: exact p50/p90 order→ship latency per month via the
+# per-value histogram (latency days ≤ ~122 distinct values — the
+# window state is the histogram, never the rows).
+# ---------------------------------------------------------------------------
+
+
+def q_sla_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order month: orders and the exact nearest-rank p50/p90 of
+    order→first-ship latency in days (weighted-quantile reach test in
+    integer cross-multiplied form)."""
+    from sf_datalake_spark.operators.aggregates import weighted_quantiles
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("month"),
+    )
+    li = _t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    lat = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        "month",
+        F.datediff("first_ship", "o_orderdate").cast("long").alias("days"),
+        F.lit(1).cast("long").alias("w"),
+    )
+    q = weighted_quantiles(
+        lat, ["month"], "days", "w", quantiles=((1, 2), (9, 10))
+    )
+    return q.select(
+        "month",
+        F.col("total_weight").cast("bigint").alias("n_orders"),
+        F.col("q_1_2").cast("bigint").alias("p50_days"),
+        F.col("q_9_10").cast("bigint").alias("p90_days"),
+    )
+
+
+_SLA_TREND_SQL = """
+    WITH lat AS (
+        SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT)
+                   AS month,
+               date_diff('day', o_orderdate, fs) AS days
+        FROM orders JOIN (SELECT l_orderkey, min(l_shipdate) AS fs
+                          FROM lineitem GROUP BY 1) l
+          ON o_orderkey = l_orderkey
+    ),
+    per_value AS (
+        SELECT month, days, CAST(count(*) AS BIGINT) AS w
+        FROM lat GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT month, days,
+               sum(w) OVER (PARTITION BY month ORDER BY days
+                            ROWS UNBOUNDED PRECEDING) AS c,
+               sum(w) OVER (PARTITION BY month) AS tot
+        FROM per_value
+    )
+    SELECT month,
+           CAST(max(tot) AS BIGINT) AS n_orders,
+           CAST(min(CASE WHEN c * 2 >= tot THEN days END) AS BIGINT)
+               AS p50_days,
+           CAST(min(CASE WHEN c * 10 >= tot * 9 THEN days END) AS BIGINT)
+               AS p90_days
+    FROM cum GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Borda composite scorecard: nations ranked on three exact metrics
+# (revenue, active customers, latest-year growth), Borda points
+# summed, final rank — rank aggregation with no weights to tune and
+# no float anywhere.
+# ---------------------------------------------------------------------------
+
+
+def q_borda_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation: the three metric ranks, the Borda score (sum of
+    (N − rank) points), and the final composite rank (Borda desc,
+    nation asc)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.year("o_orderdate").alias("y"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    w_y = Window.partitionBy()
+    per_nat = j.groupBy("c_nationkey").agg(
+        F.sum("cents").alias("revenue_cents"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(F.when(F.col("y") == 1998, F.col("cents")).otherwise(0)).alias(
+            "rev_last"
+        ),
+        F.sum(F.when(F.col("y") == 1997, F.col("cents")).otherwise(0)).alias(
+            "rev_prev"
+        ),
+    ).withColumn(
+        # growth ppm of the latest full-ish year pair, -1e12 sentinel
+        # when the base year is empty (ranks last, deterministically)
+        "growth_ppm",
+        F.when(
+            F.col("rev_prev") > 0,
+            F.expr("(rev_last - rev_prev) * 1000000L div rev_prev"),
+        ).otherwise(F.lit(-1_000_000_000_000)),
+    )
+    r_rev = Window.orderBy(
+        F.col("revenue_cents").desc(), F.col("c_nationkey").asc()
+    )
+    r_cust = Window.orderBy(
+        F.col("n_customers").desc(), F.col("c_nationkey").asc()
+    )
+    r_gro = Window.orderBy(
+        F.col("growth_ppm").desc(), F.col("c_nationkey").asc()
+    )
+    ranked = per_nat.select(
+        "c_nationkey",
+        F.row_number().over(r_rev).alias("rank_revenue"),
+        F.row_number().over(r_cust).alias("rank_customers"),
+        F.row_number().over(r_gro).alias("rank_growth"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    scored = ranked.withColumn(
+        "borda",
+        F.expr(
+            "(n - rank_revenue) + (n - rank_customers) + (n - rank_growth)"
+        ).cast("bigint"),
+    )
+    w_final = Window.orderBy(F.col("borda").desc(), F.col("c_nationkey").asc())
+    return scored.select(
+        "c_nationkey",
+        F.col("rank_revenue").cast("int"),
+        F.col("rank_customers").cast("int"),
+        F.col("rank_growth").cast("int"),
+        "borda",
+        F.row_number().over(w_final).cast("int").alias("final_rank"),
+    )
+
+
+_BORDA_SQL = """
+    WITH per_nat AS (
+        SELECT c_nationkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               CAST(sum(CASE WHEN year(o_orderdate) = 1998
+                             THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS rev_last,
+               CAST(sum(CASE WHEN year(o_orderdate) = 1997
+                             THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS rev_prev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    ),
+    g AS (
+        SELECT *,
+               CASE WHEN rev_prev > 0
+                    THEN (rev_last - rev_prev) * 1000000 // rev_prev
+                    ELSE -1000000000000 END AS growth_ppm
+        FROM per_nat
+    ),
+    ranked AS (
+        SELECT c_nationkey,
+               row_number() OVER (ORDER BY revenue_cents DESC,
+                                  c_nationkey ASC) AS rank_revenue,
+               row_number() OVER (ORDER BY n_customers DESC,
+                                  c_nationkey ASC) AS rank_customers,
+               row_number() OVER (ORDER BY growth_ppm DESC,
+                                  c_nationkey ASC) AS rank_growth,
+               count(*) OVER () AS n
+        FROM g
+    )
+    SELECT c_nationkey,
+           CAST(rank_revenue AS INT) AS rank_revenue,
+           CAST(rank_customers AS INT) AS rank_customers,
+           CAST(rank_growth AS INT) AS rank_growth,
+           CAST((n - rank_revenue) + (n - rank_customers)
+                + (n - rank_growth) AS BIGINT) AS borda,
+           CAST(row_number() OVER (
+               ORDER BY (n - rank_revenue) + (n - rank_customers)
+                        + (n - rank_growth) DESC,
+                        c_nationkey ASC) AS INT) AS final_rank
+    FROM ranked
+"""
+
+
+QUERIES_ANALYTICS.update({
+    "sla_trend": q_sla_trend,
+    "borda_scorecard": q_borda_scorecard,
+})
+ORACLES_ANALYTICS.update({
+    "sla_trend": _SLA_TREND_SQL,
+    "borda_scorecard": _BORDA_SQL,
+})
