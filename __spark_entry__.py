@@ -142,6 +142,7 @@ _NEW_R04 = frozenset({
     "eb_shrinkage", "debounce_events",
     "wavelet_energy", "cohort_ltv",
     "sla_trend", "borda_scorecard",
+    "distributed_rank",
 })
 
 

@@ -269,3 +269,71 @@ def dedup_by_rank(
         .filter(F.col("__rank") == 1)
         .drop("__rank")
     )
+
+
+def global_rank_two_pass(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    rank_col: str = "global_rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT dense global row-number over ``order_cols`` (a total
+    order — include a tiebreak key) WITHOUT a single-partition sort:
+    the classic two-pass range-partitioned rank.
+
+    Pass 1: ``repartitionByRange`` on the order columns (Spark samples
+    range boundaries), then count rows per physical partition — a
+    ``spark_partition_id`` groupBy whose result is ONE ROW PER
+    PARTITION, collected to the driver (hundreds of scalars at any
+    scale).  Pass 2: each partition sorts locally (the window below
+    partitions BY the physical partition id, so its state is one
+    range slice) and adds its precomputed offset.
+
+    This is the operator the exact-percentile / quantile_summary notes
+    point to for the 10⁹+-row path: wall-clock is one range exchange +
+    local sorts, vs the unpartitionable ``row_number() OVER ()`` whose
+    single reducer owns the entire table.
+
+    The range boundaries Spark samples are NOT deterministic across
+    runs — but the OUTPUT is: ranks depend only on the total order,
+    not where the cuts fall (asserted by the oracle gate against
+    ``row_number() OVER ()``).
+    """
+    from pyspark.sql import Window
+
+    parts = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    ranged = (
+        df.repartitionByRange(int(parts), *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        # PIN the partitioning: repartitionByRange RE-SAMPLES its
+        # boundaries on every action, so without severing lineage the
+        # offset pass and the rank pass could see DIFFERENT cuts and
+        # silently mis-rank (caught by the oracle gate at sf0.01).
+        # On a cluster use reliable checkpoint()/persist-to-disk.
+        .localCheckpoint(eager=True)
+    )
+    # tiny: one row per partition
+    counts = {
+        r["__pid"]: r["n"]
+        for r in ranged.groupBy("__pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(p, o) for p, o in offsets.items()], "__pid int, __off bigint"
+        )
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        ranged.join(off_df, "__pid")
+        .withColumn(
+            rank_col,
+            (F.row_number().over(w_local) + F.col("__off")).cast("bigint"),
+        )
+        .drop("__pid", "__off")
+    )

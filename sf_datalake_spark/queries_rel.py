@@ -1457,3 +1457,42 @@ _QUANTILE_ACCURACY_SQL = """
 
 QUERIES_REL.update({"quantile_accuracy": q_quantile_accuracy})
 ORACLES_REL.update({"quantile_accuracy": _QUANTILE_ACCURACY_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Exact global rank at scale: the two-pass range-partitioned
+# row-number (operators/windows.global_rank_two_pass) vs the oracle's
+# single-reducer row_number() OVER () — identical ranks, divergent
+# execution models; this is the operator quantile_summary's 100 TB
+# note points to.
+# ---------------------------------------------------------------------------
+
+
+def q_distributed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every order's exact global rank by (price cents, orderkey) via
+    range-partitioned local sorts + per-partition offsets (driver
+    traffic = one scalar per partition); sampled range cuts move
+    between runs, the RANKS never do."""
+    from sf_datalake_spark.operators.windows import global_rank_two_pass
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return global_rank_two_pass(orders, ["cents", "o_orderkey"]).select(
+        "o_orderkey", "cents", "global_rank"
+    )
+
+
+_DISTRIBUTED_RANK_SQL = """
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           CAST(row_number() OVER (
+               ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                        o_orderkey) AS BIGINT) AS global_rank
+    FROM orders
+"""
+
+
+QUERIES_REL.update({"distributed_rank": q_distributed_rank})
+ORACLES_REL.update({"distributed_rank": _DISTRIBUTED_RANK_SQL})

@@ -172,3 +172,28 @@ def test_ewma_deep_panel_stays_finite(spark):
     assert len(vals) == 1100
     assert all(v is not None and math.isfinite(v) for v in vals)
     assert all(abs(v - 1.0) < 1e-12 for v in vals)  # constant series
+
+
+def test_global_rank_two_pass_matches_single_sort(spark):
+    from pyspark.sql import Window, functions as F
+
+    from sf_datalake_spark.operators.windows import global_rank_two_pass
+
+    df = spark.range(0, 500).select(
+        F.col("id"),
+        (F.col("id") * 37 % 101).alias("v"),  # ties + scrambled order
+    )
+    got = {
+        r["id"]: r["global_rank"]
+        for r in global_rank_two_pass(
+            df, ["v", "id"], num_partitions=7
+        ).collect()
+    }
+    ref = {
+        r["id"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    assert got == ref
+    assert sorted(got.values()) == list(range(1, 501))  # dense, complete
