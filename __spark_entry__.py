@@ -45,9 +45,12 @@ ORACLES = {**ORACLES, **ORACLES_EXT, **ORACLES_REL, **ORACLES_CORPUS,
 # The driver caps correctness snapshots at the first 50 registry
 # entries, so we rotate: queries it has never checked go first (oracled
 # ones ahead of rows-only ones), previously-attested ones last.  The
-# union of driver snapshots r01..r04 then covers ≥150/158; the ≤9
-# stragglers that miss r04's cap are named in README with their
-# local-gate status.
+# union of driver snapshots r01..r04 then covers 150 of the 301
+# registry entries; the 151 that miss r04's cap (the mid-round-4
+# additions in _NEW_R04 below plus the rows-only set) are enumerated
+# in README with their local strict-gate status, and rotate into the
+# r05+ windows (round 5: fold r04's snapshot into _ATTESTED and rename
+# _NEW_R04's role).
 _ATTESTED = frozenset({
     "alert_levels", "anova_f", "anti_join_inactive", "array_functions",
     "asof_backward", "asof_forward", "asof_nearest", "bpe_tokens",
