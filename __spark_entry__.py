@@ -45,8 +45,8 @@ ORACLES = {**ORACLES, **ORACLES_EXT, **ORACLES_REL, **ORACLES_CORPUS,
 # The driver caps correctness snapshots at the first 50 registry
 # entries, so we rotate: queries it has never checked go first (oracled
 # ones ahead of rows-only ones), previously-attested ones last.  The
-# union of driver snapshots r01..r04 then covers 150 of the 301
-# registry entries; the 151 that miss r04's cap (the mid-round-4
+# union of driver snapshots r01..r04 then covers 150 of the 303
+# registry entries; the 153 that miss r04's cap (the mid-round-4
 # additions in _NEW_R04 below plus the rows-only set) are enumerated
 # in README with their local strict-gate status, and rotate into the
 # r05+ windows (round 5: fold r04's snapshot into _ATTESTED and rename
@@ -146,6 +146,7 @@ _NEW_R04 = frozenset({
     "wavelet_energy", "cohort_ltv",
     "sla_trend", "borda_scorecard",
     "distributed_rank",
+    "pareto_8020", "repeat_purchase",
 })
 
 

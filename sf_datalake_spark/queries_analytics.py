@@ -1994,3 +1994,193 @@ ORACLES_ANALYTICS.update({
     "sla_trend": _SLA_TREND_SQL,
     "borda_scorecard": _BORDA_SQL,
 })
+
+
+# ---------------------------------------------------------------------------
+# Pareto 80/20: the smallest customer head covering >= 80% of revenue,
+# per nation — cumulative cross-multiplication, no float shares.
+# ---------------------------------------------------------------------------
+
+
+def q_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation: customers, the minimal top-k whose revenue reaches
+    80% (cum·5 ≥ tot·4), and that head's size in ppm of the base."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    per_cust = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev"
+            )
+        )
+    )
+    w_rank = Window.partitionBy("c_nationkey").orderBy(
+        F.col("rev").desc(), F.col("c_custkey").asc()
+    )
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_nat = Window.partitionBy("c_nationkey")
+    ranked = per_cust.select(
+        "c_nationkey",
+        F.row_number().over(w_rank).alias("rnk"),
+        F.sum("rev").over(w_cum).alias("cum"),
+        F.sum("rev").over(w_nat).alias("tot"),
+        F.count("*").over(w_nat).alias("n"),
+    )
+    return (
+        ranked.filter(F.col("cum") * 5 >= F.col("tot") * 4)
+        .groupBy("c_nationkey")
+        .agg(
+            F.max("n").cast("bigint").alias("n_customers"),
+            F.min("rnk").cast("bigint").alias("head_k"),
+            F.expr("min(rnk) * 1000000L div max(n)").alias("head_ppm"),
+        )
+    )
+
+
+_PARETO_8020_SQL = """
+    WITH per_cust AS (
+        SELECT c_nationkey, c_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT c_nationkey,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY rev DESC, c_custkey ASC) AS rnk,
+               sum(rev) OVER (PARTITION BY c_nationkey
+                              ORDER BY rev DESC, c_custkey ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(rev) OVER (PARTITION BY c_nationkey) AS tot,
+               count(*) OVER (PARTITION BY c_nationkey) AS n
+        FROM per_cust
+    )
+    SELECT c_nationkey,
+           CAST(max(n) AS BIGINT) AS n_customers,
+           CAST(min(rnk) AS BIGINT) AS head_k,
+           CAST(min(rnk) * 1000000 // max(n) AS BIGINT) AS head_ppm
+    FROM ranked WHERE cum * 5 >= tot * 4
+    GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase KPIs: repeat share and exact median inter-order gap
+# per segment (gap histogram via the weighted-quantile reach test).
+# ---------------------------------------------------------------------------
+
+
+def q_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per segment: customers, repeat share ppm (>= 2 orders), and the
+    exact median days between consecutive orders."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w_u = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select(
+            "o_custkey",
+            F.datediff(
+                "o_orderdate", F.lag("o_orderdate").over(w_u)
+            ).alias("gap"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    counts = (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.expr(
+                "sum(case when n_orders >= 2 then 1 else 0 end)"
+                " * 1000000L div count(*)"
+            ).alias("repeat_ppm"),
+        )
+    )
+    per_gap = (
+        gaps.filter(F.col("gap").isNotNull())
+        .groupBy("c_mktsegment", "gap")
+        .agg(F.count("*").alias("w"))
+    )
+    w_cum = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("gap")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_seg = Window.partitionBy("c_mktsegment")
+    med = (
+        per_gap.select(
+            "c_mktsegment",
+            "gap",
+            F.sum("w").over(w_cum).alias("c"),
+            F.sum("w").over(w_seg).alias("tot"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.min(
+                F.when(F.col("c") * 2 >= F.col("tot"), F.col("gap"))
+            )
+            .cast("bigint")
+            .alias("median_gap_days")
+        )
+    )
+    return counts.join(med, "c_mktsegment")
+
+
+_REPEAT_PURCHASE_SQL = """
+    WITH counts AS (
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                    * 1000000 // count(*) AS BIGINT) AS repeat_ppm
+        FROM (SELECT o_custkey, count(*) AS n_orders
+              FROM orders GROUP BY 1) o
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    ),
+    gaps AS (
+        SELECT c_mktsegment,
+               date_diff('day',
+                         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate,
+                                                         o_orderkey),
+                         o_orderdate) AS gap
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    per_gap AS (
+        SELECT c_mktsegment, gap, CAST(count(*) AS BIGINT) AS w
+        FROM gaps WHERE gap IS NOT NULL GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT c_mktsegment, gap,
+               sum(w) OVER (PARTITION BY c_mktsegment ORDER BY gap
+                            ROWS UNBOUNDED PRECEDING) AS c,
+               sum(w) OVER (PARTITION BY c_mktsegment) AS tot
+        FROM per_gap
+    ),
+    med AS (
+        SELECT c_mktsegment,
+               CAST(min(CASE WHEN c * 2 >= tot THEN gap END) AS BIGINT)
+                   AS median_gap_days
+        FROM cum GROUP BY 1
+    )
+    SELECT counts.c_mktsegment, counts.n_customers, counts.repeat_ppm,
+           med.median_gap_days
+    FROM counts JOIN med USING (c_mktsegment)
+"""
+
+
+QUERIES_ANALYTICS.update({
+    "pareto_8020": q_pareto_8020,
+    "repeat_purchase": q_repeat_purchase,
+})
+ORACLES_ANALYTICS.update({
+    "pareto_8020": _PARETO_8020_SQL,
+    "repeat_purchase": _REPEAT_PURCHASE_SQL,
+})
