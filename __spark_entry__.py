@@ -39,129 +39,75 @@ ORACLES = {**ORACLES, **ORACLES_EXT, **ORACLES_REL, **ORACLES_CORPUS,
            **ORACLES_SKETCH, **ORACLES_TPCH, **ORACLES_ANALYTICS,
            **ORACLES_MINING, **ORACLES_STATS, **ORACLES_GRAPH, **ORACLES_PREP}
 
-# Names already green in a driver CORRECTNESS snapshot (union of
-# r01 ∪ r02 ∪ r03, 100 names — minus merge_upsert, r03's one hash-fail,
-# which rotates back to the FRONT so the driver re-attests its fix).
-# The driver caps correctness snapshots at the first 50 registry
-# entries, so we rotate: queries it has never checked go first (oracled
-# ones ahead of rows-only ones), previously-attested ones last.  The
-# union of driver snapshots r01..r04 then covers 150 of the 303
-# registry entries; the 153 that miss r04's cap (the mid-round-4
-# additions in _NEW_R04 below plus the rows-only set) are enumerated
-# in README with their local strict-gate status, and rotate into the
-# r05+ windows (round 5: fold r04's snapshot into _ATTESTED and rename
-# _NEW_R04's role).
-_ATTESTED = frozenset({
-    "alert_levels", "anova_f", "anti_join_inactive", "array_functions",
-    "asof_backward", "asof_forward", "asof_nearest", "bpe_tokens",
-    "brand_supplier_counts", "bucketed_join", "clip_values",
-    "confusion_matrix", "constraint_check", "correlation_matrix",
-    "cube_revenue", "cumulative_revenue", "customer_order_distribution",
-    "daily_ffill", "daily_interpolation", "date_arithmetic",
-    "dedup_clusters", "dedup_keep_best", "dedup_resolution",
-    "distinct_counts", "edit_distance", "embedding_topk",
-    "embedding_topk_sharded", "ewma_revenue", "exact_dedup",
-    "explode_positions", "extract_job", "filter_battery", "fingerprint",
-    "forecast_revenue_change", "grouping_sets", "hash_split",
-    "imputer_mean", "incremental_dedup", "interval_union", "json_extract",
-    "key_aggregate", "language_id", "late_shipment_priority",
-    "lateral_topk", "min_cost_supplier", "minhash_lsh_pairs",
-    "minhash_signature", "monthly_panel", "multimodal_meta",
-    "ngram_jaccard", "ngram_jaccard_capped", "null_counts",
-    "null_safe_join", "outer_join_activity", "panel_diff", "panel_lag",
-    "panel_moving_avg", "pca_projection", "pivot_priority",
-    "prediction_writer", "pricing_summary", "psi_drift", "quality_score",
-    "quantile_summary", "range_join_months", "revenue_by_nation",
-    "revenue_deciles", "rolling_7day", "rollup_revenue",
-    "salted_join_check", "salted_supplier_agg", "scd2_track",
-    "semi_join_active", "semi_range_join", "sessionize", "set_ops",
-    "simhash", "simhash_pairs", "small_quantity_revenue",
-    "spread_over_months", "stream_static_join", "stream_stream_join",
-    "streaming_dedup", "streaming_sessions", "streaming_upsert",
-    "streaming_windowed", "string_functions", "supplier_stats",
-    "table_profile", "target_variable", "tfidf_topk",
-    "threshold_histogram", "token_stats", "top_unshipped_orders",
-    "triangle_stats", "variant_extract", "window_battery",
-    "write_roundtrip", "zorder_key",
-})
+# Attestation ledger — DERIVED, not hand-maintained.  The driver caps
+# each round's CORRECTNESS snapshot at the first 50 registry entries,
+# so we rotate: names it has never checked go first (oracled ones ahead
+# of rows-only ones), previously-attested names last.  "Attested" is
+# computed from the committed CORRECTNESS_r*.json files themselves: a
+# name is attested iff its LATEST driver snapshot is green (hash-green
+# for oracled entries; executed with a row count for rows-only
+# `no_oracle` entries).  A name whose latest snapshot is red rotates
+# back to the FRONT for re-attestation.  This replaces the r01–r04
+# hand-maintained frozenset, whose README mirror drifted (round-4
+# verdict, "What's wrong" #1) — now the snapshots ARE the ledger.
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
-#: queries added mid-round-4 (after the VERDICT snapshot): they yield
-#: attestation priority to the older never-attested entries the round-3
-#: judge explicitly asked to front, and rotate into round 5's window.
-_NEW_R04 = frozenset({
-    "exact_substring_spans", "exact_substring_removal", "bloom_prefilter",
-    "winnowing_fingerprints", "winnow_overlap_pairs", "lm_perplexity_score",
-    "centroid_assignment", "bpe_merges", "streaming_bloom_gate",
-    "volume_shipping", "product_type_profit", "returned_item_report",
-    "incremental_winnow", "streaming_kll_quantiles",
-    "bm25_search", "funnel_conversion", "cohort_retention",
-    "frequent_pairs", "event_transitions", "rfm_segments",
-    "session_paths", "streaming_transitions", "holt_forecast",
-    "cusum_alarms", "streaming_exact_k", "equidepth_buckets",
-    "incremental_join",
-    "ssjoin_exact", "scd2_dimension", "pareto_parts", "pareto_parts_3d",
-    "acf_revenue", "benford_profile", "mad_outlier_days",
-    "scd2_pit_join", "streaming_scd2", "k_core_parts",
-    "table_diff", "fk_violations", "ks_drift", "isotonic_trend",
-    "phrase_search", "linear_attribution", "streaming_skyline",
-    "ann_int8_topk", "cross_source_overlap", "robust_trend",
-    "skew_report", "join_size_estimate", "core_decomposition",
-    "association_metrics", "ab_test", "position_attribution",
-    "capped_balance", "tv_distance", "concentration_metrics",
-    "seasonality_index", "km_survival",
-    "pettitt_changepoint", "weighted_median", "bitmap_distinct",
-    "decay_attribution", "nelson_aalen", "vocab_coverage", "rrf_fusion",
-    "containment_screen", "readability_scores", "seasonal_decomposition",
-    "time_to_convert", "streaming_bitmap_distinct",
-    "seasonal_anomaly", "trimmed_stats", "hierarchy_shares",
-    "busday_latency", "mmr_diverse_topk",
-    "proximity_search", "token_pmi", "sprt_decision",
-    "bfs_khop", "label_propagation", "geo_distance_join",
-    "twap_value", "record_linkage",
-    "feature_hash_score", "quantile_normalize", "sliding_distinct",
-    "k_anonymity", "dp_noisy_counts",
-    "chi_square_independence", "growth_streaks", "rake_keywords",
-    "embedding_gram", "weighted_paths",
-    "max_drawdown", "burstiness", "coverage_select",
-    "grid_density_clusters", "conformal_interval",
-    "best_split", "woe_iv", "target_encoding",
-    "ncd_pairs",
-    "item_cf_topk", "apportion_slots", "abc_xyz",
-    "ohlc_bars", "growth_contrib",
-    "bandit_replay", "dau_wau_mau",
-    "streaming_ohlc",
-    "top_decile_share", "audience_overlap",
-    "pipe_syntax_report",
-    "logrank_test", "did_estimate",
-    "stratified_att", "bootstrap_ci",
-    "mv_rewrite",
-    "kl_daily_mix", "peak_detection",
-    "native_session_window", "federated_join",
-    "incremental_variance", "median_of_medians",
-    "udtf_demo", "quantile_accuracy",
-    "volume_guardrail", "out_of_order_stats",
-    "user_accounting", "key_gaps",
-    "eb_shrinkage", "debounce_events",
-    "wavelet_energy", "cohort_ltv",
-    "sla_trend", "borda_scorecard",
-    "distributed_rank",
-    "pareto_8020", "repeat_purchase",
+def _attestation_state() -> tuple[frozenset, frozenset]:
+    """(attested, needs_refix) from CORRECTNESS_r*.json latest-round state."""
+    import glob as _glob
+    import json as _json
+    import re as _re
+
+    latest: dict[str, tuple[int, dict]] = {}
+    for path in sorted(_glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                snap = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, v in snap.items():
+            if not isinstance(v, dict):
+                continue
+            if name not in latest or rnd > latest[name][0]:
+                latest[name] = (rnd, v)
+
+    def _green(v: dict) -> bool:
+        if v.get("err") == "no_oracle":
+            return v.get("spark_rows") is not None
+        return bool(v.get("hash_match")) and bool(v.get("rows_match")) and bool(v.get("schema_match"))
+
+    attested = frozenset(k for k, (_, v) in latest.items() if _green(v))
+    refix = frozenset(k for k, (_, v) in latest.items() if not _green(v))
+    return attested, refix
+
+
+_ATTESTED, _NEEDS_REFIX = _attestation_state()
+
+#: queries added mid-round-5: they yield attestation priority to the
+#: round-4 backlog (154 never-attested names at the start of r05) and
+#: rotate into later windows.
+_NEW_R05 = frozenset({
 })
 
 
 def _rotated(allq: dict) -> dict:
     """Order the registry so the driver's 50-entry snapshot attests what
-    no prior round saw: the re-fixed merge_upsert first, then
-    unattested+oracled (oldest first), then unattested rows-only, then
-    the already-attested tail."""
-    front = [k for k in ("merge_upsert",) if k in allq]
+    no prior round saw: names whose latest snapshot was red first (their
+    fix needs re-attestation), then never-attested+oracled (oldest
+    first, this round's additions last), then never-attested rows-only,
+    then the already-attested tail."""
+    front = [k for k in allq if k in _NEEDS_REFIX]
     fresh_oracled = sorted(
         (
             k for k in allq
             if k not in _ATTESTED and k in ORACLES and k not in front
         ),
-        key=lambda k: k in _NEW_R04,   # stable: older entries keep order
+        key=lambda k: k in _NEW_R05,   # stable: older entries keep order
     )
     fresh_rows_only = [
         k for k in allq

@@ -1,7 +1,28 @@
 """Registry invariants — the driver-contract guards that keep the
-attestation rotation and the oracle pairing honest across rounds."""
+attestation rotation and the oracle pairing honest across rounds.
+
+The attestation ledger is DERIVED from the committed CORRECTNESS_r*.json
+snapshots (round-4 verdict asked for exactly this after the README's
+hand-maintained mirror drifted), so these tests assert the derivation
+itself plus the rotation shape the driver relies on.
+"""
 
 from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _snapshots():
+    out = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        out[rnd] = json.load(open(path))
+    return out
 
 
 def test_registry_invariants():
@@ -16,19 +37,62 @@ def test_registry_invariants():
     assert all(callable(f) for f in q.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper()
                for s in o.values())
-    # the rotation contract: the driver's 50-entry snapshot window
-    # must contain ONLY never-attested entries, oracled ones ahead of
-    # rows-only ones, with the refix slot (merge_upsert) first
+    # the rotation contract: the driver's 50-entry snapshot window must
+    # contain ONLY entries needing attestation — red-latest refixes
+    # first, then never-attested oracled entries
     front = list(q)[:50]
-    assert front[0] == "merge_upsert"
-    assert all(n not in entry._ATTESTED or n == "merge_upsert"
-               for n in front)
-    assert all(n in o for n in front)  # snapshot window is all-oracled
+    for n in front:
+        assert n in entry._NEEDS_REFIX or n not in entry._ATTESTED, n
+    # as long as the never-attested oracled pool exceeds the window, the
+    # window must be all-oracled (rows-only entries would burn slots)
+    fresh_oracled = [n for n in q if n not in entry._ATTESTED and n in o]
+    if len(fresh_oracled) + len(entry._NEEDS_REFIX) >= 50:
+        assert all(n in o for n in front)
     # attested names must still exist (a rename would silently un-pin
-    # the rotation) — merge_upsert is tracked via the refix slot
+    # the rotation)
     missing = {n for n in entry._ATTESTED if n not in q}
     assert not missing, f"attested names vanished from registry: {missing}"
-    # _NEW_R04 names must all exist too (typos here silently change
+    # _NEW_R05 names must all exist too (typos here silently change
     # rotation order without failing anything else)
-    missing_new = {n for n in entry._NEW_R04 if n not in q}
-    assert not missing_new, f"_NEW_R04 names not registered: {missing_new}"
+    missing_new = {n for n in entry._NEW_R05 if n not in q}
+    assert not missing_new, f"_NEW_R05 names not registered: {missing_new}"
+
+
+def test_attestation_derivation_matches_snapshots():
+    """_ATTESTED/_NEEDS_REFIX must be exactly the latest-round green/red
+    partition of every name the driver has ever snapshotted."""
+    import __spark_entry__ as entry
+
+    latest = {}
+    for rnd, snap in sorted(_snapshots().items()):
+        for name, v in snap.items():
+            latest[name] = v
+
+    def green(v):
+        if v.get("err") == "no_oracle":
+            return v.get("spark_rows") is not None
+        return bool(v.get("hash_match")) and bool(v.get("rows_match")) \
+            and bool(v.get("schema_match"))
+
+    want_green = {k for k, v in latest.items() if green(v)}
+    want_red = set(latest) - want_green
+    assert set(entry._ATTESTED) == want_green
+    assert set(entry._NEEDS_REFIX) == want_red
+
+
+def test_readme_ledger_matches_snapshots():
+    """README's attestation ledger is generated (tools/gen_ledger.py);
+    the counts it carries must agree with the snapshots + registry.
+    Round-4 verdict task #2: fail if README and snapshots disagree."""
+    import __spark_entry__ as entry
+
+    readme = open(os.path.join(REPO, "README.md")).read()
+    attested_n = len(entry._ATTESTED)
+    total_n = len(entry.queries())
+    oracled_n = len(entry.oracle_sql())
+    marker = (f"driver-attested (union r01–r{max(_snapshots()):02d}): "
+              f"{attested_n}/{total_n}")
+    assert marker in readme, (
+        f"README ledger stale: expected {marker!r}; regenerate with "
+        "`python tools/gen_ledger.py`")
+    assert f"{oracled_n} oracled" in readme
