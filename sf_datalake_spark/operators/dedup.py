@@ -18,7 +18,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sf_datalake_spark.functions.text import text_fingerprint, tokenize, word_shingles
@@ -107,6 +107,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     rows_per_band: int = 4,
     signature_length: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs from banded MinHash signatures.
 
@@ -118,10 +119,53 @@ def lsh_candidate_pairs(
     check — out-of-range slots would otherwise silently collapse whole
     bands into a single all-pairs bucket (null ``element_at`` →
     ``concat_ws`` skips → every doc shares ``md5('')``).
+
+    ``max_bucket_size`` is the whale-bucket guard: a degenerate family
+    of n near-identical docs puts all n in one bucket per band, and the
+    self-join emits C(n,2) pairs — 5·10⁷ for one 10k family, the stage
+    that never finishes at crawl scale.  With the cap set, buckets
+    larger than it switch to STAR linking (every member pairs with the
+    bucket's min id only): O(n) pairs instead of O(n²), and downstream
+    connected-components still unions the whole family into one cluster
+    because the star is connected.  Pair-level recall inside whale
+    buckets is traded for bounded cost — the members remain reachable
+    through the hub, which is what near-dup *dedup* (cluster → keep
+    one) needs.  Buckets at or under the cap keep exact full pairs.
     """
     banded = _band_keys(
         signatures, id_col, bands, rows_per_band, signature_length
     )
+    if max_bucket_size is not None:
+        if max_bucket_size < 2:
+            raise ValueError("max_bucket_size must be >= 2")
+        w = Window.partitionBy("band", "bucket")
+        banded = banded.withColumn("__bn", F.count("*").over(w)).withColumn(
+            "__bmin", F.min(id_col).over(w)
+        )
+        small = banded.filter(F.col("__bn") <= max_bucket_size).drop(
+            "__bn", "__bmin"
+        )
+        star = (
+            banded.filter(
+                (F.col("__bn") > max_bucket_size)
+                & (F.col(id_col) > F.col("__bmin"))
+            )
+            .select(
+                F.col("__bmin").alias("id_1"), F.col(id_col).alias("id_2")
+            )
+        )
+        a = small.alias("a")
+        b = small.alias("b")
+        full = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_1"),
+            F.col(f"b.{id_col}").alias("id_2"),
+        )
+        return full.unionByName(star).distinct()
     a = banded.alias("a")
     b = banded.alias("b")
     return (

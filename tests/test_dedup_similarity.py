@@ -535,3 +535,59 @@ def test_nearest_centroid_deterministic_tie(spark):
     # centroid a = 0.0, centroid b = 0.75 -> probe 0.5 closer to b;
     # vec 2 at 1.0 closer to b; vec 1 at 0 -> a
     assert got == {1: "a", 2: "b", 3: "b"}
+
+
+def test_lsh_whale_bucket_star_cap(spark):
+    """max_bucket_size switches oversized buckets to star linking:
+    O(n) pairs, same connected component as exact full pairs; small
+    buckets keep exact pairs (capped == uncapped when nothing exceeds
+    the cap)."""
+    # 12-member whale family (identical signature -> one bucket per
+    # band) plus an unrelated doc pair sharing their own bucket
+    whale = [(i, [7, 7, 7, 7]) for i in range(1, 13)]
+    other = [(100, [1, 2, 3, 4]), (101, [1, 2, 9, 9])]
+    sig = spark.createDataFrame(
+        whale + other, "doc_id int, signature array<bigint>"
+    )
+    capped = {
+        (r["id_1"], r["id_2"])
+        for r in lsh_candidate_pairs(
+            sig, "doc_id", bands=2, rows_per_band=2,
+            signature_length=4, max_bucket_size=5,
+        ).collect()
+    }
+    # whale family: star on hub 1 — 11 pairs, not C(12,2) = 66
+    whale_pairs = {p for p in capped if p[0] < 100}
+    assert whale_pairs == {(1, j) for j in range(2, 13)}
+    # the small bucket (100, 101) shares band 0 -> exact pair survives
+    assert (100, 101) in capped
+    # star keeps the family one connected component
+    from sf_datalake_spark.operators.components import connected_components
+
+    pairs_df = spark.createDataFrame(
+        [p for p in capped if p[0] < 100], "id_1 int, id_2 int"
+    )
+    comp = connected_components(pairs_df, "id_1", "id_2")
+    assert comp.select("component").distinct().count() == 1
+    # nothing over the cap -> identical to the uncapped operator
+    uncapped_small = {
+        (r["id_1"], r["id_2"])
+        for r in lsh_candidate_pairs(
+            sig.filter("doc_id >= 100"), "doc_id", bands=2,
+            rows_per_band=2, signature_length=4,
+        ).collect()
+    }
+    capped_small = {
+        (r["id_1"], r["id_2"])
+        for r in lsh_candidate_pairs(
+            sig.filter("doc_id >= 100"), "doc_id", bands=2,
+            rows_per_band=2, signature_length=4, max_bucket_size=5,
+        ).collect()
+    }
+    assert capped_small == uncapped_small
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lsh_candidate_pairs(sig, "doc_id", bands=2, rows_per_band=2,
+                            signature_length=4, max_bucket_size=1)

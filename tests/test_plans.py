@@ -899,3 +899,26 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
         assert got[0]["n"] > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+
+
+def test_item_cf_basket_cap_plan(spark):
+    """Round-5: item_cf_topk's pair self-join must consume the CAPPED
+    incidence — the __brank <= max_basket filter appears in the plan
+    (twice, once per self-join side), so no uncapped Σbasket² explode
+    can reach the join.  An uncapped call is a hard error."""
+    import pytest as _pytest
+
+    from sf_datalake_spark.queries_analytics import q_item_cf_topk
+
+    df = q_item_cf_topk(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("__brank") >= 2, (
+        "basket cap filter missing from one or both self-join sides"
+    )
+    rep = plan_report(df, execute=True)
+    assert rep["n_python_evals"] == 0
+    assert rep["n_cartesian_products"] == 0
+    assert rep["n_nested_loop_joins"] == 0
+
+    with _pytest.raises(ValueError):
+        q_item_cf_topk(spark, SF_DIR, max_basket=0)
