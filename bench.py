@@ -89,7 +89,14 @@ def main() -> int:
     # the same cold-cache plan, not a cached result.
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
+    load_at: dict[str, float] = {}
+    spread: dict[str, float] = {}
+    n_cores = os.cpu_count() or 32
     for name, fn in qs.items():
+        try:
+            load_at[name] = round(os.getloadavg()[0], 2)
+        except OSError:
+            load_at[name] = -1.0
         best = -1.0
         worst = -1.0
         # Adaptive third run: when even the best-of-2 pair disagrees by
@@ -134,7 +141,31 @@ def main() -> int:
                     pass
             run_i += 1
         timings[name] = best
+        if best > 0:
+            spread[name] = round(first_run.get(name, best) / best, 2)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+
+    # Load guard (round-4 verdict task #4): the r04 sidecar recorded
+    # 2.2-2.3x phantom regressions for three ML/iterative queries that
+    # re-timed clean on an idle box — competing load, not code.  Flag
+    # entries whose first/min spread exceeds 2 (the run straddled an
+    # interference window) or that started while the 1-min loadavg
+    # exceeded half the cores (the box was already busy); both
+    # component lists land in the sidecar so a regression reader can
+    # discount them before burning an optimization round.
+    suspect_ratio = sorted(
+        n for n, r in spread.items() if r > 2 and timings[n] > 0.5
+    )
+    suspect_load = sorted(
+        n for n, l in load_at.items()
+        if l > n_cores / 2 and timings.get(n, -1) > 0.5
+    )
+    suspects = sorted(set(suspect_ratio) | set(suspect_load))
+    if suspects:
+        print(f"bench load guard: {len(suspects)} suspect timings "
+              f"(ratio>2: {suspect_ratio}; load>{n_cores // 2}: "
+              f"{suspect_load}) — re-measure standalone before trusting",
+              file=sys.stderr)
 
     sf = None
     try:
@@ -163,13 +194,20 @@ def main() -> int:
         #   v2 (r03):     + clearCache between runs, adaptive 3rd timing
         #   v3 (r04+):    + --queries filter (protocol itself unchanged
         #                 from v2 — v2/v3 numbers are comparable)
-        "methodology": "v3",
+        #   v4 (r05+):    + load guard (per-query loadavg + first/min
+        #                 spread recorded; suspect list in the sidecar;
+        #                 timing protocol unchanged — v2/v3/v4 numbers
+        #                 are comparable)
+        "methodology": "v4",
+        "n_suspect": len(suspects),
     }
     # Keep the printed line compact (the driver's capture truncates long
     # lines); the full record with single-shot timings goes to the
     # sidecar only.
     print(json.dumps(payload))
-    payload = {**payload, "first_run": first_run}
+    payload = {**payload, "first_run": first_run, "loadavg1": load_at,
+               "first_over_min": spread, "suspect": suspects,
+               "suspect_ratio": suspect_ratio, "suspect_load": suspect_load}
     # Durable sidecar (atomic rename): the driver's BENCH file tail can
     # truncate the printed line; bench_last.json keeps the full
     # per-query map for every round.
