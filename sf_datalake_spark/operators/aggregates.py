@@ -232,9 +232,16 @@ def quantile_normalize(
     # pooled N as a broadcast 1-row cross join (no driver action, no
     # second scan — derived from the histogram already in the plan)
     total = hist.agg(F.sum("__w").alias("__N"))
+    # rg·N reaches N² — past ~3e9 rows that product overflows bigint
+    # while the docstring promises billion-row design (ADVICE r4), so
+    # the product runs in DECIMAL(38,0): 9.2e18² ≈ 8.5e37 still fits
+    # precision 38, and the floor-div result is ≤ N, back in bigint.
     target = ranked.crossJoin(F.broadcast(total)).withColumn(
         "__p",
-        F.expr("(__rg * __N + __ng - 1L) div __ng"),
+        F.expr(
+            "cast(floor((cast(__rg as decimal(38,0)) * __N + __ng - 1)"
+            " / __ng) as bigint)"
+        ),
     )
     return target.join(pooled, "__p").select(
         *group_cols, value_col, tiebreak_col, out_col

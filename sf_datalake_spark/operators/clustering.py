@@ -61,10 +61,42 @@ def grid_density_clusters(
             ).cast("bigint")
         )
 
+    # The packed bigint key (c0·_ENC + c1) is only injective while both
+    # cell coordinates stay strictly inside (0, _ENC-1): a coordinate
+    # at 0 with a j=-1 neighbor offset, or one at ≥ _ENC, bleeds into
+    # the OTHER axis's digits and fabricates adjacencies (ADVICE r4).
+    # Two guards: cell_micro must be large enough that the shifted
+    # domain fits the base at all (±1000.0 coordinate range → ≥ 2000),
+    # and a per-row assert_true catches data outside ±1000 at scan
+    # time instead of silently mis-clustering.
+    if cell_micro < 2 * 10**9 // _ENC:
+        raise ValueError(
+            f"cell_micro={cell_micro} too small for the packed-key "
+            f"encoding base {_ENC} — coordinates would overflow an "
+            f"axis; need >= {2 * 10**9 // _ENC}"
+        )
+    lo = cell_micro - 10**9           # cell coordinate >= 1
+    hi = (_ENC - 1) * cell_micro - 10**9 - 1  # cell coordinate <= _ENC-2
+
+    def _checked(c: F.Column) -> F.Column:
+        return F.when(
+            (c >= F.lit(lo)) & (c <= F.lit(hi)), c
+        ).otherwise(
+            F.raise_error(F.format_string(
+                "grid_density_clusters: quantized coordinate %s outside "
+                f"the packed-key domain [{lo}, {hi}] "
+                f"(cell_micro={cell_micro})", c.cast("string")))
+            .cast("bigint")
+        )
+
     # integer floor-division via a positive shift (1e9 is a multiple of
     # any sane cell size) — no float ever touches the cell coordinate
     pts = (
-        df.select(F.col(id_col), q(d0).alias("q0"), q(d1).alias("q1"))
+        df.select(
+            F.col(id_col),
+            _checked(q(d0)).alias("q0"),
+            _checked(q(d1)).alias("q1"),
+        )
         .select(
             id_col,
             F.expr(

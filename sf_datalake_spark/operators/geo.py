@@ -57,8 +57,23 @@ def grid_distance_join(
     squared distance in µ°².
     """
     cell = int(cell_micro or radius_micro)
+    # Seam correctness requires the cell to tile the longitude period
+    # exactly: with a non-divisor cell the LAST lon cell is narrower
+    # than the rest, so the pmod neighbor wrap (cell 0, j=-1 → cell
+    # n-1) lands a full-width cell short of the seam and true pairs
+    # across ±180° silently never meet in the equi-join.  Round the
+    # cell DOWN to the nearest divisor of the period (denser grid =
+    # more cells, never missed pairs; radius-sized reach is recomputed
+    # below so the neighborhood still covers the radius).
+    if LON_PERIOD_MICRO % cell != 0:
+        cell = max(
+            d for i in range(1, int(LON_PERIOD_MICRO ** 0.5) + 1)
+            if LON_PERIOD_MICRO % i == 0
+            for d in (i, LON_PERIOD_MICRO // i)
+            if d <= cell
+        )
     reach = -(-radius_micro // cell)  # ceil: cells a match can span
-    n_lon_cells = -(-LON_PERIOD_MICRO // cell)
+    n_lon_cells = LON_PERIOD_MICRO // cell
     offsets = [(i, j) for i in range(-reach, reach + 1)
                for j in range(-reach, reach + 1)]
 

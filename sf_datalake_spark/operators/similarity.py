@@ -1196,8 +1196,13 @@ def gram_matrix_int(
     import pandas as pd
 
     def gram_batches(batches):
-        acc = None
-        dim = 0
+        # Emit a partial PER ARROW BATCH, never accumulating across
+        # batches in numpy: numpy int64 wraps silently, so a partition
+        # past ~9e6 unit-scale rows (Σ q² ≈ rows·quant²) would break
+        # the bit-exact contract without a trace (ADVICE r4).  The
+        # downstream Spark bigint sum owns cross-batch accumulation
+        # and THROWS on overflow under ANSI mode.  Per-batch safety is
+        # checked explicitly: |gram| ≤ rows·max|q|² must fit int64.
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -1206,13 +1211,17 @@ def gram_matrix_int(
             q = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(
                 np.int64
             )
+            max_abs = int(np.abs(q).max(initial=0))
+            if max_abs and len(q) * max_abs * max_abs >= 2**63:
+                raise OverflowError(
+                    f"gram_matrix_int: batch of {len(q)} rows with "
+                    f"max|q|={max_abs} can overflow int64 — lower "
+                    "quant or spark.sql.execution.arrow.maxRecordsPerBatch"
+                )
             g = q.T @ q
-            dim = g.shape[0]
-            acc = g if acc is None else acc + g
-        if acc is not None:
-            iu, ju = np.triu_indices(dim)
+            iu, ju = np.triu_indices(g.shape[0])
             yield pd.DataFrame(
-                {"i": iu + 1, "j": ju + 1, "gram": acc[iu, ju]}
+                {"i": iu + 1, "j": ju + 1, "gram": g[iu, ju]}
             )
 
     partial = df.select(vec_col).mapInPandas(

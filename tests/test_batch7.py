@@ -205,3 +205,34 @@ def test_ncd_scores_identical_and_unrelated(spark):
     assert got[(1, 3)][2] > 600_000
     # sizes replay exactly through python zlib (same level)
     assert got[(1, 2)][0] == len(zlib.compress(same.encode(), 6))
+
+
+def test_grid_density_clusters_rejects_tiny_cell(spark):
+    # ADVICE r4: cell_micro below 2e9/_ENC would overflow the packed
+    # key's per-axis digits — must be an eager error, not silent
+    # false adjacency
+    from sf_datalake_spark.operators.clustering import grid_density_clusters
+
+    df = spark.createDataFrame([(1, [0.0, 0.0])],
+                               "id bigint, embedding array<double>")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cell_micro"):
+        grid_density_clusters(df, "id", cell_micro=1999)
+
+
+def test_grid_density_clusters_rejects_out_of_domain_coordinate(spark):
+    # a coordinate beyond +-1000 after quantization leaves the packed
+    # domain -> loud execution-time error instead of a wrong cluster
+    from pyspark.sql.utils import AnalysisException
+    from py4j.protocol import Py4JJavaError
+    from sf_datalake_spark.operators.clustering import grid_density_clusters
+
+    df = spark.createDataFrame(
+        [(i, [-1500.0, 0.0]) for i in range(6)],
+        "id bigint, embedding array<double>",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="packed-key domain"):
+        grid_density_clusters(df, "id", cell_micro=500_000).collect()

@@ -188,3 +188,23 @@ def test_fellegi_sunter_score_classes_and_nulls(spark):
     assert out["none"] == (-1_500_000, "non_link")
     # NULL comparison contributes 0 (unobserved field, FS convention)
     assert out["missing"] == (2_000_000, "possible")
+
+
+def test_grid_distance_join_non_divisor_cell_seam(spark):
+    # ADVICE r4: a cell that does not divide the 360e6 lon period makes
+    # the last cell narrower and the pmod wrap misses true seam pairs.
+    # cell=7e6 (360e6 % 7e6 != 0): small at 0.1 deg vs big at 356.9 deg
+    # are 3.2e6 micro-deg apart across the seam and MUST pair.  The
+    # operator now rounds the cell down to a divisor of the period.
+    a = spark.createDataFrame(
+        [(1, 0, 100_000)], "a_id bigint, lat_micro bigint, lon_micro bigint"
+    )
+    b = spark.createDataFrame(
+        [(2, 0, 356_900_000)],
+        "b_id bigint, lat_micro bigint, lon_micro bigint",
+    )
+    out = grid_distance_join(
+        a, b, radius_micro=3_500_000, cell_micro=7_000_000
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["dist2_micro"] == 3_200_000 * 3_200_000
