@@ -25,12 +25,21 @@ def resample_classes(
     target_ratio: float = 0.35,
     method: str = "undersampling",
     seed: int | None = None,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """Rebalance a binary-labeled DataFrame to ``target_ratio`` =
     minority / majority.
 
     method="oversampling": replicate minority rows (with replacement).
     method="undersampling": subsample majority rows (without replacement).
+    method="undersampling_hash": deterministic undersampling — majority
+    rows are kept when their md5 bucket over ``key_cols`` (required)
+    falls under the exact integer threshold ``⌊factor·10⁶⌋``.  Unlike
+    ``sample``'s partition-seeded RNG this is reproducible bit-for-bit
+    across engines, partitionings, and re-runs (the idiom external
+    systems — and the DuckDB oracle — can replay), at the cost of the
+    kept count being Bernoulli-by-hash around the target rather than
+    exact.
     """
     counts = {
         r[label_col]: r["count"]
@@ -39,6 +48,24 @@ def resample_classes(
     if len(counts) != 2:
         raise ValueError(f"Expected binary label, got classes: {sorted(counts)}")
     (minor, n_minor), (major, n_major) = sorted(counts.items(), key=lambda kv: kv[1])
+    if method == "undersampling_hash":
+        if not key_cols:
+            raise ValueError("undersampling_hash needs key_cols")
+        from fractions import Fraction
+
+        from sf_datalake_spark.operators.split import hash_bucket
+
+        # integer threshold: factor = (n_minor/n_major)/target, scaled
+        # to ppm — exact rational arithmetic so the oracle's replay of
+        # the same formula can never disagree on the boundary.  When
+        # the data is already at least as balanced as requested the
+        # threshold is >= 1e6 and the filter keeps everything (the
+        # no-op the other methods special-case).
+        r = Fraction(target_ratio).limit_denominator(1_000_000)
+        thr = (n_minor * r.denominator * 1_000_000) // (r.numerator * n_major)
+        key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+        bucket = hash_bucket(key, 1_000_000, salt=f"resample{seed}")
+        return df.filter((F.col(label_col) == minor) | (bucket < thr))
     current = n_minor / n_major
     if current >= target_ratio:
         # Already at least as balanced as requested — resampling would

@@ -59,14 +59,31 @@ def train_test_split_grouped(
     group_col: str = "siren",
     train_size: float = 0.8,
     seed: int | None = None,
+    deterministic: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Randomized grouped split (reference semantics): randomSplit over
     distinct group values, then left-semi membership joins.
 
     Kept for API parity/randomized workflows; prefer :func:`hash_split`
     in pipelines (deterministic, join-free).
+
+    ``deterministic=True`` swaps randomSplit for an md5-bucket
+    assignment over the distinct group values (salt derived from
+    ``seed``) while keeping the same distinct → assign → left-semi
+    structure: every row of a group lands on one side, and the
+    assignment is reproducible bit-for-bit across engines — the
+    variant the DuckDB oracle replays.
     """
     groups = df.select(group_col).distinct()
+    if deterministic:
+        cut = int(round(train_size * 10_000))
+        bucket = hash_bucket(group_col, 10_000, salt=f"gsplit{seed}")
+        train_g = groups.filter(bucket < cut)
+        test_g = groups.filter(bucket >= cut)
+        return (
+            df.join(train_g, on=group_col, how="left_semi"),
+            df.join(test_g, on=group_col, how="left_semi"),
+        )
     train_g, test_g = groups.randomSplit([train_size, 1.0 - train_size], seed=seed)
     return (
         df.join(train_g, on=group_col, how="left_semi"),

@@ -18,7 +18,8 @@ from sf_datalake_spark.operators.asof import merge_asof
 from sf_datalake_spark.operators.dedup import simhash, simhash_near_dup_pairs
 from sf_datalake_spark.operators.windows import with_linear_interpolation
 from sf_datalake_spark.queries import (_t, customer_monthly_panel, _LSH_PAIRS_SQL,
-                                       _PANEL_SQL, _SHINGLE_SQL, _minhash_family_sql)
+                                       _PANEL_SQL, _SHINGLE_SQL,
+                                       _TARGET_VARIABLE_SQL, _minhash_family_sql)
 
 
 # ---------------------------------------------------------------------------
@@ -1309,15 +1310,43 @@ def q_linear_shap_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_resampled_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Class rebalancing to a 0.5 minority/majority ratio (seeded
-    undersampling), reported as per-class counts."""
+    """Class rebalancing to a 0.5 minority/majority ratio, reported as
+    per-class counts.  Round 5 switched the registry entry from seeded
+    ``sample`` (Spark-RNG, unverifiable externally) to the
+    deterministic md5-threshold undersampler so a DuckDB oracle can
+    replay the exact kept set — the count contract the round-4 verdict
+    asked to oracle (task #6)."""
     from sf_datalake_spark.operators.resample import resample_classes
     from sf_datalake_spark.queries import q_target_variable
 
     labeled = q_target_variable(spark, sf_dir)
     out = resample_classes(labeled, "failure", target_ratio=0.5,
-                           method="undersampling", seed=42)
+                           method="undersampling_hash", seed=42,
+                           key_cols=["custkey", "periode"])
     return out.groupBy("failure").agg(F.count("*").alias("n_rows"))
+
+
+_RESAMPLED_COUNTS_SQL = f"""
+    WITH labeled AS ({_TARGET_VARIABLE_SQL}),
+    counts AS (
+        SELECT failure, CAST(count(*) AS BIGINT) AS n
+        FROM labeled GROUP BY 1
+    ),
+    mm AS (
+        SELECT min(n) AS n_minor, max(n) AS n_major,
+               (SELECT failure FROM counts ORDER BY n, failure LIMIT 1)
+                   AS minor
+        FROM counts
+    )
+    SELECT l.failure, CAST(count(*) AS BIGINT) AS n_rows
+    FROM labeled l, mm
+    WHERE l.failure = mm.minor
+       OR ('0x' || substr(md5(l.custkey::VARCHAR || '|' ||
+                              l.periode::VARCHAR || 'resample42'), 1, 8)
+           )::BIGINT % 1000000
+          < (mm.n_minor * 2 * 1000000) // mm.n_major
+    GROUP BY 1
+"""
 
 
 def q_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1565,19 +1594,33 @@ def q_tree_shap_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_grouped_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference-style randomized grouped split (distinct + randomSplit +
-    left-semi), seeded; split sizes per side."""
+    """Reference-style grouped split (distinct + assignment +
+    left-semi), split sizes per side.  Round 5 switched the registry
+    entry to the deterministic md5-bucket assignment (same structure,
+    engine-replayable) so the count contract is DuckDB-oracled; the
+    randomSplit variant stays pytest-covered in test_split."""
     from sf_datalake_spark.operators.split import train_test_split_grouped
 
     customer = _t(spark, sf_dir, "customer")
     train, test = train_test_split_grouped(customer, "c_custkey",
-                                           train_size=0.8, seed=42)
+                                           train_size=0.8, seed=42,
+                                           deterministic=True)
     return (
         train.select(F.lit("train").alias("split"))
         .unionByName(test.select(F.lit("test").alias("split")))
         .groupBy("split")
         .agg(F.count("*").alias("n_rows"))
     )
+
+
+_GROUPED_SPLIT_SQL = """
+    SELECT CASE WHEN ('0x' || substr(md5(c_custkey::VARCHAR || 'gsplit42'),
+                                     1, 8))::BIGINT % 10000 < 8000
+                THEN 'train' ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM customer
+    GROUP BY 1
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2729,6 +2772,8 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES_EXT: dict[str, str] = {
+    "resampled_counts": _RESAMPLED_COUNTS_SQL,
+    "grouped_split_counts": _GROUPED_SPLIT_SQL,
     "set_ops": _SET_OPS_SQL,
     "outer_join_activity": _OUTER_JOIN_SQL,
     "rollup_revenue": _ROLLUP_SQL,

@@ -349,3 +349,50 @@ def test_incremental_aggregate_preserves_null_sums(spark):
         for r in incremental_aggregate(stored, delta, ["k"], ["v"]).collect()
     }
     assert got == {"a": (None, 3), "b": (7, 2), "c": (None, 1)}
+
+
+def test_resample_undersampling_hash_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, 1 if i < 100 else 0) for i in range(1100)], "id bigint, failure int"
+    )
+    out = resample_classes(df, "failure", target_ratio=0.35,
+                           method="undersampling_hash", seed=42,
+                           key_cols=["id"])
+    counts = {r["failure"]: r["count"]
+              for r in out.groupBy("failure").count().collect()}
+    assert counts[1] == 100                    # minority kept whole
+    assert abs(counts[1] / counts[0] - 0.35) < 0.1
+    # bit-for-bit reproducible: same call, same kept ids
+    again = resample_classes(df, "failure", target_ratio=0.35,
+                             method="undersampling_hash", seed=42,
+                             key_cols=["id"])
+    assert sorted(r["id"] for r in out.collect()) == \
+        sorted(r["id"] for r in again.collect())
+    # already balanced -> threshold >= 1e6 keeps everything
+    bal = spark.createDataFrame(
+        [(i, i % 2) for i in range(100)], "id bigint, failure int"
+    )
+    kept = resample_classes(bal, "failure", target_ratio=0.35,
+                            method="undersampling_hash", seed=1,
+                            key_cols=["id"])
+    assert kept.count() == 100
+    with pytest.raises(ValueError, match="key_cols"):
+        resample_classes(df, "failure", method="undersampling_hash")
+
+
+def test_grouped_split_deterministic(spark):
+    from sf_datalake_spark.operators.split import train_test_split_grouped
+
+    df = spark.createDataFrame(
+        [(i // 3, i) for i in range(300)], "siren bigint, row_id bigint"
+    )
+    train, test = train_test_split_grouped(df, "siren", train_size=0.8,
+                                           seed=7, deterministic=True)
+    # groups never straddle, full partition
+    assert train.select("siren").intersect(test.select("siren")).count() == 0
+    assert train.count() + test.count() == 300
+    # reproducible group assignment
+    train2, _ = train_test_split_grouped(df, "siren", train_size=0.8,
+                                         seed=7, deterministic=True)
+    assert sorted(r["row_id"] for r in train.collect()) == \
+        sorted(r["row_id"] for r in train2.collect())
