@@ -229,11 +229,12 @@ def _decode_png(payload: bytes):
 def _decode_image(payload: bytes, width: int | None, height: int | None):
     """→ (H, W, 3) uint8 array. Tries PIL; without PIL, well-formed
     uncompressed BMP payloads take the REAL pure-numpy parser
-    (:func:`_decode_bmp`) and baseline PNG payloads the REAL
-    zlib+defilter parser (:func:`_decode_png` — the compressed-codec
-    seam, exercised end-to-end in tests); anything else falls back to a
-    deterministic md5-seeded fake so pipelines stay testable without
-    codecs."""
+    (:func:`_decode_bmp`), baseline PNG payloads the REAL zlib+defilter
+    parser (:func:`_decode_png`), and baseline JFIF payloads the REAL
+    Huffman+IDCT decoder (:mod:`~sf_datalake_spark.multimodal.jpeg` —
+    the entropy-coded seam, exercised end-to-end in tests); anything
+    else falls back to a deterministic md5-seeded fake so pipelines
+    stay testable without codecs."""
     try:  # pragma: no cover - PIL absent in this container
         import io
 
@@ -245,6 +246,12 @@ def _decode_image(payload: bytes, width: int | None, height: int | None):
         png = _decode_png(payload)
         if png is not None:
             return png
+        if payload.startswith(b"\xff\xd8"):
+            from sf_datalake_spark.multimodal.jpeg import decode_jpeg
+
+            jpg = decode_jpeg(payload)
+            if jpg is not None:
+                return jpg
         w, h = width or 16, height or 16
         return _fake_rng(payload, "img").randint(0, 256, size=(h, w, 3), dtype=np.uint8)
     try:  # pragma: no cover

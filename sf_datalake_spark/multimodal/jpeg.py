@@ -1,0 +1,295 @@
+"""Pure-Python baseline JFIF (JPEG) decoder — the entropy-coded leg of
+the multimodal codec seam.
+
+Round-4 verdict task #5: BMP/WAV/PNG decode was already real
+in-container; JPEG — the format that dominates real crawls — still hit
+the deterministic stub.  This module decodes baseline sequential DCT
+JFIF (SOF0): Huffman entropy decode, dequantize, de-zigzag, 8×8 IDCT,
+chroma upsample (any H/V factors incl. 4:2:0 and 4:4:4), BT.601
+YCbCr→RGB.  Grayscale (1 component) and 3-component color both
+supported; restart markers (DRI/RSTn) honored.  numpy for the IDCT
+matmuls, stdlib for everything else — no codec library.
+
+Format facts used (public ITU-T T.81 spec):
+- segments are ``FF marker len(2,BE) payload``; SOI/EOI/RSTn carry no
+  length; entropy-coded data follows SOS with FF bytes stuffed as
+  FF 00.
+- DQT tables arrive in zigzag order; DHT is the canonical Huffman
+  spec: 16 code-length counts then the symbols in code order.
+- block decode: DC category + extend()-coded diff (predictor per
+  component, reset on restart), AC run/size symbols with EOB (0x00)
+  and ZRL (0xF0).
+- IDCT is the separable orthonormal DCT-II transpose:
+  ``pixels = Cᵀ·coef·C``, C[u,k] = α(u)·cos((2k+1)uπ/16).
+
+Scale note: this is a per-payload kernel invoked from the Arrow-batched
+``decode_images`` stage (``assets.py``) — the Spark-side plumbing
+(schema, partition spread, batch shape) is what scales; swap the kernel
+for libjpeg-turbo via PIL in production containers.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_ZIGZAG = []  # (row, col) for zigzag index 0..63, generated not recalled
+for s in range(15):
+    ij = [(i, s - i) for i in range(s + 1) if i < 8 and s - i < 8]
+    _ZIGZAG.extend(ij if s % 2 == 1 else ij[::-1])
+
+_IDCT_C = np.zeros((8, 8))
+for u in range(8):
+    a = np.sqrt(0.125) if u == 0 else 0.5
+    for k in range(8):
+        _IDCT_C[u, k] = a * np.cos((2 * k + 1) * u * np.pi / 16.0)
+
+
+class _Huff:
+    """Canonical Huffman table from a DHT (16 counts + symbols),
+    decoded MSB-first via a (length → first-code/index) lookup."""
+
+    def __init__(self, counts: list[int], symbols: bytes) -> None:
+        self.min_code: dict[int, int] = {}
+        self.max_code: dict[int, int] = {}
+        self.val_idx: dict[int, int] = {}
+        self.symbols = symbols
+        code = 0
+        idx = 0
+        for length in range(1, 17):
+            n = counts[length - 1]
+            if n:
+                self.min_code[length] = code
+                self.max_code[length] = code + n - 1
+                self.val_idx[length] = idx
+                code += n
+                idx += n
+            code <<= 1
+
+    def decode(self, br: "_BitReader") -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.bit()
+            hi = self.max_code.get(length)
+            if hi is not None and code <= hi:
+                return self.symbols[self.val_idx[length] + code - self.min_code[length]]
+        raise ValueError("invalid Huffman code")
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment; unstuffs
+    FF 00 and surfaces RSTn as restart events."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.cur = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    # marker reached (EOI or RST handled by caller via
+                    # restart()); per spec the encoder pads with 1-bits
+                    raise _MarkerReached(0xFF00 | nxt)
+            self.cur = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self) -> None:
+        """Skip to and consume an RSTn marker at a restart interval."""
+        self.nbits = 0
+        while True:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b != 0xFF:
+                continue
+            m = self.data[self.pos]
+            self.pos += 1
+            if 0xD0 <= m <= 0xD7:
+                return
+            if m == 0x00:
+                continue
+            raise ValueError(f"expected RSTn, found FF{m:02X}")
+
+
+class _MarkerReached(Exception):
+    def __init__(self, marker: int) -> None:
+        self.marker = marker
+
+
+def _extend(v: int, t: int) -> int:
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(payload: bytes):
+    """→ (H, W, 3) uint8 RGB array, or None if not a baseline JFIF this
+    decoder supports (progressive SOF2, arithmetic coding, 12-bit)."""
+    try:
+        return _decode(payload)
+    except (IndexError, ValueError, struct.error, KeyError):
+        return None
+
+
+def _decode(data: bytes):
+    if not data.startswith(b"\xff\xd8"):
+        return None
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _Huff] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        seg = data[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq:
+                    raw = np.frombuffer(seg[p:p + 128], dtype=">u2").astype(np.int32)
+                    p += 128
+                else:
+                    raw = np.frombuffer(seg[p:p + 64], dtype=np.uint8).astype(np.int32)
+                    p += 64
+                tbl = np.zeros((8, 8), dtype=np.int32)
+                for k, (i, j) in enumerate(_ZIGZAG):
+                    tbl[i, j] = raw[k]
+                qt[tq] = tbl
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                counts = list(seg[p + 1:p + 17])
+                n = sum(counts)
+                huff[(tc, th)] = _Huff(counts, seg[p + 17:p + 17 + n])
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                return None
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # non-baseline SOF: unsupported, not corrupt
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                return None
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                comp = next(x for x in frame["comps"] if x["id"] == cid)
+                scan.append({**comp, "dc": huff[(0, tt >> 4)],
+                             "ac": huff[(1, tt & 15)],
+                             "q": qt[comp["tq"]]})
+            return _decode_scan(data, pos + seglen, frame, scan,
+                                restart_interval)
+        pos += seglen
+    return None
+
+
+def _decode_block(br: _BitReader, comp: dict, pred: int):
+    t = comp["dc"].decode(br)
+    diff = _extend(br.bits(t), t) if t else 0
+    dc = pred + diff
+    coef = np.zeros(64, dtype=np.int32)
+    coef[0] = dc
+    k = 1
+    while k < 64:
+        rs = comp["ac"].decode(br)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        coef[k] = _extend(br.bits(s), s)
+        k += 1
+    blk = np.zeros((8, 8), dtype=np.int32)
+    for idx, (i, j) in enumerate(_ZIGZAG):
+        blk[i, j] = coef[idx]
+    return blk, dc
+
+
+def _decode_scan(data: bytes, pos: int, frame: dict, scan: list,
+                 restart_interval: int):
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * 8 * c["v"], mcux * 8 * c["h"]), dtype=np.float64)
+        for c in scan
+    ]
+    br = _BitReader(data, pos)
+    preds = [0] * len(scan)
+    mcu_count = 0
+    try:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_count and \
+                        mcu_count % restart_interval == 0:
+                    br.restart()
+                    preds = [0] * len(scan)
+                mcu_count += 1
+                for ci, comp in enumerate(scan):
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            blk, preds[ci] = _decode_block(br, comp, preds[ci])
+                            pix = _IDCT_C.T @ (blk * comp["q"]) @ _IDCT_C
+                            y0 = (my * comp["v"] + by) * 8
+                            x0 = (mx * comp["h"] + bx) * 8
+                            planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
+    except _MarkerReached:
+        pass  # truncated-but-decoded-so-far is the lenient contract
+
+    # upsample every plane to the full-resolution grid, crop to (h, w)
+    full = []
+    for ci, comp in enumerate(scan):
+        p = planes[ci]
+        if comp["h"] != hmax:
+            p = np.repeat(p, hmax // comp["h"], axis=1)
+        if comp["v"] != vmax:
+            p = np.repeat(p, vmax // comp["v"], axis=0)
+        full.append(p[:h, :w] + 128.0)
+    if len(full) == 1:
+        y = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)

@@ -534,3 +534,248 @@ def test_phash_hamming_tracks_visual_similarity():
     assert ham(h, _phash64(base.copy())) == 0
     assert ham(h, _phash64(noisy)) <= 8          # visually identical
     assert ham(h, _phash64(unrelated)) >= 20      # visually unrelated
+
+
+def _jpeg_bytes(pixels, subsample=False, quant=8, restart_interval=0):
+    """Serialize an (H, W, 3) RGB or (H, W) grayscale uint8 array as a
+    baseline JFIF — struct + numpy, independent of the decoder.
+    Forward DCT + flat quantization; the Huffman tables are CUSTOM
+    canonical codes built from the actual symbol set and emitted in
+    DHT, so neither side depends on the Annex-K defaults.  With
+    ``subsample`` the chroma planes are 2x2-averaged (4:2:0);
+    ``restart_interval`` > 0 emits DRI and RSTn markers."""
+    import struct
+
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+
+    C = np.zeros((8, 8))
+    for u in range(8):
+        a = np.sqrt(0.125) if u == 0 else 0.5
+        for k in range(8):
+            C[u, k] = a * np.cos((2 * k + 1) * u * np.pi / 16.0)
+
+    zz = []
+    for s in range(15):
+        ij = [(i, s - i) for i in range(s + 1) if i < 8 and s - i < 8]
+        zz.extend(ij if s % 2 == 1 else ij[::-1])
+
+    if gray:
+        planes = [pixels.astype(np.float64)]
+        samps = [(1, 1)]
+    else:
+        p = pixels.astype(np.float64)
+        y = 0.299 * p[..., 0] + 0.587 * p[..., 1] + 0.114 * p[..., 2]
+        cb = 128 - 0.168736 * p[..., 0] - 0.331264 * p[..., 1] + 0.5 * p[..., 2]
+        cr = 128 + 0.5 * p[..., 0] - 0.418688 * p[..., 1] - 0.081312 * p[..., 2]
+        if subsample:
+            hy, vy = 2, 2
+            # pad to 16, then 2x2 average
+            ph = -(-h // 16) * 16
+            pw = -(-w // 16) * 16
+            def pad(pl, th, tw):
+                return np.pad(pl, ((0, th - pl.shape[0]), (0, tw - pl.shape[1])),
+                              mode="edge")
+            cb = pad(cb, ph, pw).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = pad(cr, ph, pw).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        else:
+            hy, vy = 1, 1
+        planes = [y, cb, cr]
+        samps = [(hy, vy), (1, 1), (1, 1)]
+
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    padded = []
+    for pl, (sh, sv) in zip(planes, samps):
+        th, tw = mcuy * 8 * sv, mcux * 8 * sh
+        padded.append(np.pad(pl, ((0, max(0, th - pl.shape[0]))
+                                  , (0, max(0, tw - pl.shape[1]))),
+                             mode="edge")[:th, :tw])
+
+    def category(v):
+        return abs(int(v)).bit_length()
+
+    # pass 1: build the symbol/bits stream per block in MCU order
+    stream = []  # (kind, table, symbol, extra_bits_value, extra_bits_len)
+    preds = [0] * len(planes)
+    restarts = []  # stream indices where an RSTn goes
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                restarts.append(len(stream))
+                preds = [0] * len(planes)
+            mcu_count += 1
+            for ci, (pl, (sh, sv)) in enumerate(zip(padded, samps)):
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        blk = pl[y0:y0 + 8, x0:x0 + 8] - 128.0
+                        coef = C @ blk @ C.T
+                        q = np.rint(coef / quant).astype(np.int64)
+                        qz = [int(q[i, j]) for (i, j) in zz]
+                        diff = qz[0] - preds[ci]
+                        preds[ci] = qz[0]
+                        t = category(diff)
+                        bits = diff if diff >= 0 else diff + (1 << t) - 1
+                        stream.append(("dc", t, bits, t))
+                        run = 0
+                        last_nz = max((k for k in range(1, 64) if qz[k]),
+                                      default=0)
+                        for k in range(1, last_nz + 1):
+                            v = qz[k]
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                stream.append(("ac", 0xF0, 0, 0))
+                                run -= 16
+                            s = category(v)
+                            bits = v if v >= 0 else v + (1 << s) - 1
+                            stream.append(("ac", (run << 4) | s, bits, s))
+                            run = 0
+                        if last_nz < 63:
+                            stream.append(("ac", 0x00, 0, 0))
+
+    # pass 2: canonical Huffman tables from the used symbol sets
+    def build(symbols_used):
+        syms = sorted(symbols_used)
+        L = max(2, (len(syms)).bit_length())  # 2^L > nsym: all-ones free
+        if (1 << L) <= len(syms):
+            L += 1
+        counts = [0] * 16
+        counts[L - 1] = len(syms)
+        return {s: (i, L) for i, s in enumerate(syms)}, counts, bytes(syms)
+
+    dc_syms = {s for kind, s, *_ in stream if kind == "dc"}
+    ac_syms = {s for kind, s, *_ in stream if kind == "ac"}
+    dc_map, dc_counts, dc_vals = build(dc_syms)
+    ac_map, ac_counts, ac_vals = build(ac_syms)
+
+    out_bits = []
+    body = bytearray()
+
+    def flush(pad=True):
+        while pad and len(out_bits) % 8:
+            out_bits.append(1)
+        while len(out_bits) >= 8:
+            b = 0
+            for bit in out_bits[:8]:
+                b = (b << 1) | bit
+            del out_bits[:8]
+            body.append(b)
+            if b == 0xFF:
+                body.append(0x00)
+
+    def emit(code, length):
+        for i in range(length - 1, -1, -1):
+            out_bits.append((code >> i) & 1)
+        flush(pad=False)
+
+    rst_i = 0
+    rset = set(restarts)
+    for idx, (kind, sym, bits, blen) in enumerate(stream):
+        if idx in rset:
+            flush(pad=True)
+            body.append(0xFF)
+            body.append(0xD0 + (rst_i % 8))
+            rst_i += 1
+        code, length = (dc_map if kind == "dc" else ac_map)[sym]
+        emit(code, length)
+        if blen:
+            emit(bits, blen)
+    flush(pad=True)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) \
+            + payload
+
+    qtbl = bytes([0]) + bytes([quant] * 64)
+    ncomp = len(planes)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci, (sh, sv) in enumerate(samps):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])
+    dht = bytes([0x00]) + bytes(dc_counts) + dc_vals \
+        + bytes([0x10]) + bytes(ac_counts) + ac_vals
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out = b"\xff\xd8" + seg(0xE0, app0) + seg(0xDB, qtbl)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xC0, sof) + seg(0xC4, dht) + seg(0xDA, sos)
+    return out + bytes(body) + b"\xff\xd9"
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+def test_real_jpeg_grayscale_decode_psnr(spark):
+    """A generated grayscale baseline JFIF decodes through the full
+    decode_images Spark stage within a PSNR bound (IDCT rounding makes
+    bit-exactness the wrong contract for JPEG, unlike PNG/BMP)."""
+    rng = np.random.RandomState(31)
+    base = rng.randint(0, 9, size=(3, 3)).repeat(8, 0).repeat(8, 1) * 28
+    px = (base[:17, :21] + rng.randint(0, 8, size=(17, 21))).astype(np.uint8)
+    rows = [asset(30, "image", _jpeg_bytes(px), "jpeg", 21, 17)]
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    out = decode_images(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["height"], r["width"], r["channels"]) == (17, 21, 3)
+    got = np.frombuffer(r["pixels"], dtype=np.uint8).reshape(17, 21, 3)
+    assert np.array_equal(got[:, :, 0], got[:, :, 1])  # gray replicated
+    assert _psnr(got[:, :, 0], px) > 30
+
+
+def test_real_jpeg_color_444_and_420_psnr():
+    """4:4:4 and 4:2:0 color JFIFs both decode within PSNR bounds on a
+    smooth gradient (chroma subsampling halves chroma resolution, so
+    the 4:2:0 bound is looser)."""
+    from sf_datalake_spark.multimodal.jpeg import decode_jpeg
+
+    hh, ww = 35, 29
+    yy, xx = np.mgrid[0:hh, 0:ww]
+    px = np.stack([
+        (yy * 5 + 20) % 256, (xx * 5 + 80) % 256,
+        ((yy + xx) * 3 + 40) % 256,
+    ], axis=-1).astype(np.uint8)
+    got444 = decode_jpeg(_jpeg_bytes(px, subsample=False))
+    assert got444.shape == (hh, ww, 3)
+    assert _psnr(got444, px) > 28
+    got420 = decode_jpeg(_jpeg_bytes(px, subsample=True))
+    assert got420.shape == (hh, ww, 3)
+    assert _psnr(got420, px) > 24
+
+
+def test_real_jpeg_restart_markers():
+    """DRI + RSTn: DC predictors reset per interval; pixels match the
+    no-restart encode of the same image."""
+    from sf_datalake_spark.multimodal.jpeg import decode_jpeg
+
+    rng = np.random.RandomState(40)
+    px = rng.randint(0, 256, size=(24, 40), dtype=np.uint8)
+    plain = decode_jpeg(_jpeg_bytes(px))
+    rst = decode_jpeg(_jpeg_bytes(px, restart_interval=3))
+    assert plain is not None and rst is not None
+    assert np.array_equal(plain, rst)
+
+
+def test_jpeg_rejects_unsupported_and_truncated():
+    from sf_datalake_spark.multimodal.jpeg import decode_jpeg
+
+    px = np.zeros((8, 8), dtype=np.uint8)
+    good = _jpeg_bytes(px)
+    # progressive SOF2: unsupported, None (falls through to the fake)
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert decode_jpeg(prog) is None
+    assert decode_jpeg(b"\x89PNG" + good) is None     # wrong magic
+    assert decode_jpeg(good[:12]) is None             # truncated header
