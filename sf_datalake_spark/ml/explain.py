@@ -578,9 +578,14 @@ def tree_contributions(
     """
     import numpy as np
 
-    if method not in ("saabas", "tree_shap"):
-        raise ValueError(f"unknown method {method!r}: saabas | tree_shap")
-    contrib_fn = _tree_shap_contribs if method == "tree_shap" else _tree_path_contribs
+    if method not in ("saabas", "tree_shap", "both"):
+        raise ValueError(f"unknown method {method!r}: saabas | tree_shap | both")
+    # "both" computes TreeSHAP and Saabas in ONE Arrow pass (columns
+    # ``contrib_*`` and ``saabas_*``): comparison workloads otherwise
+    # traverse the whole upstream pipeline twice and join the results
+    # back — at scale that is two scans plus a shuffle for what one
+    # batch loop produces for free.
+    contrib_fn = _tree_shap_contribs if method != "saabas" else _tree_path_contribs
     names = feature_names or feature_names_from_metadata(predictions, features_col)
     cls = type(model).__name__
     classification = "Classification" in cls
@@ -595,7 +600,7 @@ def tree_contributions(
     else:  # single DecisionTree*Model
         jtrees, raw_w, trees_classification = [model], [1.0], classification
     flat = [
-        _flatten_tree(t, trees_classification, with_cover=(method == "tree_shap"))
+        _flatten_tree(t, trees_classification, with_cover=(method != "saabas"))
         for t in jtrees
     ]
     weights = [float(w) for w in raw_w]
@@ -609,6 +614,8 @@ def tree_contributions(
         keep_fields
         + [T.StructField("base", T.DoubleType())]
         + [T.StructField(f"contrib_{n}", T.DoubleType()) for n in names]
+        + ([T.StructField(f"saabas_{n}", T.DoubleType()) for n in names]
+           if method == "both" else [])
     )
 
     def score(batches):
@@ -619,13 +626,20 @@ def tree_contributions(
             if X.shape[1] != d:
                 raise ValueError(f"feature vector width {X.shape[1]} != {d} names")
             total = np.zeros((len(pdf), d))
+            total_sa = np.zeros((len(pdf), d)) if method == "both" else None
             for tree, w in zip(flat, weights):
                 c, _ = contrib_fn(tree, X)
                 total += w * c
+                if total_sa is not None:
+                    sa, _ = _tree_path_contribs(tree, X)
+                    total_sa += w * sa
             out = pdf[keep].copy()
             out["base"] = base
             for i, n in enumerate(names):
                 out[f"contrib_{n}"] = total[:, i]
+            if total_sa is not None:
+                for i, n in enumerate(names):
+                    out[f"saabas_{n}"] = total_sa[:, i]
             yield out
 
     return in_df.select(*keep, "_fx").mapInPandas(score, out_schema)

@@ -1561,19 +1561,14 @@ def q_tree_shap_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     preds = model.transform(test).withColumn(
         "p1", F.element_at(vector_to_array("probability"), 2)
     )
-    keys = ["custkey", "periode"]
-    shap = tree_contributions(preds, model, keep=keys, method="tree_shap")
-    saabas = tree_contributions(preds, model, keep=keys, method="saabas")
-    sa = saabas.select(
-        *keys,
-        F.col("contrib_revenue").alias("sa_rev"),
-        F.col("contrib_revenue_lag1m").alias("sa_lag"),
+    # method="both": TreeSHAP + Saabas from ONE Arrow pass with p1
+    # carried through keep — r4 shipped this as two mapInPandas stages
+    # (each re-traversing panel+window+label upstream) joined back on
+    # the keys; the fused form drops two scans and two shuffles.
+    both = tree_contributions(
+        preds, model, keep=["custkey", "periode", "p1"], method="both"
     )
-    joined = (
-        shap.join(sa, keys)
-        .join(preds.select(*keys, "p1"), keys)
-    )
-    return joined.agg(
+    return both.agg(
         F.count("*").alias("n_rows"),
         F.round(
             F.max(
@@ -1585,10 +1580,13 @@ def q_tree_shap_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("max_additivity_err"),
         F.round(
-            F.avg(F.abs(F.col("contrib_revenue") - F.col("sa_rev"))), 6
+            F.avg(F.abs(F.col("contrib_revenue") - F.col("saabas_revenue"))),
+            6,
         ).alias("mean_divergence_rev"),
         F.round(
-            F.avg(F.abs(F.col("contrib_revenue_lag1m") - F.col("sa_lag"))), 6
+            F.avg(F.abs(F.col("contrib_revenue_lag1m")
+                        - F.col("saabas_revenue_lag1m"))),
+            6,
         ).alias("mean_divergence_lag"),
     )
 

@@ -293,3 +293,33 @@ def test_shap_explanations_dispatches_by_model_type(assembled):
 
     with pytest.raises(ValueError, match="unsupported model"):
         shap_explanations(assembled, object())
+
+
+def test_tree_contributions_both_matches_individual_methods(assembled):
+    """method="both" (one Arrow pass) must reproduce the tree_shap and
+    saabas outputs exactly, column for column."""
+    model = RandomForestClassifier(
+        labelCol="failure", numTrees=5, maxDepth=4, seed=11
+    ).fit(assembled)
+    preds = model.transform(assembled)
+    fused = {
+        r["id"]: r
+        for r in tree_contributions(preds, model, keep=["id"],
+                                    method="both").collect()
+    }
+    shap = {
+        r["id"]: r
+        for r in tree_contributions(preds, model, keep=["id"],
+                                    method="tree_shap").collect()
+    }
+    sa = {
+        r["id"]: r
+        for r in tree_contributions(preds, model, keep=["id"],
+                                    method="saabas").collect()
+    }
+    assert set(fused) == set(shap) == set(sa)
+    for i, row in fused.items():
+        for c in ("x1", "x2"):
+            assert row[f"contrib_{c}"] == shap[i][f"contrib_{c}"]
+            assert row[f"saabas_{c}"] == sa[i][f"contrib_{c}"]
+        assert row["base"] == shap[i]["base"] == sa[i]["base"]
