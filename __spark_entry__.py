@@ -92,6 +92,7 @@ _ATTESTED, _NEEDS_REFIX = _attestation_state()
 #: round-4 backlog (154 never-attested names at the start of r05) and
 #: rotate into later windows.
 _NEW_R05 = frozenset({
+    "lsh_star_capped_pairs",
 })
 
 

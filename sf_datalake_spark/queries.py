@@ -1002,6 +1002,59 @@ _LSH_PAIRS_SQL = rf"""
 """
 
 
+def q_lsh_star_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs with the whale-bucket guard ON
+    (``max_bucket_size=3``): buckets above the cap emit an O(n) star on
+    the bucket's min id instead of C(n,2) full pairs (see
+    ``operators/dedup.lsh_candidate_pairs`` and SCALE.md's adversarial
+    whale probe — 44 M → 25 k pairs on a 10k-member family).  The cap
+    of 3 is deliberately below the testdata's largest bucket (5 at
+    sf0.001, 4 at sf0.01), so BOTH the full-pair and star paths
+    execute and the oracle replays star linking exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
+    return lsh_candidate_pairs(
+        sig, "doc_id", bands=4, rows_per_band=2, signature_length=8,
+        max_bucket_size=3,
+    )
+
+
+_LSH_STAR_SQL = rf"""
+    WITH shingles AS ({_SHINGLE_SQL}),
+    fam AS {_minhash_family_sql(8)},
+    xs AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS x
+        FROM shingles
+    ),
+    hashed AS (
+        SELECT doc_id, seed, (c * x + d) % (SELECT p FROM p) AS h
+        FROM xs CROSS JOIN fam
+    ),
+    sig AS (SELECT doc_id, seed, min(h) AS mh FROM hashed GROUP BY 1, 2),
+    banded AS (
+        SELECT doc_id, seed // 2 AS band,
+               md5(string_agg(mh::varchar, ',' ORDER BY seed)) AS bucket
+        FROM sig GROUP BY doc_id, seed // 2
+    ),
+    sized AS (
+        SELECT doc_id, band, bucket,
+               count(*) OVER (PARTITION BY band, bucket) AS bn,
+               min(doc_id) OVER (PARTITION BY band, bucket) AS bmin
+        FROM banded
+    )
+    SELECT DISTINCT id_1, id_2 FROM (
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2
+        FROM sized a JOIN sized b
+          ON a.band = b.band AND a.bucket = b.bucket
+         AND a.doc_id < b.doc_id
+        WHERE a.bn <= 3
+        UNION ALL
+        SELECT bmin AS id_1, doc_id AS id_2
+        FROM sized WHERE bn > 3 AND doc_id > bmin
+    )
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard for pairs sharing ≥1 shingle (inverted-index
     self-join; integer-ratio → engine-exact)."""
@@ -1133,6 +1186,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "minhash_signature": q_minhash_signature,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "lsh_star_capped_pairs": q_lsh_star_capped_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "ngram_jaccard_capped": q_ngram_jaccard_capped,
     "embedding_topk": q_embedding_topk,
@@ -1168,6 +1222,7 @@ ORACLES: dict[str, str] = {
     "fingerprint": _FINGERPRINT_SQL,
     "minhash_signature": _MINHASH_SQL,
     "minhash_lsh_pairs": _LSH_PAIRS_SQL,
+    "lsh_star_capped_pairs": _LSH_STAR_SQL,
     "ngram_jaccard": _JACCARD_SQL,
     "ngram_jaccard_capped": _JACCARD_CAPPED_SQL,
     "embedding_topk": _TOPK_SQL,
