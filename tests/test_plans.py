@@ -922,3 +922,15 @@ def test_item_cf_basket_cap_plan(spark):
 
     with _pytest.raises(ValueError):
         q_item_cf_topk(spark, SF_DIR, max_basket=0)
+
+
+def test_tree_shap_parity_single_python_stage(spark):
+    """Round-5: the TreeSHAP-vs-Saabas comparison is ONE fused Arrow
+    stage (method="both") — a second mapInPandas or a key join would
+    mean the upstream pipeline runs twice again."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    df = qs["tree_shap_parity"](spark, SF_DIR)
+    rep = plan_report(df, execute=False)
+    assert rep["n_python_evals"] == 1
