@@ -782,6 +782,14 @@ def q_item_cf_topk(
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     w_cap = Window.partitionBy("u").orderBy("__bhash", "i")
+    # The capped incidence feeds SIX plan references (both self-join
+    # sides, both degree joins, both union branches upstream) — without
+    # pinning, the scan+join+distinct+cap subtree re-executes for each
+    # (25-exchange plan, audited round 5).  localCheckpoint truncates
+    # the lineage once (same pattern as connected_components /
+    # pareto's core_labeled; blocks are freed by the ContextCleaner, no
+    # persisted-frame leak); the pair table gets the same treatment
+    # because the symmetric union references it twice.
     ui = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
@@ -794,6 +802,7 @@ def q_item_cf_topk(
         .withColumn("__brank", F.row_number().over(w_cap))
         .filter(F.col("__brank") <= max_basket)
         .select("u", "i")
+        .localCheckpoint(eager=True)
     )
     deg = ui.groupBy("i").agg(F.count("*").alias("c"))
     a = ui.alias("a")
@@ -805,13 +814,19 @@ def q_item_cf_topk(
         )
         .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
         .agg(F.count("*").alias("cij"))
+        .localCheckpoint(eager=True)
     )
     both = pair.union(
         pair.select(F.col("j").alias("i"), F.col("i").alias("j"), "cij")
     )
+    # item degrees are |items| rows (20k at sf0.1) against the pair
+    # table's millions — broadcast both degree joins
     scored = (
-        both.join(deg.select(F.col("i"), F.col("c").alias("ci")), "i")
-        .join(deg.select(F.col("i").alias("j"), F.col("c").alias("cj")), "j")
+        both.join(F.broadcast(deg.select(F.col("i"), F.col("c").alias("ci"))), "i")
+        .join(
+            F.broadcast(deg.select(F.col("i").alias("j"), F.col("c").alias("cj"))),
+            "j",
+        )
         .select(
             "i",
             "j",
