@@ -435,6 +435,14 @@ def triangle_stats(
     with everything: the hub's edges all point INTO it, producing no
     wedges at the hub.  Three shuffles (degree count, wedge join,
     closing join), all on node ids.
+
+    The normalized edge list and the oriented edge set are
+    localCheckpoint-ed (lineage truncation, ContextCleaner-managed --
+    same discipline as :func:`connected_components`): ``e`` feeds three
+    plan references and ``d`` three more, so without pinning the
+    CALLER'S pair-generation pipeline (for the registry query: the full
+    minhash+LSH band join) re-executes up to nine times -- audited at
+    120 exchanges / 34 scans in round 5, versus single digits pinned.
     """
     e = (
         pairs.select(
@@ -443,6 +451,7 @@ def triangle_stats(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("a").alias("id"))
@@ -462,7 +471,7 @@ def triangle_stats(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
-    )
+    ).localCheckpoint(eager=True)
     d1, d2 = d.alias("d1"), d.alias("d2")
     wedge_order = (F.col("d1.dst_deg") < F.col("d2.dst_deg")) | (
         (F.col("d1.dst_deg") == F.col("d2.dst_deg"))
