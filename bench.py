@@ -131,12 +131,20 @@ def main() -> int:
             finally:
                 # A query that leaks persisted frames would tax every
                 # later timing; clearing between runs keeps CacheManager
-                # entries independent (localCheckpoint blocks are
-                # outside its reach and only fall to the ContextCleaner
-                # after JVM GC). Never let the cleanup itself kill the
-                # harness before the JSON line prints.
+                # entries independent.  localCheckpoint blocks are
+                # OUTSIDE clearCache's reach and normally wait for the
+                # ContextCleaner after a JVM GC — across a 300-query
+                # run they accumulate into storage-memory pressure that
+                # inflated late-run timings up to 6x (r05 audit:
+                # ssjoin_exact 41.6 s in the full run vs 6.6 s
+                # standalone), so unpersist every persistent RDD
+                # explicitly between runs.  Never let the cleanup
+                # itself kill the harness before the JSON line prints.
                 try:
                     spark.catalog.clearCache()
+                    jrdds = spark.sparkContext._jsc.getPersistentRDDs()
+                    for jrdd in jrdds.values():
+                        jrdd.unpersist(False)
                 except Exception:
                     pass
             run_i += 1

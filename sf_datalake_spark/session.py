@@ -53,6 +53,19 @@ def get_spark_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # Whole-stage codegen emits new classes per query; JDK 17's
+        # default 240 MB code cache fills after a few hundred distinct
+        # plans in one JVM, the JIT silently stops compiling, and
+        # late-run queries execute INTERPRETED — audited in round 5 as
+        # a positional 5-10x inflation of small codegen-bound queries
+        # at the tail of a 300-query drive (the same setting Spark's
+        # own tuning guide prescribes for many-query applications).
+        # Only effective when this builder launches the JVM (local
+        # mode / driver); harmless if a running gateway already exists.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
     )
     if master:
         builder = builder.master(master)

@@ -129,6 +129,16 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
             continue
+        finally:
+            # free localCheckpoint blocks between queries — across a
+            # full 300-query drive they otherwise pile up in storage
+            # memory until a JVM GC (see bench.py's identical hygiene)
+            try:
+                spark.catalog.clearCache()
+                for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                    jrdd.unpersist(False)
+            except Exception:
+                pass
         if name not in oracles:
             print(f"SKIP {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
