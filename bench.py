@@ -92,6 +92,11 @@ def main() -> int:
     load_at: dict[str, float] = {}
     spread: dict[str, float] = {}
     n_cores = os.cpu_count() or 32
+    # (Tried and rejected: an explicit System.gc() every 25 queries —
+    # full collections on the 48 GB heap cost more than they save and
+    # RAISED the suite total 244 s -> 275 s. The unpersist hygiene in
+    # the finally block plus the 1 GB code cache are the fixes that
+    # hold; residual ±1-2 s per-query wobble is ordinary GC timing.)
     for name, fn in qs.items():
         try:
             load_at[name] = round(os.getloadavg()[0], 2)
