@@ -141,7 +141,11 @@ def decode_jpeg(payload: bytes):
     decoder supports (progressive SOF2, arithmetic coding, 12-bit)."""
     try:
         return _decode(payload)
-    except (IndexError, ValueError, struct.error, KeyError):
+    except (IndexError, ValueError, struct.error, KeyError,
+            ZeroDivisionError, OverflowError):
+        # corrupt payloads surface as bounds/format/zero-sampling
+        # errors (fuzz-tested in test_multimodal) — all mean "not a
+        # decodable baseline JFIF", never a crash
         return None
 
 
@@ -191,10 +195,19 @@ def _decode(data: bytes):
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 return None
+            # bounds sanity on a 16-bit-field format: zero dims,
+            # >2^24-pixel frames (a fuzzed 65535x65535 header would
+            # allocate a 34 GB plane), or out-of-spec sampling factors
+            # all mean corrupt-or-hostile, not decodable
+            if h * w == 0 or h * w > (1 << 24) or not 1 <= nc <= 4:
+                return None
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+                hs, vs = hv >> 4, hv & 15
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    return None
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -208,7 +221,10 @@ def _decode(data: bytes):
             scan = []
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                comp = next(x for x in frame["comps"] if x["id"] == cid)
+                matches = [x for x in frame["comps"] if x["id"] == cid]
+                if not matches:  # corrupt SOS: unknown component id
+                    return None
+                comp = matches[0]
                 scan.append({**comp, "dc": huff[(0, tt >> 4)],
                              "ac": huff[(1, tt & 15)],
                              "q": qt[comp["tq"]]})

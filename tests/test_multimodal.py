@@ -779,3 +779,26 @@ def test_jpeg_rejects_unsupported_and_truncated():
     assert decode_jpeg(prog) is None
     assert decode_jpeg(b"\x89PNG" + good) is None     # wrong magic
     assert decode_jpeg(good[:12]) is None             # truncated header
+
+
+def test_jpeg_decoder_fuzz_never_crashes():
+    """Byte-flip fuzz over valid encodes: every corruption either
+    decodes (lenient truncation contract) or returns None — never an
+    exception, never a pathological allocation (round-5 fuzz found
+    StopIteration, OverflowError, ZeroDivisionError escapes and a
+    34 GB allocation from a corrupt 65535x65535 SOF header; all are
+    guarded now)."""
+    import random
+
+    from sf_datalake_spark.multimodal.jpeg import decode_jpeg
+
+    random.seed(11)
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    pxc = np.arange(192, dtype=np.uint8).reshape(8, 8, 3)
+    for base in (_jpeg_bytes(px), _jpeg_bytes(pxc, subsample=True)):
+        for _ in range(400):
+            b = bytearray(base)
+            for _ in range(random.randint(1, 10)):
+                b[random.randrange(len(b))] = random.randrange(256)
+            r = decode_jpeg(bytes(b))
+            assert r is None or r.dtype == np.uint8
