@@ -96,3 +96,28 @@ def test_readme_ledger_matches_snapshots():
         f"README ledger stale: expected {marker!r}; regenerate with "
         "`python tools/gen_ledger.py`")
     assert f"{oracled_n} oracled" in readme
+
+
+def test_attestation_state_latest_round_wins(tmp_path, monkeypatch):
+    """Synthetic snapshots: a name green in r1 and red in r2 must land
+    in needs-refix (front of the rotation); red-then-green lands in
+    attested; rows-only entries count as attested once executed."""
+    import __spark_entry__ as entry
+
+    g = {"rows_match": True, "schema_match": True, "hash_match": True,
+         "spark_rows": 5, "oracle_rows": 5, "err": None}
+    r = {**g, "hash_match": False}
+    ro = {"rows_match": None, "schema_match": None, "hash_match": None,
+          "spark_rows": 7, "oracle_rows": None, "err": "no_oracle"}
+    ro_dead = {**ro, "spark_rows": None}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "green_then_red": g, "red_then_green": r, "stable_green": g,
+        "rows_only_ok": ro, "rows_only_dead": ro_dead,
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "green_then_red": r, "red_then_green": g,
+    }))
+    monkeypatch.setattr(entry, "_REPO_DIR", str(tmp_path))
+    attested, refix = entry._attestation_state()
+    assert attested == {"red_then_green", "stable_green", "rows_only_ok"}
+    assert refix == {"green_then_red", "rows_only_dead"}
