@@ -198,8 +198,13 @@ def _decode(data: bytes):
             # bounds sanity on a 16-bit-field format: zero dims,
             # >2^24-pixel frames (a fuzzed 65535x65535 header would
             # allocate a 34 GB plane), or out-of-spec sampling factors
-            # all mean corrupt-or-hostile, not decodable
-            if h * w == 0 or h * w > (1 << 24) or not 1 <= nc <= 4:
+            # all mean corrupt-or-hostile, not decodable. nc is limited
+            # to what _decode_scan actually converts — grayscale (1) and
+            # YCbCr (3); a 4-component Adobe CMYK/YCCK file is valid JPEG
+            # but would silently decode its first three planes as YCbCr
+            # (ADVICE r5), so it falls through to the deterministic fake
+            # like progressive SOF2 does.
+            if h * w == 0 or h * w > (1 << 24) or nc not in (1, 3):
                 return None
             comps = []
             for c in range(nc):
@@ -218,6 +223,13 @@ def _decode(data: bytes):
             if frame is None:
                 return None
             ns = seg[0]
+            # the baseline decoder only implements the single fully-
+            # interleaved scan: a valid non-interleaved file (one
+            # component per scan, ns < nc) would return after its first
+            # scan as if it were the whole image (ADVICE r5) — reject
+            # here so it reaches the deterministic fallback instead.
+            if ns != len(frame["comps"]):
+                return None
             scan = []
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]

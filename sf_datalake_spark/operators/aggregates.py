@@ -235,12 +235,15 @@ def quantile_normalize(
     # rg·N reaches N² — past ~3e9 rows that product overflows bigint
     # while the docstring promises billion-row design (ADVICE r4), so
     # the product runs in DECIMAL(38,0): 9.2e18² ≈ 8.5e37 still fits
-    # precision 38, and the floor-div result is ≤ N, back in bigint.
+    # precision 38. Integral division (`div`), not `/`+floor: decimal
+    # `/` rounds the quotient HALF_UP to scale 6 before floor, so exact
+    # multiples at group sizes ≥ ~2M came back rank+1 and the group's
+    # top row mapped to p = N+1, missing the pooled join (ADVICE r5).
+    # `div` is exact on decimals and returns bigint directly.
     target = ranked.crossJoin(F.broadcast(total)).withColumn(
         "__p",
         F.expr(
-            "cast(floor((cast(__rg as decimal(38,0)) * __N + __ng - 1)"
-            " / __ng) as bigint)"
+            "(cast(__rg as decimal(38,0)) * __N + __ng - 1) div __ng"
         ),
     )
     return target.join(pooled, "__p").select(

@@ -47,7 +47,13 @@ def resample_classes(
     }
     if len(counts) != 2:
         raise ValueError(f"Expected binary label, got classes: {sorted(counts)}")
-    (minor, n_minor), (major, n_major) = sorted(counts.items(), key=lambda kv: kv[1])
+    # tie-break on the label too (ADVICE r5): with equal class counts a
+    # count-only sort is arbitrary while the DuckDB oracle orders by
+    # (n, label) — the engines could disagree on which class gets the
+    # hash filter. (label, count) keys here replay ORDER BY n, <label>.
+    (minor, n_minor), (major, n_major) = sorted(
+        counts.items(), key=lambda kv: (kv[1], kv[0])
+    )
     if method == "undersampling_hash":
         if not key_cols:
             raise ValueError("undersampling_hash needs key_cols")

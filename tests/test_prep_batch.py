@@ -62,6 +62,29 @@ def test_quantile_normalize_ties_stay_deterministic(spark):
     assert got == {("A", 1): 10, ("A", 2): 99, ("B", 3): 10, ("B", 4): 99}
 
 
+def test_quantile_normalize_rank_exact_at_decimal_scale(spark):
+    # ADVICE r5 regression: decimal `/` rounds HALF_UP to scale 6 before
+    # floor, so rg=N=ng=2.5e6 (an exact multiple) produced rank N+1 —
+    # the group's top row mapped past the pooled table and was silently
+    # dropped. The `div` integral division is exact; replay the exact
+    # expression used by quantile_normalize at the failing magnitude.
+    row = spark.range(1).select(
+        F.expr(
+            "(cast(2500000 as decimal(38,0)) * 2500000 + 2500000 - 1)"
+            " div 2500000"
+        ).alias("p")
+    ).first()
+    assert row["p"] == 2500000
+    # and the boundary just below an exact multiple still floors down
+    row2 = spark.range(1).select(
+        F.expr(
+            "(cast(2499999 as decimal(38,0)) * 2500000 + 2500000 - 1)"
+            " div 2500000"
+        ).alias("p")
+    ).first()
+    assert row2["p"] == 2499999 + 1 - 1  # ceil(2499999*2500000/2500000)
+
+
 def test_sliding_bitmap_distinct_window_boundaries(spark):
     # users 1,2 on day 1; user 2 on day 8 (outside day-1's 7-day reach,
     # inside nothing else); user 3 on day 7 (inside day-1→7 window)

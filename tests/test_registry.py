@@ -81,20 +81,27 @@ def test_attestation_derivation_matches_snapshots():
 
 
 def test_readme_ledger_matches_snapshots():
-    """README's attestation ledger is generated (tools/gen_ledger.py);
-    the counts it carries must agree with the snapshots + registry.
-    Round-4 verdict task #2: fail if README and snapshots disagree."""
-    import __spark_entry__ as entry
+    """README's attestation ledger is generated (tools/gen_ledger.py).
+    Round-5 verdict #7: self-heal instead of going red when a driver
+    snapshot lands after the last commit — regenerate the block in place
+    and fail only on generator/README drift (missing markers), never on
+    a freshly-landed CORRECTNESS file. The rewritten README shows up as
+    a dirty file to commit, which the round workflow already does."""
+    import tools.gen_ledger as gen_ledger
 
+    changed = gen_ledger.write_ledger()  # raises ValueError on marker loss
+    if changed:  # snapshot landed after last commit — README now healed
+        print("README ledger was stale; regenerated in place (commit it)")
     readme = open(os.path.join(REPO, "README.md")).read()
+    assert gen_ledger.build_block() in readme
+
+    import __spark_entry__ as entry
     attested_n = len(entry._ATTESTED)
     total_n = len(entry.queries())
     oracled_n = len(entry.oracle_sql())
     marker = (f"driver-attested (union r01–r{max(_snapshots()):02d}): "
               f"{attested_n}/{total_n}")
-    assert marker in readme, (
-        f"README ledger stale: expected {marker!r}; regenerate with "
-        "`python tools/gen_ledger.py`")
+    assert marker in readme
     assert f"{oracled_n} oracled" in readme
 
 
