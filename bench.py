@@ -17,10 +17,89 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _committed_history() -> dict[str, float]:
+    """Per-query best timings from the last COMMITTED sidecar.
+
+    Round-5 verdict #3: the v4 load guard keys on first/min spread and
+    loadavg — both blind to SUSTAINED contamination where every run of
+    a query is equally slow (the r05 driver run's 10.6 s sla_trend /
+    7.4 s cohort_ltv tail cluster sailed through unflagged, spread≈1.0).
+    Committed bench_last.json versions are the cross-run reference the
+    spread can't see.  Elementwise MIN over the last three committed
+    versions, because a committed sidecar can itself be contaminated
+    (the r05 driver run landed sla_trend at 10.6 s — a single-version
+    guard would compare against the contamination); inflation only ever
+    raises timings, so the min is the best-known true cost.  Replayed
+    against the r05 driver numbers this flags exactly the
+    sla_trend/cohort_ltv/bandit_replay tail cluster at 13-16x."""
+    try:
+        hashes = subprocess.run(
+            ["git", "-C", REPO, "log", "-n", "3", "--format=%H",
+             "--", "bench_last.json"],
+            capture_output=True, text=True, timeout=30,
+        ).stdout.split()
+        hist: dict[str, float] = {}
+        for h in hashes:
+            blob = subprocess.run(
+                ["git", "-C", REPO, "show", f"{h}:bench_last.json"],
+                capture_output=True, text=True, timeout=30,
+            )
+            if blob.returncode != 0:
+                continue
+            for k, v in json.loads(blob.stdout).get("queries", {}).items():
+                if isinstance(v, (int, float)) and v > 0:
+                    hist[k] = min(hist.get(k, v), v)
+        return hist
+    except Exception:
+        return {}
+
+
+def _jvm_diag(spark) -> dict:
+    """JVM health snapshot via java.lang.management (round-5 verdict
+    #4): code-cache occupancy (the r05 positional-degradation root
+    cause — a full code cache silently stops the JIT and tail queries
+    run interpreted), cumulative GC time, heap, and Spark storage
+    memory.  Lets the next reader of a contaminated-looking sidecar
+    distinguish code-cache relapse / GC pressure / storage-memory leak
+    (all visible here) from box co-tenancy (none of them move)."""
+    out: dict = {}
+    try:
+        mf = spark.sparkContext._jvm.java.lang.management.ManagementFactory
+        gc_ms = 0
+        for b in mf.getGarbageCollectorMXBeans():
+            t = b.getCollectionTime()
+            if t > 0:
+                gc_ms += t
+        out["gc_ms"] = int(gc_ms)
+        cc_used = cc_max = 0
+        for pool in mf.getMemoryPoolMXBeans():
+            if "CodeHeap" in pool.getName() or "Code Cache" in pool.getName():
+                u = pool.getUsage()
+                cc_used += u.getUsed()
+                cc_max += u.getMax()
+        out["code_cache_used_mb"] = round(cc_used / 2**20, 1)
+        out["code_cache_max_mb"] = round(cc_max / 2**20, 1)
+        heap = mf.getMemoryMXBean().getHeapMemoryUsage()
+        out["heap_used_mb"] = round(heap.getUsed() / 2**20, 1)
+    except Exception as e:  # diagnostics must never kill the bench
+        out["error"] = str(e)[:200]
+    try:
+        env = spark.sparkContext._jvm.org.apache.spark.SparkEnv.get()
+        out["storage_mb"] = round(
+            env.memoryManager().storageMemoryUsed() / 2**20, 1
+        )
+    except Exception:
+        pass
+    return out
 
 
 def main() -> int:
@@ -92,6 +171,10 @@ def main() -> int:
     load_at: dict[str, float] = {}
     spread: dict[str, float] = {}
     n_cores = os.cpu_count() or 32
+    history = _committed_history()
+    jvm_diag: list[dict] = [{"at": 0, "query": "<warmup-done>",
+                             **_jvm_diag(spark)}]
+    n_done = 0
     # (Tried and rejected: an explicit System.gc() every 25 queries —
     # full collections on the 48 GB heap cost more than they save and
     # RAISED the suite total 244 s -> 275 s. The unpersist hygiene in
@@ -156,6 +239,11 @@ def main() -> int:
         timings[name] = best
         if best > 0:
             spread[name] = round(first_run.get(name, best) / best, 2)
+        n_done += 1
+        if n_done % 50 == 0:
+            jvm_diag.append({"at": n_done, "query": name,
+                             **_jvm_diag(spark)})
+    jvm_diag.append({"at": n_done, "query": "<end>", **_jvm_diag(spark)})
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
     # Load guard (round-4 verdict task #4): the r04 sidecar recorded
@@ -173,11 +261,27 @@ def main() -> int:
         n for n, l in load_at.items()
         if l > n_cores / 2 and timings.get(n, -1) > 0.5
     )
-    suspects = sorted(set(suspect_ratio) | set(suspect_load))
+    # History guard (round-5 verdict #3): sustained contamination makes
+    # BOTH runs of a query equally slow — first/min spread ≈ 1 and
+    # loadavg can look calm, so the v4 guards miss it (the r05 tail
+    # cluster).  A query whose best-of-2 exceeds 2.5x its value in the
+    # last COMMITTED sidecar is suspect regardless of spread; replaying
+    # the driver's r05 numbers against the committed r05 sidecar flags
+    # exactly the sla_trend/cohort_ltv cluster this was built for.
+    hist_ratio = {
+        n: round(timings[n] / history[n], 2)
+        for n in timings
+        if n in history and timings[n] > 0.5 and history[n] > 0.2
+    }
+    suspect_history = sorted(n for n, r in hist_ratio.items() if r > 2.5)
+    suspects = sorted(
+        set(suspect_ratio) | set(suspect_load) | set(suspect_history)
+    )
     if suspects:
         print(f"bench load guard: {len(suspects)} suspect timings "
               f"(ratio>2: {suspect_ratio}; load>{n_cores // 2}: "
-              f"{suspect_load}) — re-measure standalone before trusting",
+              f"{suspect_load}; >2.5x committed history: "
+              f"{suspect_history}) — re-measure standalone before trusting",
               file=sys.stderr)
 
     sf = None
@@ -207,11 +311,14 @@ def main() -> int:
         #   v2 (r03):     + clearCache between runs, adaptive 3rd timing
         #   v3 (r04+):    + --queries filter (protocol itself unchanged
         #                 from v2 — v2/v3 numbers are comparable)
-        #   v4 (r05+):    + load guard (per-query loadavg + first/min
-        #                 spread recorded; suspect list in the sidecar;
-        #                 timing protocol unchanged — v2/v3/v4 numbers
-        #                 are comparable)
-        "methodology": "v4",
+        #   v4 (r05):     + load guard (per-query loadavg + first/min
+        #                 spread recorded; suspect list in the sidecar)
+        #   v5 (r06+):    + history guard (best-of-2 vs the last
+        #                 COMMITTED sidecar, flags sustained
+        #                 contamination the spread can't see) + jvm_diag
+        #                 series every 50 queries; timing protocol
+        #                 unchanged — v2..v5 numbers are comparable
+        "methodology": "v5",
         "n_suspect": len(suspects),
     }
     # Keep the printed line compact (the driver's capture truncates long
@@ -220,7 +327,9 @@ def main() -> int:
     print(json.dumps(payload))
     payload = {**payload, "first_run": first_run, "loadavg1": load_at,
                "first_over_min": spread, "suspect": suspects,
-               "suspect_ratio": suspect_ratio, "suspect_load": suspect_load}
+               "suspect_ratio": suspect_ratio, "suspect_load": suspect_load,
+               "suspect_history": suspect_history,
+               "history_ratio": hist_ratio, "jvm_diag": jvm_diag}
     # Durable sidecar (atomic rename): the driver's BENCH file tail can
     # truncate the printed line; bench_last.json keeps the full
     # per-query map for every round.

@@ -1,14 +1,15 @@
-"""Pure-Python baseline JFIF (JPEG) decoder — the entropy-coded leg of
-the multimodal codec seam.
+"""Pure-Python JFIF (JPEG) decoder — the entropy-coded leg of the
+multimodal codec seam.
 
 Round-4 verdict task #5: BMP/WAV/PNG decode was already real
 in-container; JPEG — the format that dominates real crawls — still hit
 the deterministic stub.  This module decodes baseline sequential DCT
-JFIF (SOF0): Huffman entropy decode, dequantize, de-zigzag, 8×8 IDCT,
-chroma upsample (any H/V factors incl. 4:2:0 and 4:4:4), BT.601
-YCbCr→RGB.  Grayscale (1 component) and 3-component color both
-supported; restart markers (DRI/RSTn) honored.  numpy for the IDCT
-matmuls, stdlib for everything else — no codec library.
+JFIF (SOF0) AND progressive DCT (SOF2, round-5 verdict #5): Huffman
+entropy decode, dequantize, de-zigzag, 8×8 IDCT, chroma upsample (any
+H/V factors incl. 4:2:0 and 4:4:4), BT.601 YCbCr→RGB.  Grayscale
+(1 component) and 3-component color both supported; restart markers
+(DRI/RSTn) honored.  numpy for the IDCT matmuls, stdlib for everything
+else — no codec library.
 
 Format facts used (public ITU-T T.81 spec):
 - segments are ``FF marker len(2,BE) payload``; SOI/EOI/RSTn carry no
@@ -19,6 +20,15 @@ Format facts used (public ITU-T T.81 spec):
 - block decode: DC category + extend()-coded diff (predictor per
   component, reset on restart), AC run/size symbols with EOB (0x00)
   and ZRL (0xF0).
+- progressive (T.81 G.1.2): each SOS carries a spectral band (Ss..Se)
+  and a successive-approximation split (Ah, Al).  DC scans (Ss=Se=0)
+  may be interleaved; AC scans are single-component, walking the
+  component's non-interleaved block raster.  First AC scans (Ah=0) use
+  EOB-run coding (symbol r<<4 with r<15 = run of 2^r+ext end-of-band
+  blocks); refinement scans (Ah>0) interleave ±1<<Al insertions with
+  correction bits for already-nonzero coefficients.  Coefficients
+  accumulate in per-component buffers across scans; IDCT runs once at
+  EOI.
 - IDCT is the separable orthonormal DCT-II transpose:
   ``pixels = Cᵀ·coef·C``, C[u,k] = α(u)·cos((2k+1)uπ/16).
 
@@ -156,6 +166,7 @@ def _decode(data: bytes):
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _Huff] = {}
     frame = None
+    prog = None  # progressive coefficient-accumulation state
     restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -191,7 +202,7 @@ def _decode(data: bytes):
                 n = sum(counts)
                 huff[(tc, th)] = _Huff(counts, seg[p + 17:p + 17 + n])
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 return None
@@ -213,16 +224,25 @@ def _decode(data: bytes):
                 if not (1 <= hs <= 4 and 1 <= vs <= 4):
                     return None
                 comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # non-baseline SOF: unsupported, not corrupt
+            return None  # hierarchical/arithmetic SOF: unsupported
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
                 return None
             ns = seg[0]
+            if frame["progressive"]:
+                if prog is None:
+                    prog = _init_prog(frame)
+                pos = _progressive_scan(data, pos + seglen, seg, frame,
+                                        prog, huff, restart_interval)
+                if pos is None:
+                    return None
+                continue  # pos already sits on the next FF marker
             # the baseline decoder only implements the single fully-
             # interleaved scan: a valid non-interleaved file (one
             # component per scan, ns < nc) would return after its first
@@ -243,6 +263,8 @@ def _decode(data: bytes):
             return _decode_scan(data, pos + seglen, frame, scan,
                                 restart_interval)
         pos += seglen
+    if prog is not None:
+        return _reconstruct_progressive(frame, prog, qt)
     return None
 
 
@@ -302,10 +324,15 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: list,
                             planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
     except _MarkerReached:
         pass  # truncated-but-decoded-so-far is the lenient contract
+    return _assemble(planes, scan, h, w, hmax, vmax)
 
-    # upsample every plane to the full-resolution grid, crop to (h, w)
+
+def _assemble(planes, comps, h, w, hmax, vmax):
+    """Upsample component planes to the full grid, crop to (h, w),
+    level-shift, and convert to RGB (shared by the baseline and
+    progressive paths)."""
     full = []
-    for ci, comp in enumerate(scan):
+    for ci, comp in enumerate(comps):
         p = planes[ci]
         if comp["h"] != hmax:
             p = np.repeat(p, hmax // comp["h"], axis=1)
@@ -321,3 +348,247 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: list,
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def _init_prog(frame: dict) -> dict:
+    """Per-component coefficient buffers for progressive accumulation.
+
+    Buffers are sized to the interleaved MCU grid (a superset of the
+    non-interleaved block grid every AC scan walks), stored in ZIGZAG
+    order — scans index coefficients by zigzag position k, so
+    de-zigzagging waits until reconstruction."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    h, w = frame["h"], frame["w"]
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    comps = []
+    for c in frame["comps"]:
+        # non-interleaved grid: blocks covering ceil(w·h_c/hmax) cols
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(h * c["v"]) // vmax)
+        comps.append({
+            **c,
+            "coef": np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                             dtype=np.int32),
+            "nbw": -(-cw // 8),
+            "nbh": -(-ch // 8),
+        })
+    return {"hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
+            "comps": comps, "preds": {}}
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """Scan forward to the next real marker (skipping entropy bytes,
+    FF00 stuffing, and fill FFs)."""
+    n = len(data)
+    while pos < n - 1:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        nxt = data[pos + 1]
+        if nxt == 0x00:
+            pos += 2
+            continue
+        if nxt == 0xFF:  # fill byte
+            pos += 1
+            continue
+        return pos
+    return n
+
+
+def _progressive_scan(data: bytes, pos: int, seg: bytes, frame: dict,
+                      prog: dict, huff: dict, restart_interval: int):
+    """Decode one progressive SOS into the coefficient buffers; returns
+    the absolute offset of the next marker's FF byte (or None on a
+    structurally invalid scan header)."""
+    ns = seg[0]
+    if not 1 <= ns <= len(frame["comps"]) or len(seg) < 4 + 2 * ns:
+        return None
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    ahal = seg[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 15
+    if se > 63 or ss > se or al > 13:
+        return None
+    if ss == 0 and se != 0:
+        return None  # progressive DC scan must be exactly (0, 0)
+    if ss > 0 and ns != 1:
+        return None  # AC scans are single-component (T.81 G.1)
+    by_id = {c["id"]: c for c in prog["comps"]}
+    scan = []
+    for c in range(ns):
+        cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+        comp = by_id.get(cid)
+        if comp is None:
+            return None
+        entry = dict(comp)
+        if ss == 0 and ah == 0:
+            entry["dc"] = huff[(0, tt >> 4)]
+        if ss > 0 and ah == 0:
+            entry["ac"] = huff[(1, tt & 15)]
+        if ss > 0 and ah > 0:
+            entry["ac"] = huff[(1, tt & 15)]
+        scan.append(entry)
+    br = _BitReader(data, pos)
+    try:
+        if ss == 0:
+            _prog_dc_scan(br, scan, prog, ah, al, restart_interval)
+        else:
+            _prog_ac_scan(br, scan[0], ss, se, ah, al, restart_interval)
+    except _MarkerReached:
+        # truncated scan: resume segment parsing AT that marker (bit()
+        # raises with pos past the FF, pointing at the marker byte)
+        return br.pos - 1
+    return _next_marker(data, br.pos)
+
+
+def _prog_dc_scan(br, scan, prog, ah, al, restart_interval):
+    """DC scan, interleaved over the MCU grid (or the single
+    component's grid when ns == 1)."""
+    mcux, mcuy = prog["mcux"], prog["mcuy"]
+    interleaved = len(scan) > 1
+    preds = [0] * len(scan)
+    mcu_count = 0
+    if interleaved:
+        walk = [(my, mx) for my in range(mcuy) for mx in range(mcux)]
+        blocks_of = lambda c, my, mx: [  # noqa: E731
+            (my * c["v"] + by, mx * c["h"] + bx)
+            for by in range(c["v"]) for bx in range(c["h"])
+        ]
+    else:
+        c0 = scan[0]
+        walk = [(by, bx) for by in range(c0["nbh"])
+                for bx in range(c0["nbw"])]
+        blocks_of = lambda c, by, bx: [(by, bx)]  # noqa: E731
+    for wy, wx in walk:
+        if restart_interval and mcu_count and \
+                mcu_count % restart_interval == 0:
+            br.restart()
+            preds = [0] * len(scan)
+        mcu_count += 1
+        for ci, comp in enumerate(scan):
+            for by, bx in blocks_of(comp, wy, wx):
+                coef = comp["coef"]
+                if ah == 0:
+                    t = comp["dc"].decode(br)
+                    diff = _extend(br.bits(t), t) if t else 0
+                    preds[ci] += diff
+                    coef[by, bx, 0] = preds[ci] << al
+                else:  # refinement: one bit ORed into bit al
+                    if br.bit():
+                        coef[by, bx, 0] |= 1 << al
+
+
+def _prog_ac_scan(br, comp, ss, se, ah, al, restart_interval):
+    """AC scan over one component's non-interleaved block raster."""
+    coef = comp["coef"]
+    ac = comp["ac"]
+    eobrun = 0
+    mcu_count = 0
+    for by in range(comp["nbh"]):
+        for bx in range(comp["nbw"]):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                br.restart()
+                eobrun = 0
+            mcu_count += 1
+            blk = coef[by, bx]
+            if ah == 0:
+                eobrun = _prog_ac_first(br, ac, blk, ss, se, al, eobrun)
+            else:
+                eobrun = _prog_ac_refine(br, ac, blk, ss, se, al, eobrun)
+
+
+def _prog_ac_first(br, ac, blk, ss, se, al, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = ac.decode(br)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:  # EOB run of 2^r (+ext) bands, this block incl.
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.bits(r)
+                return eobrun - 1
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[k] = _extend(br.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _prog_ac_refine(br, ac, blk, ss, se, al, eobrun):
+    """Successive-approximation AC refinement (T.81 G.1.2.3 / the
+    libjpeg decode_mcu_AC_refine control flow): new ±1<<al
+    insertions interleaved with correction bits for coefficients
+    already nonzero from earlier scans."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = ac.decode(br)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("refinement magnitude must be 1")
+                val = p1 if br.bit() else m1
+            else:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break  # fall through to the EOB correction sweep
+                # r == 15 (ZRL): skip 16 zero-history coefficients
+            while k <= se:
+                if blk[k] != 0:
+                    if br.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if br.bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_progressive(frame: dict, prog: dict, qt: dict):
+    """Dequantize + de-zigzag + vectorized IDCT over every block, then
+    the shared upsample/convert tail."""
+    h, w = frame["h"], frame["w"]
+    dez = np.empty(64, dtype=np.int64)  # zigzag k -> natural 8x8 index
+    for k, (i, j) in enumerate(_ZIGZAG):
+        dez[k] = i * 8 + j
+    planes = []
+    for comp in prog["comps"]:
+        q = qt.get(comp["tq"])
+        if q is None:
+            return None
+        coef = comp["coef"]  # (by, bx, 64) zigzag
+        by, bx = coef.shape[:2]
+        nat = np.zeros((by, bx, 64), dtype=np.float64)
+        nat[:, :, dez] = coef
+        blocks = nat.reshape(by, bx, 8, 8) * q.astype(np.float64)
+        # pixels = Cᵀ·coef·C for every block at once
+        pix = np.einsum("ur,yxuv,vs->yxrs", _IDCT_C, blocks, _IDCT_C)
+        planes.append(
+            pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        )
+    return _assemble(planes, prog["comps"], h, w,
+                     prog["hmax"], prog["vmax"])

@@ -543,41 +543,50 @@ def q_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # convergence, so fixpoint == fixed-round).
 # ---------------------------------------------------------------------------
 
-def q_k_core_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_k_core_parts(
+    spark: SparkSession, sf_dir: str, max_basket: int = 64
+) -> DataFrame:
     """Parts in the 3-core of the co-purchase graph (edge = the pair
-    co-occurs in >= 2 orders), with their within-core degree."""
-    from sf_datalake_spark.operators.components import k_core
+    co-occurs in >= 2 orders), with their within-core degree.
 
-    baskets = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+    Edge generation routes through the capped ``frequent_pairs``
+    machinery (round-5 verdict #2): an earlier inline pair explode had
+    no basket bound, re-creating the Σ basket² whale shape the item-CF
+    cap exists for — one degenerate mega-order at 100× would emit
+    C(n,2) pairs and stall the job.  ``frequent_pairs`` Apriori-prunes
+    items below pair support (lossless for support ≥ 2 edges) and drops
+    baskets still holding > ``max_basket`` frequent items (a
+    deterministic guard, replayed row-for-row in the oracle's ``ok``
+    CTE).  TPC-H orders carry ≤ 7 lineitems so the cap is inert on the
+    test corpus; ``tools/whale_probe.py`` measures it on a 10k-part
+    mega-order.
+    """
+    from sf_datalake_spark.operators.components import k_core
+    from sf_datalake_spark.operators.itemsets import frequent_pairs
+
+    mem = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = frequent_pairs(
+        mem, "l_orderkey", "l_partkey",
+        min_support=2, max_basket_size=max_basket,
     )
-    pairs = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(items, (x, i) -> "
-                    "transform(slice(items, i + 2, size(items)), "
-                    "y -> struct(x AS u, y AS v))))"
-                )
-            ).alias("p")
-        )
-        .select("p.u", "p.v")
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("s"))
-        .filter(F.col("s") >= 2)
+    edges = pairs.select(
+        F.col("item_1").alias("u"), F.col("item_2").alias("v")
     )
-    return k_core(pairs, 3, "u", "v")
+    return k_core(edges, 3, "u", "v")
 
 
 _K_CORE_SQL = """
-    WITH RECURSIVE pairs AS (
-        SELECT a.l_partkey AS u, b.l_partkey AS v
-        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
-        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
-          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    WITH RECURSIVE mem AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    freq AS (SELECT i FROM mem GROUP BY i HAVING count(*) >= 2),
+    pm AS (SELECT b, i FROM mem JOIN freq USING (i)),
+    ok AS (SELECT b FROM pm GROUP BY b HAVING count(*) <= 64),
+    pairs AS (
+        SELECT a.i AS u, c.i AS v
+        FROM pm a
+        JOIN pm c ON a.b = c.b AND a.i < c.i
+        JOIN ok ON a.b = ok.b
         GROUP BY 1, 2 HAVING count(*) >= 2
     ),
     und AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),

@@ -718,6 +718,310 @@ def _psnr(a, b):
     return 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
 
 
+def _jpeg_progressive_bytes(pixels, subsample=False, quant=8):
+    """Serialize an RGB/grayscale uint8 array as a PROGRESSIVE (SOF2)
+    JFIF — independent of the decoder, following T.81 G.1.2 and the
+    libjpeg encoder's scan script shape: an interleaved first DC scan
+    at Al=1, a DC refinement scan, then per-component AC scans split
+    into spectral bands (1-5, 6-63 for luma; 1-63 for chroma), each
+    coded first at Al=1 and refined to Al=0.  Exercises EOB-run
+    coding, ZRL, spectral selection, and successive-approximation
+    correction bits.  Quantized coefficients are IDENTICAL to
+    ``_jpeg_bytes``'s, so the progressive decode must equal the
+    baseline decode bit-for-bit."""
+    import struct
+
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+
+    C = np.zeros((8, 8))
+    for u in range(8):
+        a = np.sqrt(0.125) if u == 0 else 0.5
+        for k in range(8):
+            C[u, k] = a * np.cos((2 * k + 1) * u * np.pi / 16.0)
+    zz = []
+    for s in range(15):
+        ij = [(i, s - i) for i in range(s + 1) if i < 8 and s - i < 8]
+        zz.extend(ij if s % 2 == 1 else ij[::-1])
+
+    if gray:
+        planes = [pixels.astype(np.float64)]
+        samps = [(1, 1)]
+    else:
+        p = pixels.astype(np.float64)
+        y = 0.299 * p[..., 0] + 0.587 * p[..., 1] + 0.114 * p[..., 2]
+        cb = 128 - 0.168736 * p[..., 0] - 0.331264 * p[..., 1] + 0.5 * p[..., 2]
+        cr = 128 + 0.5 * p[..., 0] - 0.418688 * p[..., 1] - 0.081312 * p[..., 2]
+        if subsample:
+            hy, vy = 2, 2
+            ph = -(-h // 16) * 16
+            pw = -(-w // 16) * 16
+
+            def pad(pl, th, tw):
+                return np.pad(pl, ((0, th - pl.shape[0]),
+                                   (0, tw - pl.shape[1])), mode="edge")
+            cb = pad(cb, ph, pw).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = pad(cr, ph, pw).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        else:
+            hy, vy = 1, 1
+        planes = [y, cb, cr]
+        samps = [(hy, vy), (1, 1), (1, 1)]
+
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # quantized zigzag coefficients per comp over the padded MCU grid
+    qzs = []
+    for pl, (sh, sv) in zip(planes, samps):
+        th, tw = mcuy * 8 * sv, mcux * 8 * sh
+        pl = np.pad(pl, ((0, max(0, th - pl.shape[0])),
+                         (0, max(0, tw - pl.shape[1]))),
+                    mode="edge")[:th, :tw]
+        by, bx = th // 8, tw // 8
+        arr = np.zeros((by, bx, 64), dtype=np.int64)
+        for yb in range(by):
+            for xb in range(bx):
+                blk = pl[yb * 8:yb * 8 + 8, xb * 8:xb * 8 + 8] - 128.0
+                q = np.rint((C @ blk @ C.T) / quant).astype(np.int64)
+                arr[yb, xb] = [int(q[i, j]) for (i, j) in zz]
+        qzs.append(arr)
+
+    # non-interleaved block dims per comp
+    nbdims = []
+    for (sh, sv) in samps:
+        cw = -(-(w * sh) // hmax)
+        ch = -(-(h * sv) // vmax)
+        nbdims.append((-(-ch // 8), -(-cw // 8)))
+
+    class BW:
+        def __init__(self):
+            self.bits = []
+            self.out = bytearray()
+
+        def emit(self, code, n):
+            for i in range(n - 1, -1, -1):
+                self.bits.append((code >> i) & 1)
+            self._flush(False)
+
+        def _flush(self, pad):
+            if pad:
+                while len(self.bits) % 8:
+                    self.bits.append(1)
+            while len(self.bits) >= 8:
+                b = 0
+                for bit in self.bits[:8]:
+                    b = (b << 1) | bit
+                del self.bits[:8]
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0x00)
+
+        def done(self):
+            self._flush(True)
+            return bytes(self.out)
+
+    def build_huff(symbols_used):
+        syms = sorted(symbols_used) or [0]
+        L = max(2, len(syms).bit_length())
+        if (1 << L) <= len(syms):
+            L += 1
+        counts = [0] * 16
+        counts[L - 1] = len(syms)
+        return {s: (i, L) for i, s in enumerate(syms)}, counts, bytes(syms)
+
+    def category(v):
+        return abs(int(v)).bit_length()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) \
+            + payload
+
+    def sos_seg(comp_ids, ss, se, ah, al):
+        p = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            p += bytes([cid, 0x00])  # DC table 0 / AC table 0
+        p += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, p)
+
+    # ---- scan emitters: each returns (symbol_stream, raw_scan) where
+    # symbol_stream is [(kind, payload...)]: ("sym", s) Huffman-coded,
+    # ("bits", value, nbits) raw
+    def dc_first_stream(al):
+        stream = []
+        preds = [0] * len(qzs)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, ((sh, sv), arr) in enumerate(zip(samps, qzs)):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            dc = int(arr[my * sv + by, mx * sh + bx, 0]) >> al
+                            diff = dc - preds[ci]
+                            preds[ci] = dc
+                            t = category(diff)
+                            stream.append(("sym", t))
+                            if t:
+                                bits = diff if diff >= 0 else diff + (1 << t) - 1
+                                stream.append(("bits", bits, t))
+        return stream
+
+    def dc_refine_stream(al):
+        stream = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for (sh, sv), arr in zip(samps, qzs):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            bit = (int(arr[my * sv + by, mx * sh + bx, 0])
+                                   >> al) & 1
+                            stream.append(("bits", bit, 1))
+        return stream
+
+    def ac_first_stream(ci, ss, se, al):
+        arr = qzs[ci]
+        nbh, nbw = nbdims[ci]
+        stream = []
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                stream.append(("sym", nb << 4))
+                if nb:
+                    stream.append(("bits", eobrun - (1 << nb), nb))
+                eobrun = 0
+
+        for by in range(nbh):
+            for bx in range(nbw):
+                vals = [
+                    (1 if v >= 0 else -1) * (abs(int(v)) >> al)
+                    for v in arr[by, bx, ss:se + 1]
+                ]
+                if not any(vals):
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                last_nz = max(i for i, v in enumerate(vals) if v)
+                for v in vals[:last_nz + 1]:
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        stream.append(("sym", 0xF0))
+                        run -= 16
+                    s = category(v)
+                    bits = v if v >= 0 else v + (1 << s) - 1
+                    stream.append(("sym", (run << 4) | s))
+                    stream.append(("bits", bits, s))
+                    run = 0
+                if last_nz < len(vals) - 1:
+                    eobrun = 1
+        flush_eob()
+        return stream
+
+    def ac_refine_stream(ci, ss, se, al):
+        arr = qzs[ci]
+        nbh, nbw = nbdims[ci]
+        stream = []
+        eobrun = 0
+        pend = []  # correction bits buffered with the pending EOB run
+
+        def flush_eob():
+            nonlocal eobrun, pend
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                stream.append(("sym", nb << 4))
+                if nb:
+                    stream.append(("bits", eobrun - (1 << nb), nb))
+                for b in pend:
+                    stream.append(("bits", b, 1))
+                eobrun = 0
+                pend = []
+
+        for by in range(nbh):
+            for bx in range(nbw):
+                band = [int(v) for v in arr[by, bx, ss:se + 1]]
+                absv = [abs(v) >> al for v in band]
+                eob_i = max((i for i, t in enumerate(absv) if t == 1),
+                            default=-1)
+                r = 0
+                br_bits = []  # block-local buffered correction bits
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i <= eob_i:
+                        flush_eob()
+                        stream.append(("sym", 0xF0))
+                        for b in br_bits:
+                            stream.append(("bits", b, 1))
+                        br_bits = []
+                        r -= 16
+                    if t > 1:  # already nonzero: correction bit
+                        br_bits.append(t & 1)
+                        continue
+                    flush_eob()
+                    stream.append(("sym", (r << 4) | 1))
+                    stream.append(("bits", 1 if band[i] > 0 else 0, 1))
+                    for b in br_bits:
+                        stream.append(("bits", b, 1))
+                    br_bits = []
+                    r = 0
+                if r > 0 or br_bits:
+                    eobrun += 1
+                    pend.extend(br_bits)
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        return stream
+
+    def render_scan(stream, tc):
+        """Huffman-code a scan's symbol stream; returns (DHT, bytes)."""
+        syms = {p[1] for p in stream if p[0] == "sym"}
+        hmap, counts, vals = build_huff(syms)
+        bw = BW()
+        for p in stream:
+            if p[0] == "sym":
+                code, length = hmap[p[1]]
+                bw.emit(code, length)
+            else:
+                bw.emit(p[1], p[2])
+        dht = seg(0xC4, bytes([tc << 4]) + bytes(counts) + vals)
+        return dht, bw.done()
+
+    ncomp = len(planes)
+    qtbl = bytes([0]) + bytes([quant] * 64)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci, (sh, sv) in enumerate(samps):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out = b"\xff\xd8" + seg(0xE0, app0) + seg(0xDB, qtbl) + seg(0xC2, sof)
+
+    all_ids = [ci + 1 for ci in range(ncomp)]
+    # scan 1: DC first (interleaved), Al=1
+    dht, body = render_scan(dc_first_stream(1), tc=0)
+    out += dht + sos_seg(all_ids, 0, 0, 0, 1) + body
+    # scan 2: DC refinement, Ah=1 -> Al=0 (raw bits, no table read)
+    _, body = render_scan(dc_refine_stream(0), tc=0)
+    out += sos_seg(all_ids, 0, 0, 1, 0) + body
+    # AC scans: luma split into spectral bands, chroma whole-band
+    bands = {0: [(1, 5), (6, 63)]}
+    for ci in range(ncomp):
+        for (bss, bse) in bands.get(ci, [(1, 63)]):
+            dht, body = render_scan(ac_first_stream(ci, bss, bse, 1), tc=1)
+            out += dht + sos_seg([ci + 1], bss, bse, 0, 1) + body
+    for ci in range(ncomp):
+        for (bss, bse) in bands.get(ci, [(1, 63)]):
+            dht, body = render_scan(ac_refine_stream(ci, bss, bse, 0), tc=1)
+            out += dht + sos_seg([ci + 1], bss, bse, 1, 0) + body
+    return out + b"\xff\xd9"
+
+
 def test_real_jpeg_grayscale_decode_psnr(spark):
     """A generated grayscale baseline JFIF decodes through the full
     decode_images Spark stage within a PSNR bound (IDCT rounding makes

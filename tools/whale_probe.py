@@ -65,9 +65,33 @@ def build_whale(spark) -> None:
             for c in orders.columns
         ]
     )
+    # k-core mega-order (round-5 verdict #2): ONE order holding all
+    # 10 000 whale parts — the per-ORDER basket whale. Same customer,
+    # so item-CF's per-customer basket (already the 10k-part union) is
+    # unchanged; only the per-order pair build sees a new worst case:
+    # uncapped it alone emits C(10k,2) ≈ 5x10^7 pairs.
+    worders = worders.unionByName(
+        spark.range(1).select(
+            *[
+                F.lit(910_000_000).cast(
+                    orders.schema["o_orderkey"].dataType
+                ).alias("o_orderkey") if c == "o_orderkey"
+                else F.lit(WHALE_CUST).cast(
+                    orders.schema["o_custkey"].dataType
+                ).alias("o_custkey") if c == "o_custkey"
+                else F.lit(None).cast(orders.schema[c].dataType).alias(c)
+                for c in orders.columns
+            ]
+        )
+    )
     wli = spark.range(WHALE_PARTS).select(
         (F.lit(900_000_000) + (F.col("id") % 100)).alias("l_orderkey"),
         (F.col("id") + 1).alias("l_partkey"),
+    ).unionByName(
+        spark.range(WHALE_PARTS).select(
+            F.lit(910_000_000).alias("l_orderkey"),
+            (F.col("id") + 1).alias("l_partkey"),
+        )
     )
     wli = wli.select(
         *[
@@ -137,6 +161,24 @@ def main() -> int:
         )
         out["item_cf_uncapped"] = {"s": un_s, "rows": un_n}
         print(f"# item_cf uncapped: {un_s}s, {un_n} rows", file=sys.stderr)
+
+    # --- k-core co-purchase pair build (round-5 verdict #2) ---
+    # the CF whale doubles as a k-core whale: its 100 orders hold 100
+    # distinct parts each, so the uncapped inline explode would emit
+    # 100 x C(100,2) = 495 000 pairs from one customer alone (and a
+    # single 10k-part order would emit 5x10^7); the frequent_pairs
+    # routing drops baskets > max_basket after Apriori pruning.
+    from sf_datalake_spark.queries_mining import q_k_core_parts
+
+    kc_s, kc_n = timed(lambda: q_k_core_parts(spark, WHALE).count())
+    out["k_core_capped"] = {"s": kc_s, "rows": kc_n}
+    print(f"# k_core capped(64): {kc_s}s, {kc_n} rows", file=sys.stderr)
+    if not skip_unguarded:
+        kun_s, kun_n = timed(
+            lambda: q_k_core_parts(spark, WHALE, max_basket=10**9).count()
+        )
+        out["k_core_uncapped"] = {"s": kun_s, "rows": kun_n}
+        print(f"# k_core uncapped: {kun_s}s, {kun_n} rows", file=sys.stderr)
 
     # --- LSH whale bucket ---
     docs = _t(spark, WHALE, "documents")
