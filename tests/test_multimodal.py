@@ -1078,11 +1078,61 @@ def test_jpeg_rejects_unsupported_and_truncated():
 
     px = np.zeros((8, 8), dtype=np.uint8)
     good = _jpeg_bytes(px)
-    # progressive SOF2: unsupported, None (falls through to the fake)
+    # SOF2 marker on a BASELINE scan header: the SOS carries Se=63 with
+    # Ss=0, which is invalid for a progressive DC scan — structurally
+    # inconsistent, None (not a crash, not wrong pixels)
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert decode_jpeg(prog) is None
+    # lossless SOF3: genuinely unsupported SOF class
+    assert decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc3", 1)) is None
     assert decode_jpeg(b"\x89PNG" + good) is None     # wrong magic
     assert decode_jpeg(good[:12]) is None             # truncated header
+
+
+def test_real_jpeg_progressive_matches_baseline_exactly():
+    """Progressive (SOF2) decode reconstructs the SAME quantized
+    coefficients as the baseline encode of the same image, so the
+    decoded pixels must be bit-identical across gray / 4:4:4 / 4:2:0 —
+    a far stronger contract than a PSNR bound (round-5 verdict #5).
+    The test encoder's scan script covers interleaved DC first +
+    refinement, spectral band splits (1-5 / 6-63 luma), EOB-run
+    coding, ZRL, and successive-approximation correction bits."""
+    from sf_datalake_spark.multimodal.jpeg import decode_jpeg
+
+    rng = np.random.RandomState(7)
+    gray = (rng.randint(0, 9, size=(3, 3)).repeat(8, 0).repeat(8, 1)
+            * 28)[:17, :21].astype(np.uint8)
+    hh, ww = 35, 29
+    yy, xx = np.mgrid[0:hh, 0:ww]
+    color = np.stack([
+        (yy * 5 + 20) % 256, (xx * 5 + 80) % 256, ((yy + xx) * 3 + 40) % 256,
+    ], axis=-1).astype(np.uint8)
+    noise = rng.randint(0, 256, size=(13, 50, 3)).astype(np.uint8)
+    for px, sub in ((gray, False), (color, False), (color, True),
+                    (noise, True), (noise, False)):
+        base = decode_jpeg(_jpeg_bytes(px, subsample=sub))
+        prog = decode_jpeg(_jpeg_progressive_bytes(px, subsample=sub))
+        assert prog is not None
+        assert np.array_equal(base, prog)
+    assert _psnr(decode_jpeg(_jpeg_progressive_bytes(color, subsample=True)),
+                 color) > 24
+
+
+def test_real_jpeg_progressive_through_decode_images(spark):
+    """A progressive JFIF decodes through the full Spark decode_images
+    stage (same Arrow seam as baseline), matching the source within
+    the SOF0 PSNR bound."""
+    rng = np.random.RandomState(55)
+    base = rng.randint(0, 9, size=(3, 3)).repeat(8, 0).repeat(8, 1) * 28
+    px = (base[:19, :22] + rng.randint(0, 8, size=(19, 22))).astype(np.uint8)
+    rows = [asset(31, "image", _jpeg_progressive_bytes(px), "jpeg", 22, 19)]
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    out = decode_images(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["height"], r["width"], r["channels"]) == (19, 22, 3)
+    got = np.frombuffer(r["pixels"], dtype=np.uint8).reshape(19, 22, 3)
+    assert _psnr(got[:, :, 0], px) > 30
 
 
 def test_jpeg_decoder_fuzz_never_crashes():
@@ -1099,7 +1149,8 @@ def test_jpeg_decoder_fuzz_never_crashes():
     random.seed(11)
     px = np.arange(64, dtype=np.uint8).reshape(8, 8)
     pxc = np.arange(192, dtype=np.uint8).reshape(8, 8, 3)
-    for base in (_jpeg_bytes(px), _jpeg_bytes(pxc, subsample=True)):
+    for base in (_jpeg_bytes(px), _jpeg_bytes(pxc, subsample=True),
+                 _jpeg_progressive_bytes(pxc, subsample=True)):
         for _ in range(400):
             b = bytearray(base)
             for _ in range(random.randint(1, 10)):
