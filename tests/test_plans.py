@@ -903,13 +903,22 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
 
 def test_item_cf_basket_cap_plan(spark):
     """Round-5: item_cf_topk's pair self-join must consume the CAPPED
-    incidence.  The cap subtree is localCheckpoint-ed (it feeds six
+    incidence.  The cap subtree is localCheckpoint-ed (it feeds five
     plan references — without pinning the scan+distinct+cap pipeline
     re-executed for each, a 25-exchange plan), so the final plan reads
     checkpointed rows, keeps the two degree joins broadcast, and stays
     within a tight exchange budget; the cap semantics themselves are
     asserted behaviorally (basket sizes ≤ 32 in the incidence feeding
-    the join) and an uncapped call is a hard error."""
+    the join) and an uncapped call is a hard error.
+
+    Exchange budget is 8 since round 6: the pair groupBy pipeline
+    (2 exchanges on u for the self-join + 1 on (i, j)) is INLINE in the
+    final plan — it was previously materialized behind a second
+    localCheckpoint, which hid those three exchanges from this count
+    while still paying them as a separate job (plus the
+    materialization pass the round-6 symmetric-explode removed).  Any
+    count above 8 means the capped-incidence subtree is being
+    re-derived again."""
     import pytest as _pytest
 
     from pyspark.sql import functions as F
@@ -918,7 +927,7 @@ def test_item_cf_basket_cap_plan(spark):
 
     df = q_item_cf_topk(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") <= 6, (
+    assert plan.count("Exchange") <= 8, (
         "cap/checkpoint regression: upstream re-derivation is back"
     )
     rep = plan_report(df, execute=True)
