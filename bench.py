@@ -63,6 +63,19 @@ def _committed_history() -> dict[str, float]:
         return {}
 
 
+def _history_suspects(timings: dict[str, float],
+                      history: dict[str, float]) -> dict[str, float]:
+    """Queries whose best-of-2 exceeds 2.5x their best-known committed
+    cost (> 0.5 s absolute, history > 0.2 s so micro-queries can't
+    trip on scheduler jitter).  Returns {name: ratio}."""
+    return {
+        n: round(timings[n] / history[n], 2)
+        for n in timings
+        if n in history and timings[n] > 0.5 and history[n] > 0.2
+        and timings[n] / history[n] > 2.5
+    }
+
+
 def _jvm_diag(spark) -> dict:
     """JVM health snapshot via java.lang.management (round-5 verdict
     #4): code-cache occupancy (the r05 positional-degradation root
@@ -268,12 +281,8 @@ def main() -> int:
     # last COMMITTED sidecar is suspect regardless of spread; replaying
     # the driver's r05 numbers against the committed r05 sidecar flags
     # exactly the sla_trend/cohort_ltv cluster this was built for.
-    hist_ratio = {
-        n: round(timings[n] / history[n], 2)
-        for n in timings
-        if n in history and timings[n] > 0.5 and history[n] > 0.2
-    }
-    suspect_history = sorted(n for n, r in hist_ratio.items() if r > 2.5)
+    hist_ratio = _history_suspects(timings, history)
+    suspect_history = sorted(hist_ratio)
     suspects = sorted(
         set(suspect_ratio) | set(suspect_load) | set(suspect_history)
     )

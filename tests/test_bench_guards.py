@@ -1,0 +1,91 @@
+"""bench.py guard logic (no Spark session needed): the v5 history
+guard that catches SUSTAINED contamination — both runs of a query
+equally slow, so first/min spread and loadavg stay quiet (the r05
+driver tail's failure mode) — and the committed-history loader that
+feeds it."""
+
+from __future__ import annotations
+
+import json
+import re
+import subprocess
+
+import bench
+
+
+def test_history_suspects_flags_sustained_contamination():
+    history = {"sla_trend": 0.79, "cohort_ltv": 0.49, "fast_q": 0.05,
+               "steady": 2.0}
+    timings = {
+        "sla_trend": 10.63,   # the r05 driver tail numbers
+        "cohort_ltv": 7.43,
+        "steady": 2.1,        # within band -> clean
+        "fast_q": 0.4,        # micro-query, absolute floor -> ignored
+        "new_query": 3.0,     # no history -> ignored
+    }
+    got = bench._history_suspects(timings, history)
+    assert set(got) == {"sla_trend", "cohort_ltv"}
+    assert got["sla_trend"] > 13 and got["cohort_ltv"] > 15
+
+
+def test_history_suspects_thresholds_exact():
+    # ratio must EXCEED 2.5; timings <= 0.5s and history <= 0.2s are out
+    assert bench._history_suspects({"q": 2.5}, {"q": 1.0}) == {}
+    assert bench._history_suspects({"q": 2.51}, {"q": 1.0}) == {"q": 2.51}
+    assert bench._history_suspects({"q": 0.5}, {"q": 0.1}) == {}
+    assert bench._history_suspects({"q": 5.0}, {"q": 0.2}) == {}
+
+
+def test_committed_history_is_elementwise_min_over_last_three():
+    """The loader must take the per-query MIN across the last three
+    committed sidecars — a single-version guard would compare against
+    a contaminated committed record (the r05 driver run committed
+    sla_trend at 10.6 s).  Recomputed independently from git here."""
+    hist = bench._committed_history()
+    if not hist:  # fresh clone without sidecar history: loader is a no-op
+        return
+    hashes = subprocess.run(
+        ["git", "-C", bench.REPO, "log", "-n", "3", "--format=%H",
+         "--", "bench_last.json"],
+        capture_output=True, text=True, timeout=30,
+    ).stdout.split()
+    want: dict[str, float] = {}
+    for h in hashes:
+        blob = subprocess.run(
+            ["git", "-C", bench.REPO, "show", f"{h}:bench_last.json"],
+            capture_output=True, text=True, timeout=30,
+        )
+        if blob.returncode != 0:
+            continue
+        for k, v in json.loads(blob.stdout).get("queries", {}).items():
+            if isinstance(v, (int, float)) and v > 0:
+                want[k] = min(want.get(k, v), v)
+    assert hist == want
+    # the r05 contamination case: the driver-committed 10.6 s sla_trend
+    # must NOT be the reference when an older committed sidecar carries
+    # the true sub-second cost
+    if "sla_trend" in want:
+        assert want["sla_trend"] < 2.0
+
+
+def test_replaying_r05_driver_numbers_flags_the_tail_cluster():
+    """The guard's design criterion (round-5 verdict #3): the driver's
+    own r05 bench numbers, judged against the committed history, must
+    flag the sustained-contamination tail cluster that the v4 spread
+    guard missed."""
+    try:
+        raw = json.load(open(f"{bench.REPO}/BENCH_r05.json"))
+    except FileNotFoundError:
+        return
+    tail = raw.get("tail", "")
+    drv = {
+        m.group(1): float(m.group(2))
+        for m in re.finditer(r'"([a-z0-9_]+)":\s*([0-9.]+)', tail)
+    }
+    hist = bench._committed_history()
+    if not drv or not hist:
+        return
+    flagged = bench._history_suspects(drv, hist)
+    for name in ("sla_trend", "cohort_ltv", "bandit_replay"):
+        if name in drv and name in hist:
+            assert name in flagged
