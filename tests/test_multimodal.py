@@ -718,7 +718,8 @@ def _psnr(a, b):
     return 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
 
 
-def _jpeg_progressive_bytes(pixels, subsample=False, quant=8):
+def _jpeg_progressive_bytes(pixels, subsample=False, quant=8,
+                            restart_interval=0):
     """Serialize an RGB/grayscale uint8 array as a PROGRESSIVE (SOF2)
     JFIF — independent of the decoder, following T.81 G.1.2 and the
     libjpeg encoder's scan script shape: an interleaved first DC scan
@@ -818,6 +819,11 @@ def _jpeg_progressive_bytes(pixels, subsample=False, quant=8):
                 if b == 0xFF:
                     self.out.append(0x00)
 
+        def marker(self, m):
+            self._flush(True)  # byte-align (1-padded) before a marker
+            self.out.append(0xFF)
+            self.out.append(m)
+
         def done(self):
             self._flush(True)
             return bytes(self.out)
@@ -851,8 +857,13 @@ def _jpeg_progressive_bytes(pixels, subsample=False, quant=8):
     def dc_first_stream(al):
         stream = []
         preds = [0] * len(qzs)
+        mcu = 0
         for my in range(mcuy):
             for mx in range(mcux):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    stream.append(("rst",))
+                    preds = [0] * len(qzs)
+                mcu += 1
                 for ci, ((sh, sv), arr) in enumerate(zip(samps, qzs)):
                     for by in range(sv):
                         for bx in range(sh):
@@ -868,8 +879,12 @@ def _jpeg_progressive_bytes(pixels, subsample=False, quant=8):
 
     def dc_refine_stream(al):
         stream = []
+        mcu = 0
         for my in range(mcuy):
             for mx in range(mcux):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    stream.append(("rst",))
+                mcu += 1
                 for (sh, sv), arr in zip(samps, qzs):
                     for by in range(sv):
                         for bx in range(sh):
@@ -893,8 +908,13 @@ def _jpeg_progressive_bytes(pixels, subsample=False, quant=8):
                     stream.append(("bits", eobrun - (1 << nb), nb))
                 eobrun = 0
 
+        mcu = 0
         for by in range(nbh):
             for bx in range(nbw):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    flush_eob()
+                    stream.append(("rst",))
+                mcu += 1
                 vals = [
                     (1 if v >= 0 else -1) * (abs(int(v)) >> al)
                     for v in arr[by, bx, ss:se + 1]
@@ -943,8 +963,13 @@ def _jpeg_progressive_bytes(pixels, subsample=False, quant=8):
                 eobrun = 0
                 pend = []
 
+        mcu = 0
         for by in range(nbh):
             for bx in range(nbw):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    flush_eob()
+                    stream.append(("rst",))
+                mcu += 1
                 band = [int(v) for v in arr[by, bx, ss:se + 1]]
                 absv = [abs(v) >> al for v in band]
                 eob_i = max((i for i, t in enumerate(absv) if t == 1),
@@ -985,10 +1010,14 @@ def _jpeg_progressive_bytes(pixels, subsample=False, quant=8):
         syms = {p[1] for p in stream if p[0] == "sym"}
         hmap, counts, vals = build_huff(syms)
         bw = BW()
+        rst_i = 0
         for p in stream:
             if p[0] == "sym":
                 code, length = hmap[p[1]]
                 bw.emit(code, length)
+            elif p[0] == "rst":
+                bw.marker(0xD0 + (rst_i % 8))
+                rst_i += 1
             else:
                 bw.emit(p[1], p[2])
         dht = seg(0xC4, bytes([tc << 4]) + bytes(counts) + vals)
@@ -1000,7 +1029,10 @@ def _jpeg_progressive_bytes(pixels, subsample=False, quant=8):
     for ci, (sh, sv) in enumerate(samps):
         sof += bytes([ci + 1, (sh << 4) | sv, 0])
     app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    out = b"\xff\xd8" + seg(0xE0, app0) + seg(0xDB, qtbl) + seg(0xC2, sof)
+    out = b"\xff\xd8" + seg(0xE0, app0) + seg(0xDB, qtbl)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xC2, sof)
 
     all_ids = [ci + 1 for ci in range(ncomp)]
     # scan 1: DC first (interleaved), Al=1
@@ -1116,6 +1148,25 @@ def test_real_jpeg_progressive_matches_baseline_exactly():
         assert np.array_equal(base, prog)
     assert _psnr(decode_jpeg(_jpeg_progressive_bytes(color, subsample=True)),
                  color) > 24
+
+
+def test_real_jpeg_progressive_restart_markers():
+    """DRI + RSTn inside progressive scans: DC predictors and EOB runs
+    reset per interval in every scan; pixels match the no-restart
+    progressive encode AND the baseline encode of the same image."""
+    from sf_datalake_spark.multimodal.jpeg import decode_jpeg
+
+    rng = np.random.RandomState(40)
+    px = rng.randint(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    for sub in (False, True):
+        plain = decode_jpeg(_jpeg_progressive_bytes(px, subsample=sub))
+        rst = decode_jpeg(
+            _jpeg_progressive_bytes(px, subsample=sub, restart_interval=3)
+        )
+        base = decode_jpeg(_jpeg_bytes(px, subsample=sub))
+        assert plain is not None and rst is not None
+        assert np.array_equal(plain, rst)
+        assert np.array_equal(base, rst)
 
 
 def test_real_jpeg_progressive_through_decode_images(spark):
