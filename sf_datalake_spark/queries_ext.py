@@ -1093,13 +1093,22 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     regression (a broken cell probe or re-rank drops recall to ~0.05-
     0.25).  A value mismatch here means the ANN stack stopped finding
     true neighbors — exactly what a rows-only row count can't see."""
-    from sf_datalake_spark.operators.similarity import brute_force_topk, ivf_topk
+    from sf_datalake_spark.operators.similarity import (
+        brute_force_topk_np,
+        ivf_topk,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     ann = ivf_topk(emb, emb, k=3, n_cells=16, n_probe=4).select(
         "query_id", "neighbor_id"
     )
-    exact = brute_force_topk(emb, emb, k=3).select("query_id", "neighbor_id")
+    # exact twin via the Arrow/BLAS path — the interpreted HOF variant
+    # (brute_force_topk) is a single-partition BroadcastNestedLoopJoin
+    # doing 4M lambda cosines at sf0.1 (minutes); the BLAS twin is the
+    # same contract (round-12 quantized, id tie-break) in one matmul
+    exact = brute_force_topk_np(emb, emb, k=3).select(
+        "query_id", "neighbor_id"
+    )
     joined = exact.join(
         ann.withColumn("__hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
     )
