@@ -719,7 +719,7 @@ def _psnr(a, b):
 
 
 def _jpeg_progressive_bytes(pixels, subsample=False, quant=8,
-                            restart_interval=0):
+                            restart_interval=0, al_levels=1):
     """Serialize an RGB/grayscale uint8 array as a PROGRESSIVE (SOF2)
     JFIF — independent of the decoder, following T.81 G.1.2 and the
     libjpeg encoder's scan script shape: an interleaved first DC scan
@@ -1035,22 +1035,29 @@ def _jpeg_progressive_bytes(pixels, subsample=False, quant=8,
     out += seg(0xC2, sof)
 
     all_ids = [ci + 1 for ci in range(ncomp)]
-    # scan 1: DC first (interleaved), Al=1
-    dht, body = render_scan(dc_first_stream(1), tc=0)
-    out += dht + sos_seg(all_ids, 0, 0, 0, 1) + body
-    # scan 2: DC refinement, Ah=1 -> Al=0 (raw bits, no table read)
-    _, body = render_scan(dc_refine_stream(0), tc=0)
-    out += sos_seg(all_ids, 0, 0, 1, 0) + body
-    # AC scans: luma split into spectral bands, chroma whole-band
+    # scan 1: DC first (interleaved) at Al=al_levels
+    dht, body = render_scan(dc_first_stream(al_levels), tc=0)
+    out += dht + sos_seg(all_ids, 0, 0, 0, al_levels) + body
+    # DC refinement chain Ah=al..al-1..1 -> Al down to 0 (raw bits)
+    for al in range(al_levels - 1, -1, -1):
+        _, body = render_scan(dc_refine_stream(al), tc=0)
+        out += sos_seg(all_ids, 0, 0, al + 1, al) + body
+    # AC scans: luma split into spectral bands, chroma whole-band;
+    # first scans at Al=al_levels, then a refinement chain per band
     bands = {0: [(1, 5), (6, 63)]}
     for ci in range(ncomp):
         for (bss, bse) in bands.get(ci, [(1, 63)]):
-            dht, body = render_scan(ac_first_stream(ci, bss, bse, 1), tc=1)
-            out += dht + sos_seg([ci + 1], bss, bse, 0, 1) + body
-    for ci in range(ncomp):
-        for (bss, bse) in bands.get(ci, [(1, 63)]):
-            dht, body = render_scan(ac_refine_stream(ci, bss, bse, 0), tc=1)
-            out += dht + sos_seg([ci + 1], bss, bse, 1, 0) + body
+            dht, body = render_scan(
+                ac_first_stream(ci, bss, bse, al_levels), tc=1
+            )
+            out += dht + sos_seg([ci + 1], bss, bse, 0, al_levels) + body
+    for al in range(al_levels - 1, -1, -1):
+        for ci in range(ncomp):
+            for (bss, bse) in bands.get(ci, [(1, 63)]):
+                dht, body = render_scan(
+                    ac_refine_stream(ci, bss, bse, al), tc=1
+                )
+                out += dht + sos_seg([ci + 1], bss, bse, al + 1, al) + body
     return out + b"\xff\xd9"
 
 
@@ -1167,6 +1174,27 @@ def test_real_jpeg_progressive_restart_markers():
         assert plain is not None and rst is not None
         assert np.array_equal(plain, rst)
         assert np.array_equal(base, rst)
+
+
+def test_real_jpeg_progressive_multilevel_successive_approx():
+    """Real encoders emit Al chains deeper than one step (e.g. the
+    libjpeg default scan script refines AC at Al=2 -> 1 -> 0): each
+    refinement pass must correct already-nonzero coefficients by
+    exactly one bit while inserting this level's newly-visible ±1<<Al
+    coefficients.  Decoded pixels stay bit-equal to baseline through
+    2- and 3-level chains, with and without restart markers."""
+    from sf_datalake_spark.multimodal.jpeg import decode_jpeg
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(21, 37, 3)).astype(np.uint8)
+    base = decode_jpeg(_jpeg_bytes(px, subsample=True))
+    for al_levels in (2, 3):
+        for rst in (0, 3):
+            got = decode_jpeg(_jpeg_progressive_bytes(
+                px, subsample=True, al_levels=al_levels,
+                restart_interval=rst))
+            assert got is not None
+            assert np.array_equal(base, got)
 
 
 def test_real_jpeg_progressive_through_decode_images(spark):
