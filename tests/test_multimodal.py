@@ -719,7 +719,8 @@ def _psnr(a, b):
 
 
 def _jpeg_progressive_bytes(pixels, subsample=False, quant=8,
-                            restart_interval=0, al_levels=1):
+                            restart_interval=0, al_levels=1,
+                            dc_separate=False):
     """Serialize an RGB/grayscale uint8 array as a PROGRESSIVE (SOF2)
     JFIF — independent of the decoder, following T.81 G.1.2 and the
     libjpeg encoder's scan script shape: an interleaved first DC scan
@@ -893,6 +894,45 @@ def _jpeg_progressive_bytes(pixels, subsample=False, quant=8,
                             stream.append(("bits", bit, 1))
         return stream
 
+    def dc_first_stream_1(ci, al):
+        """Non-interleaved (ns=1) DC first scan for one component,
+        walking its own block raster — valid progressive JPEG that
+        interleaved-only decoders get wrong."""
+        arr = qzs[ci]
+        nbh, nbw = nbdims[ci]
+        stream = []
+        pred = 0
+        mcu = 0
+        for by in range(nbh):
+            for bx in range(nbw):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    stream.append(("rst",))
+                    pred = 0
+                mcu += 1
+                dc = int(arr[by, bx, 0]) >> al
+                diff = dc - pred
+                pred = dc
+                t = category(diff)
+                stream.append(("sym", t))
+                if t:
+                    stream.append(
+                        ("bits", diff if diff >= 0 else diff + (1 << t) - 1, t)
+                    )
+        return stream
+
+    def dc_refine_stream_1(ci, al):
+        arr = qzs[ci]
+        nbh, nbw = nbdims[ci]
+        stream = []
+        mcu = 0
+        for by in range(nbh):
+            for bx in range(nbw):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    stream.append(("rst",))
+                mcu += 1
+                stream.append(("bits", (int(arr[by, bx, 0]) >> al) & 1, 1))
+        return stream
+
     def ac_first_stream(ci, ss, se, al):
         arr = qzs[ci]
         nbh, nbw = nbdims[ci]
@@ -1035,13 +1075,23 @@ def _jpeg_progressive_bytes(pixels, subsample=False, quant=8,
     out += seg(0xC2, sof)
 
     all_ids = [ci + 1 for ci in range(ncomp)]
-    # scan 1: DC first (interleaved) at Al=al_levels
-    dht, body = render_scan(dc_first_stream(al_levels), tc=0)
-    out += dht + sos_seg(all_ids, 0, 0, 0, al_levels) + body
-    # DC refinement chain Ah=al..al-1..1 -> Al down to 0 (raw bits)
-    for al in range(al_levels - 1, -1, -1):
-        _, body = render_scan(dc_refine_stream(al), tc=0)
-        out += sos_seg(all_ids, 0, 0, al + 1, al) + body
+    if dc_separate:
+        # one non-interleaved DC scan chain per component
+        for ci in range(ncomp):
+            dht, body = render_scan(dc_first_stream_1(ci, al_levels), tc=0)
+            out += dht + sos_seg([ci + 1], 0, 0, 0, al_levels) + body
+        for al in range(al_levels - 1, -1, -1):
+            for ci in range(ncomp):
+                _, body = render_scan(dc_refine_stream_1(ci, al), tc=0)
+                out += sos_seg([ci + 1], 0, 0, al + 1, al) + body
+    else:
+        # scan 1: DC first (interleaved) at Al=al_levels
+        dht, body = render_scan(dc_first_stream(al_levels), tc=0)
+        out += dht + sos_seg(all_ids, 0, 0, 0, al_levels) + body
+        # DC refinement chain Ah=al..al-1..1 -> Al down to 0 (raw bits)
+        for al in range(al_levels - 1, -1, -1):
+            _, body = render_scan(dc_refine_stream(al), tc=0)
+            out += sos_seg(all_ids, 0, 0, al + 1, al) + body
     # AC scans: luma split into spectral bands, chroma whole-band;
     # first scans at Al=al_levels, then a refinement chain per band
     bands = {0: [(1, 5), (6, 63)]}
@@ -1195,6 +1245,24 @@ def test_real_jpeg_progressive_multilevel_successive_approx():
                 restart_interval=rst))
             assert got is not None
             assert np.array_equal(base, got)
+
+
+def test_real_jpeg_progressive_separate_dc_scans():
+    """Per-component (ns=1, non-interleaved) DC scans are valid
+    progressive JPEG — the decoder must walk each component's OWN
+    block raster, not the MCU grid.  Bit-equal to baseline with and
+    without subsampling/restarts."""
+    from sf_datalake_spark.multimodal.jpeg import decode_jpeg
+
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, size=(19, 43, 3)).astype(np.uint8)
+    for sub in (False, True):
+        base = decode_jpeg(_jpeg_bytes(px, subsample=sub))
+        got = decode_jpeg(_jpeg_progressive_bytes(
+            px, subsample=sub, dc_separate=True, al_levels=2,
+            restart_interval=3))
+        assert got is not None
+        assert np.array_equal(base, got)
 
 
 def test_real_jpeg_progressive_through_decode_images(spark):
