@@ -91,8 +91,8 @@ _ATTESTED, _NEEDS_REFIX = _attestation_state()
 #: queries added mid-round-5: they yield attestation priority to the
 #: round-4 backlog (154 never-attested names at the start of r05) and
 #: rotate into later windows.
-_NEW_R05 = frozenset({
-    "lsh_star_capped_pairs",
+_NEW_R06 = frozenset({
+    "markov_attribution",
 })
 
 
@@ -108,7 +108,7 @@ def _rotated(allq: dict) -> dict:
             k for k in allq
             if k not in _ATTESTED and k in ORACLES and k not in front
         ),
-        key=lambda k: k in _NEW_R05,   # stable: older entries keep order
+        key=lambda k: k in _NEW_R06,   # stable: older entries keep order
     )
     fresh_rows_only = [
         k for k in allq

@@ -3435,3 +3435,113 @@ _WAVELET_SQL = """
 
 QUERIES_STATS.update({"wavelet_energy": q_wavelet_energy})
 ORACLES_STATS.update({"wavelet_energy": _WAVELET_SQL})
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov removal-effect attribution (round 6): the
+# data-driven attribution model the positional family can't express —
+# a channel's credit is how much journey-graph conversion probability
+# drops when the channel is removed.  All-integer fixed-point
+# absorption (operators/attribution.py), so the oracle replays the 40
+# iteration rounds bit-for-bit in a recursive CTE.
+# ---------------------------------------------------------------------------
+
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per touch channel: base conversion ppm (identical across rows),
+    removal-effect ppm, and the normalized attribution share ppm."""
+    from sf_datalake_spark.operators.attribution import (
+        markov_removal_attribution,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return markov_removal_attribution(
+        ev, touch_states=["view", "click", "signup", "error"]
+    )
+
+
+_MARKOV_SQL = """
+WITH RECURSIVE ordered AS (
+    SELECT user_id, event_id, ts, event_type,
+           COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS journey,
+           CASE WHEN event_type = 'purchase' THEN 'conv'
+                ELSE event_type END AS state
+    FROM events
+),
+st AS (
+    SELECT *, COALESCE(lag(state) OVER (PARTITION BY user_id, journey
+                                        ORDER BY ts, event_id), 'start')
+              AS prev
+    FROM ordered
+),
+last_state AS (
+    SELECT s AS src, 'null' AS dst FROM (
+        SELECT user_id, journey,
+               max(ROW(ts, event_id, state))[3] AS s
+        FROM st GROUP BY 1, 2
+    ) WHERE s <> 'conv'
+),
+trans AS (
+    SELECT prev AS src, state AS dst FROM st
+    UNION ALL
+    SELECT src, dst FROM last_state
+),
+cnt AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM trans GROUP BY 1, 2),
+outd AS (SELECT src, CAST(sum(n) AS BIGINT) AS o FROM cnt GROUP BY 1),
+chans AS (
+    SELECT * FROM (VALUES ('__none__'), ('click'), ('error'),
+                          ('signup'), ('view')) t(removed)
+),
+states AS (
+    SELECT * FROM (VALUES ('start'), ('click'), ('error'),
+                          ('signup'), ('view')) t(s)
+),
+iter AS (
+    SELECT removed, s, 0 AS it, CAST(0 AS BIGINT) AS v
+    FROM chans, states
+    UNION ALL
+    SELECT c.removed, c.s, c.it + 1,
+           CASE WHEN c.s = c.removed THEN 0 ELSE c.nv END AS v
+    FROM (
+        SELECT i.removed, st2.s, i.it,
+               CASE WHEN COALESCE(o.o, 0) = 0 THEN CAST(0 AS BIGINT)
+                    ELSE COALESCE(CAST(sum(
+                        cn.n * (CASE
+                                  WHEN cn.dst = i.removed THEN 0
+                                  WHEN cn.dst = 'conv' THEN 1000000
+                                  WHEN cn.dst = 'null' THEN 0
+                                  ELSE iv.v END)
+                    ) AS BIGINT), 0) // o.o END AS nv
+        FROM (SELECT DISTINCT removed, it FROM iter WHERE it < 40) i
+        CROSS JOIN states st2
+        LEFT JOIN outd o ON o.src = st2.s
+        LEFT JOIN cnt cn ON cn.src = st2.s
+        LEFT JOIN iter iv ON iv.removed = i.removed AND iv.it = i.it
+                         AND iv.s = cn.dst
+        GROUP BY i.removed, st2.s, i.it, o.o
+    ) c
+),
+finals AS (
+    SELECT removed, v FROM iter WHERE it = 40 AND s = 'start'
+),
+base AS (SELECT v AS bv FROM finals WHERE removed = '__none__'),
+eff AS (
+    SELECT f.removed AS channel,
+           CASE WHEN b.bv = 0 THEN 0
+                ELSE ((b.bv - f.v) * 1000000) // b.bv END AS e
+    FROM finals f, base b WHERE f.removed <> '__none__'
+)
+SELECT channel,
+       CAST(b.bv AS BIGINT) AS base_conv_ppm,
+       CAST(e AS BIGINT) AS removal_effect_ppm,
+       CAST(CASE WHEN t.te = 0 THEN 0 ELSE (e * 1000000) // t.te END AS BIGINT)
+           AS share_ppm
+FROM eff, base b, (SELECT sum(e) AS te FROM eff) t
+ORDER BY channel
+"""
+
+
+QUERIES_STATS.update({"markov_attribution": q_markov_attribution})
+ORACLES_STATS.update({"markov_attribution": _MARKOV_SQL})

@@ -52,10 +52,10 @@ def test_registry_invariants():
     # the rotation)
     missing = {n for n in entry._ATTESTED if n not in q}
     assert not missing, f"attested names vanished from registry: {missing}"
-    # _NEW_R05 names must all exist too (typos here silently change
+    # _NEW_R06 names must all exist too (typos here silently change
     # rotation order without failing anything else)
-    missing_new = {n for n in entry._NEW_R05 if n not in q}
-    assert not missing_new, f"_NEW_R05 names not registered: {missing_new}"
+    missing_new = {n for n in entry._NEW_R06 if n not in q}
+    assert not missing_new, f"_NEW_R06 names not registered: {missing_new}"
 
 
 def test_attestation_derivation_matches_snapshots():

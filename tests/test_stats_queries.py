@@ -12,6 +12,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from sf_datalake_spark.operators.aggregates import weighted_quantiles
+
+from .conftest import d
 from sf_datalake_spark.operators.sketches import bitmap_distinct
 from sf_datalake_spark.operators.timeseries import pettitt_test
 
@@ -683,3 +685,53 @@ def test_sprt_registry_consistency(spark):
     for r in rows:
         assert (r["decision"] == "continue") == (r["decision_t"] is None)
         assert 0 <= r["successes"] <= r["n_obs"]
+
+
+def test_markov_attribution_hand_case(spark):
+    """Two-user hand case: u1 view->click->purchase, u2 view (no
+    conversion).  counts: start->view 2, view->click 1, click->conv 1,
+    view->null 1.  Fixpoint: v(click)=1e6, v(view)=5e5, v(start)=5e5.
+    Removing EITHER channel severs every converting path, so both
+    removal effects are 1e6 and shares split 50/50."""
+    from sf_datalake_spark.operators.attribution import (
+        markov_removal_attribution,
+    )
+
+    rows = [
+        (1, 10, d("2024-01-01"), "view"),
+        (1, 11, d("2024-01-02"), "click"),
+        (1, 12, d("2024-01-03"), "purchase"),
+        (2, 20, d("2024-01-01"), "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts date, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["channel"]: (r["base_conv_ppm"], r["removal_effect_ppm"],
+                       r["share_ppm"])
+        for r in markov_removal_attribution(
+            ev, touch_states=["view", "click"]).collect()
+    }
+    assert got == {
+        "click": (500000, 1000000, 500000),
+        "view": (500000, 1000000, 500000),
+    }
+
+
+def test_markov_attribution_no_conversions(spark):
+    """No purchases anywhere: base conversion 0, all effects/shares 0
+    (no division by zero)."""
+    from sf_datalake_spark.operators.attribution import (
+        markov_removal_attribution,
+    )
+
+    rows = [(1, 1, d("2024-01-01"), "view"), (1, 2, d("2024-01-02"), "click")]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts date, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = markov_removal_attribution(ev, touch_states=["view", "click"]).collect()
+    assert all(
+        (r["base_conv_ppm"], r["removal_effect_ppm"], r["share_ppm"])
+        == (0, 0, 0)
+        for r in got
+    )
