@@ -316,6 +316,100 @@ def pagerank(
         directed.unpersist()
 
 
+def pagerank_ppm(
+    edges: DataFrame,
+    src: str = "id_1",
+    dst: str = "id_2",
+    n_iter: int = 5,
+    driver_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Integer fixed-point PageRank — the ORACLE-EXACT variant of
+    :func:`pagerank` (round 6): every operation is int64, so a DuckDB
+    recursive CTE replays the ranks bit-for-bit and the strict value
+    gate applies where the float variant could only be rows-only.
+
+    Spec (micro-units, damping 0.85 as the 150 000 / 850 000 split):
+    ``r_0(v) = 1_000_000`` for every node; per round
+    ``r'(v) = 150_000 + (850 * Σ_{u→v} (r(u) div out(u))) div 1_000``
+    with truncating integer division at both steps.  Dangling mass is
+    DROPPED, not redistributed (ranks no longer sum to N·10⁶) —
+    symmetrize the edge list upstream when that matters, as the
+    near-dup pair graph does.  Overflow headroom: the contribution sum
+    is ≤ n·10⁶, so 850·Σ stays inside int64 up to ~10¹⁰ nodes.
+
+    Same adaptive shape as :func:`pagerank`: bounded collect + Python
+    ints under ``driver_threshold`` edges, else per-round join +
+    groupBy (node-id shuffles only) with localCheckpoint lineage
+    discipline.  Returns ``(id, rank_ppm)``.
+    """
+    directed = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).persist()
+    try:
+        n_edges = directed.count()
+        if n_edges <= driver_threshold:
+            rows = directed.collect()
+            ids = sorted({r[0] for r in rows} | {r[1] for r in rows})
+            out: dict = {}
+            for r in rows:
+                out[r[0]] = out.get(r[0], 0) + 1
+            rank = {v: 1_000_000 for v in ids}
+            for _ in range(n_iter):
+                s = {v: 0 for v in ids}
+                for r in rows:
+                    s[r[1]] += rank[r[0]] // out[r[0]]
+                rank = {v: 150_000 + (850 * s[v]) // 1_000 for v in ids}
+            id_type = dict(directed.dtypes)["src"]
+            spark = directed.sparkSession
+            return spark.createDataFrame(
+                [(v, rank[v]) for v in ids],
+                f"id {id_type}, rank_ppm bigint",
+            )
+        nodes = (
+            directed.select(F.col("src").alias("id"))
+            .union(directed.select(F.col("dst").alias("id")))
+            .distinct()
+            .persist()
+        )
+        deg = (
+            directed.select(F.col("src").alias("__deg_id"))
+            .groupBy("__deg_id")
+            .agg(F.count("*").alias("__deg"))
+            .persist()
+        )
+        try:
+            ranks = nodes.withColumn(
+                "rank_ppm", F.lit(1_000_000).cast("long")
+            ).localCheckpoint(eager=True)
+            for _ in range(n_iter):
+                contribs = (
+                    directed.join(ranks, directed.src == ranks.id)
+                    .join(deg, F.col("src") == F.col("__deg_id"))
+                    .select(
+                        "dst",
+                        F.expr("rank_ppm div __deg").alias("__c"),
+                    )
+                    .groupBy("dst")
+                    .agg(F.sum("__c").alias("__in"))
+                )
+                ranks = (
+                    nodes.join(contribs, nodes.id == contribs.dst, "left")
+                    .select(
+                        "id",
+                        F.expr(
+                            "150000L + (850L * coalesce(__in, 0L)) div 1000L"
+                        ).alias("rank_ppm"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+            return ranks
+        finally:
+            deg.unpersist()
+            nodes.unpersist()
+    finally:
+        directed.unpersist()
+
+
 def _pagerank_driver(directed: DataFrame, n_iter: int, damping: float) -> DataFrame:
     """Small-graph path: numpy power iteration, same formula (uniform
     init, dangling redistribution)."""

@@ -707,8 +707,18 @@ _ZORDER_SQL = _zorder_sql()
 def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Centrality of documents inside their near-duplicate
     neighborhoods: PageRank (5 fixed iterations) over the symmetrized
-    MinHash-LSH pair graph."""
-    from sf_datalake_spark.operators.components import pagerank
+    MinHash-LSH pair graph.
+
+    ORACLED since round 6: the pair graph was always SQL-replayable
+    (same CTEs as ``minhash_lsh_pairs``) — only the float power
+    iteration blocked a value oracle, so the query now runs
+    ``operators/components.pagerank_ppm``, the all-int64 fixed-point
+    variant whose 5 rounds a DuckDB recursive CTE replays bit-for-bit
+    (the float :func:`pagerank` stays available for users who want
+    sum-to-1 ranks).  Converted per round-5 verdict #8's direction:
+    rows-only entries become value-attestable when the deterministic
+    contract is expressed in engine-exact integers."""
+    from sf_datalake_spark.operators.components import pagerank_ppm
     from sf_datalake_spark.operators.dedup import (
         lsh_candidate_pairs,
         minhash_signature,
@@ -722,10 +732,8 @@ def q_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = pairs.unionByName(
         pairs.select(F.col("id_2").alias("id_1"), F.col("id_1").alias("id_2"))
     )
-    out = pagerank(sym, "id_1", "id_2", n_iter=5)
-    return out.select(
-        F.col("id").alias("doc_id"), F.round("rank", 9).alias("rank")
-    )
+    out = pagerank_ppm(sym, "id_1", "id_2", n_iter=5)
+    return out.select(F.col("id").alias("doc_id"), "rank_ppm")
 
 
 # ---------------------------------------------------------------------------
@@ -1496,3 +1504,61 @@ _DISTRIBUTED_RANK_SQL = """
 
 QUERIES_REL.update({"distributed_rank": q_distributed_rank})
 ORACLES_REL.update({"distributed_rank": _DISTRIBUTED_RANK_SQL})
+
+
+def _pagerank_sql() -> str:
+    """Oracle twin of q_pagerank_docs: the minhash_lsh_pairs CTE stack
+    (imported from queries.py so the two oracles can never drift) +
+    symmetrize + 5 recursive rounds of the identical integer
+    fixed-point update."""
+    from sf_datalake_spark.queries import _SHINGLE_SQL, _minhash_family_sql
+
+    return rf"""
+    WITH RECURSIVE shingles AS ({_SHINGLE_SQL}),
+    fam AS {_minhash_family_sql(8)},
+    xs AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS x
+        FROM shingles
+    ),
+    hashed AS (
+        SELECT doc_id, seed, (c * x + d) % (SELECT p FROM p) AS h
+        FROM xs CROSS JOIN fam
+    ),
+    sig AS (SELECT doc_id, seed, min(h) AS mh FROM hashed GROUP BY 1, 2),
+    banded AS (
+        SELECT doc_id, seed // 2 AS band,
+               md5(string_agg(mh::varchar, ',' ORDER BY seed)) AS bucket
+        FROM sig GROUP BY doc_id, seed // 2
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sym AS (
+        SELECT id_1 AS src, id_2 AS dst FROM pairs
+        UNION ALL
+        SELECT id_2 AS src, id_1 AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM sym),
+    outd AS (SELECT src, CAST(count(*) AS BIGINT) AS o FROM sym GROUP BY 1),
+    iter AS (
+        SELECT id, 0 AS it, CAST(1000000 AS BIGINT) AS r FROM nodes
+        UNION ALL
+        SELECT x.id, x.it + 1,
+               CAST(150000 + (850 * x.s) // 1000 AS BIGINT)
+        FROM (
+            SELECT i.it AS it, e.dst AS id,
+                   CAST(sum(i.r // o.o) AS BIGINT) AS s
+            FROM iter i
+            JOIN sym e ON e.src = i.id
+            JOIN outd o ON o.src = e.src
+            WHERE i.it < 5
+            GROUP BY 1, 2
+        ) x
+    )
+    SELECT id AS doc_id, r AS rank_ppm FROM iter WHERE it = 5
+"""
+
+
+ORACLES_REL.update({"pagerank_docs": _pagerank_sql()})

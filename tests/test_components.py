@@ -108,6 +108,32 @@ def _pagerank_dict(spark, edges, **kw):
     return small
 
 
+def test_pagerank_ppm_paths_agree_and_fixpoints(spark):
+    """Integer fixed-point PageRank (round 6, the oracle-exact variant):
+    the driver and distributed paths must produce IDENTICAL int64
+    ranks (no float tolerance — that is the whole point); a directed
+    ring is a stable fixpoint at exactly 1_000_000 ppm; a symmetrized
+    star ranks the hub above the leaves with leaves tied exactly."""
+    from sf_datalake_spark.operators.components import pagerank_ppm
+
+    def both(edges, **kw):
+        df = spark.createDataFrame(edges, "id_1 bigint, id_2 bigint")
+        small = {r["id"]: r["rank_ppm"]
+                 for r in pagerank_ppm(df, **kw).collect()}
+        dist = {r["id"]: r["rank_ppm"]
+                for r in pagerank_ppm(df, driver_threshold=0, **kw).collect()}
+        assert small == dist  # exact integer equality across paths
+        return small
+
+    ring = both([(i, (i + 1) % 5) for i in range(5)])
+    assert ring == {i: 1_000_000 for i in range(5)}
+
+    star = [(i, 0) for i in range(1, 6)] + [(0, i) for i in range(1, 6)]
+    got = both(star)
+    assert all(got[0] > got[i] for i in range(1, 6))
+    assert len({got[i] for i in range(1, 6)}) == 1  # exact leaf tie
+
+
 def test_pagerank_ring_is_uniform(spark):
     # A directed ring: perfect symmetry → uniform ranks, sum 1.
     edges = [(i, (i + 1) % 5) for i in range(5)]
