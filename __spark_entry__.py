@@ -93,6 +93,7 @@ _ATTESTED, _NEEDS_REFIX = _attestation_state()
 #: rotate into later windows.
 _NEW_R06 = frozenset({
     "markov_attribution",
+    "shapley_attribution",
 })
 
 

@@ -35,6 +35,8 @@ Spark-first, 100 TB design:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -145,4 +147,99 @@ def markov_removal_attribution(
         rows,
         "channel string, base_conv_ppm bigint, removal_effect_ppm bigint, "
         "share_ppm bigint",
+    ).orderBy("channel")
+
+
+def shapley_attribution(
+    events: DataFrame,
+    touch_states: list[str],
+    conversion: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Exact Shapley-value attribution (Shapley 1953 via the simplified
+    coalition game of Zhao et al. 2018, public literature): a channel's
+    credit is its average marginal contribution to the coalition value
+    ``v(S) = conversions among journeys touching only channels in S``
+    over all orderings.
+
+    Everything is exact integers: journeys reduce to a (channel
+    bitmask, converted) pair; the coalition table has 2^k cells (k =
+    |channels|, a SCHEMA bound, not a data bound — collected to the
+    driver like markov's transition matrix); and the Shapley sum is
+    computed scaled by k! so the factorial weights never leave ℤ.
+    Returns ``(channel, phi_x_kfact, share_ppm)`` where
+    ``phi_x_kfact = φ_c · k!`` (conversion-count units) and shares are
+    normalized ppm — both bit-replayable by a SQL oracle that
+    enumerates the same 2^k subsets.
+
+    Scale shape: one user-keyed window for journey ids, one
+    groupBy(user, journey) with ``bit_or`` for the mask, one
+    groupBy(mask) — all shuffles on (user) or the ≤2^k mask key.
+    """
+    touches = sorted(touch_states)
+    k = len(touches)
+    bit = {c: 1 << i for i, c in enumerate(touches)}
+    spark = events.sparkSession
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("event_type"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("event_id"),
+    )
+    w_user = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    mask_expr = "CASE event_type " + " ".join(
+        f"WHEN '{c}' THEN {bit[c]}" for c in touches
+    ) + " ELSE 0 END"
+    j = (
+        ev.withColumn(
+            "journey",
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("event_type") == conversion, 1).otherwise(0)
+                ).over(w_user),
+                F.lit(0),
+            ),
+        )
+        .groupBy("user_id", "journey")
+        .agg(
+            F.expr(f"bit_or({mask_expr})").alias("mask"),
+            F.max(
+                F.when(F.col("event_type") == conversion, 1).otherwise(0)
+            ).alias("conv"),
+        )
+    )
+    cm = {
+        r["mask"]: r["c"]
+        for r in j.groupBy("mask").agg(F.sum("conv").alias("c")).collect()
+    }
+    full = (1 << k) - 1
+    # v(S) = conversions of journeys whose mask is a subset of S
+    v = {
+        s: sum(c for m, c in cm.items() if (m & ~s & full) == 0)
+        for s in range(1 << k)
+    }
+    # φ_c·k! = Σ_{S ∌ c} |S|!·(k-|S|-1)!·(v(S∪c) − v(S)) — all integer
+    w = [math.factorial(s) * math.factorial(k - s - 1) for s in range(k)]
+    phi = {}
+    for c in touches:
+        b = bit[c]
+        phi[c] = sum(
+            w[bin(s).count("1")] * (v[s | b] - v[s])
+            for s in range(1 << k)
+            if (s & b) == 0
+        )
+    tot = sum(phi.values())
+    rows = [
+        (c, phi[c], (phi[c] * 1_000_000) // tot if tot else 0)
+        for c in touches
+    ]
+    return spark.createDataFrame(
+        rows, "channel string, phi_x_kfact bigint, share_ppm bigint"
     ).orderBy("channel")

@@ -3545,3 +3545,69 @@ ORDER BY channel
 
 QUERIES_STATS.update({"markov_attribution": q_markov_attribution})
 ORACLES_STATS.update({"markov_attribution": _MARKOV_SQL})
+
+
+# ---------------------------------------------------------------------------
+# Exact Shapley-value attribution (round 6): completes the attribution
+# family (linear / position / decay / markov) with the coalition-game
+# model — all-integer, so the oracle enumerates the same 2^k channel
+# subsets and factorial weights.
+# ---------------------------------------------------------------------------
+
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per touch channel: Shapley value x k! (conversion-count units)
+    and the normalized attribution share ppm."""
+    from sf_datalake_spark.operators.attribution import shapley_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return shapley_attribution(
+        ev, touch_states=["view", "click", "signup", "error"]
+    )
+
+
+_SHAPLEY_SQL = """
+WITH ordered AS (
+    SELECT user_id, event_id, ts, event_type,
+           COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS journey
+    FROM events
+),
+j AS (
+    SELECT user_id, journey,
+           bit_or(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                  WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END) AS mask,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+    FROM ordered GROUP BY 1, 2
+),
+cm AS (SELECT mask, CAST(sum(conv) AS BIGINT) AS c FROM j GROUP BY 1),
+masks AS (SELECT range AS m FROM range(16)),
+v AS (
+    SELECT m.m, COALESCE(CAST(sum(cm.c) AS BIGINT), 0) AS v
+    FROM masks m LEFT JOIN cm ON (cm.mask & (15 - m.m)) = 0
+    GROUP BY 1
+),
+chan AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+                               ('signup', 4), ('view', 8)) t(channel, b)),
+phi AS (
+    SELECT c.channel,
+           CAST(sum((CASE bit_count(s.m) WHEN 0 THEN 6 WHEN 1 THEN 2
+                     WHEN 2 THEN 2 ELSE 6 END) * (v1.v - v0.v))
+                AS BIGINT) AS phi_x_kfact
+    FROM chan c
+    JOIN masks s ON (s.m & c.b) = 0
+    JOIN v v0 ON v0.m = s.m
+    JOIN v v1 ON v1.m = (s.m | c.b)
+    GROUP BY 1
+)
+SELECT channel, phi_x_kfact,
+       CAST(CASE WHEN t.tot = 0 THEN 0
+            ELSE (phi_x_kfact * 1000000) // t.tot END AS BIGINT) AS share_ppm
+FROM phi, (SELECT sum(phi_x_kfact) AS tot FROM phi) t
+ORDER BY channel
+"""
+
+
+QUERIES_STATS.update({"shapley_attribution": q_shapley_attribution})
+ORACLES_STATS.update({"shapley_attribution": _SHAPLEY_SQL})

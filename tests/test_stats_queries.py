@@ -735,3 +735,67 @@ def test_markov_attribution_no_conversions(spark):
         == (0, 0, 0)
         for r in got
     )
+
+
+def test_shapley_attribution_hand_case(spark):
+    """u1 view->click->purchase (mask {view,click}, converted), u2 view
+    only (not converted). v(S)=1 iff S contains BOTH channels, so each
+    channel's marginal contribution is 1 only when joining the other:
+    phi_click = phi_view = 1/2, shares 50/50; with the 4-channel
+    vocabulary the untouched channels get exactly zero."""
+    from sf_datalake_spark.operators.attribution import shapley_attribution
+
+    rows = [
+        (1, 10, d("2024-01-01"), "view"),
+        (1, 11, d("2024-01-02"), "click"),
+        (1, 12, d("2024-01-03"), "purchase"),
+        (2, 20, d("2024-01-01"), "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts date, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    two = {
+        r["channel"]: (r["phi_x_kfact"], r["share_ppm"])
+        for r in shapley_attribution(
+            ev, touch_states=["view", "click"]).collect()
+    }
+    # k=2: phi x 2! = 1 each (marginal only when completing the pair)
+    assert two == {"click": (1, 500000), "view": (1, 500000)}
+
+    four = {
+        r["channel"]: (r["phi_x_kfact"], r["share_ppm"])
+        for r in shapley_attribution(
+            ev, touch_states=["view", "click", "signup", "error"]).collect()
+    }
+    # k=4: phi x 4! = 12 each for the necessary pair, 0 for untouched
+    assert four == {"click": (12, 500000), "view": (12, 500000),
+                    "signup": (0, 0), "error": (0, 0)}
+
+
+def test_shapley_attribution_efficiency_property(spark):
+    """Shapley efficiency axiom: Sum phi = v(full) - v(empty), i.e. the
+    x k! values sum to k! x (touched conversions - no-touch
+    conversions). Checked on a mixed mini-corpus including a no-touch
+    conversion (which must cancel out of every phi)."""
+    from sf_datalake_spark.operators.attribution import shapley_attribution
+
+    rows = [
+        (1, 10, d("2024-01-01"), "view"),
+        (1, 11, d("2024-01-02"), "purchase"),
+        (2, 20, d("2024-01-01"), "click"),
+        (2, 21, d("2024-01-02"), "signup"),
+        (2, 22, d("2024-01-03"), "purchase"),
+        (3, 30, d("2024-01-01"), "purchase"),   # no-touch conversion
+        (4, 40, d("2024-01-01"), "error"),      # touch, no conversion
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts date, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = shapley_attribution(
+        ev, touch_states=["view", "click", "signup", "error"]).collect()
+    tot = sum(r["phi_x_kfact"] for r in got)
+    # v(full)=3 (all converting journeys), v(empty)=1 (the no-touch one)
+    assert tot == 24 * (3 - 1)
+    shares = sum(r["share_ppm"] for r in got)
+    assert 999998 <= shares <= 1000000  # ppm rounding only
