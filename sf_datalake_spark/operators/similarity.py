@@ -245,6 +245,40 @@ def hyperplane_buckets_multiprobe_np(
     return df.select(id_col, vec_col).mapInPandas(run, schema=schema)
 
 
+def lsh_candidate_pairs(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    n_probes: int = 1,
+) -> DataFrame:
+    """The LSH candidate set feeding :func:`lsh_topk`: (query, corpus)
+    pairs that share at least one probed hyperplane bucket, self-pairs
+    excluded, deduped across probes.  Columns ``query_id, neighbor_id,
+    __qv, __cv``.  Exposed separately so recall/selectivity contracts
+    can audit the candidate volume — the 100 TB property LSH exists
+    for is precisely that this frame is ~``n_probes/2**n_planes`` of
+    the full cross product."""
+    q = hyperplane_buckets_multiprobe_np(
+        queries, query_id, vec_col, n_planes, dim, seed, n_probes
+    ).select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv"), "__bkt"
+    )
+    c = hyperplane_buckets_np(corpus, corpus_id, vec_col, n_planes, dim, seed).select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "__bkt"
+    )
+    pairs = q.join(c, "__bkt").filter(F.col("query_id") != F.col("neighbor_id"))
+    if n_probes > 1:
+        # a candidate can meet the query in several probed buckets;
+        # single-probe pairs are unique by construction (no shuffle)
+        pairs = pairs.dropDuplicates(["query_id", "neighbor_id"])
+    return pairs.select("query_id", "neighbor_id", "__qv", "__cv")
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -265,19 +299,10 @@ def lsh_topk(
     side ``n_probes``×; the corpus bucket layout (the expensive side at
     100 TB) is untouched.
     """
-    q = hyperplane_buckets_multiprobe_np(
-        queries, query_id, vec_col, n_planes, dim, seed, n_probes
-    ).select(
-        F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv"), "__bkt"
+    pairs = lsh_candidate_pairs(
+        queries, corpus, query_id, corpus_id, vec_col, n_planes, dim,
+        seed, n_probes,
     )
-    c = hyperplane_buckets_np(corpus, corpus_id, vec_col, n_planes, dim, seed).select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "__bkt"
-    )
-    pairs = q.join(c, "__bkt").filter(F.col("query_id") != F.col("neighbor_id"))
-    if n_probes > 1:
-        # a candidate can meet the query in several probed buckets;
-        # single-probe pairs are unique by construction (no shuffle)
-        pairs = pairs.dropDuplicates(["query_id", "neighbor_id"])
     scored = pairs.withColumn("cosine", array_cosine_similarity("__qv", "__cv"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

@@ -1068,16 +1068,90 @@ def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-3 neighbors via random-hyperplane LSH buckets
-    (the 100 TB path: candidates meet in an equi-join, never all-pairs;
-    2 query-directed probes per query recover knife-edge near-dups
-    without touching the corpus bucket layout)."""
-    from sf_datalake_spark.operators.similarity import lsh_topk
+    """LSH contract (oracled since round 7, r6 verdict #3 — the
+    ann_ivf pattern: deterministic invariants computed in-plan against
+    the exact BLAS twin, replayed by the oracle as constants).
+
+    Random-hyperplane LSH (8 planes, 2 query-directed probes) has NO
+    recall guarantee on this corpus and the contract does not pretend
+    otherwise: the synthetic embeddings are near-uniform (99th cosine
+    percentile ≈ 0.3, max ≈ 0.51), so a true top-3 neighbor at cosine
+    0.5 collides with its query's bucket with probability
+    (1-θ/π)**8 ≈ 3% — measured recall@3 is 0.029-0.042 across SFs,
+    which is the information-theoretic reality of bucketed search on
+    non-localized data, not a defect.  What LSH *does* guarantee — and
+    what breaks when the stack breaks — is checked:
+
+    - ``cand_ratio_ok``: the candidate join produces ~n²·probes/2**8
+      pairs (measured 1.09-1.17× of that expectation across SFs;
+      bounds 0.4×-2.5×).  A broken bucket hash (all-one-bucket →
+      256×, or no-collision → 0) fails it — this IS the 100 TB
+      property, candidate reduction.
+    - ``cosine_agree_ok``: on every (query, neighbor) pair LSH shares
+      with the exact twin, the Catalyst ``array_cosine_similarity``
+      re-rank score equals the twin's BLAS cosine to 1e-9 (round-12
+      quantized) — cross-validates the two independent numeric paths.
+    - ``recall_floor_ok``: recall@3 ≥ 1% (measured ≥ 2.9%, ≥ 3×
+      margin) — catches total breakage (empty/garbage output) that a
+      rows-only row count cannot.
+    """
+    from sf_datalake_spark.operators.similarity import (
+        brute_force_topk_np,
+        lsh_candidate_pairs,
+        lsh_topk,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, emb, k=3, n_planes=8, dim=64, n_probes=2).select(
-        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    nq = emb.agg(F.count("*").alias("n_queries"))
+    cand = lsh_candidate_pairs(emb, emb, n_planes=8, dim=64, n_probes=2)
+    ncand = cand.agg(F.count("*").alias("n_cand"))
+    ann = lsh_topk(emb, emb, k=3, n_planes=8, dim=64, n_probes=2).select(
+        "query_id", "neighbor_id", F.col("cosine").alias("__lsh_cos")
     )
+    exact = brute_force_topk_np(emb, emb, k=3).select(
+        "query_id", "neighbor_id", F.col("cosine").alias("__exact_cos")
+    )
+    hits = (
+        exact.join(ann, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.sum(F.col("__lsh_cos").isNotNull().cast("long")).alias("__n_hits"),
+            F.max(
+                F.when(
+                    F.col("__lsh_cos").isNotNull(),
+                    F.abs(F.round("__lsh_cos", 12) - F.col("__exact_cos")),
+                )
+            ).alias("__max_cos_diff"),
+        )
+    )
+    return (
+        nq.crossJoin(ncand)
+        .crossJoin(hits)
+        .select(
+            F.lit(3).cast("int").alias("k"),
+            F.col("n_queries").cast("bigint").alias("n_queries"),
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            (
+                (F.expr("n_cand * 2560") >= F.expr("n_queries * n_queries * 8"))
+                & (F.expr("n_cand * 2560") <= F.expr("n_queries * n_queries * 50"))
+            ).cast("int").alias("cand_ratio_ok"),
+            (F.coalesce(F.col("__max_cos_diff"), F.lit(0.0)) < 1e-9)
+            .cast("int").alias("cosine_agree_ok"),
+            (F.expr("__n_hits * 1000000 div n_exact") >= 10000)
+            .cast("int").alias("recall_floor_ok"),
+        )
+    )
+
+
+_ANN_LSH_SQL = """
+    SELECT CAST(3 AS INT) AS k,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(count(*) * 3 AS BIGINT) AS n_exact,
+           CAST(1 AS INT) AS cand_ratio_ok,
+           CAST(1 AS INT) AS cosine_agree_ok,
+           CAST(1 AS INT) AS recall_floor_ok
+    FROM embeddings
+"""
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1133,17 +1207,50 @@ _ANN_IVF_SQL = """
 
 
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization approximate top-3: 8-subspace 16-code ADC
-    scan of the compressed corpus + exact re-rank of 64 candidates
-    (rows-only: codebook training is iterative/seeded, not SQL).
-    Measured recall@3 on this adversarial uniform corpus: 0.85 at 64
-    candidates, 0.94 at 128 (SCALE.md)."""
-    from sf_datalake_spark.operators.similarity import pq_topk
+    """PQ recall CONTRACT (oracled since round 7, r6 verdict #3 —
+    exact ann_ivf pattern): 8-subspace 16-code ADC scan + exact
+    re-rank of 64 candidates, judged against the brute-force BLAS twin
+    IN THE SAME QUERY.  The neighbor lists are seeded-float state (PQ
+    codebook training is iterative), but the contract — recall@3 ≥ 0.5
+    over every query point — is a deterministic integer fact the
+    DuckDB oracle replays as constants.  Measured recall across SFs:
+    0.827 (sf0.001) / 0.831 (sf0.01) / 0.609 (sf0.1) — the 0.5 floor
+    has margin on this adversarial uniform-noise corpus while still
+    failing on any real regression (a broken ADC table or candidate
+    cut drops recall far below it)."""
+    from sf_datalake_spark.operators.similarity import (
+        brute_force_topk_np,
+        pq_topk,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    return pq_topk(emb, emb, k=3, m=8, n_codes=16, n_candidates=64).select(
-        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    ann = pq_topk(emb, emb, k=3, m=8, n_codes=16, n_candidates=64).select(
+        "query_id", "neighbor_id"
     )
+    exact = brute_force_topk_np(emb, emb, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    joined = exact.join(
+        ann.withColumn("__hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+    )
+    return joined.agg(
+        F.count("*").alias("n_exact"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("__n_hits"),
+    ).select(
+        F.lit(3).cast("int").alias("k"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (F.expr("__n_hits * 1000000 div n_exact") >= 500000)
+        .cast("int")
+        .alias("recall_ok"),
+    )
+
+
+_ANN_PQ_SQL = """
+    SELECT CAST(3 AS INT) AS k,
+           CAST(count(*) * 3 AS BIGINT) AS n_exact,
+           CAST(1 AS INT) AS recall_ok
+    FROM embeddings
+"""
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2866,12 +2973,18 @@ ORACLES_EXT: dict[str, str] = {
     "threshold_histogram": _THRESHOLD_HISTOGRAM_SQL,
     # ann_ivf_topk: converted round 6 to an oracled recall CONTRACT
     # (exact twin computed in-query; oracle replays the invariant as
-    # constants — see q_ann_ivf_topk's docstring)
+    # constants — see q_ann_ivf_topk's docstring); ann_lsh_topk /
+    # ann_pq_topk followed in round 7 with the same pattern (LSH's
+    # contract checks candidate selectivity + numeric agreement + a
+    # breakage floor — see its docstring for why top-3 recall is the
+    # wrong guarantee for bucketed search on a uniform corpus).
     "ann_ivf_topk": _ANN_IVF_SQL,
+    "ann_lsh_topk": _ANN_LSH_SQL,
+    "ann_pq_topk": _ANN_PQ_SQL,
     # Rows-only by design (no SQL-expressible oracle): pca_projection,
-    # sketches, ann_lsh_topk, embedding_near_dups,
-    # multimodal_decode, ml_train_predict, resampled_counts,
-    # grouped_split_counts, tree_contributions.
+    # sketches, embedding_near_dups, multimodal_decode,
+    # ml_train_predict, resampled_counts, grouped_split_counts,
+    # tree_contributions.
 }
 
 

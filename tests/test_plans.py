@@ -334,11 +334,17 @@ def test_ann_pq_topk_no_corpus_shuffle_after_encode(spark):
     broadcast) codebook/query side against the encoded corpus in place.
     Breaking the broadcast (e.g. shuffling the corpus against queries)
     shows up as extra exchanges / a sort-merge join; dropping the
-    vectorized encode fuses show up as extra Python stages."""
-    import __spark_entry__ as entry_mod
+    vectorized encode fuses show up as extra Python stages.  (Targets
+    the operator directly since round 7 — the registry entry is now a
+    recall contract that adds the brute-force twin to the plan.)"""
+    from sf_datalake_spark.operators.similarity import pq_topk
+    from sf_datalake_spark.queries_ext import _t
 
-    qs = entry_mod.queries()
-    rep = plan_report(qs["ann_pq_topk"](spark, SF_DIR), execute=True)
+    emb = _t(spark, SF_DIR, "embeddings")
+    df = pq_topk(emb, emb, k=3, m=8, n_codes=16, n_candidates=64).select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+    rep = plan_report(df, execute=True)
     assert rep["n_cartesian_products"] == 0
     assert rep["n_nested_loop_joins"] == 0
     assert rep["n_sort_merge_joins"] == 0          # corpus never re-sorted
