@@ -76,6 +76,25 @@ def _history_suspects(timings: dict[str, float],
     }
 
 
+def _quarantine(timings: dict[str, float], history: dict[str, float],
+                remeasure) -> dict[str, float]:
+    """Round-6 verdict #4: re-measure every history-flagged suspect via
+    ``remeasure(name) -> float`` (a fresh end-of-run timing, not the
+    contaminated interleaved one), move the better number into
+    ``timings`` IN PLACE, and return {name: contaminated_original} for
+    the sidecar's ``quarantined`` field.  Inflation only ever raises a
+    timing, so min(original, re-measure) is the best-known true cost; a
+    re-measure that is slower or fails (<= 0) changes nothing."""
+    quarantined: dict[str, float] = {}
+    for name in sorted(_history_suspects(
+            {n: t for n, t in timings.items() if t > 0}, history)):
+        best = remeasure(name)
+        if 0 < best < timings[name]:
+            quarantined[name] = timings[name]
+            timings[name] = best
+    return quarantined
+
+
 def _jvm_diag(spark) -> dict:
     """JVM health snapshot via java.lang.management (round-5 verdict
     #4): code-cache occupancy (the r05 positional-degradation root
@@ -188,18 +207,13 @@ def main() -> int:
     jvm_diag: list[dict] = [{"at": 0, "query": "<warmup-done>",
                              **_jvm_diag(spark)}]
     n_done = 0
-    # (Tried and rejected: an explicit System.gc() every 25 queries —
-    # full collections on the 48 GB heap cost more than they save and
-    # RAISED the suite total 244 s -> 275 s. The unpersist hygiene in
-    # the finally block plus the 1 GB code cache are the fixes that
-    # hold; residual ±1-2 s per-query wobble is ordinary GC timing.)
-    for name, fn in qs.items():
-        try:
-            load_at[name] = round(os.getloadavg()[0], 2)
-        except OSError:
-            load_at[name] = -1.0
+
+    def _bench_one(name: str, fn) -> tuple[float, float]:
+        """Best-of-2 (adaptive 3rd) timing of one query through the noop
+        sink; cache cleared between runs.  Returns (best, first)."""
         best = -1.0
         worst = -1.0
+        first = -1.0
         # Adaptive third run: when even the best-of-2 pair disagrees by
         # >2.5× both runs may have straddled one long interference
         # window (GC pause, competing JVM) — a single extra timing
@@ -216,7 +230,7 @@ def main() -> int:
                 df.write.format("noop").mode("overwrite").save()
                 elapsed = round(time.perf_counter() - t0, 3)
                 if run_i == 0:
-                    first_run[name] = elapsed
+                    first = elapsed
                 best = elapsed if best < 0 else min(best, elapsed)
                 worst = max(worst, elapsed)
                 if (
@@ -249,7 +263,22 @@ def main() -> int:
                 except Exception:
                     pass
             run_i += 1
+        return best, first
+
+    # (Tried and rejected: an explicit System.gc() every 25 queries —
+    # full collections on the 48 GB heap cost more than they save and
+    # RAISED the suite total 244 s -> 275 s. The unpersist hygiene in
+    # the finally block plus the 1 GB code cache are the fixes that
+    # hold; residual ±1-2 s per-query wobble is ordinary GC timing.)
+    for name, fn in qs.items():
+        try:
+            load_at[name] = round(os.getloadavg()[0], 2)
+        except OSError:
+            load_at[name] = -1.0
+        best, first = _bench_one(name, fn)
         timings[name] = best
+        if first > 0:
+            first_run[name] = first
         if best > 0:
             spread[name] = round(first_run.get(name, best) / best, 2)
         n_done += 1
@@ -257,6 +286,24 @@ def main() -> int:
             jvm_diag.append({"at": n_done, "query": name,
                              **_jvm_diag(spark)})
     jvm_diag.append({"at": n_done, "query": "<end>", **_jvm_diag(spark)})
+
+    # Quarantine pass (round-6 verdict #4): contaminated timings used to
+    # land in `queries` as the committed record (r06: anti_join_inactive
+    # 1.35 s vs true 0.40 s), poisoning the next round's history-guard
+    # baseline.  Re-measure every history-flagged suspect at the END of
+    # the run (fresh, not interleaved with whatever co-tenant burst hit
+    # it the first time), keep the better number in `queries`, and park
+    # the contaminated one in `quarantined`.  Inflation only ever raises
+    # timings, so min(original, re-measure) is the best-known true cost.
+    quarantined = _quarantine(
+        timings, history, lambda name: _bench_one(name, qs[name])[0])
+    for name in quarantined:
+        spread[name] = round(first_run.get(name, timings[name])
+                             / timings[name], 2)
+    if quarantined:
+        jvm_diag.append({"at": n_done, "query": "<quarantine-done>",
+                         **_jvm_diag(spark)})
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
     # Load guard (round-4 verdict task #4): the r04 sidecar recorded
@@ -281,6 +328,13 @@ def main() -> int:
     # last COMMITTED sidecar is suspect regardless of spread; replaying
     # the driver's r05 numbers against the committed r05 sidecar flags
     # exactly the sla_trend/cohort_ltv cluster this was built for.
+    # (run AFTER the quarantine pass, so a name it lists stayed >2.5x
+    # its committed history even on a fresh end-of-run re-measure —
+    # either a real regression or sustained box contamination.  NB the
+    # history min is a 3-sidecar ratchet: a query made deliberately
+    # slower — algorithm change, added guard cost — stays flagged until
+    # three newer sidecars are committed; that persistence is the
+    # advisory cost of never comparing against a contaminated record.)
     hist_ratio = _history_suspects(timings, history)
     suspect_history = sorted(hist_ratio)
     suspects = sorted(
@@ -289,9 +343,17 @@ def main() -> int:
     if suspects:
         print(f"bench load guard: {len(suspects)} suspect timings "
               f"(ratio>2: {suspect_ratio}; load>{n_cores // 2}: "
-              f"{suspect_load}; >2.5x committed history: "
-              f"{suspect_history}) — re-measure standalone before trusting",
+              f"{suspect_load}; >2.5x committed history even after the "
+              f"end-of-run re-measure: {suspect_history}; history is the "
+              f"3-sidecar elementwise min, so an intentional slowdown "
+              f"stays flagged for three rounds) — re-measure standalone "
+              f"before trusting",
               file=sys.stderr)
+    if quarantined:
+        print(f"bench quarantine: {len(quarantined)} contaminated "
+              f"interleaved timings replaced by end-of-run re-measures "
+              f"(originals kept in the sidecar's 'quarantined' field): "
+              f"{sorted(quarantined)}", file=sys.stderr)
 
     sf = None
     try:
@@ -322,13 +384,22 @@ def main() -> int:
         #                 from v2 — v2/v3 numbers are comparable)
         #   v4 (r05):     + load guard (per-query loadavg + first/min
         #                 spread recorded; suspect list in the sidecar)
-        #   v5 (r06+):    + history guard (best-of-2 vs the last
+        #   v5 (r06):     + history guard (best-of-2 vs the last
         #                 COMMITTED sidecar, flags sustained
         #                 contamination the spread can't see) + jvm_diag
         #                 series every 50 queries; timing protocol
         #                 unchanged — v2..v5 numbers are comparable
-        "methodology": "v5",
+        #   v6 (r07+):    + quarantine pass: history-flagged suspects
+        #                 re-measured fresh at end of run, the better
+        #                 number lands in `queries`, the contaminated
+        #                 interleaved one is preserved under
+        #                 `quarantined`; per-query estimator unchanged
+        #                 (still best-of-N through the noop sink), so
+        #                 v2..v6 totals remain comparable — v6 just
+        #                 stops contamination from becoming the record
+        "methodology": "v6",
         "n_suspect": len(suspects),
+        "n_quarantined": len(quarantined),
     }
     # Keep the printed line compact (the driver's capture truncates long
     # lines); the full record with single-shot timings goes to the
@@ -338,7 +409,8 @@ def main() -> int:
                "first_over_min": spread, "suspect": suspects,
                "suspect_ratio": suspect_ratio, "suspect_load": suspect_load,
                "suspect_history": suspect_history,
-               "history_ratio": hist_ratio, "jvm_diag": jvm_diag}
+               "history_ratio": hist_ratio, "quarantined": quarantined,
+               "jvm_diag": jvm_diag}
     # Durable sidecar (atomic rename): the driver's BENCH file tail can
     # truncate the printed line; bench_last.json keeps the full
     # per-query map for every round.

@@ -232,9 +232,13 @@ def _decode_image(payload: bytes, width: int | None, height: int | None):
     (:func:`_decode_bmp`), baseline PNG payloads the REAL zlib+defilter
     parser (:func:`_decode_png`), and baseline JFIF payloads the REAL
     Huffman+IDCT decoder (:mod:`~sf_datalake_spark.multimodal.jpeg` —
-    the entropy-coded seam, exercised end-to-end in tests); anything
-    else falls back to a deterministic md5-seeded fake so pipelines
-    stay testable without codecs."""
+    the entropy-coded seam, exercised end-to-end in tests — baseline
+    SOF0 and progressive SOF2; arithmetic-coded, 12-bit, lossless and
+    hierarchical JPEG return None from it BY DESIGN); anything
+    undecodable falls back to a deterministic md5-seeded fake so
+    pipelines stay testable without codecs.  Swap this function's body
+    for PIL/libjpeg-turbo in production — the mapInPandas plumbing
+    around it is the real deliverable."""
     try:  # pragma: no cover - PIL absent in this container
         import io
 
@@ -450,7 +454,15 @@ def decode_images(df: DataFrame, content_col: str = "content") -> DataFrame:
 
     ``pixels`` is the raw C-order uint8 buffer — kept binary so the JVM
     never interprets it and downstream Python stages can ``frombuffer``
-    for free."""
+    for free.
+
+    Codec contract: BMP/PNG/WAV and Huffman-coded JPEG (baseline SOF0
+    + progressive SOF2) decode for REAL in-container; JPEG variants the
+    in-repo decoder deliberately excludes (arithmetic-coded, 12-bit,
+    lossless, hierarchical) and any other format fall to the
+    deterministic md5-seeded stub inside :func:`_decode_image` — see
+    its docstring and :func:`~sf_datalake_spark.multimodal.jpeg.decode_jpeg`
+    for the full statement."""
     metas = "meta" in df.columns
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:

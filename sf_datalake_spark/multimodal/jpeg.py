@@ -147,8 +147,17 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes):
-    """→ (H, W, 3) uint8 RGB array, or None if not a baseline JFIF this
-    decoder supports (progressive SOF2, arithmetic coding, 12-bit)."""
+    """→ (H, W, 3) uint8 RGB array, or None for anything outside the
+    supported profile.
+
+    Supported: 8-bit Huffman-coded baseline SOF0 and progressive SOF2
+    (spectral selection, successive approximation, restarts).  BY
+    DESIGN unsupported — returns None so callers fall to their
+    deterministic stub: arithmetic-coded (SOF9/10, patent-era rarity),
+    12-bit precision, lossless SOF3, and hierarchical JPEG.  Corrupt
+    payloads of supported profiles also return None (fuzz-tested).
+    The production seam swaps this module for libjpeg-turbo; the stub
+    contract keeps pipelines deterministic without it."""
     try:
         return _decode(payload)
     except (IndexError, ValueError, struct.error, KeyError,
@@ -555,7 +564,13 @@ def _prog_ac_refine(br, ac, blk, ss, se, al, eobrun):
                     if r < 0:
                         break
                 k += 1
-            if val and k <= se:
+            if val:
+                if k > se:
+                    # corrupt stream: the pending ±1<<al insertion has no
+                    # in-band position — raise like _prog_ac_first so the
+                    # whole image falls to the deterministic fallback
+                    # instead of decoding slightly-wrong pixels
+                    raise ValueError("AC refinement run past band end")
                 blk[k] = val
             k += 1
     if eobrun > 0:

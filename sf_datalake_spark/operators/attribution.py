@@ -42,6 +42,33 @@ from pyspark.sql import functions as F
 
 ITERS = 40
 
+#: State names the absorption chain claims for itself ('conv'/'start'/
+#: 'null') — a channel with one of these names would silently alias a
+#: reserved node and mis-attribute, so both entry points reject them.
+_RESERVED_STATES = frozenset({"conv", "start", "null"})
+
+
+def _checked_touches(touch_states: list[str], conversion: str) -> list[str]:
+    """Sorted channel vocabulary, validated: no reserved-state or
+    conversion-name collisions, no quotes (shapley's mask is built with
+    ``F.when`` so names are never spliced into SQL, but a quoted channel
+    name is still a symptom of an upstream bug), no duplicates."""
+    touches = sorted(touch_states)
+    if len(set(touches)) != len(touches):
+        raise ValueError(f"duplicate channel names in touch_states: {touches}")
+    bad = [
+        c
+        for c in touches
+        if c in _RESERVED_STATES or c == conversion or "'" in c or '"' in c
+    ]
+    if bad:
+        raise ValueError(
+            f"invalid channel names {bad}: must not collide with the "
+            f"reserved states {sorted(_RESERVED_STATES)} or the conversion "
+            f"event {conversion!r}, and must not contain quotes"
+        )
+    return touches
+
 
 def markov_removal_attribution(
     events: DataFrame,
@@ -60,7 +87,7 @@ def markov_removal_attribution(
     conversion form a null-terminated journey.  ``touch_states`` is the
     closed channel vocabulary (sorted for deterministic output).
     """
-    touches = sorted(touch_states)
+    touches = _checked_touches(touch_states, conversion)
     spark = events.sparkSession
     ev = events.select(
         F.col(user_col).alias("user_id"),
@@ -179,7 +206,7 @@ def shapley_attribution(
     groupBy(user, journey) with ``bit_or`` for the mask, one
     groupBy(mask) — all shuffles on (user) or the ≤2^k mask key.
     """
-    touches = sorted(touch_states)
+    touches = _checked_touches(touch_states, conversion)
     k = len(touches)
     bit = {c: 1 << i for i, c in enumerate(touches)}
     spark = events.sparkSession
@@ -194,9 +221,12 @@ def shapley_attribution(
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    mask_expr = "CASE event_type " + " ".join(
-        f"WHEN '{c}' THEN {bit[c]}" for c in touches
-    ) + " ELSE 0 END"
+    # channel → bit as an F.when chain (names are data, never SQL text)
+    mask_col = F.lit(0)
+    for c in touches:
+        mask_col = F.when(F.col("event_type") == c, F.lit(bit[c])).otherwise(
+            mask_col
+        )
     j = (
         ev.withColumn(
             "journey",
@@ -207,9 +237,10 @@ def shapley_attribution(
                 F.lit(0),
             ),
         )
+        .withColumn("touch_bit", mask_col)
         .groupBy("user_id", "journey")
         .agg(
-            F.expr(f"bit_or({mask_expr})").alias("mask"),
+            F.expr("bit_or(touch_bit)").alias("mask"),
             F.max(
                 F.when(F.col("event_type") == conversion, 1).otherwise(0)
             ).alias("conv"),

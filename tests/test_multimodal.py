@@ -1282,6 +1282,34 @@ def test_real_jpeg_progressive_through_decode_images(spark):
     assert _psnr(got[:, :, 0], px) > 30
 
 
+def test_jpeg_ac_refine_raises_past_band_end():
+    """Corrupt-stream contract parity between the two progressive AC
+    paths: when a refinement scan's zero-run positions a pending
+    ±1<<al insertion past the band end, `_prog_ac_refine` must raise
+    (falling back to the deterministic stub) exactly like
+    `_prog_ac_first` does — not silently drop the insertion and
+    produce slightly-wrong pixels."""
+    import pytest as _pytest
+
+    from sf_datalake_spark.multimodal.jpeg import _prog_ac_refine
+
+    class _FakeHuff:
+        def decode(self, br):   # rs = (r=5)<<4 | (s=1): run past se=3
+            return 0x51
+
+    class _FakeBits:
+        def bit(self):
+            return 1
+
+        def bits(self, n):
+            return 0
+
+    blk = [0] * 64
+    with _pytest.raises(ValueError, match="past band end"):
+        _prog_ac_refine(_FakeBits(), _FakeHuff(), blk, 1, 3, 0, 0)
+    assert all(v == 0 for v in blk)  # nothing written before the raise
+
+
 def test_jpeg_decoder_fuzz_never_crashes():
     """Byte-flip fuzz over valid encodes: every corruption either
     decodes (lenient truncation contract) or returns None — never an

@@ -799,3 +799,29 @@ def test_shapley_attribution_efficiency_property(spark):
     assert tot == 24 * (3 - 1)
     shares = sum(r["share_ppm"] for r in got)
     assert 999998 <= shares <= 1000000  # ppm rounding only
+
+
+def test_attribution_rejects_reserved_and_quoted_channels(spark):
+    """Both attribution entry points validate touch_states up front:
+    names colliding with the absorption chain's reserved states
+    ('conv'/'start'/'null') or the conversion event would silently
+    mis-attribute, and quoted names signal an upstream bug — all must
+    raise, and duplicates too."""
+    import pytest as _pytest
+
+    from sf_datalake_spark.operators.attribution import (
+        markov_removal_attribution,
+        shapley_attribution,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, 1, d("2024-01-01"), "view")],
+        "user_id bigint, event_id bigint, ts date, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    for fn in (markov_removal_attribution, shapley_attribution):
+        for bad in (["view", "conv"], ["start"], ["null", "click"],
+                    ["purchase"], ["o'brien"], ['say"x'], ["view", "view"]):
+            with _pytest.raises(ValueError):
+                fn(ev, touch_states=bad)
+    # valid vocabulary still works after the guard
+    assert markov_removal_attribution(ev, touch_states=["view"]).count() == 1
