@@ -228,11 +228,18 @@ def _dedup(args: argparse.Namespace) -> int:
 
 def _curate(args: argparse.Namespace) -> int:
     """End-to-end corpus curation: Gopher quality gate → exact dedup →
-    per-source relative pruning → write survivors + a drop report.
+    optional MinHash-LSH near-dup dedup → per-source relative pruning →
+    write survivors (+ optional training-sequence packing) + a
+    stage-by-stage drop report.
 
-    Every stage is a filter/keyed aggregation, so the whole pipeline is
-    three shuffles (fingerprint dedup, prune window, final write) on
-    top of one scan — the batch shape that scales to the full corpus.
+    Every stage is a filter/keyed aggregation: one scan, fingerprint
+    dedup shuffle, (optional) LSH band shuffle + components, prune
+    window, final write — the batch shape that scales to the full
+    corpus.  Near-dup is off by default (``--near-dup-bands 0``)
+    because banding cost is only worth paying when the corpus actually
+    carries near-duplicates; packing (``--pack-budget``) appends a
+    ``<output>_packing`` parquet with (id, weight, bin_id, bin_offset)
+    per survivor instead of reshaping the survivor table itself.
     """
     from pyspark.sql import functions as F
 
@@ -263,25 +270,70 @@ def _curate(args: argparse.Namespace) -> int:
         .filter(F.col("__rn") == 1)
         .drop("__fp", "__rn")
     )
+    report: dict = {"input": n_in}
+    near = deduped
+    if args.near_dup_bands > 0:
+        from sf_datalake_spark.operators.components import dedup_clusters
+        from sf_datalake_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            minhash_signature,
+        )
+
+        num_hashes = args.near_dup_bands * args.near_dup_rows
+        sig = minhash_signature(
+            deduped, args.id_col, args.text_col,
+            num_hashes=num_hashes, shingle_n=args.shingle_n,
+        )
+        pairs = lsh_candidate_pairs(
+            sig, args.id_col, bands=args.near_dup_bands,
+            rows_per_band=args.near_dup_rows, signature_length=num_hashes,
+            max_bucket_size=args.max_bucket_size,
+        )
+        canon_ids = (
+            dedup_clusters(deduped, pairs, args.id_col)
+            .filter(F.col("is_canonical") == 1)
+            .select(args.id_col)
+        )
+        near = deduped.join(canon_ids, args.id_col, "left_semi")
     pruned = (
         quality_prune(
-            deduped, args.score_col, args.keep_fraction,
+            near, args.score_col, args.keep_fraction,
             id_col=args.id_col, by=args.by,
         )
         if args.keep_fraction < 1.0
-        else deduped
+        else near
     )
     pruned.write.mode("overwrite").parquet(args.output)
     n_out = spark.read.parquet(args.output).count()
-    n_quality = quality.count()
-    n_dedup = deduped.count()
-    print(json.dumps({
-        "input": n_in,
-        "after_quality_gate": n_quality,
-        "after_exact_dedup": n_dedup,
-        "written": n_out,
-        "dropped": n_in - n_out,
-    }))
+    report["after_quality_gate"] = quality.count()
+    report["after_exact_dedup"] = deduped.count()
+    if args.near_dup_bands > 0:
+        report["after_near_dup"] = near.count()
+    report["written"] = n_out
+    report["dropped"] = n_in - n_out
+    if args.pack_budget > 0:
+        from sf_datalake_spark.operators.corpus import pack_sequences
+
+        survivors = spark.read.parquet(args.output)
+        weighted = survivors.withColumn(
+            "__w",
+            F.size(F.split(F.trim(F.col(args.text_col)), r"\s+")),
+        )
+        packed = pack_sequences(
+            weighted, "__w", args.pack_budget,
+            partition_col=args.by, id_col=args.id_col,
+        )
+        pack_path = args.output.rstrip("/") + "_packing"
+        packed.write.mode("overwrite").parquet(pack_path)
+        back = spark.read.parquet(pack_path)
+        bins = (
+            back.groupBy(*([args.by] if args.by else []), "bin_id")
+            .count().count()
+        )
+        report["pack_budget"] = args.pack_budget
+        report["n_sequences"] = bins
+        report["packing_path"] = pack_path
+    print(json.dumps(report))
     return 0
 
 
@@ -372,6 +424,20 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--max-tokens", dest="max_tokens", type=int, default=100_000)
     cu.add_argument("--keep-fraction", dest="keep_fraction", type=float,
                     default=1.0)
+    cu.add_argument("--near-dup-bands", dest="near_dup_bands", type=int,
+                    default=0,
+                    help="MinHash-LSH near-dup stage after exact dedup; "
+                    "0 (default) disables it")
+    cu.add_argument("--near-dup-rows", dest="near_dup_rows", type=int,
+                    default=2, help="rows per LSH band")
+    cu.add_argument("--shingle-n", dest="shingle_n", type=int, default=3)
+    cu.add_argument("--max-bucket-size", dest="max_bucket_size", type=int,
+                    default=256,
+                    help="whale-bucket star-linking guard for the LSH "
+                    "self-join (see lsh_candidate_pairs)")
+    cu.add_argument("--pack-budget", dest="pack_budget", type=int, default=0,
+                    help="training-sequence packing budget in whitespace "
+                    "tokens; writes <output>_packing; 0 (default) skips")
     cu.set_defaults(func=_curate)
 
     cp = sub.add_parser("compact")

@@ -299,16 +299,44 @@ def lsh_topk(
     side ``n_probes``×; the corpus bucket layout (the expensive side at
     100 TB) is untouched.
     """
-    pairs = lsh_candidate_pairs(
-        queries, corpus, query_id, corpus_id, vec_col, n_planes, dim,
-        seed, n_probes,
+    qb = hyperplane_buckets_multiprobe_np(
+        queries, query_id, vec_col, n_planes, dim, seed, n_probes
+    ).select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv"), "__bkt"
     )
-    scored = pairs.withColumn("cosine", array_cosine_similarity("__qv", "__cv"))
+    cb = hyperplane_buckets_np(corpus, corpus_id, vec_col, n_planes, dim, seed).select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "__bkt"
+    )
+    id_type = dict(queries.dtypes)[query_id]
+    n_id_type = dict(corpus.dtypes)[corpus_id]
+    out_schema = f"query_id {id_type}, neighbor_id {n_id_type}, cosine double"
+    # Cell-BLAS re-rank per bucket (round 7; the ivf_topk pattern):
+    # queries probing a bucket meet that bucket's corpus slice as two
+    # pandas frames — one BLAS matmul per bucket, per-bucket top-k, and
+    # the (query × candidate) pair rows NEVER hit a shuffle.  The old
+    # shape joined the buckets into explicit pair rows carrying BOTH
+    # 64-dim arrays and re-ranked with an interpreted HOF cosine — at
+    # ×8 corpus (16k vectors, 2.45M candidates) that paid 97 s where
+    # this pays the linear bucket shuffle only (global top-k ⊆ union of
+    # per-bucket top-k because a pair's in-bucket rank is at least its
+    # global rank).  Cosines are round-12 quantized like every other
+    # BLAS path, so ranks and tie-breaks match brute_force_topk_np.
+    survivors = (
+        qb.groupBy("__bkt")
+        .cogroup(cb.groupBy("__bkt"))
+        .applyInPandas(_make_blas_rerank(k), schema=out_schema)
+    )
+    if n_probes > 1:
+        # defensive: distinct probes hit distinct buckets and a corpus
+        # vector lives in exactly one, so duplicates cannot occur today
+        # — but a duplicated pair would double-count in row_number and
+        # evict a true neighbor, so dedup the tiny survivor set anyway
+        survivors = survivors.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )

@@ -157,6 +157,79 @@ def test_cli_curate_pipeline(tmp_path, capsys, spark):
     assert set(back.columns) == {"doc_id", "text", "source", "n_chars"}
 
 
+def test_cli_curate_full_pipeline_sf01_goldens(tmp_path, capsys, spark):
+    """Composition-level integration check (round-6 verdict #7): the
+    full curate pipeline — Gopher gate → exact dedup → MinHash-LSH
+    near-dup → per-source prune → training-sequence pack — over the
+    REAL sf0.1 documents table, asserting the stage-by-stage drop
+    report against committed goldens.  Every stage is deterministic
+    (seeded MinHash constants, min-id canonical policy, id-ordered
+    streaming packing), so these are exact equalities: a drift in ANY
+    stage's semantics moves a number here even when each stage's own
+    unit test still passes."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from sf_datalake_spark.__main__ import main
+
+    src = "/root/testdata/sf0.1/documents.parquet"
+    if not _os.path.exists(src):
+        _pytest.skip("sf0.1 testdata not present")
+    out = str(tmp_path / "curated")
+    rc = main([
+        "curate", "--input", src, "--output", out,
+        "--min-tokens", "10", "--keep-fraction", "0.8", "--by", "source",
+        "--near-dup-bands", "4", "--near-dup-rows", "2", "--shingle-n", "3",
+        "--pack-budget", "2048",
+    ])
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # committed goldens (sf0.1 documents = 5000 rows; regenerate by
+    # rerunning this command if the synthetic corpus generator changes)
+    assert summary == {
+        "input": GOLDEN_CURATE_SF01["input"],
+        "after_quality_gate": GOLDEN_CURATE_SF01["after_quality_gate"],
+        "after_exact_dedup": GOLDEN_CURATE_SF01["after_exact_dedup"],
+        "after_near_dup": GOLDEN_CURATE_SF01["after_near_dup"],
+        "written": GOLDEN_CURATE_SF01["written"],
+        "dropped": GOLDEN_CURATE_SF01["dropped"],
+        "pack_budget": 2048,
+        "n_sequences": GOLDEN_CURATE_SF01["n_sequences"],
+        "packing_path": out + "_packing",
+    }
+    # survivors keep the full document schema; packing table is
+    # consistent with the survivors it indexes
+    back = spark.read.parquet(out)
+    assert back.count() == summary["written"]
+    assert set(back.columns) == {"doc_id", "text", "lang", "source",
+                                 "n_chars"}
+    pack = spark.read.parquet(out + "_packing")
+    assert pack.count() == summary["written"]
+    assert set(pack.columns) == {"source", "doc_id", "weight", "bin_id",
+                                 "bin_offset"}
+    # offsets stay inside the budget and bins are contiguous per source
+    assert pack.filter(
+        (F.col("bin_offset") < 0) | (F.col("bin_offset") >= 2048)
+    ).count() == 0
+
+
+# Stage-by-stage goldens for the sf0.1 curate run above (committed
+# 2026-08-16; the gate is the big cut on this synthetic corpus — most
+# generated docs are under 10 whitespace tokens — and near-dup folds
+# the generator's duplicate families 1186 → 703).
+GOLDEN_CURATE_SF01 = {
+    "input": 5000,
+    "after_quality_gate": 1189,
+    "after_exact_dedup": 1186,
+    "after_near_dup": 703,
+    "written": 570,
+    "dropped": 4430,
+    "n_sequences": 20,
+}
+
+
 def test_cli_vacuum(tmp_path, capsys):
     import json
     import os
