@@ -342,6 +342,36 @@ def lsh_topk(
     )
 
 
+def _make_gram_pairs(threshold: float):
+    """Grouped Arrow kernel shared by :func:`embedding_near_dup_pairs`
+    (groups = LSH buckets) and :func:`semantic_dedup_pairs` (groups =
+    KMeans cells): one BLAS Gram matrix over the group's ``__id/__cv``
+    rows, emitting ONLY the upper-triangle pairs with cosine ≥
+    ``threshold`` as ``(id_1 < id_2, cosine)`` — the |group|² candidate
+    set never hits a shuffle."""
+
+    def within_group_pairs(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_1": [], "id_2": [], "cosine": []})
+        ids = pdf["__id"].to_numpy()
+        X = np.array(list(pdf["__cv"]), dtype=np.float64)
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0.0] = 1.0
+        Xn = X / norms[:, None]
+        G = Xn @ Xn.T  # one BLAS Gram matrix per group
+        iu, ju = np.triu_indices(n, k=1)
+        keep = G[iu, ju] >= threshold
+        i, j = iu[keep], ju[keep]
+        a, b = ids[i], ids[j]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_1": lo, "id_2": hi, "cosine": G[i, j]})
+
+    return within_group_pairs
+
+
 def _make_blas_rerank(k: int):
     """Cogrouped Arrow re-rank kernel shared by :func:`ivf_topk` and
     :func:`sharded_topk_np`: queries of one group meet that group's
@@ -553,26 +583,26 @@ def embedding_near_dup_pairs(
     Buckets come from the Arrow/BLAS twin (one matmul per batch,
     bit-identical to :func:`hyperplane_signature`'s fold expressions —
     which are interpreted per element and were ~5× the cost of the
-    whole query); the exact-cosine verify on candidates stays JVM-side.
+    whole query); the exact-cosine verify is a per-bucket BLAS Gram
+    (:func:`_make_gram_pairs`) so candidate pair rows never carry
+    vector payloads through a shuffle.
     """
     sig = hyperplane_buckets_np(df, id_col, vec_col, n_planes, dim, seed)
-    a, b = sig.alias("a"), sig.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.__bkt") == F.col("b.__bkt"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .withColumn(
-            "cosine",
-            array_cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
-        )
-        .filter(F.col("cosine") >= threshold)
-        .select(
-            F.col(f"a.{id_col}").alias("id_1"),
-            F.col(f"b.{id_col}").alias("id_2"),
-            "cosine",
-        )
+    id_type = dict(df.dtypes)[id_col]
+    grouped = sig.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__cv"), "__bkt"
+    )
+    # Per-bucket BLAS Gram (round 7, same rewrite as lsh_topk): the old
+    # shape self-joined the buckets into pair rows carrying BOTH 64-dim
+    # arrays and scored each with the interpreted HOF cosine — n²/2^planes
+    # pair payloads through a shuffle.  Here each bucket's vectors meet
+    # once in an Arrow group, one Gram matmul scores the whole upper
+    # triangle, and ONLY pairs at/above threshold are emitted — the
+    # candidate set never hits a shuffle (the semantic_dedup_pairs cell
+    # shape, keyed by LSH bucket instead of KMeans cell).
+    return grouped.groupBy("__bkt").applyInPandas(
+        _make_gram_pairs(threshold),
+        schema=f"id_1 {id_type}, id_2 {id_type}, cosine double",
     )
 
 
@@ -623,28 +653,8 @@ def semantic_dedup_pairs(
     )
     id_type = dict(df.dtypes)[id_col]
     out_schema = f"id_1 {id_type}, id_2 {id_type}, cosine double"
-
-    def within_cluster_pairs(pdf):
-        import pandas as pd
-
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame({"id_1": [], "id_2": [], "cosine": []})
-        ids = pdf["__id"].to_numpy()
-        X = np.array(list(pdf["__cv"]), dtype=np.float64)
-        norms = np.linalg.norm(X, axis=1)
-        norms[norms == 0.0] = 1.0
-        Xn = X / norms[:, None]
-        G = Xn @ Xn.T  # one BLAS Gram matrix per cluster
-        iu, ju = np.triu_indices(n, k=1)
-        keep = G[iu, ju] >= threshold
-        i, j = iu[keep], ju[keep]
-        a, b = ids[i], ids[j]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"id_1": lo, "id_2": hi, "cosine": G[i, j]})
-
     out = assigned.groupBy("__cell").applyInPandas(
-        within_cluster_pairs, schema=out_schema
+        _make_gram_pairs(threshold), schema=out_schema
     )
     return out
 
