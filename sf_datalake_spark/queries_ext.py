@@ -2392,37 +2392,52 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``nanosAsLong`` set for the stream's lifetime.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, "events.parquet")
     try:
-        raw_dt = dict(
-            spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes
-        )["ts"]
+        raw_dt = dict(spark.read.parquet(path).dtypes)["ts"]
     except Exception:  # legacy reader rejects TIMESTAMP(NANOS) outright
         raw_dt = "bigint"
-    base = spark.readStream
-    if raw_dt == "timestamp_ntz":
+
+    # The driver testdata ships events.parquet as a single FILE inside
+    # sf_dir, so the stream points at sf_dir with a name glob.  A
+    # DIRECTORY of part files (anything re-written by Spark — the ×8
+    # scale-probe copies, a user's own exports) must be streamed
+    # directly: the glob filters LEAF file names, and part-*.parquet
+    # would match nothing — a silent zero-row stream (caught by the
+    # round-7 probe: every streaming twin "sped up" 3-10× at ×8
+    # because it processed no data).
+    def _src(base, schema: str):
+        if os.path.isdir(path):
+            return base.schema(schema).parquet(path)
         return (
-            base.schema(
-                "event_id bigint, ts timestamp_ntz, user_id bigint, "
-                "event_type string, value double, props string"
-            )
+            base.schema(schema)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
+        )
+
+    if raw_dt == "timestamp_ntz":
+        return _src(
+            spark.readStream,
+            "event_id bigint, ts timestamp_ntz, user_id bigint, "
+            "event_type string, value double, props string",
             # session tz pinned UTC above → relabel, not shift
-            .withColumn("ts", F.col("ts").cast("timestamp"))
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+    if raw_dt == "timestamp":
+        # already micros (a normalized re-write, e.g. the scale probe's)
+        return _src(
+            spark.readStream,
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
         )
     # Legacy build: nanos arrive as long; the conf must stay set while
     # the stream runs (micro-batches re-read the files), so it is
     # session-level here, not scoped.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        base.schema(
-            "event_id bigint, ts bigint, user_id bigint, event_type string, "
-            "value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    return _src(
+        spark.readStream,
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2484,20 +2499,27 @@ def _stage_stream_source(docs_path: str, src_dir: str) -> None:
     The testdata ships a single file; scaled copies (tools/scale_probe)
     are parquet DIRECTORIES of part files, which a file-stream source
     will not see through one directory symlink — so symlink each data
-    file individually (still no copy)."""
-    os.makedirs(src_dir, exist_ok=True)
+    file individually (still no copy).
+
+    The directory is rebuilt from scratch on every call: a stale
+    staging dir can hold BROKEN symlinks to part files a previous
+    scaled copy deleted — ``os.path.exists`` is False on a broken
+    link, so the old keep-if-present logic re-symlinked into the
+    existing name and crashed with FileExistsError (round-7 probe)."""
+    import shutil
+
+    shutil.rmtree(src_dir, ignore_errors=True)
+    os.makedirs(src_dir)
     if os.path.isdir(docs_path):
-        parts = [
+        parts = sorted(
             f for f in os.listdir(docs_path)
             if f.endswith(".parquet") and not f.startswith((".", "_"))
-        ]
+        )
     else:
         parts = [None]
     for i, part in enumerate(parts):
         target = docs_path if part is None else os.path.join(docs_path, part)
-        link = os.path.join(src_dir, f"part-{i:05d}.parquet")
-        if not os.path.exists(link):
-            os.symlink(target, link)
+        os.symlink(target, os.path.join(src_dir, f"part-{i:05d}.parquet"))
 
 
 def q_streaming_near_dup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:

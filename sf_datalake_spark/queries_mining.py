@@ -1374,39 +1374,41 @@ _JOIN_SIZE_SQL = """
 
 def q_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Core number of every part in the co-purchase graph (edges =
-    pairs co-occurring in >= 2 orders)."""
-    from sf_datalake_spark.operators.components import core_numbers
+    pairs co-occurring in >= 2 orders).
 
-    baskets = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+    Edge generation routes through the capped ``frequent_pairs``
+    machinery since round 7: this query kept the uncapped inline pair
+    explode after ``q_k_core_parts`` was converted (round-5 verdict
+    #2) — the round-7 ×8 probe flagged it at ×69 (overlay
+    densification multiplies every basket's pair fan-out), and a
+    single degenerate mega-order would emit C(n,2) pairs with no
+    bound.  Same guard, same oracle ``ok`` CTE replay, cap inert on
+    TPC-H's ≤ 7-lineitem orders."""
+    from sf_datalake_spark.operators.components import core_numbers
+    from sf_datalake_spark.operators.itemsets import frequent_pairs
+
+    mem = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = frequent_pairs(
+        mem, "l_orderkey", "l_partkey", min_support=2, max_basket_size=64
     )
-    pairs = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(items, (x, i) -> "
-                    "transform(slice(items, i + 2, size(items)), "
-                    "y -> struct(x AS u, y AS v))))"
-                )
-            ).alias("p")
-        )
-        .select("p.u", "p.v")
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("s"))
-        .filter(F.col("s") >= 2)
+    edges = pairs.select(
+        F.col("item_1").alias("u"), F.col("item_2").alias("v")
     )
-    return core_numbers(pairs, "u", "v")
+    return core_numbers(edges, "u", "v")
 
 
 _CORE_SQL = """
-    WITH RECURSIVE pairs AS (
-        SELECT a.l_partkey AS u, b.l_partkey AS v
-        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
-        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
-          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    WITH RECURSIVE mem AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    freq AS (SELECT i FROM mem GROUP BY i HAVING count(*) >= 2),
+    pm AS (SELECT b, i FROM mem JOIN freq USING (i)),
+    ok AS (SELECT b FROM pm GROUP BY b HAVING count(*) <= 64),
+    pairs AS (
+        SELECT a.i AS u, c.i AS v
+        FROM pm a
+        JOIN pm c ON a.b = c.b AND a.i < c.i
+        JOIN ok ON a.b = ok.b
         GROUP BY 1, 2 HAVING count(*) >= 2
     ),
     und AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
