@@ -532,3 +532,41 @@ def test_skyline_sink_incremental_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert (4, 10, 2) in got and (1, 10, 5) not in got
+
+
+def test_events_stream_reads_directory_layout(spark, tmp_path):
+    """Round-7 regression guard: the driver testdata ships
+    events.parquet as a single FILE, but any Spark re-write (scaled
+    copies, user exports) produces a DIRECTORY of part files — and the
+    old pathGlobFilter-based stream matched no part file names,
+    silently processing ZERO rows (caught because every streaming twin
+    'sped up' at x8). Both layouts must yield the same rows, and the
+    micros-timestamp dtype of a normalized re-write must be handled."""
+    import shutil
+
+    from sf_datalake_spark.queries import _t
+    from sf_datalake_spark.queries_ext import _events_stream
+    from sf_datalake_spark.streaming import run_to_memory
+
+    src = "/root/testdata/sf0.001"
+    n_expect = _t(spark, src, "events").count()
+    assert n_expect > 0
+
+    # directory layout: normalized re-write (ts becomes plain timestamp)
+    scaled = str(tmp_path / "sfdir")
+    _t(spark, src, "events").write.parquet(f"{scaled}/events.parquet")
+    for t in ("region",):  # _events_stream only touches events.parquet
+        shutil.copy(f"{src}/{t}.parquet", f"{scaled}/{t}.parquet")
+
+    got = run_to_memory(
+        _events_stream(spark, scaled).groupBy().count(),
+        "t_dir_layout_stream", output_mode="complete",
+    ).collect()
+    assert got[0]["count"] == n_expect
+
+    # file layout (the shipped testdata) still works through the glob
+    got_file = run_to_memory(
+        _events_stream(spark, src).groupBy().count(),
+        "t_file_layout_stream", output_mode="complete",
+    ).collect()
+    assert got_file[0]["count"] == n_expect
