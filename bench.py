@@ -95,6 +95,25 @@ def _quarantine(timings: dict[str, float], history: dict[str, float],
     return quarantined
 
 
+def _boxcheck() -> dict:
+    """Box-health snapshot (tools/boxcheck.py): pure-Python loop vs
+    BLAS matmul vs hypervisor steal.  Run at start AND end of the
+    bench so the sidecar itself says whether the box was fit to
+    measure on — the round-7 closing run caught a co-tenant event
+    that degraded ONLY vector/FP throughput ~1000× (scalar CPU
+    normal), which no loadavg or spread guard can express."""
+    try:
+        import tools.boxcheck as bc
+
+        return {
+            "py_loop_s": bc.py_loop(),
+            "blas_matmul_s": bc.blas_matmul(),
+            "steal_pct": bc.steal_pct(),
+        }
+    except Exception as e:  # diagnostics must never kill the bench
+        return {"error": str(e)[:200]}
+
+
 def _jvm_diag(spark) -> dict:
     """JVM health snapshot via java.lang.management (round-5 verdict
     #4): code-cache occupancy (the r05 positional-degradation root
@@ -146,6 +165,7 @@ def main() -> int:
     import __spark_entry__ as entry_mod
     from sf_datalake_spark.session import get_spark_session
 
+    box_before = _boxcheck()
     spark = get_spark_session("bench")
 
     qs = entry_mod.queries()
@@ -410,7 +430,8 @@ def main() -> int:
                "suspect_ratio": suspect_ratio, "suspect_load": suspect_load,
                "suspect_history": suspect_history,
                "history_ratio": hist_ratio, "quarantined": quarantined,
-               "jvm_diag": jvm_diag}
+               "jvm_diag": jvm_diag,
+               "boxcheck": {"before": box_before, "after": _boxcheck()}}
     # Durable sidecar (atomic rename): the driver's BENCH file tail can
     # truncate the printed line; bench_last.json keeps the full
     # per-query map for every round.

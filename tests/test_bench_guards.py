@@ -133,3 +133,17 @@ def test_replaying_r05_driver_numbers_flags_the_tail_cluster():
     for name in ("sla_trend", "cohort_ltv", "bandit_replay"):
         if name in drv and name in hist:
             assert name in flagged
+
+
+def test_boxcheck_fields_and_verdicts():
+    """tools/boxcheck.py: probes return plausible values and the
+    verdict logic separates the round-7 failure classes."""
+    import tools.boxcheck as bc
+
+    assert 0 < bc.py_loop() < 60
+    assert 0 < bc.blas_matmul() < 120
+    s = bc.steal_pct(interval=0.1)
+    assert s == -1.0 or 0.0 <= s <= 100.0
+    # bench integration: the sidecar helper never raises
+    got = bench._boxcheck()
+    assert ("py_loop_s" in got and "blas_matmul_s" in got) or "error" in got

@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""One-shot box-health probe: is this machine fit to benchmark on?
+
+Rounds 4-7 repeatedly needed the same engine-vs-environment
+separation: bench numbers inflate, and the question is whether the
+ENGINE regressed or the BOX is sick (co-tenant CPU steal, AVX/vector
+throttling, IO stall).  This tool runs the round-7 evidence chain in
+~5 s and prints ONE JSON line:
+
+- ``py_loop_s``     — 1e7-iteration pure-Python loop.  Tests scalar
+                      CPU + interpreter health; ~1.4 s on this box
+                      class.  Slow here = general CPU contention.
+- ``blas_matmul_s`` — 2000x64 @ 64x2000 OpenBLAS matmul (~512 MFLOP);
+                      ~0.005-0.05 s healthy.  Slow here while the
+                      loop is normal = vector/FP-unit degradation
+                      (the 05:00 round-7 event measured 6-8 s: ~1000x)
+                      — co-tenant AVX pressure, not engine code.
+- ``steal_pct``     — hypervisor steal from /proc/stat deltas over
+                      0.5 s.  Nonzero = a neighbor VM is taking cycles.
+- ``loadavg1``      — with ``n_running``; loadavg >> running tasks
+                      means D-state/steal inflation, not our work.
+- ``verdict``       — "healthy" | "degraded_fp" | "contended":
+                      degraded_fp = matmul > 20x its healthy bound
+                      while the python loop is within 3x; contended =
+                      both slow or steal/load high.
+
+Exit code 0 = healthy, 1 = anything else, so scripts can gate:
+
+    python tools/boxcheck.py || echo "do not trust bench numbers now"
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+PY_LOOP_HEALTHY_S = 1.5
+MATMUL_HEALTHY_S = 0.08
+
+
+def py_loop() -> float:
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(10_000_000):
+        s += i
+    assert s == 49999995000000
+    return round(time.perf_counter() - t0, 3)
+
+
+def blas_matmul() -> float:
+    import numpy as np
+
+    x = np.random.rand(2000, 64)
+    t0 = time.perf_counter()
+    (x @ x.T).sum()
+    return round(time.perf_counter() - t0, 3)
+
+
+def steal_pct(interval: float = 0.5) -> float:
+    def snap():
+        with open("/proc/stat") as fh:
+            f = fh.readline().split()
+        vals = [int(v) for v in f[1:]]
+        return sum(vals), (vals[7] if len(vals) > 7 else 0)
+
+    try:
+        t1, s1 = snap()
+        time.sleep(interval)
+        t2, s2 = snap()
+        dt = t2 - t1
+        return round(100.0 * (s2 - s1) / dt, 2) if dt else 0.0
+    except OSError:
+        return -1.0
+
+
+def main() -> int:
+    loop_s = py_loop()
+    mat_s = blas_matmul()
+    try:
+        la1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        la1 = -1.0
+    try:
+        with open("/proc/loadavg") as fh:
+            n_running = int(fh.read().split()[3].split("/")[0])
+    except (OSError, ValueError, IndexError):
+        n_running = -1
+    steal = steal_pct()
+
+    fp_bad = mat_s > 20 * MATMUL_HEALTHY_S
+    cpu_bad = loop_s > 3 * PY_LOOP_HEALTHY_S
+    if fp_bad and not cpu_bad:
+        verdict = "degraded_fp"
+    elif cpu_bad or steal > 5 or (la1 > 8 and n_running <= 2):
+        verdict = "contended"
+    else:
+        verdict = "healthy"
+
+    print(json.dumps({
+        "py_loop_s": loop_s,
+        "blas_matmul_s": mat_s,
+        "steal_pct": steal,
+        "loadavg1": la1,
+        "n_running": n_running,
+        "verdict": verdict,
+    }))
+    return 0 if verdict == "healthy" else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
