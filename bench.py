@@ -303,8 +303,19 @@ def main() -> int:
             spread[name] = round(first_run.get(name, best) / best, 2)
         n_done += 1
         if n_done % 50 == 0:
+            # blas_matmul_s rides along every 50 queries: the round-7
+            # degradation came in WAVES — healthy boxchecks at both
+            # endpoints bracketed a run whose middle was hit (27
+            # spread suspects) — so endpoint-only sampling can't
+            # attribute it.  ~0.1 s per sample on a healthy box.
+            try:
+                import tools.boxcheck as _bc
+
+                mat = _bc.blas_matmul()
+            except Exception:
+                mat = -1.0
             jvm_diag.append({"at": n_done, "query": name,
-                             **_jvm_diag(spark)})
+                             **_jvm_diag(spark), "blas_matmul_s": mat})
     jvm_diag.append({"at": n_done, "query": "<end>", **_jvm_diag(spark)})
 
     # Quarantine pass (round-6 verdict #4): contaminated timings used to
