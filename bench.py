@@ -84,7 +84,17 @@ def _quarantine(timings: dict[str, float], history: dict[str, float],
     ``timings`` IN PLACE, and return {name: contaminated_original} for
     the sidecar's ``quarantined`` field.  Inflation only ever raises a
     timing, so min(original, re-measure) is the best-known true cost; a
-    re-measure that is slower or fails (<= 0) changes nothing."""
+    re-measure that is slower or fails (<= 0) changes nothing.
+
+    Methodology asymmetry (r07 advice): history-flagged queries get
+    min(contaminated best-of-2..3, fresh best-of-2..3) — effectively
+    best-of-up-to-6 samples — while unflagged queries stay best-of-2/3.
+    That is a mild DOWNWARD estimator bias for exactly the flagged set,
+    so cross-round totals are comparable only to within that bias; the
+    sidecar's ``quarantined`` field identifies which entries carry it.
+    Healed entries' ``spread`` is recomputed from the re-measure's OWN
+    first run (not contaminated-first / fresh-best, which would inflate
+    the spread diagnostic for healed queries)."""
     quarantined: dict[str, float] = {}
     for name in sorted(_history_suspects(
             {n: t for n, t in timings.items() if t > 0}, history)):
@@ -326,11 +336,21 @@ def main() -> int:
     # it the first time), keep the better number in `queries`, and park
     # the contaminated one in `quarantined`.  Inflation only ever raises
     # timings, so min(original, re-measure) is the best-known true cost.
-    quarantined = _quarantine(
-        timings, history, lambda name: _bench_one(name, qs[name])[0])
+    remeasure_first: dict[str, float] = {}
+
+    def _remeasure(name: str) -> float:
+        best, first = _bench_one(name, qs[name])
+        if first > 0:
+            remeasure_first[name] = first
+        return best
+
+    quarantined = _quarantine(timings, history, _remeasure)
     for name in quarantined:
-        spread[name] = round(first_run.get(name, timings[name])
-                             / timings[name], 2)
+        # spread from the re-measure's own first run (r07 advice) — the
+        # contaminated first run over the fresh best would inflate the
+        # spread diagnostic for exactly the healed entries
+        spread[name] = round(
+            remeasure_first.get(name, timings[name]) / timings[name], 2)
     if quarantined:
         jvm_diag.append({"at": n_done, "query": "<quarantine-done>",
                          **_jvm_diag(spark)})

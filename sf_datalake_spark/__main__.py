@@ -289,6 +289,27 @@ def _curate(args: argparse.Namespace) -> int:
             rows_per_band=args.near_dup_rows, signature_length=num_hashes,
             max_bucket_size=args.max_bucket_size,
         )
+        if args.near_dup_min_agree > 0.0:
+            # r07 advice: raw LSH candidates are precision-free (one
+            # 2-slot band collision merges two non-duplicates forever
+            # in connected components); verify each pair by its
+            # signature-agreement fraction — the unbiased MinHash
+            # Jaccard estimate — before clustering.
+            s1 = sig.select(F.col(args.id_col).alias("id_1"),
+                            F.col("signature").alias("__s1"))
+            s2 = sig.select(F.col(args.id_col).alias("id_2"),
+                            F.col("signature").alias("__s2"))
+            agree = F.size(F.filter(
+                F.zip_with("__s1", "__s2", lambda x, y: x == y),
+                lambda v: v,
+            ))
+            pairs = (
+                pairs.join(s1, "id_1")
+                .join(s2, "id_2")
+                .filter(agree / F.size("__s1") >= args.near_dup_min_agree)
+                .select("id_1", "id_2")
+            )
+            report["near_dup_min_agree"] = args.near_dup_min_agree
         canon_ids = (
             dedup_clusters(deduped, pairs, args.id_col)
             .filter(F.col("is_canonical") == 1)
@@ -427,9 +448,19 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--near-dup-bands", dest="near_dup_bands", type=int,
                     default=0,
                     help="MinHash-LSH near-dup stage after exact dedup; "
-                    "0 (default) disables it")
+                    "0 (default) disables it.  NOTE: without "
+                    "--near-dup-min-agree the LSH pairs are UNVERIFIED "
+                    "candidates — precision depends on bands*rows, and a "
+                    "single band collision merges two non-duplicates in "
+                    "connected components")
     cu.add_argument("--near-dup-rows", dest="near_dup_rows", type=int,
                     default=2, help="rows per LSH band")
+    cu.add_argument("--near-dup-min-agree", dest="near_dup_min_agree",
+                    type=float, default=0.0,
+                    help="verify LSH candidate pairs before clustering: "
+                    "keep a pair only if its signature-agreement fraction "
+                    "(the MinHash Jaccard estimate) is >= this value; "
+                    "0 (default) keeps every candidate (legacy behavior)")
     cu.add_argument("--shingle-n", dest="shingle_n", type=int, default=3)
     cu.add_argument("--max-bucket-size", dest="max_bucket_size", type=int,
                     default=256,

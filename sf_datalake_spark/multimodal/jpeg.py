@@ -146,6 +146,16 @@ def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _i32(v: int) -> int:
+    """Wrap an unbounded Python int to int32 two's complement before an
+    int32 ndarray store.  A malformed stream can run the DC predictor
+    far past int32 (the fuzz corpus does); numpy deprecated the silent
+    overflowing conversion on assignment (r07 verdict #6), so wrap
+    explicitly — bit-identical to the old silent C-style overflow, and
+    warning-free under ``-W error::DeprecationWarning``."""
+    return (v + 0x80000000) % 0x100000000 - 0x80000000
+
+
 def decode_jpeg(payload: bytes):
     """→ (H, W, 3) uint8 RGB array, or None for anything outside the
     supported profile.
@@ -282,7 +292,7 @@ def _decode_block(br: _BitReader, comp: dict, pred: int):
     diff = _extend(br.bits(t), t) if t else 0
     dc = pred + diff
     coef = np.zeros(64, dtype=np.int32)
-    coef[0] = dc
+    coef[0] = _i32(dc)
     k = 1
     while k < 64:
         rs = comp["ac"].decode(br)
@@ -482,7 +492,7 @@ def _prog_dc_scan(br, scan, prog, ah, al, restart_interval):
                     t = comp["dc"].decode(br)
                     diff = _extend(br.bits(t), t) if t else 0
                     preds[ci] += diff
-                    coef[by, bx, 0] = preds[ci] << al
+                    coef[by, bx, 0] = _i32(preds[ci] << al)
                 else:  # refinement: one bit ORed into bit al
                     if br.bit():
                         coef[by, bx, 0] |= 1 << al

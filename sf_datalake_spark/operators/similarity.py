@@ -362,6 +362,11 @@ def _make_gram_pairs(threshold: float):
         norms[norms == 0.0] = 1.0
         Xn = X / norms[:, None]
         G = Xn @ Xn.T  # one BLAS Gram matrix per group
+        # Round-12 quantization, same as _make_blas_rerank (r07 advice):
+        # Gram shapes vary with batch/partition layout, so a pair within
+        # 1 ULP of the threshold could otherwise flip membership between
+        # runs — threshold and emit the quantized cosines.
+        G = np.round(G, 12)
         iu, ju = np.triu_indices(n, k=1)
         keep = G[iu, ju] >= threshold
         i, j = iu[keep], ju[keep]

@@ -1058,13 +1058,17 @@ def q_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based approximations for the interactive 100 TB path:
     HyperLogLog++ cardinalities and approximate percentiles. Rows-only —
     sketch internals are engine-specific by nature (exact twins:
-    ``distinct_counts`` / ``quantile_summary``)."""
+    ``distinct_counts`` / ``quantile_summary``).
+
+    The two percentiles are projected as scalar double columns
+    (``price_p50`` / ``price_p95``), never array<double>: the driver's
+    pandas canonicalizer cannot hash list cells (r07 red)."""
     li = _t(spark, sf_dir, "lineitem")
+    pp = F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)")
     return li.agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").alias(
-            "price_p50_p95"
-        ),
+        F.element_at(pp, 1).alias("price_p50"),
+        F.element_at(pp, 2).alias("price_p95"),
     )
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1088,9 +1092,16 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       256×, or no-collision → 0) fails it — this IS the 100 TB
       property, candidate reduction.
     - ``cosine_agree_ok``: on every (query, neighbor) pair LSH shares
-      with the exact twin, the Catalyst ``array_cosine_similarity``
-      re-rank score equals the twin's BLAS cosine to 1e-9 (round-12
-      quantized) — cross-validates the two independent numeric paths.
+      with the exact twin, an IN-CONTRACT Catalyst
+      ``array_cosine_similarity`` re-score (interpreted HOF — a
+      genuinely independent numeric path from numpy/BLAS) must equal
+      BOTH the LSH re-rank cosine and the exact twin's BLAS cosine to
+      1e-9 (round-12 quantized).  Since the r07 per-bucket-BLAS
+      rewrite, the LSH and exact cosines come from the same kernel
+      family, so comparing only those two would be a weak check (r07
+      advice); re-scoring the shared pairs through Catalyst restores
+      the cross-engine validation at the cost of ≤ 3n interpreted
+      cosines — never the |candidates| set.
     - ``recall_floor_ok``: recall@3 ≥ 1% (measured ≥ 2.9%, ≥ 3×
       margin) — catches total breakage (empty/garbage output) that a
       rows-only row count cannot.
@@ -1111,18 +1122,35 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = brute_force_topk_np(emb, emb, k=3).select(
         "query_id", "neighbor_id", F.col("cosine").alias("__exact_cos")
     )
-    hits = (
+    # Independent-path re-score (r07 advice): Catalyst HOF cosine over
+    # the ≤ 3n exact-twin pairs only — broadcast the 2-column vector dim
+    # twice, never touching the |candidates| set.
+    from sf_datalake_spark.functions.vector import array_cosine_similarity
+
+    qv = emb.select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("__qvec"))
+    nv = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("__nvec"))
+    rescored = (
         exact.join(ann, ["query_id", "neighbor_id"], "left")
-        .agg(
-            F.count("*").alias("n_exact"),
-            F.sum(F.col("__lsh_cos").isNotNull().cast("long")).alias("__n_hits"),
-            F.max(
-                F.when(
-                    F.col("__lsh_cos").isNotNull(),
-                    F.abs(F.round("__lsh_cos", 12) - F.col("__exact_cos")),
-                )
-            ).alias("__max_cos_diff"),
+        .join(F.broadcast(qv), "query_id")
+        .join(F.broadcast(nv), "neighbor_id")
+        .withColumn(
+            "__cat_cos", F.round(array_cosine_similarity("__qvec", "__nvec"), 12)
         )
+    )
+    hits = rescored.agg(
+        F.count("*").alias("n_exact"),
+        F.sum(F.col("__lsh_cos").isNotNull().cast("long")).alias("__n_hits"),
+        F.max(
+            F.when(
+                F.col("__lsh_cos").isNotNull(),
+                F.greatest(
+                    F.abs(F.round("__lsh_cos", 12) - F.col("__cat_cos")),
+                    F.abs(F.col("__exact_cos") - F.col("__cat_cos")),
+                ),
+            )
+        ).alias("__max_cos_diff"),
     )
     return (
         nq.crossJoin(ncand)

@@ -2776,7 +2776,13 @@ def q_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per priority: number of monthly revenue peaks (strictly above
     both neighbors AND >= 1.05× the larger neighbor, decided by
     20·rev >= 21·max(neighbors)), the peak months, and the tallest
-    peak's month."""
+    peak's month.
+
+    ``peak_months`` is emitted as a comma-joined STRING (sorted
+    ascending), not array<int>: the driver's pandas canonicalizer
+    cannot hash list cells (r07 red), and every registry output must
+    be scalar-typed (see tests/test_registry.py scalar-schema guard).
+    """
     orders = _t(spark, sf_dir, "orders")
     monthly = orders.groupBy(
         "o_orderpriority",
@@ -2821,8 +2827,8 @@ def q_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_months",
             F.coalesce("n_peaks", F.lit(0)).alias("n_peaks"),
             F.coalesce(
-                F.col("peak_months").cast("array<int>"),
-                F.expr("array()").cast("array<int>"),
+                F.concat_ws(",", F.col("peak_months").cast("array<string>")),
+                F.lit(""),
             ).alias("peak_months"),
             F.col("tallest_peak_month").cast("int").alias(
                 "tallest_peak_month"
@@ -2855,7 +2861,7 @@ _PEAK_SQL = """
     peaks AS (
         SELECT o_orderpriority,
                CAST(count(*) AS BIGINT) AS n_peaks,
-               list_sort(list(month)) AS peak_months
+               array_to_string(list_sort(list(month)), ',') AS peak_months
         FROM flagged WHERE is_peak = 1 GROUP BY 1
     ),
     tallest AS (
@@ -2869,7 +2875,7 @@ _PEAK_SQL = """
     SELECT f.o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_months,
            COALESCE(max(p.n_peaks), 0) AS n_peaks,
-           COALESCE(max(p.peak_months), []) AS peak_months,
+           COALESCE(max(p.peak_months), '') AS peak_months,
            CAST(max(t.tallest_peak_month) AS INT) AS tallest_peak_month
     FROM flagged f
     LEFT JOIN peaks p USING (o_orderpriority)

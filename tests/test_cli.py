@@ -157,6 +157,52 @@ def test_cli_curate_pipeline(tmp_path, capsys, spark):
     assert set(back.columns) == {"doc_id", "text", "source", "n_chars"}
 
 
+def test_cli_curate_near_dup_min_agree(tmp_path, capsys, spark):
+    """r07 advice: the curate near-dup stage can verify LSH candidate
+    pairs by MinHash signature agreement before clustering.  A family
+    of near-identical docs (one trailing word differs) must still fold
+    at a moderate threshold, while an impossible threshold (> 1.0)
+    filters every pair and disables folding entirely — proving the
+    verification filter actually gates the clustering input."""
+    import json as _json
+
+    from sf_datalake_spark.__main__ import main
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away across the wide green field toward the distant "
+            "hills carrying a small parcel of fresh bread for the ")
+    rows = (
+        [(i, base + f"friend{i}", "a", 200) for i in range(6)]
+        + [(100 + i, f"totally different wording number {i} with many "
+                     "other fine words padding out this line nicely",
+            "b", 90) for i in range(4)]
+    )
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    ).write.parquet(src)
+
+    def run(min_agree: str) -> dict:
+        out = str(tmp_path / f"curated_{min_agree.replace('.', '_')}")
+        rc = main([
+            "curate", "--input", src, "--output", out,
+            "--min-tokens", "5",
+            "--near-dup-bands", "4", "--near-dup-rows", "2",
+            "--near-dup-min-agree", min_agree,
+        ])
+        assert rc == 0
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    verified = run("0.5")
+    # the near-identical family agrees on >= 50% of signature slots:
+    # folding still happens under verification
+    assert verified["after_near_dup"] < verified["after_exact_dedup"]
+    assert verified["near_dup_min_agree"] == 0.5
+    impossible = run("1.01")
+    # no pair can agree on more than 100% of slots -> nothing folds
+    assert impossible["after_near_dup"] == impossible["after_exact_dedup"]
+
+
 def test_cli_curate_full_pipeline_sf01_goldens(tmp_path, capsys, spark):
     """Composition-level integration check (round-6 verdict #7): the
     full curate pipeline — Gopher gate → exact dedup → MinHash-LSH

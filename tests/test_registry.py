@@ -37,17 +37,32 @@ def test_registry_invariants():
     assert all(callable(f) for f in q.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper()
                for s in o.values())
-    # the rotation contract: the driver's 50-entry snapshot window must
-    # contain ONLY entries needing attestation — red-latest refixes
-    # first, then never-attested oracled entries
-    front = list(q)[:50]
-    for n in front:
-        assert n in entry._NEEDS_REFIX or n not in entry._ATTESTED, n
+    # the rotation contract, endgame-safe form (r07 verdict #3): every
+    # entry needing attestation — red-latest refixes, then
+    # never-attested — must sort BEFORE every already-attested entry.
+    # (The old "front-50 ⊆ needing-attestation" form is unsatisfiable
+    # once the backlog shrinks below the driver's 50-slot window.)
+    names = list(q)
+    needing = [n for n in names
+               if n in entry._NEEDS_REFIX or n not in entry._ATTESTED]
+    attested_tail = [n for n in names
+                     if n in entry._ATTESTED and n not in entry._NEEDS_REFIX]
+    if needing and attested_tail:
+        last_needing = max(names.index(n) for n in needing)
+        first_attested = min(names.index(n) for n in attested_tail)
+        assert last_needing < first_attested, (
+            f"attested entry at index {first_attested} precedes "
+            f"needing-attestation entry at index {last_needing}"
+        )
+    # red-latest refixes must lead the WHOLE rotation (they are the
+    # most urgent re-attestations)
+    n_refix = sum(1 for n in names if n in entry._NEEDS_REFIX)
+    assert all(n in entry._NEEDS_REFIX for n in names[:n_refix])
     # as long as the never-attested oracled pool exceeds the window, the
     # window must be all-oracled (rows-only entries would burn slots)
     fresh_oracled = [n for n in q if n not in entry._ATTESTED and n in o]
     if len(fresh_oracled) + len(entry._NEEDS_REFIX) >= 50:
-        assert all(n in o for n in front)
+        assert all(n in o for n in names[:50])
     # attested names must still exist (a rename would silently un-pin
     # the rotation)
     missing = {n for n in entry._ATTESTED if n not in q}
@@ -56,6 +71,41 @@ def test_registry_invariants():
     # rotation order without failing anything else)
     missing_new = {n for n in entry._NEW_R06 if n not in q}
     assert not missing_new, f"_NEW_R06 names not registered: {missing_new}"
+
+
+def test_registry_outputs_are_scalar_typed(spark):
+    """Driver contract guard (r07 verdict #2): the driver canonicalizes
+    results with pandas (``sort_values`` → ``factorize``), which cannot
+    hash list/dict cells — r07's only two red rows (peak_detection,
+    sketches) were exactly this, with value-correct answers rejected on
+    output FORMAT.  Every registry query must therefore emit only
+    scalar-typed columns: no ArrayType / MapType / StructType anywhere
+    in the output schema.  Lazy queries only pay plan analysis here;
+    the handful of documented eager (driver-adaptive / collect-inside)
+    queries run at sf0.001, the smallest fixture."""
+    from pyspark.sql import types as T
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    bad, errs = {}, {}
+    for name, fn in entry.queries().items():
+        try:
+            schema = fn(spark, sf).schema
+        except Exception as exc:  # noqa: BLE001 — collect all, report once
+            errs[name] = repr(exc)[:200]
+            continue
+        complex_cols = [
+            f.name for f in schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if complex_cols:
+            bad[name] = complex_cols
+    assert not errs, f"queries failed during schema build: {errs}"
+    assert not bad, (
+        "non-scalar output columns would reach the driver's pandas "
+        f"canonicalizer (unhashable cells): {bad}"
+    )
 
 
 def test_attestation_derivation_matches_snapshots():
