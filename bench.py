@@ -172,6 +172,40 @@ def main() -> int:
     argv = sys.argv[1:]
     if "--queries" in argv:
         only = set(argv[argv.index("--queries") + 1].split(","))
+    # --wait-healthy [max_minutes]: poll boxcheck before starting and
+    # refuse to measure on a box in an FP-degradation wave (rounds 5-8
+    # all lost runs to co-tenant events that ONLY hit vector/FP
+    # throughput — loadavg looks calm, scalar Python is normal, and the
+    # numbers are garbage).  Polls every 60 s until boxcheck's matmul
+    # probe reads < 0.2 s twice in a row (the r07-healthy level, well
+    # under the 20x degraded_fp threshold) or the budget runs out; on
+    # timeout the run proceeds — the in-run blas series and quarantine
+    # pass still document whatever hits mid-run.
+    if "--wait-healthy" in argv:
+        idx = argv.index("--wait-healthy")
+        try:
+            budget_min = float(argv[idx + 1])
+        except (IndexError, ValueError):
+            budget_min = 30.0
+        deadline = time.time() + budget_min * 60
+        streak = 0
+        while time.time() < deadline:
+            try:
+                import tools.boxcheck as _bc
+
+                mat = _bc.blas_matmul()
+            except Exception:
+                break
+            streak = streak + 1 if mat < 0.2 else 0
+            if streak >= 2:
+                break
+            print(f"bench --wait-healthy: blas_matmul_s={mat:.3f} "
+                  f"(need < 0.2 twice); waiting", file=sys.stderr)
+            time.sleep(60)
+        else:
+            print("bench --wait-healthy: budget exhausted, proceeding on "
+                  "a possibly-degraded box (in-run series will document "
+                  "it)", file=sys.stderr)
     import __spark_entry__ as entry_mod
     from sf_datalake_spark.session import get_spark_session
 
