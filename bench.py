@@ -163,6 +163,49 @@ def _jvm_diag(spark) -> dict:
     return out
 
 
+def _wait_healthy(budget_min: float, probe=None) -> bool:
+    """Block until the box's FP units look STABLY healthy, or the
+    budget runs out.  Returns True if the gate passed, False on budget
+    exhaustion / probe failure (caller proceeds either way — the
+    in-run blas series and quarantine pass still document whatever
+    hits mid-run).
+
+    Rounds 5-8 all lost bench runs to co-tenant events that degrade
+    ONLY vector/FP throughput; the round-8 event additionally
+    OSCILLATES on a sub-minute timescale (gate passed on two < 0.2 s
+    readings, the immediately-following boxcheck read 1.12 s, and the
+    first ~50 queries ran degraded).  So the pass condition is a
+    sustained window, not a streak of instants: 5 consecutive
+    readings < 0.2 s spaced 20 s apart — a 1:40 min continuously-clean
+    window — before declaring the box fit.  ``probe`` is injectable
+    for tests; defaults to tools.boxcheck.blas_matmul."""
+    if probe is None:
+        try:
+            import tools.boxcheck as _bc
+
+            probe = _bc.blas_matmul
+        except Exception:
+            return False
+    deadline = time.time() + budget_min * 60
+    streak = 0
+    while time.time() < deadline:
+        try:
+            mat = probe()
+        except Exception:
+            return False
+        streak = streak + 1 if mat < 0.2 else 0
+        if streak >= 5:
+            return True
+        print(f"bench --wait-healthy: blas_matmul_s={mat:.3f} "
+              f"(streak {streak}/5 of < 0.2 s readings 20 s apart); "
+              "waiting", file=sys.stderr)
+        time.sleep(20 if streak else 60)
+    print("bench --wait-healthy: budget exhausted, proceeding on a "
+          "possibly-degraded box (in-run series will document it)",
+          file=sys.stderr)
+    return False
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # --queries a,b,c: time only the named queries (regression triage in
@@ -187,25 +230,7 @@ def main() -> int:
             budget_min = float(argv[idx + 1])
         except (IndexError, ValueError):
             budget_min = 30.0
-        deadline = time.time() + budget_min * 60
-        streak = 0
-        while time.time() < deadline:
-            try:
-                import tools.boxcheck as _bc
-
-                mat = _bc.blas_matmul()
-            except Exception:
-                break
-            streak = streak + 1 if mat < 0.2 else 0
-            if streak >= 2:
-                break
-            print(f"bench --wait-healthy: blas_matmul_s={mat:.3f} "
-                  f"(need < 0.2 twice); waiting", file=sys.stderr)
-            time.sleep(60)
-        else:
-            print("bench --wait-healthy: budget exhausted, proceeding on "
-                  "a possibly-degraded box (in-run series will document "
-                  "it)", file=sys.stderr)
+        _wait_healthy(budget_min)
     import __spark_entry__ as entry_mod
     from sf_datalake_spark.session import get_spark_session
 

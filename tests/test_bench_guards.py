@@ -147,3 +147,33 @@ def test_boxcheck_fields_and_verdicts():
     # bench integration: the sidecar helper never raises
     got = bench._boxcheck()
     assert ("py_loop_s" in got and "blas_matmul_s" in got) or "error" in got
+
+
+def test_wait_healthy_requires_sustained_window(monkeypatch):
+    """The r08 gate: 5 consecutive sub-0.2 probe readings pass; an
+    oscillating box (the round-8 event flipped healthy->degraded within
+    seconds) keeps resetting the streak until the budget runs out."""
+    sleeps: list[float] = []
+    monkeypatch.setattr(bench.time, "sleep", sleeps.append)
+
+    stable = iter([0.05, 0.1, 0.02, 0.15, 0.08])
+    assert bench._wait_healthy(10, probe=lambda: next(stable)) is True
+    # between-probe spacing is the 20 s confirmation cadence
+    assert sleeps == [20, 20, 20, 20]
+
+    # oscillation: every 4th reading degrades -> streak never hits 5
+    clock = {"t": 0.0}
+    monkeypatch.setattr(bench.time, "time", lambda: clock["t"])
+
+    def osc_probe(state={"i": 0}):
+        state["i"] += 1
+        clock["t"] += 30.0  # advance the budget clock per probe
+        return 1.4 if state["i"] % 4 == 0 else 0.05
+
+    assert bench._wait_healthy(5, probe=osc_probe) is False
+
+    # probe failure -> proceed (False), never raise
+    def broken():
+        raise OSError("no numpy")
+
+    assert bench._wait_healthy(1, probe=broken) is False
