@@ -49,6 +49,33 @@ def py_loop() -> float:
 
 
 def blas_matmul() -> float:
+    """WARM matmul cost: one untimed warm-up call, then min of 3.
+
+    Round-8 finding: the first matmul in a fresh process pays OpenBLAS
+    thread-pool spin-up + page faults + frequency ramp — 0.2-2.4 s of
+    pure init on a perfectly healthy box (all 32 cores then read
+    ~0.023 s warm).  The round-8 morning's "oscillating degradation"
+    (readings flipping 0.04 ↔ 1.8 between 5-min watcher samples) was
+    exactly this artifact: every watcher sample was a cold process.
+    Warm min-of-3 measures the FP units themselves; the genuinely
+    degraded r07 event still reads 6-8 s here (1000× the warm bound,
+    far past any init cost).  Use :func:`blas_matmul_cold` when the
+    init cost itself is the question."""
+    import numpy as np
+
+    x = np.random.rand(2000, 64)
+    (x @ x.T).sum()  # warm-up: thread pool, pages, clocks
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (x @ x.T).sum()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+def blas_matmul_cold() -> float:
+    """First-call matmul including library/thread/page init — the
+    pre-round-8 probe semantics, kept for init-latency diagnostics."""
     import numpy as np
 
     x = np.random.rand(2000, 64)
