@@ -372,26 +372,37 @@ def main() -> int:
     # committed history; while it exceeds 1.5×, sleep and retry on the
     # warm JVM until the shared budget runs out.  The last ratio lands
     # in the sidecar as `canary_ratio` either way.
-    canary_name = "pricing_summary"
+    # Two canaries because the round-8 partial-FP event is selective:
+    # pricing_summary (pure JVM scan+agg) sees scheduler/LLC
+    # contention but NOT worker-side FP throttling, while
+    # embedding_topk (Arrow + BLAS in python workers) sees exactly
+    # that — run c measured canary 1.1x on the JVM side while the
+    # ANN/embedding family ran 1.7-2.2x (fp_load_spread read 13-24).
+    canary_names = ("pricing_summary", "embedding_topk")
+    canary_ratios: dict[str, float] = {}
     canary_ratio = None
-    if not only and canary_name in qs and history.get(canary_name, 0) > 0.2:
-        while True:
-            t = _bench_one(canary_name, qs[canary_name])[0]
+    gates = [n for n in canary_names
+             if not only and n in qs and history.get(n, 0) > 0.2]
+    while gates:
+        worst = None
+        for n in gates:
+            t = _bench_one(n, qs[n])[0]
             if t > 0:
-                canary_ratio = round(t / history[canary_name], 2)
-            healthy = t > 0 and t <= 1.5 * history[canary_name]
-            if healthy or wait_deadline is None or time.time() >= wait_deadline:
-                if not healthy and wait_deadline is not None:
-                    print("bench canary gate: budget exhausted at ratio "
-                          f"{canary_ratio}; proceeding (sidecar will carry "
-                          "canary_ratio + history_median_ratio)",
-                          file=sys.stderr)
-                break
-            print(f"bench canary gate: {canary_name} {t:.2f}s = "
-                  f"{canary_ratio}x committed history (need <= 1.5x); "
-                  "box is Spark-slow right now, retrying in 120s",
-                  file=sys.stderr)
-            time.sleep(120)
+                canary_ratios[n] = round(t / history[n], 2)
+                worst = max(worst or 0, canary_ratios[n])
+        canary_ratio = max(canary_ratios.values()) if canary_ratios else None
+        healthy = worst is not None and worst <= 1.5
+        if healthy or wait_deadline is None or time.time() >= wait_deadline:
+            if not healthy and wait_deadline is not None:
+                print("bench canary gate: budget exhausted at ratios "
+                      f"{canary_ratios}; proceeding (sidecar will carry "
+                      "canary_ratios + history_median_ratio)",
+                      file=sys.stderr)
+            break
+        print(f"bench canary gate: {canary_ratios} vs committed history "
+              "(need all <= 1.5x); box is Spark-slow right now, "
+              "retrying in 120s", file=sys.stderr)
+        time.sleep(120)
 
     for name, fn in qs.items():
         try:
@@ -544,9 +555,11 @@ def main() -> int:
         "methodology": "v6",
         "n_suspect": len(suspects),
         "n_quarantined": len(quarantined),
-        # Post-warmup canary (pricing_summary best-of-2) over committed
-        # history — the start-of-run box-state stamp (see canary gate).
+        # Post-warmup canaries (best-of-2 over committed history) — the
+        # start-of-run box-state stamp (see canary gate): JVM-side
+        # (pricing_summary) and Arrow/BLAS-side (embedding_topk).
         "canary_ratio": canary_ratio,
+        "canary_ratios": canary_ratios or None,
         # Uniform-box-factor estimate (round 8): median of this run's
         # per-query ratios against the committed 3-sidecar-min history.
         # ≈1.0 = box comparable to the best committed rounds; ≈1.3 =

@@ -84,6 +84,45 @@ def blas_matmul_cold() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def fp_load_spread(n_procs: int = 16, seconds: float = 1.5) -> float:
+    """Max/min per-process matmul rate under SUSTAINED all-core FP
+    load — the round-8 partial-degradation signature.
+
+    The round-8 co-tenant state throttles the vector units of a SUBSET
+    of cores only under sustained load: a 3 s 32-process sweep measured
+    per-process rates of 2..35 matmuls/s (17× spread) while the
+    single-shot warm probe read a healthy 0.014 s, scalar scaling was
+    near-perfect, and steal was ~0.  Spark stages running Arrow/BLAS
+    workers on every core are gated by the straggler cores, which is
+    exactly how the ANN/embedding query family inflated 1.7-2.2× while
+    every point probe stayed green.  Healthy boxes read < 3; the
+    observed event reads > 10.  Returns -1.0 on any failure (never
+    raises)."""
+    import multiprocessing as mp
+
+    try:
+        ctx = mp.get_context("fork")
+        with ctx.Pool(n_procs) as pool:
+            rates = pool.map(_fp_worker, [seconds] * n_procs)
+        lo = min(rates)
+        return round(max(rates) / lo, 1) if lo > 0 else float("inf")
+    except Exception:
+        return -1.0
+
+
+def _fp_worker(seconds: float) -> float:
+    import numpy as np
+
+    x = np.random.rand(2000, 64)
+    (x @ x.T).sum()
+    n = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        (x @ x.T).sum()
+        n += 1
+    return n / seconds
+
+
 def steal_pct(interval: float = 0.5) -> float:
     def snap():
         with open("/proc/stat") as fh:
@@ -102,8 +141,8 @@ def steal_pct(interval: float = 0.5) -> float:
 
 
 def main() -> int:
-    loop_s = py_loop()
-    mat_s = blas_matmul()
+    # loadavg/n_running first: the fp_load_spread pool would inflate
+    # them with the probe's own 16 runners
     try:
         la1 = round(os.getloadavg()[0], 2)
     except OSError:
@@ -113,12 +152,17 @@ def main() -> int:
             n_running = int(fh.read().split()[3].split("/")[0])
     except (OSError, ValueError, IndexError):
         n_running = -1
+    loop_s = py_loop()
+    mat_s = blas_matmul()
+    spread = fp_load_spread()
     steal = steal_pct()
 
     fp_bad = mat_s > 20 * MATMUL_HEALTHY_S
     cpu_bad = loop_s > 3 * PY_LOOP_HEALTHY_S
     if fp_bad and not cpu_bad:
         verdict = "degraded_fp"
+    elif spread > 5 and not cpu_bad:
+        verdict = "degraded_fp_partial"
     elif cpu_bad or steal > 5 or (la1 > 8 and n_running <= 2):
         verdict = "contended"
     else:
@@ -127,6 +171,7 @@ def main() -> int:
     print(json.dumps({
         "py_loop_s": loop_s,
         "blas_matmul_s": mat_s,
+        "fp_load_spread": spread,
         "steal_pct": steal,
         "loadavg1": la1,
         "n_running": n_running,
