@@ -118,6 +118,7 @@ def _boxcheck() -> dict:
         return {
             "py_loop_s": bc.py_loop(),
             "blas_matmul_s": bc.blas_matmul(),
+            "fp_load_spread": bc.fp_load_spread(),
             "steal_pct": bc.steal_pct(),
         }
     except Exception as e:  # diagnostics must never kill the bench
