@@ -393,6 +393,24 @@ def main() -> int:
                 worst = max(worst or 0, canary_ratios[n])
         canary_ratio = max(canary_ratios.values()) if canary_ratios else None
         healthy = worst is not None and worst <= 1.5
+        if healthy and wait_deadline is not None:
+            # The canary samples one instant; the round-8 partial-FP
+            # state flips fast enough that run d passed both canaries
+            # at 1.08-1.11x and then measured 337 s with fp_load_spread
+            # 49-74 at its endpoints.  Under --wait-healthy, also
+            # require the sustained-load spread probe to confirm.
+            try:
+                import tools.boxcheck as _bc
+
+                spread_now = _bc.fp_load_spread()
+                if spread_now > 5:
+                    healthy = False
+                    print(f"bench canary gate: canaries {canary_ratios} ok "
+                          f"but fp_load_spread={spread_now} (need <= 5); "
+                          "partial FP throttling active, retrying in 120s",
+                          file=sys.stderr)
+            except Exception:
+                pass
         if healthy or wait_deadline is None or time.time() >= wait_deadline:
             if not healthy and wait_deadline is not None:
                 print("bench canary gate: budget exhausted at ratios "
