@@ -177,9 +177,10 @@ def _wait_healthy(budget_min: float, probe=None) -> bool:
     readings, the immediately-following boxcheck read 1.12 s, and the
     first ~50 queries ran degraded).  So the pass condition is a
     sustained window, not a streak of instants: 5 consecutive
-    readings < 0.2 s spaced 20 s apart — a 1:40 min continuously-clean
-    window — before declaring the box fit.  ``probe`` is injectable
-    for tests; defaults to tools.boxcheck.blas_matmul."""
+    readings < 0.2 s with 20 s sleeps between them — an ~1:20 min
+    continuously-clean window (4 × 20 s gaps plus probe runtime) —
+    before declaring the box fit.  ``probe`` is injectable for tests;
+    defaults to tools.boxcheck.blas_matmul."""
     if probe is None:
         try:
             import tools.boxcheck as _bc
@@ -220,11 +221,12 @@ def main() -> int:
     # refuse to measure on a box in an FP-degradation wave (rounds 5-8
     # all lost runs to co-tenant events that ONLY hit vector/FP
     # throughput — loadavg looks calm, scalar Python is normal, and the
-    # numbers are garbage).  Polls every 60 s until boxcheck's matmul
-    # probe reads < 0.2 s twice in a row (the r07-healthy level, well
-    # under the 20x degraded_fp threshold) or the budget runs out; on
-    # timeout the run proceeds — the in-run blas series and quarantine
-    # pass still document whatever hits mid-run.
+    # numbers are garbage).  Polls until boxcheck's matmul probe reads
+    # < 0.2 s (the r07-healthy level, well under the 20x degraded_fp
+    # threshold) for 5 consecutive readings 20 s apart (see
+    # _wait_healthy; failed readings retry every 60 s) or the budget
+    # runs out; on timeout the run proceeds — the in-run blas series
+    # and quarantine pass still document whatever hits mid-run.
     wait_deadline = None
     if "--wait-healthy" in argv:
         idx = argv.index("--wait-healthy")
@@ -368,11 +370,19 @@ def main() -> int:
     # event inflated pricing_summary 1.06 → 3.41 s (5.3× history)
     # while scalar CPU, WARM matmul, memory bandwidth, 32-core scalar
     # scaling and steal% all read perfectly healthy — only actual
-    # Spark work sees it.  So with --wait-healthy, after warm-up, time
-    # the canary (a cheap, stable, pure-JVM query) best-of-2 against
-    # committed history; while it exceeds 1.5×, sleep and retry on the
-    # warm JVM until the shared budget runs out.  The last ratio lands
-    # in the sidecar as `canary_ratio` either way.
+    # Spark work sees it.  So after warm-up, time the canaries (cheap,
+    # stable queries) best-of-2 against committed history; while one
+    # exceeds 1.5×, sleep and retry on the warm JVM — but only when
+    # --wait-healthy granted a budget (without it the gate measures
+    # once, stamps the sidecar, and proceeds).  The last ratios land in
+    # the sidecar as `canary_ratio`/`canary_ratios` either way.
+    # Methodology note (r08 advice #4): the gate itself gives the two
+    # canary queries 2-3 extra warm executions immediately before the
+    # timed loop — a mild downward bias for exactly those two entries
+    # relative to pre-r08 rounds; their timed best-of-2 below is
+    # therefore "extra-warm" and cross-round comparisons of
+    # pricing_summary / embedding_topk alone should use the sidecar's
+    # canary history, not the per-query timings.
     # Two canaries because the round-8 partial-FP event is selective:
     # pricing_summary (pure JVM scan+agg) sees scheduler/LLC
     # contention but NOT worker-side FP throttling, while
@@ -385,12 +395,21 @@ def main() -> int:
     gates = [n for n in canary_names
              if not only and n in qs and history.get(n, 0) > 0.2]
     while gates:
+        # Rebuilt EVERY iteration (r08 advice #2): a canary whose
+        # _bench_one fails on a retry must drop out of the dict rather
+        # than silently carry a stale earlier ratio into the sidecar —
+        # `healthy` below is decided only from this round's readings.
+        canary_ratios = {}
         worst = None
         for n in gates:
             t = _bench_one(n, qs[n])[0]
             if t > 0:
                 canary_ratios[n] = round(t / history[n], 2)
                 worst = max(worst or 0, canary_ratios[n])
+            else:
+                print(f"bench canary gate: {n} failed to measure this "
+                      "iteration (t <= 0); its ratio is absent from this "
+                      "round's sidecar stamp", file=sys.stderr)
         canary_ratio = max(canary_ratios.values()) if canary_ratios else None
         healthy = worst is not None and worst <= 1.5
         if healthy and wait_deadline is not None:

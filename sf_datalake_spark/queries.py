@@ -1057,7 +1057,14 @@ _LSH_STAR_SQL = rf"""
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard for pairs sharing ≥1 shingle (inverted-index
-    self-join; integer-ratio → engine-exact)."""
+    self-join; integer-ratio → engine-exact).
+
+    ORACLE/TEST FORM: the self-join's pair volume is bounded only by
+    shingle document frequency, so one boilerplate shingle makes a join
+    key quadratic — use :func:`q_ngram_jaccard_capped` (its production
+    sibling with the hot-shingle guard) beyond small corpora; this
+    uncapped twin exists so the capped variant has an exact-recall
+    baseline to be judged against (r08 verdict hygiene #3)."""
     docs = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.2)
     return pairs.select("id_1", "id_2", F.round("jaccard", 6).alias("jaccard"))

@@ -1145,9 +1145,18 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(
             F.when(
                 F.col("__lsh_cos").isNotNull(),
-                F.greatest(
-                    F.abs(F.round("__lsh_cos", 12) - F.col("__cat_cos")),
-                    F.abs(F.col("__exact_cos") - F.col("__cat_cos")),
+                # array_cosine_similarity is NULL on a zero-norm vector;
+                # left as-is the whole when() would go NULL and F.max
+                # would SKIP the pair — cosine_agree_ok passing
+                # vacuously on exactly the degenerate input it should
+                # flag (r08 advice #3).  Coalesce to a sentinel > 1e-9
+                # so a NULL Catalyst cosine fails the contract loudly.
+                F.coalesce(
+                    F.greatest(
+                        F.abs(F.round("__lsh_cos", 12) - F.col("__cat_cos")),
+                        F.abs(F.col("__exact_cos") - F.col("__cat_cos")),
+                    ),
+                    F.lit(1.0),
                 ),
             )
         ).alias("__max_cos_diff"),

