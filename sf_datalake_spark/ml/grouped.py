@@ -24,6 +24,7 @@ from collections.abc import Sequence
 
 import numpy as np
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def _irls_logistic(
@@ -80,6 +81,16 @@ def fit_predict_per_group(
     but numpy's float reductions depend on ROW ORDER, which the
     shuffle does not fix — pass ``sort_cols`` (a per-group unique key)
     whenever bit-reproducible output matters.
+
+    EXECUTOR-MEMORY BOUND (SCALE.md round-5 "many small models"): the
+    scale constraint is the LARGEST single group — ``applyInPandas``
+    materializes each group's rows as ONE pandas frame in ONE task, so
+    a whale group (≳ a few tens of millions of rows × width) is a
+    per-task OOM regardless of cluster size.  Pre-aggregate or sample
+    oversized groups upstream, or — when the model is the repo's
+    2-feature logistic — use :func:`irls_logistic_groups_ppm`, whose
+    per-iteration ``groupBy`` aggregation never materializes a group
+    and is additionally oracle-exact.
     """
     import pandas as pd
 
@@ -127,3 +138,279 @@ def fit_predict_per_group(
         .groupBy(*group_cols)
         .applyInPandas(fit, schema=schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed oracle-exact IRLS (round-9 verdict #1): per-group logistic
+# fits with NO per-group materialization — each Newton round is ONE
+# groupBy aggregation of exact-integer normal-equation sums, and the
+# 3×3 solve is the same double expression tree in Catalyst and DuckDB.
+# ---------------------------------------------------------------------------
+
+#: fixed-point unit for coefficients and probabilities (micro-units)
+_U = 1_000_000
+#: |w| clamp (coefficient micro-units; |w| <= 50 keeps every z term
+#: inside int64 for features quantized below ~1e5)
+_W_CLAMP = 50_000_000
+#: |z| clamp in micro-units (sigmoid saturates far earlier; the clamp
+#: bounds exp() inputs and the scoring arithmetic)
+_Z_CLAMP = 30_000_000
+
+
+def irls_ppm_fragments(
+    fx1: int, fx2: int, reg: float, div: str
+) -> dict[str, str]:
+    """SQL fragments for one fixed-point IRLS round, shared VERBATIM by
+    the Spark operator (``div='div'``) and the DuckDB oracle
+    (``div='//'``) so the two replays cannot drift (the
+    ``pagerank_ppm`` discipline, ``operators/components.py:319``).
+
+    Spec (all names refer to columns in scope at each layer):
+
+    - features are caller-quantized integers ``x1q = round(x1 * fx1)``,
+      ``x2q = round(x2 * fx2)``; label ``y`` is 0/1; coefficients
+      ``w0u/w1u/w2u`` are micro-units (start 0).
+    - per row: ``z = clamp(w0u + x1q*w1u div fx1 + x2q*w2u div fx2)``
+      (micro-units, truncating integer division — Spark ``div`` and
+      DuckDB ``//`` both truncate toward zero);
+      ``p = floor(1e6 / (1 + exp(-z/1e6)) + 0.5)`` (the only float step
+      per row — exp of the SAME double in both engines; the µ-rounding
+      makes a cross-engine last-ulp disagreement matter only within
+      ~2e-10 of a rounding boundary);
+      ``s = max((p * (1e6 - p)) div 1e6, 1)`` (Newton weight in
+      µ-units; the floor of 1 keeps the Hessian nonsingular on
+      saturated groups); ``r = p - 1e6*y`` (µ-residual).
+    - per group: exact integer sums of ``r·x``/``s·x·x`` terms
+      (DECIMAL(38,0) in Spark, HUGEINT in DuckDB — both exact and
+      summation-order-free, so the two engines agree bit-for-bit at
+      any parallelism); every per-row product is bounded inside int64
+      by the clamps above.
+    - solve: the L2-penalized Newton system (penalty ``reg·n`` on the
+      non-intercept diagonal, intercept unpenalized — the
+      :func:`_irls_logistic` convention) via explicit 3×3 Cramer in
+      DOUBLE.  Exact integers in, one fixed parenthesization through
+      det/det0..2 — correctly-rounded IEEE ops on identical inputs
+      give bit-identical doubles in both engines (the
+      ``q_trend_slopes`` argument, ``queries_rel.py``).
+    - re-quantize: ``w' = floor(clamp(w - delta) * 1e6 + 0.5)``;
+      ``det = 0`` keeps the old coefficients (cannot occur with the
+      ``s >= 1`` floor, guarded anyway so both engines take the same
+      branch).
+    """
+    c0 = "1000000.0"
+    c1 = f"{_U * fx1:.1f}"
+    c2 = f"{_U * fx2:.1f}"
+    c11 = f"{_U * fx1 * fx1:.1f}"
+    c12 = f"{_U * fx1 * fx2:.1f}"
+    c22 = f"{_U * fx2 * fx2:.1f}"
+    regl = repr(float(reg))
+    z = (
+        f"greatest(-{_Z_CLAMP}, least({_Z_CLAMP}, "
+        f"w0u + (x1q * w1u) {div} {fx1} + (x2q * w2u) {div} {fx2}))"
+    )
+    p = (
+        "CAST(floor(1000000.0 / "
+        "(1.0 + exp(-(CAST(z AS DOUBLE) / 1000000.0))) + 0.5) AS BIGINT)"
+    )
+    s = f"greatest((p * (1000000 - p)) {div} 1000000, 1)"
+    r = "p - 1000000 * y"
+    # exact-integer per-group sums (term expressions; the engine-side
+    # SUM wrapper differs: DECIMAL(38,0) cast in Spark, native HUGEINT
+    # accumulation in DuckDB)
+    terms = {
+        "g0": "r",
+        "g1": "r * x1q",
+        "g2": "r * x2q",
+        "h00": "s",
+        "h01": "s * x1q",
+        "h02": "s * x2q",
+        "h11": "s * x1q * x1q",
+        "h12": "s * x1q * x2q",
+        "h22": "s * x2q * x2q",
+    }
+    solve_a = {
+        "a00": f"CAST(h00 AS DOUBLE) / {c0}",
+        "a01": f"CAST(h01 AS DOUBLE) / {c1}",
+        "a02": f"CAST(h02 AS DOUBLE) / {c2}",
+        "a11": f"CAST(h11 AS DOUBLE) / {c11} + {regl} * CAST(n AS DOUBLE)",
+        "a12": f"CAST(h12 AS DOUBLE) / {c12}",
+        "a22": f"CAST(h22 AS DOUBLE) / {c22} + {regl} * CAST(n AS DOUBLE)",
+        "b0": f"CAST(g0 AS DOUBLE) / {c0}",
+        "b1": (
+            f"CAST(g1 AS DOUBLE) / {c1} + {regl} * CAST(n AS DOUBLE)"
+            " * (CAST(w1u AS DOUBLE) / 1000000.0)"
+        ),
+        "b2": (
+            f"CAST(g2 AS DOUBLE) / {c2} + {regl} * CAST(n AS DOUBLE)"
+            " * (CAST(w2u AS DOUBLE) / 1000000.0)"
+        ),
+    }
+    dets = {
+        "det": (
+            "a00 * (a11 * a22 - a12 * a12)"
+            " - a01 * (a01 * a22 - a12 * a02)"
+            " + a02 * (a01 * a12 - a11 * a02)"
+        ),
+        "det0": (
+            "b0 * (a11 * a22 - a12 * a12)"
+            " - a01 * (b1 * a22 - a12 * b2)"
+            " + a02 * (b1 * a12 - a11 * b2)"
+        ),
+        "det1": (
+            "a00 * (b1 * a22 - a12 * b2)"
+            " - b0 * (a01 * a22 - a12 * a02)"
+            " + a02 * (a01 * b2 - b1 * a02)"
+        ),
+        "det2": (
+            "a00 * (a11 * b2 - b1 * a12)"
+            " - a01 * (a01 * b2 - b1 * a02)"
+            " + b0 * (a01 * a12 - a11 * a02)"
+        ),
+    }
+
+    def _next(wu: str, det_j: str) -> str:
+        return (
+            f"CASE WHEN det = 0.0 THEN {wu} ELSE "
+            f"CAST(floor(greatest(-{float(_W_CLAMP)!r}, "
+            f"least({float(_W_CLAMP)!r}, "
+            f"(CAST({wu} AS DOUBLE) / 1000000.0 - {det_j} / det)"
+            " * 1000000.0)) + 0.5) AS BIGINT) END"
+        )
+
+    return {
+        "z": z,
+        "p": p,
+        "s": s,
+        "r": r,
+        "terms": terms,
+        "solve_a": solve_a,
+        "dets": dets,
+        "w0_next": _next("w0u", "det0"),
+        "w1_next": _next("w1u", "det1"),
+        "w2_next": _next("w2u", "det2"),
+    }
+
+
+def irls_logistic_groups_ppm(
+    df: DataFrame,
+    group_col: str,
+    x1q_col: str,
+    fx1: int,
+    x2q_col: str,
+    fx2: int,
+    label_col: str,
+    reg: float = 1e-6,
+    n_iter: int = 8,
+) -> DataFrame:
+    """One L2-penalized logistic model PER GROUP, fit by distributed
+    fixed-point IRLS — the oracle-exact, whale-safe sibling of
+    :func:`fit_predict_per_group` (round-9 verdict #1).
+
+    Scale shape: NOTHING materializes a group.  Each of the ``n_iter``
+    Newton rounds is one map-side-combined ``groupBy(group)``
+    aggregation of 9 exact-integer normal-equation sums + a count
+    (X'WX and X'Wr are 9+3 numbers per group for 2 features), and the
+    3×3 Cramer solve runs INSIDE Catalyst on the per-group aggregate
+    row — coefficients stay a |groups|-row DataFrame broadcast back
+    into the next round, so the operator handles 5 groups or 10
+    million identically, bounded by shuffle width, never by group
+    size.  ``localCheckpoint`` per round cuts the iterative lineage
+    (the ``pagerank_ppm`` discipline).
+
+    Determinism: see :func:`irls_ppm_fragments` — integer sums are
+    order-free, the solve is one fixed double expression tree, and the
+    DuckDB oracle replays the identical trajectory from the same
+    fragments.
+
+    Input: ``df`` with integer fixed-point features ``x1q_col``
+    (= round(x1 · fx1)), ``x2q_col`` (= round(x2 · fx2)) and a 0/1
+    ``label_col``.  Output: one row per group —
+    ``(group, group_n, w0_ppm, w1_ppm, w2_ppm)`` with coefficients in
+    micro-units (w0 = intercept).
+    """
+    frag = irls_ppm_fragments(fx1, fx2, reg, div="div")
+    # Persist the 4-int-column design matrix: every Newton round (and
+    # nothing else) re-scans it, so without this the upstream plan —
+    # typically a join tree — re-executes n_iter+1 times (26 s → ~7 s
+    # at sf0.1).  MEMORY_AND_DISK: at cluster scale the matrix is
+    # |rows| × 32 B, the standard cached-training-set shape MLlib's
+    # iterative fitters use; spill is the safety valve, not the plan.
+    data = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(x1q_col).cast("bigint").alias("x1q"),
+        F.col(x2q_col).cast("bigint").alias("x2q"),
+        F.col(label_col).cast("bigint").alias("y"),
+    ).persist()
+    coefs = data.groupBy("grp").agg(
+        F.count("*").alias("group_n"),
+        F.lit(0).cast("bigint").alias("w0u"),
+        F.lit(0).cast("bigint").alias("w1u"),
+        F.lit(0).cast("bigint").alias("w2u"),
+    )
+    sums = [
+        (name, f"sum(CAST({expr} AS DECIMAL(38,0)))")
+        for name, expr in frag["terms"].items()
+    ]
+    try:
+        for _ in range(n_iter):
+            coefs = _irls_round(data, coefs, frag, sums)
+    finally:
+        # Safe to release before return: every round's coefs is
+        # localCheckpoint(eager)-materialized, so nothing downstream
+        # re-reads the cached design matrix through this handle.
+        data.unpersist()
+    return coefs.select(
+        "grp",
+        F.col("group_n").cast("bigint").alias("group_n"),
+        F.col("w0u").alias("w0_ppm"),
+        F.col("w1u").alias("w1_ppm"),
+        F.col("w2u").alias("w2_ppm"),
+    )
+
+
+def _irls_round(data, coefs, frag, sums):
+    """One Newton round: rows → exact-integer sums → Catalyst Cramer.
+    Returns the next coefficients, localCheckpoint(eager)-materialized
+    so the iterative lineage never compounds (pagerank discipline)."""
+    rows = (
+        data.join(F.broadcast(coefs), "grp")
+        .selectExpr("grp", "x1q", "x2q", "y", "group_n",
+                    "w0u", "w1u", "w2u", frag["z"] + " AS z")
+        .selectExpr("grp", "x1q", "x2q", "y", "group_n",
+                    "w0u", "w1u", "w2u", frag["p"] + " AS p")
+        .selectExpr("grp", "x1q", "x2q", "y", "group_n",
+                    "w0u", "w1u", "w2u",
+                    frag["s"] + " AS s", frag["r"] + " AS r")
+    )
+    agg = rows.groupBy("grp").agg(
+        F.expr("max(group_n)").alias("n"),
+        F.expr("max(w0u)").alias("w0u"),
+        F.expr("max(w1u)").alias("w1u"),
+        F.expr("max(w2u)").alias("w2u"),
+        *[F.expr(expr).alias(name) for name, expr in sums],
+    )
+    return (
+        agg.selectExpr(
+            "grp", "n", "w0u", "w1u", "w2u",
+            *[f"{expr} AS {name}" for name, expr in frag["solve_a"].items()],
+        )
+        .selectExpr(
+            "grp", "n", "w0u", "w1u", "w2u",
+            *[f"{expr} AS {name}" for name, expr in frag["dets"].items()],
+        )
+        .selectExpr(
+            "grp",
+            "n AS group_n",
+            frag["w0_next"] + " AS w0u",
+            frag["w1_next"] + " AS w1u",
+            frag["w2_next"] + " AS w2u",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def irls_ppm_score_expr(fx1: int, fx2: int, div: str) -> str:
+    """The decision expression paired with the fit: ``z`` in micro-units
+    from the FINAL coefficients (same fragment as training), classify
+    1 iff ``z > 0`` (⇔ p > 0.5 — exact integer comparison, no float)."""
+    return irls_ppm_fragments(fx1, fx2, 0.0, div)["z"]

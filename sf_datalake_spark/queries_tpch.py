@@ -738,42 +738,182 @@ _SAMPLED_GROUPBY_SQL = """
 
 
 # ---------------------------------------------------------------------------
-# Many-small-models (ml/grouped.py): one logistic fit PER GROUP in a
-# single applyInPandas shuffle. Rows-only: IRLS probabilities are not
-# SQL-expressible; determinism is pinned via sort_cols.
+# Many-small-models (ml/grouped.py): one logistic fit PER GROUP.
+# ORACLED + distributed since round 9 (r08 verdict #1): the old
+# applyInPandas form materialized each group in one task (the classic
+# per-group-model scale killer) and its float IRLS carried no SQL
+# oracle; irls_logistic_groups_ppm replaces both — every Newton round
+# is ONE groupBy of exact-integer normal-equation sums and the 3×3
+# Cramer solve is the same double expression tree in Catalyst and
+# DuckDB, so a recursive CTE replays the trajectory bit-for-bit.
 # ---------------------------------------------------------------------------
 
-def q_grouped_models(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per order priority: an independent logistic model predicting
-    multi-line orders (≥ 4 lineitems) from order price and total
-    quantity, fit per group and scored in place — per-group row count,
-    IRLS iterations, and in-sample accuracy."""
-    from sf_datalake_spark.ml.grouped import fit_predict_per_group
+#: feature quantization for grouped_models: price in $10 units of the
+#: /1e5-scaled feature (cents div 1000 → x1q/1e4 = o_totalprice/1e5),
+#: quantity as raw units of the /100-scaled feature (x2q/100)
+_GM_FX1, _GM_FX2 = 10_000, 100
+_GM_REG, _GM_ITER = 1e-6, 8
 
+
+def _grouped_models_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point design matrix shared by fit and scoring:
+    group = o_orderpriority, x1q = round(o_totalprice·100) div 1000
+    (exact cents, truncating div), x2q = Σ l_quantity (integral, exact
+    in double at any summation order), y = 1 iff the order has ≥ 4
+    lineitems."""
     li = _t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
-        F.count("*").alias("n_lines"), F.sum("l_quantity").alias("sum_qty")
+        F.count("*").alias("n_lines"),
+        F.expr("CAST(round(sum(l_quantity)) AS BIGINT)").alias("x2q"),
     )
     orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+        "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    data = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
-        "o_orderkey",
-        "o_orderpriority",
-        (F.col("o_totalprice") / 100000.0).alias("price_scaled"),
-        (F.col("sum_qty") / 100.0).alias("qty_scaled"),
-        (F.col("n_lines") >= 4).cast("double").alias("label"),
+    return orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr(
+            "CAST(round(o_totalprice * 100) AS BIGINT) div 1000"
+        ).alias("x1q"),
+        "x2q",
+        (F.col("n_lines") >= 4).cast("bigint").alias("y"),
     )
-    scored = fit_predict_per_group(
-        data, ["o_orderpriority"], ["price_scaled", "qty_scaled"], "label",
-        reg=1e-6, sort_cols=["o_orderkey"],
+
+
+def q_grouped_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order priority: an independent L2-penalized logistic model
+    predicting multi-line orders (≥ 4 lineitems) from order price and
+    total quantity — fit by DISTRIBUTED fixed-point IRLS
+    (``ml/grouped.irls_logistic_groups_ppm``: 8 Newton rounds, each one
+    groupBy of 9 exact-integer sums; no group ever materializes in a
+    task) and scored in place.  Output per group: row count,
+    micro-unit coefficients, and in-sample decision accuracy (predict
+    1 iff the integer z > 0 ⇔ p > 0.5) — all integers, hash-exact
+    against the DuckDB recursive-CTE replay built from the same SQL
+    fragments."""
+    from sf_datalake_spark.ml.grouped import (
+        irls_logistic_groups_ppm,
+        irls_ppm_score_expr,
     )
-    return scored.groupBy("o_orderpriority").agg(
+
+    data = _grouped_models_data(spark, sf_dir)
+    coefs = irls_logistic_groups_ppm(
+        data, "grp", "x1q", _GM_FX1, "x2q", _GM_FX2, "y",
+        reg=_GM_REG, n_iter=_GM_ITER,
+    )
+    z = irls_ppm_score_expr(_GM_FX1, _GM_FX2, "div")
+    scored = data.join(
+        F.broadcast(
+            coefs.selectExpr(
+                "grp", "group_n",
+                "w0_ppm AS w0u", "w1_ppm AS w1u", "w2_ppm AS w2u",
+            )
+        ),
+        "grp",
+    ).selectExpr(
+        "grp", "group_n", "w0u", "w1u", "w2u",
+        f"CASE WHEN ({z} > 0) = (y = 1) THEN 1 ELSE 0 END AS ok",
+    )
+    return scored.groupBy("grp").agg(
         F.max("group_n").alias("group_n"),
-        F.max("converged_iter").alias("irls_iters"),
-        F.sum(
-            ((F.col("p1") > 0.5).cast("double") == F.col("label")).cast("long")
-        ).alias("n_correct"),
+        F.max("w0u").alias("w0_ppm"),
+        F.max("w1u").alias("w1_ppm"),
+        F.max("w2u").alias("w2_ppm"),
+        F.sum("ok").cast("bigint").alias("n_correct"),
+    ).select(
+        F.col("grp").alias("o_orderpriority"),
+        "group_n", "w0_ppm", "w1_ppm", "w2_ppm", "n_correct",
     )
+
+
+def _grouped_models_sql() -> str:
+    """DuckDB twin of q_grouped_models: the identical data prep + a
+    recursive CTE replaying the 8 fixed-point IRLS rounds from the SAME
+    fragments (``ml/grouped.irls_ppm_fragments`` with ``//``), then the
+    same integer decision scoring."""
+    from sf_datalake_spark.ml.grouped import irls_ppm_fragments
+
+    f = irls_ppm_fragments(_GM_FX1, _GM_FX2, _GM_REG, div="//")
+    sums = ",\n                       ".join(
+        f"sum({expr}) AS {name}" for name, expr in f["terms"].items()
+    )
+    solve_a = ",\n                   ".join(
+        f"{expr} AS {name}" for name, expr in f["solve_a"].items()
+    )
+    dets = ",\n               ".join(
+        f"{expr} AS {name}" for name, expr in f["dets"].items()
+    )
+    return f"""
+    WITH RECURSIVE li AS (
+        SELECT l_orderkey, count(*) AS n_lines,
+               CAST(round(sum(l_quantity)) AS BIGINT) AS x2q
+        FROM lineitem GROUP BY 1
+    ),
+    data AS (
+        SELECT o.o_orderpriority AS grp,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) // 1000 AS x1q,
+               li.x2q AS x2q,
+               CASE WHEN li.n_lines >= 4 THEN 1 ELSE 0 END AS y
+        FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+    ),
+    coefs(it, grp, group_n, w0u, w1u, w2u) AS (
+        SELECT 0, grp, count(*),
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM data GROUP BY 2
+        UNION ALL
+        SELECT it + 1, grp, n,
+               {f['w0_next']},
+               {f['w1_next']},
+               {f['w2_next']}
+        FROM (
+            SELECT it, grp, n, w0u, w1u, w2u,
+               {dets}
+            FROM (
+                SELECT it, grp, n, w0u, w1u, w2u,
+                   {solve_a}
+                FROM (
+                    SELECT it, grp, max(group_n) AS n,
+                           max(w0u) AS w0u, max(w1u) AS w1u,
+                           max(w2u) AS w2u,
+                       {sums}
+                    FROM (
+                        SELECT it, grp, group_n, w0u, w1u, w2u, x1q, x2q,
+                               y, {f['s']} AS s, {f['r']} AS r
+                        FROM (
+                            SELECT it, grp, group_n, w0u, w1u, w2u,
+                                   x1q, x2q, y, {f['p']} AS p
+                            FROM (
+                                SELECT c.it AS it, c.grp AS grp,
+                                       c.group_n AS group_n,
+                                       c.w0u AS w0u, c.w1u AS w1u,
+                                       c.w2u AS w2u,
+                                       d.x1q AS x1q, d.x2q AS x2q,
+                                       d.y AS y, {f['z']} AS z
+                                FROM coefs c JOIN data d ON d.grp = c.grp
+                                WHERE c.it < {_GM_ITER}
+                            )
+                        )
+                    )
+                    GROUP BY 1, 2
+                )
+            )
+        )
+    ),
+    scored AS (
+        SELECT grp, group_n, w0u, w1u, w2u,
+               CASE WHEN ({f['z']} > 0) = (y = 1) THEN 1 ELSE 0 END AS ok
+        FROM (
+            SELECT c.grp AS grp, c.group_n AS group_n,
+                   c.w0u AS w0u, c.w1u AS w1u, c.w2u AS w2u,
+                   d.x1q AS x1q, d.x2q AS x2q, d.y AS y
+            FROM coefs c JOIN data d ON d.grp = c.grp
+            WHERE c.it = {_GM_ITER}
+        )
+    )
+    SELECT grp AS o_orderpriority,
+           CAST(max(group_n) AS BIGINT) AS group_n,
+           max(w0u) AS w0_ppm, max(w1u) AS w1_ppm, max(w2u) AS w2_ppm,
+           CAST(sum(ok) AS BIGINT) AS n_correct
+    FROM scored GROUP BY 1
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1000,7 +1140,9 @@ ORACLES_TPCH: dict[str, str] = {
     "snapshot_diff_audit": _SNAPSHOT_DIFF_SQL,
     "scd2_point_in_time": _SCD2_PIT_SQL,
     "incremental_rollup": _INCREMENTAL_ROLLUP_SQL,
-    "sampled_groupby": _SAMPLED_GROUPBY_SQL,    "volume_shipping": _VOLUME_SHIPPING_SQL,
+    "sampled_groupby": _SAMPLED_GROUPBY_SQL,
+    "grouped_models": _grouped_models_sql(),
+    "volume_shipping": _VOLUME_SHIPPING_SQL,
     "product_type_profit": _PRODUCT_PROFIT_SQL,
     "returned_item_report": _RETURNED_ITEM_SQL,
 }

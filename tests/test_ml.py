@@ -289,3 +289,149 @@ def test_grouped_logistic_degenerate_groups(spark):
     rows = {(r["g"], r["converged_iter"], r["p1"]) for r in out.collect()}
     assert all(it == 0 for _, it, _ in rows)
     assert {p for g, _, p in rows if g == "onelabel"} == {1.0}
+
+
+def _irls_ppm_duck_sql(fx1, fx2, reg, n_iter):
+    """Generic DuckDB replay of irls_logistic_groups_ppm over a `data`
+    view (grp, x1q, x2q, y) — the same recursive-CTE shape as the
+    grouped_models oracle, built from the SAME fragments."""
+    from sf_datalake_spark.ml.grouped import irls_ppm_fragments
+
+    f = irls_ppm_fragments(fx1, fx2, reg, div="//")
+    sums = ", ".join(f"sum({e}) AS {n}" for n, e in f["terms"].items())
+    solve_a = ", ".join(f"{e} AS {n}" for n, e in f["solve_a"].items())
+    dets = ", ".join(f"{e} AS {n}" for n, e in f["dets"].items())
+    return f"""
+    WITH RECURSIVE coefs(it, grp, group_n, w0u, w1u, w2u) AS (
+        SELECT 0, grp, count(*),
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM data GROUP BY 2
+        UNION ALL
+        SELECT it + 1, grp, n, {f['w0_next']}, {f['w1_next']}, {f['w2_next']}
+        FROM (
+            SELECT it, grp, n, w0u, w1u, w2u, {dets}
+            FROM (
+                SELECT it, grp, n, w0u, w1u, w2u, {solve_a}
+                FROM (
+                    SELECT it, grp, max(group_n) AS n, max(w0u) AS w0u,
+                           max(w1u) AS w1u, max(w2u) AS w2u, {sums}
+                    FROM (
+                        SELECT it, grp, group_n, w0u, w1u, w2u, x1q, x2q, y,
+                               {f['s']} AS s, {f['r']} AS r
+                        FROM (
+                            SELECT it, grp, group_n, w0u, w1u, w2u,
+                                   x1q, x2q, y, {f['p']} AS p
+                            FROM (
+                                SELECT c.it AS it, c.grp AS grp,
+                                       c.group_n AS group_n, c.w0u AS w0u,
+                                       c.w1u AS w1u, c.w2u AS w2u,
+                                       d.x1q AS x1q, d.x2q AS x2q,
+                                       d.y AS y, {f['z']} AS z
+                                FROM coefs c JOIN data d ON d.grp = c.grp
+                                WHERE c.it < {n_iter}
+                            )
+                        )
+                    ) GROUP BY 1, 2
+                )
+            )
+        )
+    )
+    SELECT grp, group_n, w0u AS w0_ppm, w1u AS w1_ppm, w2u AS w2_ppm
+    FROM coefs WHERE it = {n_iter} ORDER BY grp
+    """
+
+
+def test_irls_ppm_matches_duckdb_exactly(spark):
+    """Cross-engine bit-exactness of the distributed fixed-point IRLS:
+    the Catalyst trajectory and the DuckDB recursive-CTE replay (same
+    fragments, `div` vs `//`) must agree on every coefficient integer
+    after 8 rounds — the guard behind the grouped_models oracle."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from sf_datalake_spark.ml.grouped import irls_logistic_groups_ppm
+
+    rng = np.random.RandomState(9)
+    frames = []
+    for g in ("a", "b", "c"):
+        n = 200
+        x1 = rng.randint(0, 60000, n)          # price-like, fx1=10000
+        x2 = rng.randint(0, 400, n)            # qty-like,  fx2=100
+        z = 0.8 * (x1 / 10000.0) - 1.2 * (x2 / 100.0) + rng.normal(0, 1, n)
+        frames.append(pd.DataFrame({
+            "grp": g, "x1q": x1, "x2q": x2,
+            "y": (z > np.median(z)).astype("int64"),
+        }))
+    pdf = pd.concat(frames, ignore_index=True)
+
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["grp"]: (r["group_n"], r["w0_ppm"], r["w1_ppm"], r["w2_ppm"])
+        for r in irls_logistic_groups_ppm(
+            df, "grp", "x1q", 10000, "x2q", 100, "y", reg=1e-6, n_iter=8
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("data", pdf)
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(_irls_ppm_duck_sql(10000, 100, 1e-6, 8)).fetchall()
+    }
+    assert got == want, (got, want)
+
+
+def test_irls_ppm_close_to_float_irls(spark):
+    """Model-quality pin: the fixed-point trajectory lands within the
+    quantization band of the float IRLS optimum on separable-ish data
+    (|Δw| ≲ 1e-2 per coefficient — µ-rounding + 8 fixed rounds)."""
+    import numpy as np
+    import pandas as pd
+
+    from sf_datalake_spark.ml.grouped import (
+        _irls_logistic,
+        irls_logistic_groups_ppm,
+    )
+
+    rng = np.random.RandomState(4)
+    n = 500
+    x1 = rng.randint(0, 60000, n)
+    x2 = rng.randint(0, 400, n)
+    X = np.column_stack([x1 / 10000.0, x2 / 100.0])
+    z = 1.1 * X[:, 0] - 0.7 * X[:, 1] - 0.5 + rng.normal(0, 1.0, n)
+    y = (z > 0).astype("int64")
+    pdf = pd.DataFrame({"grp": "g", "x1q": x1, "x2q": x2, "y": y})
+
+    out = irls_logistic_groups_ppm(
+        spark.createDataFrame(pdf), "grp", "x1q", 10000, "x2q", 100, "y",
+        reg=1e-6, n_iter=8,
+    ).collect()[0]
+    coef, intercept, _ = _irls_logistic(X, y.astype(float), reg=1e-6)
+    assert abs(out["w0_ppm"] / 1e6 - intercept) < 1e-2
+    assert abs(out["w1_ppm"] / 1e6 - coef[0]) < 1e-2
+    assert abs(out["w2_ppm"] / 1e6 - coef[1]) < 1e-2
+
+
+def test_irls_ppm_degenerate_single_class(spark):
+    """A single-class group must stay finite and deterministic: the
+    s >= 1 Newton-weight floor keeps the Hessian nonsingular and the
+    ±50 coefficient clamp bounds the drift — no NaN/overflow, and the
+    decision rule still classifies the group correctly."""
+    import pandas as pd
+
+    from sf_datalake_spark.ml.grouped import irls_logistic_groups_ppm
+
+    pdf = pd.DataFrame({
+        "grp": ["one"] * 30,
+        "x1q": list(range(0, 60000, 2000)),
+        "x2q": [100] * 30,
+        "y": [1] * 30,
+    })
+    out = irls_logistic_groups_ppm(
+        spark.createDataFrame(pdf), "grp", "x1q", 10000, "x2q", 100, "y",
+        reg=1e-6, n_iter=8,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    for c in ("w0_ppm", "w1_ppm", "w2_ppm"):
+        assert abs(r[c]) <= 50_000_000
