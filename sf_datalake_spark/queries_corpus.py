@@ -461,12 +461,101 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     12 merge rounds over the word-TYPE table (corpus collapses to types
     after one groupBy; each round = one weighted pair-count aggregation
     + a 1-row argmax collect + a JVM left-fold merge). Deterministic
-    tie-break (freq desc, pair asc) makes the merge table engine-exact,
-    but the iterative argmax is not SQL-expressible — rows-only."""
+    tie-break (freq desc, pair asc) makes the merge table engine-exact.
+
+    ORACLED since round 9 (r08 verdict #2): pair counts are exact
+    integers and the argmax tie-break is total, so a DuckDB recursive
+    CTE replays the merge sequence exactly — per round, the frontier
+    state is re-counted, the argmax picked with the same (freq desc,
+    pair asc) order, and the greedy left-fold merge applied as a
+    boundary-wrapped string replace (leftmost non-overlapping — the
+    same "x x x merges once at the left" semantics as the JVM
+    aggregate fold; see _BPE_MERGES_SQL)."""
     from sf_datalake_spark.operators.bpe import train_bpe
 
     docs = _t(spark, sf_dir, "documents")
     return train_bpe(docs, "text", num_merges=12, min_pair_count=2)
+
+
+#: DuckDB replay of train_bpe (12 merges, min_pair_count=2).  State per
+#: word type is the symbol list encoded as a \x1f-wrapped string
+#: ("\x1f a \x1f\x1f b \x1f" without the spaces): every symbol is
+#: delimited on BOTH sides, so replacing "\x1f l \x1f\x1f r \x1f" with
+#: "\x1f lr \x1f" is exactly the greedy left-to-right pair merge —
+#: replace() is leftmost non-overlapping, which matches the training
+#: fold's overlap rule.  \x1f never occurs in the documents corpus
+#: (asserted in tests/test_corpus_queries.py) and can never be produced
+#: by a merge.  The recursive term sees only the FRONTIER rows (DuckDB
+#: working-table semantics), so the argmax subquery naturally scores
+#: the current state; a best pair under min_pair_count freezes the
+#: state, so later rounds repeat the same sub-threshold argmax and the
+#: final extraction's freq >= 2 filter drops them — the same early
+#: stop as the training loop's break.
+_BPE_MERGES_SQL = r"""
+    WITH RECURSIVE toks AS (
+        SELECT w, count(*) AS cnt
+        FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                        x -> x <> '')) AS w
+              FROM documents)
+        GROUP BY 1
+    ),
+    st(it, state, cnt) AS (
+        SELECT 0,
+               chr(31) || array_to_string(string_split(w, ''),
+                                          chr(31) || chr(31)) || chr(31),
+               cnt
+        FROM toks
+        UNION ALL
+        SELECT it + 1,
+               CASE WHEN b.freq >= 2 THEN replace(state,
+                        chr(31) || b.l || chr(31) || chr(31) || b.r || chr(31),
+                        chr(31) || b.l || b.r || chr(31))
+                    ELSE state END,
+               cnt
+        FROM st CROSS JOIN (
+            SELECT l, r, freq FROM (
+                SELECT l, r, freq,
+                       row_number() OVER (ORDER BY freq DESC, l, r) AS rn
+                FROM (
+                    SELECT syms[i] AS l, syms[i + 1] AS r,
+                           sum(cnt) AS freq
+                    FROM (
+                        SELECT syms, cnt,
+                               unnest(generate_series(1, len(syms) - 1)) AS i
+                        FROM (SELECT list_filter(string_split(state, chr(31)),
+                                                 x -> x <> '') AS syms, cnt
+                              FROM st)
+                        WHERE len(syms) >= 2
+                    )
+                    GROUP BY 1, 2
+                )
+            ) WHERE rn = 1
+        ) b(l, r, freq)
+        WHERE st.it < 12
+    ),
+    rounds AS (
+        SELECT it, syms[i] AS l, syms[i + 1] AS r, sum(cnt) AS freq
+        FROM (
+            SELECT it, syms, cnt,
+                   unnest(generate_series(1, len(syms) - 1)) AS i
+            FROM (SELECT it, cnt,
+                         list_filter(string_split(state, chr(31)),
+                                     x -> x <> '') AS syms
+                  FROM st WHERE it < 12)
+            WHERE len(syms) >= 2
+        )
+        GROUP BY 1, 2, 3
+    ),
+    best AS (
+        SELECT it, l, r, freq,
+               row_number() OVER (PARTITION BY it
+                                  ORDER BY freq DESC, l, r) AS rn
+        FROM rounds
+    )
+    SELECT CAST(it + 1 AS INT) AS rank, l AS "left", r AS "right",
+           l || r AS merged, CAST(freq AS BIGINT) AS freq
+    FROM best WHERE rn = 1 AND freq >= 2
+"""
 
 
 def q_lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1082,6 +1171,7 @@ ORACLES_CORPUS: dict[str, str] = {
     "bloom_prefilter": _BLOOM_SQL,
     "winnowing_fingerprints": _WINNOW_FP_SQL,
     "winnow_overlap_pairs": _WINNOW_PAIRS_SQL,
+    "bpe_merges": _BPE_MERGES_SQL,
     "lm_perplexity_score": _LM_SCORE_SQL,
     "incremental_winnow": _INCR_WINNOW_SQL.format(winnow_fp=_WINNOW_FP_SQL),
     "boilerplate_removal": _BOILERPLATE_SQL,

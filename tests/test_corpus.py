@@ -494,3 +494,51 @@ def test_mixture_schedule_prefix_ratios(spark):
              mixture_schedule(df, "source", "doc_id", {"a": 3.0, "b": 1.0})
              .orderBy("mix_position", "doc_id").collect()]
     assert ordered == again
+
+
+def test_bpe_oracle_delimiter_absent_from_corpus():
+    """The bpe_merges DuckDB oracle encodes symbol lists as
+    \\x1f-wrapped strings (queries_corpus._BPE_MERGES_SQL); its
+    boundary-safety requires \\x1f never to appear inside a token.
+    Assert the testdata corpus is clean at every committed scale — if
+    a future corpus regeneration ever introduces it, this fails before
+    the oracle silently mis-splits."""
+    import glob
+    import os
+
+    import duckdb
+
+    dirs = sorted(glob.glob("/root/testdata/sf*/documents.parquet"))
+    assert dirs, "no testdata documents found"
+    for path in dirs:
+        n = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{path}')"
+            " WHERE contains(text, chr(31))"
+        ).fetchone()[0]
+        assert n == 0, f"{os.path.dirname(path)}: {n} docs contain \\x1f"
+
+
+def test_bpe_merge_fold_matches_string_replace(spark):
+    """Pin the overlap rule the oracle's replace() relies on: the JVM
+    left-fold merges 'x x x' once at the LEFT, same as leftmost
+    non-overlapping string replacement — exercised through the full
+    train_bpe on a corpus crafted so the top pair is self-adjacent."""
+    import duckdb
+
+    from sf_datalake_spark.operators.bpe import train_bpe
+    from sf_datalake_spark.queries_corpus import _BPE_MERGES_SQL
+
+    rows = [(1, "xxx xxx xx yy"), (2, "xxxx yy zz"), (3, "xy yx xxx")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["rank"], r["left"], r["right"], r["merged"], r["freq"])
+        for r in train_bpe(df, "text", num_merges=4, min_pair_count=2)
+        .orderBy("rank").collect()
+    ]
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    want = con.execute(
+        _BPE_MERGES_SQL.replace("st.it < 12", "st.it < 4")
+        .replace("it < 12", "it < 4") + " ORDER BY rank"
+    ).fetchall()
+    assert got == [tuple(w) for w in want], (got, want)
