@@ -1298,3 +1298,95 @@ def gram_matrix_int(
     return partial.groupBy("i", "j").agg(
         F.sum("gram").cast("bigint").alias("gram")
     )
+
+
+def exact_near_dup_pairs_q(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    quant: int = 1000,
+    n_shards: int = 8,
+) -> DataFrame:
+    """EXACT cosine near-duplicate pairs over QUANTIZED embeddings —
+    the oracle-exact gold standard the blocked approximations
+    (:func:`embedding_near_dup_pairs` LSH buckets,
+    :func:`semantic_dedup_pairs` KMeans cells) are judged against
+    (round-9 verdict #3).
+
+    Exact-cents discipline for vectors: each component quantizes to
+    ``round(x · quant)`` (an exact integer carried in float64), so the
+    dot product and squared norms are sums of integers — EXACT in
+    float64 at ANY summation order while every partial sum stays under
+    2^53 (|x| ≤ ~1e3 at quant=1000 leaves 6 orders of headroom at
+    dim 64) — and ``cosine = dot / sqrt(na · nb)`` is one fixed
+    expression on exact integers: bit-identical across numpy BLAS,
+    Catalyst, and DuckDB regardless of blocking, FMA, or engine.
+
+    Scale shape — triangular grid, the :func:`sharded_topk_np`
+    decomposition specialized to self-join: each vector hash-shards to
+    ``s`` and replicates to the ``n_shards`` cells ``(min(s,t),
+    max(s,t))``; every unordered pair of vectors meets in EXACTLY one
+    cell (the cell of its shard pair), so no dedup pass and no wasted
+    Gram rows.  One Arrow BLAS Gram per cell, only pairs ≥ threshold
+    emitted — the |n|² candidate space never hits a shuffle, and both
+    matrices shrink with the grid.  Compute is inherently O(n²/cells)
+    per cell — the price of EXACT semantics; at corpus scales where
+    n² is unpayable, use the blocked approximations and keep this as
+    the audit/oracle form on samples.
+
+    Output: ``(id_1 < id_2, cosine)`` with zero-norm vectors excluded
+    (their cosine is undefined; both engines drop them explicitly).
+    """
+    import pandas as pd
+
+    id_type = dict(df.dtypes)[id_col]
+    q = df.select(
+        F.col(id_col).alias("__id"),
+        F.expr(
+            f"transform({vec_col}, x -> "
+            f"CAST(round(CAST(x AS DOUBLE) * {quant}.0) AS DOUBLE))"
+        ).alias("__vq"),
+    ).withColumn("__s", F.pmod(F.hash("__id"), F.lit(n_shards)).cast("int"))
+    rep = q.withColumn(
+        "__t", F.explode(F.array(*[F.lit(i) for i in range(n_shards)]))
+    ).select(
+        "__id", "__vq", "__s",
+        F.least("__s", "__t").alias("__ci"),
+        F.greatest("__s", "__t").alias("__cj"),
+    )
+
+    thr = float(threshold)
+
+    def cell_pairs(key, pdf):
+        ci, cj = int(key[0]), int(key[1])
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_1": [], "id_2": [], "cosine": []})
+        ids = pdf["__id"].to_numpy()
+        shards = pdf["__s"].to_numpy()
+        X = np.array(list(pdf["__vq"]), dtype=np.float64)
+        nrm = (X * X).sum(axis=1)  # exact integers
+        if ci == cj:
+            iu, ju = np.triu_indices(n, k=1)
+        else:
+            ii = np.where(shards == ci)[0]
+            jj = np.where(shards == cj)[0]
+            if len(ii) == 0 or len(jj) == 0:
+                return pd.DataFrame({"id_1": [], "id_2": [], "cosine": []})
+            iu = np.repeat(ii, len(jj))
+            ju = np.tile(jj, len(ii))
+        G = X @ X.T  # exact integers (partial sums < 2^53)
+        denom_ok = (nrm[iu] > 0) & (nrm[ju] > 0)
+        iu, ju = iu[denom_ok], ju[denom_ok]
+        # the SAME expression tree as the SQL twin: dot / sqrt(na * nb)
+        cos = G[iu, ju] / np.sqrt(nrm[iu] * nrm[ju])
+        keep = cos >= thr
+        i, j = iu[keep], ju[keep]
+        a, b = ids[i], ids[j]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_1": lo, "id_2": hi, "cosine": cos[keep]})
+
+    return rep.groupBy("__ci", "__cj").applyInPandas(
+        cell_pairs, schema=f"id_1 {id_type}, id_2 {id_type}, cosine double"
+    )

@@ -591,3 +591,82 @@ def test_lsh_whale_bucket_star_cap(spark):
     with _pytest.raises(ValueError):
         lsh_candidate_pairs(sig, "doc_id", bands=2, rows_per_band=2,
                             signature_length=4, max_bucket_size=1)
+
+
+def test_exact_near_dup_pairs_q_matches_brute_force(spark):
+    """exact_near_dup_pairs_q == numpy brute force with the identical
+    quantized expression, bit-for-bit, and invariant to the grid
+    decomposition (n_shards) — the exactness claim behind the
+    embedding_near_dups oracle."""
+    import numpy as np
+
+    from sf_datalake_spark.operators.similarity import exact_near_dup_pairs_q
+
+    rng = np.random.RandomState(11)
+    base = rng.normal(0, 0.15, size=(40, 16))
+    # plant near-dups + one zero vector (must be excluded, not NaN)
+    base[7] = base[3] + rng.normal(0, 0.01, 16)
+    base[21] = base[14] + rng.normal(0, 0.01, 16)
+    base[30] = 0.0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # brute force with the same spec
+    Xq = np.round(base * 1000.0)
+    nrm = (Xq * Xq).sum(axis=1)
+    want = set()
+    for i in range(40):
+        for j in range(i + 1, 40):
+            if nrm[i] > 0 and nrm[j] > 0:
+                cos = (Xq[i] * Xq[j]).sum() / np.sqrt(nrm[i] * nrm[j])
+                if cos >= 0.6:
+                    want.add((i, j, float(cos)))
+
+    for shards in (1, 3, 8):
+        got = {
+            (r["id_1"], r["id_2"], r["cosine"])
+            for r in exact_near_dup_pairs_q(
+                df, threshold=0.6, quant=1000, n_shards=shards
+            ).collect()
+        }
+        assert got == want, (shards, got ^ want)
+    assert any(p[:2] == (3, 7) for p in want)  # planted dup found
+    assert not any(30 in p[:2] for p in want)  # zero vector excluded
+
+
+def test_blocked_near_dups_contained_in_exact(spark):
+    """The production blocked forms never invent pairs: every pair the
+    LSH-bucketed and KMeans-celled operators emit is in the exact
+    (unblocked) pair set at a slack threshold, with cosines within the
+    quantization band — pins the approximations to the round-9 exact
+    gold standard."""
+    import numpy as np
+
+    from sf_datalake_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        exact_near_dup_pairs_q,
+        semantic_dedup_pairs,
+    )
+
+    rng = np.random.RandomState(5)
+    base = rng.normal(0, 0.15, size=(60, 64))
+    for a, b in ((2, 9), (17, 40), (33, 55)):
+        base[b] = base[a] + rng.normal(0, 0.005, 64)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # quant=1000 shifts a cosine by O(1e-3): exact set at threshold-0.01
+    # strictly contains any true-cosine pair at 0.8
+    exact = {
+        (r["id_1"], r["id_2"]): r["cosine"]
+        for r in exact_near_dup_pairs_q(
+            df, threshold=0.79, quant=1000, n_shards=4
+        ).collect()
+    }
+    lsh = embedding_near_dup_pairs(df, threshold=0.8, n_planes=6, dim=64).collect()
+    km = semantic_dedup_pairs(df, threshold=0.8, n_clusters=4).collect()
+    assert lsh and km  # blocking found the planted dups at all
+    for r in lsh + km:
+        key = (r["id_1"], r["id_2"])
+        assert key in exact, key
+        assert abs(exact[key] - r["cosine"]) < 5e-3, (key, exact[key], r["cosine"])
