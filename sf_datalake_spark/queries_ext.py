@@ -595,25 +595,42 @@ _QUANTILE_SQL = """
 
 
 def q_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA of the embeddings' FIRST 8 DIMENSIONS onto 2 components —
+    """Top-2 PCA projection of the embeddings' FIRST 8 DIMENSIONS —
     deliberate truncation to keep the scalar-column assembly small
-    (DataFrame-native; replaces the reference's RDD RowMatrix SVD,
-    ``exploration.py:155-177``). Rows-only check: component signs and
-    rotations are implementation-defined, so no cross-engine oracle."""
-    from pyspark.ml.functions import vector_to_array
+    (replaces the reference's RDD RowMatrix SVD,
+    ``exploration.py:155-177``).
 
-    from sf_datalake_spark.ml.exploration import pca_project
+    ORACLED since round 9 (r08 verdict #5): the query runs
+    ``ml/exploration.pca_top2_ppm`` — integer fixed-point power
+    iteration (micro-quantized features, exact-integer sums per round,
+    one fixed double expression for the normalization, deflation for
+    the second component) whose 10-round trajectory a DuckDB recursive
+    CTE replays bit-for-bit, retiring the sign/rotation
+    implementation-definedness that kept the MLlib form rows-only.
+    The float :func:`pca_project` stays for users who want exact
+    eigenvectors + explained variance."""
+    from sf_datalake_spark.ml.exploration import pca_top2_ppm
 
     emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", *[F.element_at("embedding", i + 1).alias(f"e{i}") for i in range(8)]
-    )
-    projected, _ = pca_project(emb, [f"e{i}" for i in range(8)], k=2)
-    arr = vector_to_array("pca_features")
-    return projected.select(
         "vec_id",
-        F.element_at(arr, 1).alias("pc1"),
-        F.element_at(arr, 2).alias("pc2"),
+        *[F.element_at("embedding", i + 1).alias(f"e{i}") for i in range(8)],
     )
+    return pca_top2_ppm(emb, "vec_id", [f"e{i}" for i in range(8)], n_iter=10)
+
+
+def _pca_projection_sql() -> str:
+    from sf_datalake_spark.ml.exploration import pca_top2_ppm_sql
+
+    src = (
+        "SELECT vec_id AS id, "
+        + ", ".join(
+            "CAST(round(CAST(embedding[{i1}] AS DOUBLE) * 1000000.0)"
+            " AS BIGINT) AS x{i}".format(i1=i + 1, i=i)
+            for i in range(8)
+        )
+        + " FROM embeddings"
+    )
+    return pca_top2_ppm_sql(8, 10, src, id_name="vec_id")
 
 
 def q_pca_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3110,9 +3127,11 @@ ORACLES_EXT: dict[str, str] = {
     # remain the scale paths, covered by contracts and unit tests.
     "embedding_near_dups": _NEAR_DUP_PAIRS_SQL,
     "semantic_dedup": _SEMANTIC_DEDUP_SQL,
-    # Rows-only by design (no SQL-expressible oracle): pca_projection,
-    # sketches, multimodal_decode, ml_train_predict,
-    # tree_contributions.
+    # pca_projection: converted round 9 to the fixed-point power
+    # iteration (pca_top2_ppm) — recursive-CTE-replayable.
+    "pca_projection": _pca_projection_sql(),
+    # Rows-only by design (no SQL-expressible oracle): sketches,
+    # multimodal_decode, ml_train_predict, tree_contributions.
 }
 
 

@@ -165,3 +165,76 @@ def test_pca_trajectories_empty_window_raises(spark):
     )
     with pytest.raises(ValueError, match="no rows"):
         pca_trajectories(df, ["x", "y"], "2021-01-01", "2021-02-01")
+
+
+def test_pca_top2_ppm_matches_duckdb_exactly(spark):
+    """The fixed-point power iteration and its DuckDB recursive-CTE
+    replay (shared fragments, div vs //) must agree on every projected
+    integer — the guard behind the pca_projection oracle."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from sf_datalake_spark.ml.exploration import pca_top2_ppm, pca_top2_ppm_sql
+
+    rng = np.random.RandomState(13)
+    # anisotropic data so the top components are well separated
+    basis = rng.normal(size=(4, 4))
+    X = rng.normal(size=(150, 4)) * np.array([3.0, 1.5, 0.5, 0.1]) @ basis
+    pdf = pd.DataFrame(X, columns=[f"e{i}" for i in range(4)])
+    pdf.insert(0, "rid", range(150))
+
+    got = {
+        r["rid"]: (r["pc1_ppm"], r["pc2_ppm"])
+        for r in pca_top2_ppm(
+            spark.createDataFrame(pdf), "rid", [f"e{i}" for i in range(4)],
+            n_iter=10,
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pdf)
+    src = "SELECT rid AS id, " + ", ".join(
+        f"CAST(round(CAST(e{i} AS DOUBLE) * 1000000.0) AS BIGINT) AS x{i}"
+        for i in range(4)
+    ) + " FROM t"
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            pca_top2_ppm_sql(4, 10, src, id_name="rid")
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_pca_top2_ppm_aligns_with_mllib(spark):
+    """Quality pin: the fixed-point PC1/PC2 coordinates correlate with
+    MLlib's exact PCA projection at |r| > 0.99 (up to sign — power
+    iteration's sign follows the start vector, MLlib's is
+    implementation-defined) and the two components are near-orthogonal
+    in coordinate space."""
+    import numpy as np
+    import pandas as pd
+
+    from sf_datalake_spark.ml.exploration import pca_project, pca_top2_ppm
+
+    rng = np.random.RandomState(7)
+    basis = rng.normal(size=(5, 5))
+    X = rng.normal(size=(300, 5)) * np.array([4.0, 2.0, 0.7, 0.2, 0.1]) @ basis
+    pdf = pd.DataFrame(X, columns=[f"e{i}" for i in range(5)])
+    pdf.insert(0, "rid", range(300))
+    df = spark.createDataFrame(pdf)
+
+    ppm = pca_top2_ppm(df, "rid", [f"e{i}" for i in range(5)], n_iter=10)
+    ppm_pd = ppm.toPandas().sort_values("rid")
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import functions as F
+
+    proj, _ = pca_project(df, [f"e{i}" for i in range(5)], k=2)
+    arr = vector_to_array("pca_features")
+    ml = proj.select(
+        "rid", F.element_at(arr, 1).alias("p1"), F.element_at(arr, 2).alias("p2")
+    ).toPandas().sort_values("rid")
+
+    for a, b in (("pc1_ppm", "p1"), ("pc2_ppm", "p2")):
+        r = np.corrcoef(ppm_pd[a].to_numpy(float), ml[b].to_numpy(float))[0, 1]
+        assert abs(r) > 0.99, (a, b, r)
