@@ -76,8 +76,81 @@ def _history_suspects(timings: dict[str, float],
     }
 
 
+def _fp_flip_suspects(series: list[dict], run_order: list[str],
+                      factor: float = 1.8) -> set[str]:
+    """Map in-run worker-core FP-canary flips to the query names they
+    contaminate (round-9 verdict #4: round 8 lost two full gated runs
+    to mid-run partial-FP flips the ENDPOINT gates could not see).
+
+    ``series`` is time-ordered ``[{"at": n_done_when_sampled,
+    "seconds": s}, ...]`` (``at=0`` = the pre-loop baseline reading);
+    ``run_order`` is the loop's query order, so the query timed as
+    n_done=k is ``run_order[k-1]``.  A reading FLIPS when it exceeds
+    ``factor`` × the run's own minimum clean reading (self-baselined:
+    the canary's absolute cost depends on the box, its ratio does not).
+    Every query timed between the last clean reading before a flip and
+    the first clean reading after it ran under possible throttle —
+    those names are returned for the end-of-run re-measure pass.
+    Failed readings (seconds <= 0) are skipped: they neither flag nor
+    clear a window."""
+    good = [s["seconds"] for s in series if s.get("seconds", -1) > 0]
+    if not good:
+        return set()
+    base = min(good)
+    suspects: set[str] = set()
+    for i, s in enumerate(series):
+        sec = s.get("seconds", -1)
+        if sec <= 0 or sec <= factor * base:
+            continue
+        prev_at = 0
+        for p in reversed(series[:i]):
+            if 0 < p.get("seconds", -1) <= factor * base:
+                prev_at = p["at"]
+                break
+        next_at = len(run_order)
+        for p in series[i + 1:]:
+            if 0 < p.get("seconds", -1) <= factor * base:
+                next_at = min(next_at, p["at"])
+                break
+        suspects.update(run_order[prev_at:next_at])
+    return suspects
+
+
+def _make_fp_canary(spark):
+    """Build the ~0.3 s in-run worker-core FP micro-canary: 32 Arrow
+    batches, each doing a sustained 96×96 matmul chain INSIDE a python
+    worker — the embedding_topk-shaped load class that round 8 proved
+    is the only reliable witness of partial per-core FP throttling
+    (driver-side probes and pure-JVM canaries read healthy through it,
+    SCALE.md round-8 finding #3).  Returns a zero-arg callable that
+    runs one sample and returns wall seconds (-1 on failure)."""
+    def work(batches):
+        import numpy as np
+        import pandas as pd
+
+        a = np.random.RandomState(0).normal(size=(96, 96))
+        for pdf in batches:
+            acc = a.copy()
+            for _ in range(60):
+                acc = a @ acc
+                acc *= 1.0 / np.abs(acc).max()  # keep finite
+            yield pd.DataFrame({"x": [float(acc[0, 0]) + len(pdf)]})
+
+    probe_df = spark.range(0, 32, 1, 32).mapInPandas(work, schema="x double")
+
+    def run() -> float:
+        try:
+            t0 = time.perf_counter()
+            probe_df.count()
+            return round(time.perf_counter() - t0, 3)
+        except Exception:
+            return -1.0
+
+    return run
+
+
 def _quarantine(timings: dict[str, float], history: dict[str, float],
-                remeasure) -> dict[str, float]:
+                remeasure, extra=frozenset()) -> dict[str, float]:
     """Round-6 verdict #4: re-measure every history-flagged suspect via
     ``remeasure(name) -> float`` (a fresh end-of-run timing, not the
     contaminated interleaved one), move the better number into
@@ -85,6 +158,13 @@ def _quarantine(timings: dict[str, float], history: dict[str, float],
     the sidecar's ``quarantined`` field.  Inflation only ever raises a
     timing, so min(original, re-measure) is the best-known true cost; a
     re-measure that is slower or fails (<= 0) changes nothing.
+
+    ``extra`` (round 9): additional names to re-measure regardless of
+    the history ratio — the in-run FP-canary flip windows
+    (:func:`_fp_flip_suspects`): a flip contaminates queries whose
+    history ratio may stay under the 2.5× gate, so the per-window
+    normalization happens here, through the same min(old, fresh)
+    estimator.
 
     Methodology asymmetry (r07 advice): history-flagged queries get
     min(contaminated best-of-2..3, fresh best-of-2..3) — effectively
@@ -96,8 +176,10 @@ def _quarantine(timings: dict[str, float], history: dict[str, float],
     first run (not contaminated-first / fresh-best, which would inflate
     the spread diagnostic for healed queries)."""
     quarantined: dict[str, float] = {}
-    for name in sorted(_history_suspects(
-            {n: t for n, t in timings.items() if t > 0}, history)):
+    names = set(_history_suspects(
+        {n: t for n, t in timings.items() if t > 0}, history))
+    names |= {n for n in extra if timings.get(n, -1) > 0}
+    for name in sorted(names):
         best = remeasure(name)
         if 0 < best < timings[name]:
             quarantined[name] = timings[name]
@@ -442,6 +524,19 @@ def main() -> int:
               "retrying in 120s", file=sys.stderr)
         time.sleep(120)
 
+    # In-run worker-core FP canary (round-9 verdict #4): the round-8
+    # partial-FP state flips on sub-run timescales — two gated runs
+    # passed every ENDPOINT probe and still measured 317-337 s with
+    # fp_load_spread 49-74 at their ends.  Sample the Arrow+BLAS
+    # micro-canary every 25 queries (~0.3 s each, ~4 s per full run);
+    # flips are detected against the run's own minimum reading
+    # (_fp_flip_suspects) and the contaminated windows feed the
+    # end-of-run quarantine re-measure, normalizing per-window instead
+    # of discarding the run.
+    fp_canary = _make_fp_canary(spark)
+    run_order = list(qs)
+    fp_series = [{"at": 0, "query": "<pre-loop>", "seconds": fp_canary()}]
+
     for name, fn in qs.items():
         try:
             load_at[name] = round(os.getloadavg()[0], 2)
@@ -454,6 +549,15 @@ def main() -> int:
         if best > 0:
             spread[name] = round(first_run.get(name, best) / best, 2)
         n_done += 1
+        if n_done % 25 == 0:
+            sec = fp_canary()
+            fp_series.append({"at": n_done, "query": name, "seconds": sec})
+            clean = [s["seconds"] for s in fp_series if s["seconds"] > 0]
+            if sec > 0 and clean and sec > 1.8 * min(clean):
+                print(f"bench fp-canary: {sec:.3f}s at query {n_done} "
+                      f"({name}) vs run-min {min(clean):.3f}s — worker-core "
+                      "FP throttle flip; window will be re-measured in the "
+                      "quarantine pass", file=sys.stderr)
         if n_done % 50 == 0:
             # blas_matmul_s rides along every 50 queries: the round-7
             # degradation came in WAVES — healthy boxchecks at both
@@ -469,6 +573,12 @@ def main() -> int:
             jvm_diag.append({"at": n_done, "query": name,
                              **_jvm_diag(spark), "blas_matmul_s": mat})
     jvm_diag.append({"at": n_done, "query": "<end>", **_jvm_diag(spark)})
+    fp_series.append({"at": n_done, "query": "<end>", "seconds": fp_canary()})
+    fp_suspects = _fp_flip_suspects(fp_series, run_order)
+    if fp_suspects:
+        print(f"bench fp-canary: {len(fp_suspects)} queries ran inside "
+              f"FP-flip windows ({sorted(fp_suspects)[:8]}…); re-measuring "
+              "in the quarantine pass", file=sys.stderr)
 
     # Quarantine pass (round-6 verdict #4): contaminated timings used to
     # land in `queries` as the committed record (r06: anti_join_inactive
@@ -486,7 +596,8 @@ def main() -> int:
             remeasure_first[name] = first
         return best
 
-    quarantined = _quarantine(timings, history, _remeasure)
+    quarantined = _quarantine(timings, history, _remeasure,
+                              extra=fp_suspects)
     for name in quarantined:
         # spread from the re-measure's own first run (r07 advice) — the
         # contaminated first run over the fresh best would inflate the
@@ -590,9 +701,17 @@ def main() -> int:
         #                 (still best-of-N through the noop sink), so
         #                 v2..v6 totals remain comparable — v6 just
         #                 stops contamination from becoming the record
-        "methodology": "v6",
+        #   v7 (r09+):    + in-run worker-core FP canary every 25
+        #                 queries (fp_canary_series in the sidecar);
+        #                 queries inside a flip window join the
+        #                 quarantine re-measure (same min(old, fresh)
+        #                 estimator) — v2..v7 totals comparable, v7
+        #                 additionally normalizes mid-run FP flips the
+        #                 endpoint gates cannot see
+        "methodology": "v7",
         "n_suspect": len(suspects),
         "n_quarantined": len(quarantined),
+        "n_fp_flagged": len(fp_suspects),
         # Post-warmup canaries (best-of-2 over committed history) — the
         # start-of-run box-state stamp (see canary gate): JVM-side
         # (pricing_summary) and Arrow/BLAS-side (embedding_topk).
@@ -623,6 +742,8 @@ def main() -> int:
                "suspect_ratio": suspect_ratio, "suspect_load": suspect_load,
                "suspect_history": suspect_history,
                "history_ratio": hist_ratio, "quarantined": quarantined,
+               "fp_canary_series": fp_series,
+               "fp_canary_suspect": sorted(fp_suspects),
                "jvm_diag": jvm_diag,
                "boxcheck": {"before": box_before, "after": _boxcheck()}}
     # Durable sidecar (atomic rename): the driver's BENCH file tail can

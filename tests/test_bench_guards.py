@@ -177,3 +177,66 @@ def test_wait_healthy_requires_sustained_window(monkeypatch):
         raise OSError("no numpy")
 
     assert bench._wait_healthy(1, probe=broken) is False
+
+
+def test_fp_flip_suspects_detects_midrun_flip():
+    """Synthetic throttle scenario (round-9 verdict #4): a mid-run FP
+    flip between canary samples must flag exactly the queries timed
+    from the last clean reading to the next clean one — the windows the
+    round-8 endpoint gates were blind to."""
+    run_order = [f"q{i}" for i in range(1, 101)]
+    series = [
+        {"at": 0, "query": "<pre-loop>", "seconds": 0.30},
+        {"at": 25, "query": "q25", "seconds": 0.31},
+        {"at": 50, "query": "q50", "seconds": 2.90},   # flip
+        {"at": 75, "query": "q75", "seconds": 0.32},   # recovered
+        {"at": 100, "query": "<end>", "seconds": 0.30},
+    ]
+    got = bench._fp_flip_suspects(series, run_order)
+    assert got == {f"q{i}" for i in range(26, 76)}
+
+
+def test_fp_flip_suspects_edges_and_failures():
+    run_order = [f"q{i}" for i in range(1, 51)]
+    # clean run -> nothing flagged
+    clean = [{"at": a, "seconds": 0.3} for a in (0, 25, 50)]
+    assert bench._fp_flip_suspects(clean, run_order) == set()
+    # flip on the FINAL reading: window extends to end of run
+    tail = [{"at": 0, "seconds": 0.3}, {"at": 25, "seconds": 0.3},
+            {"at": 50, "seconds": 1.2}]
+    assert bench._fp_flip_suspects(tail, run_order) == {
+        f"q{i}" for i in range(26, 51)}
+    # flip on the BASELINE reading: window starts at query 1
+    head = [{"at": 0, "seconds": 1.2}, {"at": 25, "seconds": 0.3},
+            {"at": 50, "seconds": 0.3}]
+    assert bench._fp_flip_suspects(head, run_order) == {
+        f"q{i}" for i in range(1, 26)}
+    # failed readings neither flag nor clear
+    failed = [{"at": 0, "seconds": 0.3}, {"at": 25, "seconds": -1.0},
+              {"at": 50, "seconds": 0.31}]
+    assert bench._fp_flip_suspects(failed, run_order) == set()
+    # two consecutive flips merge into one window
+    double = [{"at": 0, "seconds": 0.3}, {"at": 25, "seconds": 1.0},
+              {"at": 50, "seconds": 1.1}, {"at": 75, "seconds": 0.3}]
+    assert bench._fp_flip_suspects(double, run_order) == {
+        f"q{i}" for i in range(1, 51)}
+    # all-failed series -> no baseline, nothing flagged
+    assert bench._fp_flip_suspects(
+        [{"at": 0, "seconds": -1.0}], run_order) == set()
+
+
+def test_quarantine_extra_names_remeasured():
+    """FP-flip windows re-measure through the same quarantine pass even
+    when the history ratio stays under the 2.5x gate."""
+    timings = {"a": 1.0, "b": 3.0}
+    history = {"a": 0.9, "b": 2.8}       # neither is a history suspect
+    calls = []
+
+    def remeasure(name):
+        calls.append(name)
+        return 0.5
+
+    got = bench._quarantine(timings, history, remeasure, extra={"b"})
+    assert calls == ["b"]
+    assert got == {"b": 3.0} and timings["b"] == 0.5
+    assert timings["a"] == 1.0
