@@ -53,8 +53,13 @@ ORACLES = {**ORACLES, **ORACLES_EXT, **ORACLES_REL, **ORACLES_CORPUS,
 _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
-def _attestation_state() -> tuple[frozenset, frozenset]:
-    """(attested, needs_refix) from CORRECTNESS_r*.json latest-round state."""
+def _attestation_state() -> tuple[frozenset, frozenset, frozenset]:
+    """(attested, needs_refix, rows_only_attested) from the
+    CORRECTNESS_r*.json latest-round state.  ``rows_only_attested`` is
+    the subset of ``attested`` whose latest green row was the weaker
+    executed-with-rows `no_oracle` class — if such a name LATER gains an
+    oracle (a round-9 conversion), the rotation fronts it again so the
+    next driver window re-attests it at hash strictness."""
     import glob as _glob
     import json as _json
     import re as _re
@@ -83,10 +88,13 @@ def _attestation_state() -> tuple[frozenset, frozenset]:
 
     attested = frozenset(k for k, (_, v) in latest.items() if _green(v))
     refix = frozenset(k for k, (_, v) in latest.items() if not _green(v))
-    return attested, refix
+    rows_only = frozenset(
+        k for k in attested if latest[k][1].get("err") == "no_oracle"
+    )
+    return attested, refix, rows_only
 
 
-_ATTESTED, _NEEDS_REFIX = _attestation_state()
+_ATTESTED, _NEEDS_REFIX, _ROWS_ONLY_ATTESTED = _attestation_state()
 
 #: queries added mid-round-5: they yield attestation priority to the
 #: round-4 backlog (154 never-attested names at the start of r05) and
@@ -104,6 +112,13 @@ def _rotated(allq: dict) -> dict:
     first, this round's additions last), then never-attested rows-only,
     then the already-attested tail."""
     front = [k for k in allq if k in _NEEDS_REFIX]
+    # attested only at rows-only strictness but NOW oracled (a
+    # conversion landed since the last snapshot): re-attest at hash
+    # strictness before anything already hash-green
+    upgraded = [
+        k for k in allq
+        if k in _ROWS_ONLY_ATTESTED and k in ORACLES and k not in front
+    ]
     fresh_oracled = sorted(
         (
             k for k in allq
@@ -115,8 +130,10 @@ def _rotated(allq: dict) -> dict:
         k for k in allq
         if k not in _ATTESTED and k not in ORACLES and k not in front
     ]
-    attested = [k for k in allq if k in _ATTESTED and k not in front]
-    return {k: allq[k] for k in front + fresh_oracled + fresh_rows_only + attested}
+    seen = set(front + upgraded + fresh_oracled + fresh_rows_only)
+    attested = [k for k in allq if k in _ATTESTED and k not in seen]
+    return {k: allq[k] for k in
+            front + upgraded + fresh_oracled + fresh_rows_only + attested}
 
 
 QUERIES = _rotated(QUERIES)

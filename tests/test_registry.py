@@ -180,6 +180,9 @@ def test_attestation_state_latest_round_wins(tmp_path, monkeypatch):
         "green_then_red": r, "red_then_green": g,
     }))
     monkeypatch.setattr(entry, "_REPO_DIR", str(tmp_path))
-    attested, refix = entry._attestation_state()
+    attested, refix, rows_only = entry._attestation_state()
     assert attested == {"red_then_green", "stable_green", "rows_only_ok"}
     assert refix == {"green_then_red", "rows_only_dead"}
+    # the weaker class is tracked so a later oracle conversion fronts
+    # the name for hash-strict re-attestation (round-9 rotation rule)
+    assert rows_only == {"rows_only_ok"}
