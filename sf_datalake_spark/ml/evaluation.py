@@ -368,3 +368,48 @@ def split_conformal_intervals(
         "q_hat_cents",
         "coverage_ppm",
     )
+
+
+def calibration_buckets_ppm(
+    predictions: DataFrame,
+    n_bins: int = 10,
+    score_ppm_col: str = "p_ppm",
+    label_col: str = "failure",
+) -> DataFrame:
+    """Reliability-diagram buckets over a MICRO-UNIT integer score
+    (round-9: the exact-cents twin of :func:`calibration_buckets`, for
+    scores produced by the fixed-point model family —
+    ``ml/grouped.irls_logistic_groups_ppm``).
+
+    Everything is engine-exact: ``bin = min(p_ppm div 1e5, n_bins-1)``
+    is integer arithmetic; ``mean_score``/``frac_positive`` are single
+    correctly-rounded divisions of exact integer sums by the count;
+    the per-bucket Brier contribution sums ``(p_ppm − 1e6·y)²`` (exact
+    int64 per row) before ONE division by 1e12 — so a DuckDB twin
+    hashes identically, which the float form's order-dependent
+    ``avg``/``sum`` of doubles cannot guarantee.
+    """
+    p = F.col(score_ppm_col).cast("bigint")
+    y = F.col(label_col).cast("bigint")
+    width = 1_000_000 // n_bins
+    return (
+        predictions.select(
+            F.expr(f"least({score_ppm_col} div {width}, {n_bins - 1})")
+            .cast("int").alias("bin"),
+            p.alias("__p"),
+            y.alias("__y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.avg("__p") / 1e6, 6).alias("mean_score"),
+            F.round(F.avg("__y"), 6).alias("frac_positive"),
+            F.round(
+                F.expr(
+                    "CAST(sum(CAST((__p - 1000000 * __y) * (__p - 1000000 * __y)"
+                    " AS DECIMAL(38,0))) AS DOUBLE)"
+                ) / 1e12,
+                6,
+            ).alias("brier_sum"),
+        )
+    )

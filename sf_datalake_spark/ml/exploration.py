@@ -350,23 +350,45 @@ def pca_top2_ppm(
 ) -> DataFrame:
     """Project rows onto the top-2 fixed-point principal components —
     ``(id, pc1_ppm, pc2_ppm)``, all integers, bit-replayable by the
-    DuckDB oracle built from :func:`pca_ppm_fragments`.
+    DuckDB oracle built from :func:`pca_ppm_fragments`.  Thin wrapper
+    over :func:`pca_top2_fixed_basis_ppm` with the basis fit on the
+    whole input."""
+    return pca_top2_fixed_basis_ppm(
+        df, [id_col], cols, fit_expr=None, quant=quant, n_iter=n_iter
+    )
 
-    Scale shape: quantize + center is one scan (means are one
-    aggregation of d exact-integer sums, divided with truncating
-    integer division); each power-iteration round is one
-    map-side-combined aggregation of d sums (driver sees d scalars per
-    round, never data); projections are pure Catalyst integer
-    arithmetic with the final component as literals.  The centered
-    matrix is persisted across the 2·``n_iter`` scans (the iterative
-    cached-training-set shape)."""
+
+def pca_top2_fixed_basis_ppm(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    cols: Sequence[str],
+    fit_expr: str | None = None,
+    quant: int = _PCA_U,
+    n_iter: int = 10,
+) -> DataFrame:
+    """Fixed-basis fixed-point PCA: fit means + top-2 components on the
+    ``fit_expr`` slice (SQL boolean over ``df``'s columns; None = whole
+    input), project EVERY row through that one basis — the trajectory
+    shape (reference ``exploration.py:234-284``: basis from the first
+    period, coordinates for all periods), in the oracle-exact integer
+    arithmetic of :func:`pca_ppm_fragments`.
+
+    Scale shape: quantize + center is one scan; means are one
+    aggregation of d exact-integer sums over the fit slice (truncating
+    integer division); each of the 2·``n_iter`` power-iteration rounds
+    is one map-side-combined aggregation of d sums over the fit slice
+    (driver sees d scalars per round, never data); projections are
+    pure Catalyst integer arithmetic with the components as literals.
+    The centered matrix is persisted across the iteration scans."""
     d = len(cols)
     if not 2 <= d <= 9:
         # single-digit indices only: literal substitution of v{i} in the
         # shared fragments would alias v1 into v10 beyond that
         raise ValueError(f"pca_top2_ppm supports 2..9 features, got {d}")
+    id_cols = list(id_cols)
     xq = df.select(
-        F.col(id_col).alias("__pid"),
+        *id_cols,
+        F.expr(fit_expr if fit_expr else "TRUE").alias("__fit"),
         *[
             F.expr(
                 f"CAST(round(CAST({c} AS DOUBLE) * {quant}.0) AS BIGINT)"
@@ -374,7 +396,7 @@ def pca_top2_ppm(
             for i, c in enumerate(cols)
         ],
     )
-    stats = xq.agg(
+    stats = xq.filter("__fit").agg(
         F.count("*").alias("n"),
         *[
             F.expr(f"sum(CAST(x{i} AS DECIMAL(38,0)))").alias(f"s{i}")
@@ -382,14 +404,16 @@ def pca_top2_ppm(
         ],
     ).first()
     n = int(stats["n"])
+    if n == 0:
+        raise ValueError("pca fit slice is empty")
     means = [_tdiv(int(stats[f"s{i}"] or 0), n) for i in range(d)]
     cen = xq.select(
-        "__pid",
+        *id_cols, "__fit",
         *[(F.col(f"x{i}") - F.lit(means[i])).alias(f"c{i}") for i in range(d)],
     ).persist()
     try:
         frag = pca_ppm_fragments(d, n_iter, div="div")
-        v1 = _pca_power_iter_ppm(cen, d, n_iter)
+        v1 = _pca_power_iter_ppm(cen.filter("__fit"), d, n_iter)
 
         def lit_sd(v):
             sd = frag["sd"]
@@ -399,18 +423,18 @@ def pca_top2_ppm(
 
         p1 = cen.selectExpr("*", f"{lit_sd(v1)} AS sd")
         defl = p1.selectExpr(
-            "__pid", "sd AS pc1q",
+            *id_cols, "__fit", "sd AS pc1q",
             *[
                 frag["defl"][f"c{i}"].replace(f"v{i}", str(v1[i])) + f" AS c{i}"
                 for i in range(d)
             ],
         ).persist()
         try:
-            v2 = _pca_power_iter_ppm(defl, d, n_iter)
+            v2 = _pca_power_iter_ppm(defl.filter("__fit"), d, n_iter)
             out = defl.selectExpr(
-                "__pid", "pc1q", f"{lit_sd(v2)} AS pc2q"
+                *id_cols, "pc1q", f"{lit_sd(v2)} AS pc2q"
             ).select(
-                F.col("__pid").alias(id_col),
+                *id_cols,
                 F.col("pc1q").alias("pc1_ppm"),
                 F.col("pc2q").alias("pc2_ppm"),
             ).localCheckpoint(eager=True)
@@ -422,14 +446,20 @@ def pca_top2_ppm(
 
 
 def pca_top2_ppm_sql(d: int, n_iter: int, src_sql: str,
-                     id_name: str = "vec_id") -> str:
-    """DuckDB twin of :func:`pca_top2_ppm`: ``src_sql`` must yield
-    ``(id, x0..x{d-1})`` with the SAME quantization the operator
-    applied; the replay centers with truncating integer division, runs
-    the two recursive power iterations from the shared fragments, and
-    projects — bit-identical to the Spark output."""
+                     id_cols: Sequence[str] = ("vec_id",),
+                     fit_where: str | None = None) -> str:
+    """DuckDB twin of :func:`pca_top2_fixed_basis_ppm`: ``src_sql`` must
+    yield the ``id_cols`` plus ``x0..x{d-1}`` with the SAME quantization
+    the operator applied; ``fit_where`` (a boolean over src columns)
+    selects the basis-fit slice (None = all rows).  The replay centers
+    with truncating integer division over the fit slice, runs the two
+    recursive power iterations from the shared fragments over the fit
+    slice, and projects every row — bit-identical to the Spark
+    output."""
     frag = pca_ppm_fragments(d, n_iter, div="//")
     idx = range(d)
+    ids = ", ".join(id_cols)
+    fit = fit_where if fit_where else "TRUE"
     vs = ", ".join(f"v{i}" for i in idx)
     v_init = ", ".join(
         "CAST(1000000 AS BIGINT)" if i == 0 else "CAST(0 AS BIGINT)"
@@ -469,22 +499,25 @@ def pca_top2_ppm_sql(d: int, n_iter: int, src_sql: str,
     )"""
 
     return f"""
-    WITH RECURSIVE src AS ({src_sql}),
-    m AS (SELECT {means} FROM src),
-    cen AS (SELECT id, {cen_cols} FROM src CROSS JOIN m),
-    {power('pw1', 'cen')},
+    WITH RECURSIVE src AS MATERIALIZED ({src_sql}),
+    m AS (SELECT {means} FROM src WHERE {fit}),
+    cen AS MATERIALIZED (SELECT {ids}, ({fit}) AS fit_row, {cen_cols}
+            FROM src CROSS JOIN m),
+    cenf AS MATERIALIZED (SELECT * FROM cen WHERE fit_row),
+    {power('pw1', 'cenf')},
     v1f AS (SELECT {vs} FROM pw1 WHERE it = {n_iter}),
     proj1 AS (
-        SELECT id, {frag['sd']} AS sd, {cs}
+        SELECT {ids}, fit_row, {frag['sd']} AS sd, {cs}
         FROM cen CROSS JOIN v1f
     ),
-    cen2 AS (
-        SELECT id, sd AS pc1q, {defl}
+    cen2 AS MATERIALIZED (
+        SELECT {ids}, fit_row, sd AS pc1q, {defl}
         FROM proj1 CROSS JOIN v1f
     ),
-    {power('pw2', 'cen2')},
+    cen2f AS MATERIALIZED (SELECT * FROM cen2 WHERE fit_row),
+    {power('pw2', 'cen2f')},
     v2f AS (SELECT {vs} FROM pw2 WHERE it = {n_iter})
-    SELECT id AS {id_name}, CAST(pc1q AS BIGINT) AS pc1_ppm,
+    SELECT {ids}, CAST(pc1q AS BIGINT) AS pc1_ppm,
            CAST({frag['sd']} AS BIGINT) AS pc2_ppm
     FROM cen2 CROSS JOIN v2f
 """

@@ -414,3 +414,56 @@ def irls_ppm_score_expr(fx1: int, fx2: int, div: str) -> str:
     from the FINAL coefficients (same fragment as training), classify
     1 iff ``z > 0`` (⇔ p > 0.5 — exact integer comparison, no float)."""
     return irls_ppm_fragments(fx1, fx2, 0.0, div)["z"]
+
+
+def irls_ppm_recursive_sql(
+    fx1: int, fx2: int, reg: float, n_iter: int,
+    data_cte: str = "data", name: str = "coefs",
+) -> str:
+    """The DuckDB recursive-CTE body replaying
+    :func:`irls_logistic_groups_ppm` over a CTE/view ``data_cte`` with
+    columns ``(grp, x1q, x2q, y)`` — shared by the grouped_models and
+    calibration_curve oracles and the cross-engine unit test, so every
+    replay derives from the same fragments.  Embed inside a
+    ``WITH RECURSIVE`` list; final coefficients are the rows
+    ``WHERE it = {n_iter}``."""
+    f = irls_ppm_fragments(fx1, fx2, reg, div="//")
+    sums = ", ".join(f"sum({e}) AS {n}" for n, e in f["terms"].items())
+    solve_a = ", ".join(f"{e} AS {n}" for n, e in f["solve_a"].items())
+    dets = ", ".join(f"{e} AS {n}" for n, e in f["dets"].items())
+    return f"""
+    {name}(it, grp, group_n, w0u, w1u, w2u) AS (
+        SELECT 0, grp, count(*),
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM {data_cte} GROUP BY 2
+        UNION ALL
+        SELECT it + 1, grp, n, {f['w0_next']}, {f['w1_next']}, {f['w2_next']}
+        FROM (
+            SELECT it, grp, n, w0u, w1u, w2u, {dets}
+            FROM (
+                SELECT it, grp, n, w0u, w1u, w2u, {solve_a}
+                FROM (
+                    SELECT it, grp, max(group_n) AS n, max(w0u) AS w0u,
+                           max(w1u) AS w1u, max(w2u) AS w2u, {sums}
+                    FROM (
+                        SELECT it, grp, group_n, w0u, w1u, w2u, x1q, x2q, y,
+                               {f['s']} AS s, {f['r']} AS r
+                        FROM (
+                            SELECT it, grp, group_n, w0u, w1u, w2u,
+                                   x1q, x2q, y, {f['p']} AS p
+                            FROM (
+                                SELECT c.it AS it, c.grp AS grp,
+                                       c.group_n AS group_n, c.w0u AS w0u,
+                                       c.w1u AS w1u, c.w2u AS w2u,
+                                       d.x1q AS x1q, d.x2q AS x2q,
+                                       d.y AS y, {f['z']} AS z
+                                FROM {name} c JOIN {data_cte} d
+                                  ON d.grp = c.grp
+                                WHERE c.it < {n_iter}
+                            )
+                        )
+                    ) GROUP BY 1, 2
+                )
+            )
+        )
+    )"""

@@ -954,13 +954,50 @@ _MODEL_SCORE_SQL = r"""
 
 
 def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """zlib compressibility per document — rows-only (DEFLATE is not
-    SQL-expressible); determinism pinned by a fixed level and verified
-    by the round-trip test."""
-    from sf_datalake_spark.functions.text import compression_ratio
+    """Per-document compressibility — the Gopher-style quality signal
+    (repetitive boilerplate compresses; binary junk doesn't).
 
+    ORACLED since round 9 (r08 verdict #8): the registry entry measures
+    compressibility as the DISTINCT-8-GRAM ratio — the LZ78 dictionary
+    growth rate (each novel k-gram is a dictionary emission; repetitive
+    text re-uses entries) — because it is exact integer arithmetic both
+    engines replay, where DEFLATE is a codec only the Spark side can
+    run.  Same conversion pattern as pagerank→pagerank_ppm: the zlib
+    operator (``functions/text.compression_ratio``, level pinned,
+    round-trip-tested) remains the production form for users who want
+    actual DEFLATE sizes; docs shorter than 8 chars are skipped (the
+    ratio is undefined), mirroring the zlib form's empty-doc skip."""
     docs = _t(spark, sf_dir, "documents")
-    return compression_ratio(docs, "doc_id", "text", level=6)
+    grams = F.expr(
+        "transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))"
+    )
+    return (
+        docs.filter(F.length("text") >= 8)
+        .select(
+            "doc_id",
+            (F.length("text") - 7).cast("bigint").alias("n_grams"),
+            F.size(F.array_distinct(grams)).cast("bigint").alias("n_distinct"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_distinct",
+            F.round(F.col("n_distinct") / F.col("n_grams"), 6).alias("ratio"),
+        )
+    )
+
+
+_COMPRESSION_RATIO_SQL = """
+    SELECT doc_id,
+           CAST(length(text) - 7 AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(
+               [substr(text, i, 8)
+                FOR i IN generate_series(1, length(text) - 7)]
+           )) AS BIGINT) AS n_distinct,
+           round(CAST(len(list_distinct(
+               [substr(text, i, 8)
+                FOR i IN generate_series(1, length(text) - 7)]
+           )) AS DOUBLE) / (length(text) - 7), 6) AS ratio
+    FROM documents WHERE length(text) >= 8
+"""
 
 
 def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1423,11 +1460,16 @@ def q_ncd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the doc_id % 16 == 0 slice pair up only within the same
     200-char length bucket (an EQUI-join — similar raw length is a
     necessary condition for low NCD, so the block is also a filter),
-    the 20 most-compressible-together pairs by exact-ppm NCD
-    (operators/dedup.ncd_scores; ties broken by ids). Deterministic
-    for the pinned zlib level."""
-    from sf_datalake_spark.operators.dedup import ncd_scores
+    the 20 most-compressible-together pairs by exact-ppm NCD (ties
+    broken by ids).
 
+    ORACLED since round 9 (r08 verdict #8): C(·) is the DISTINCT-8-GRAM
+    dictionary size (the same LZ78-growth compressor as
+    q_compression_ratio; the joint text is separated by \\x1f — absent
+    from the corpus, asserted in tests — so C(xy) cannot manufacture
+    spanning grams), making NCD exact integer arithmetic both engines
+    replay.  The zlib form (``operators/dedup.ncd_scores``, pinned
+    level) remains the production DEFLATE-based variant."""
     docs = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 16 == 0)
@@ -1435,6 +1477,13 @@ def q_ncd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "text", F.expr("n_chars div 200").alias("len_bucket")
         )
     )
+
+    def c_expr(col: str) -> str:
+        return (
+            f"CAST(size(array_distinct(transform(sequence(1, length({col})"
+            f" - 7), i -> substring({col}, i, 8)))) AS BIGINT)"
+        )
+
     a = docs.select(
         F.col("doc_id").alias("id_a"),
         F.col("text").alias("text_a"),
@@ -1445,13 +1494,61 @@ def q_ncd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("text_b"),
         "len_bucket",
     )
-    pairs = a.join(b, "len_bucket").filter(F.col("id_a") < F.col("id_b"))
-    return (
-        ncd_scores(pairs.drop("len_bucket"))
-        .select("id_a", "id_b", "c_a", "c_b", "c_ab", "ncd_ppm")
-        .orderBy("ncd_ppm", "id_a", "id_b")
-        .limit(20)
+    pairs = (
+        a.join(b, "len_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.length("text_a") >= 8) & (F.length("text_b") >= 8))
+        .withColumn("__xy", F.concat_ws(chr(31), "text_a", "text_b"))
     )
+    scored = pairs.selectExpr(
+        "id_a", "id_b",
+        c_expr("text_a") + " AS c_a",
+        c_expr("text_b") + " AS c_b",
+        c_expr("__xy") + " AS c_ab",
+    ).selectExpr(
+        "id_a", "id_b", "c_a", "c_b", "c_ab",
+        "(c_ab - least(c_a, c_b)) * 1000000 div greatest(c_a, c_b)"
+        " AS ncd_ppm",
+    )
+    return scored.orderBy("ncd_ppm", "id_a", "id_b").limit(20)
+
+
+_NCD_PAIRS_SQL = r"""
+    WITH sliced AS (
+        SELECT doc_id, text, n_chars // 200 AS len_bucket,
+               len(list_distinct(
+                   [substr(text, i, 8)
+                    FOR i IN generate_series(1, length(text) - 7)]
+               )) AS c_doc
+        FROM documents
+        WHERE doc_id % 16 = 0 AND length(text) >= 8
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(a.c_doc AS BIGINT) AS c_a, CAST(b.c_doc AS BIGINT) AS c_b,
+               a.text || chr(31) || b.text AS xy
+        FROM sliced a JOIN sliced b
+          ON a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT id_a, id_b, c_a, c_b,
+               CAST(len(list_distinct(
+                   [substr(xy, i, 8)
+                    FOR i IN generate_series(1, length(xy) - 7)]
+               )) AS BIGINT) AS c_ab
+        FROM pairs
+    )
+    SELECT id_a, id_b, c_a, c_b, c_ab,
+           (c_ab - least(c_a, c_b)) * 1000000 // greatest(c_a, c_b)
+               AS ncd_ppm
+    FROM scored
+    ORDER BY ncd_ppm, id_a, id_b
+    LIMIT 20
+"""
 
 
 QUERIES_CORPUS.update({"ncd_pairs": q_ncd_pairs})
+ORACLES_CORPUS.update({
+    "compression_ratio": _COMPRESSION_RATIO_SQL,
+    "ncd_pairs": _NCD_PAIRS_SQL,
+})

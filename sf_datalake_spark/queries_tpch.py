@@ -842,12 +842,12 @@ def _grouped_models_sql() -> str:
         f"{expr} AS {name}" for name, expr in f["dets"].items()
     )
     return f"""
-    WITH RECURSIVE li AS (
+    WITH RECURSIVE li AS MATERIALIZED (
         SELECT l_orderkey, count(*) AS n_lines,
                CAST(round(sum(l_quantity)) AS BIGINT) AS x2q
         FROM lineitem GROUP BY 1
     ),
-    data AS (
+    data AS MATERIALIZED (
         SELECT o.o_orderpriority AS grp,
                CAST(round(o.o_totalprice * 100) AS BIGINT) // 1000 AS x1q,
                li.x2q AS x2q,

@@ -542,3 +542,30 @@ def test_bpe_merge_fold_matches_string_replace(spark):
         .replace("it < 12", "it < 4") + " ORDER BY rank"
     ).fetchall()
     assert got == [tuple(w) for w in want], (got, want)
+
+
+def test_kgram_compressibility_signal_direction(spark):
+    """The registry's distinct-8-gram compressibility (round-9 oracled
+    form of compression_ratio) must preserve the zlib signal direction:
+    repetitive boilerplate scores LOWER (fewer novel grams) than
+    diverse text of the same length."""
+    from pyspark.sql import functions as F
+
+    rep = "spam and eggs " * 20
+    div = ("the quick brown fox jumps over a lazy dog while ninety-two "
+           "quaint zephyrs vexed bold jim and his black quartz sphinx ju")
+    df = spark.createDataFrame(
+        [(1, rep[:120]), (2, div[:120])], "doc_id long, text string"
+    )
+    grams = F.expr(
+        "transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))"
+    )
+    out = {
+        r["doc_id"]: r["ratio"]
+        for r in df.select(
+            "doc_id",
+            (F.size(F.array_distinct(grams))
+             / (F.length("text") - 7)).alias("ratio"),
+        ).collect()
+    }
+    assert out[1] < 0.3 < 0.9 < out[2], out

@@ -193,14 +193,14 @@ def test_pca_top2_ppm_matches_duckdb_exactly(spark):
     }
     con = duckdb.connect()
     con.register("t", pdf)
-    src = "SELECT rid AS id, " + ", ".join(
+    src = "SELECT rid, " + ", ".join(
         f"CAST(round(CAST(e{i} AS DOUBLE) * 1000000.0) AS BIGINT) AS x{i}"
         for i in range(4)
     ) + " FROM t"
     want = {
         r[0]: (r[1], r[2])
         for r in con.execute(
-            pca_top2_ppm_sql(4, 10, src, id_name="rid")
+            pca_top2_ppm_sql(4, 10, src, id_cols=("rid",))
         ).fetchall()
     }
     assert got == want

@@ -293,49 +293,12 @@ def test_grouped_logistic_degenerate_groups(spark):
 
 def _irls_ppm_duck_sql(fx1, fx2, reg, n_iter):
     """Generic DuckDB replay of irls_logistic_groups_ppm over a `data`
-    view (grp, x1q, x2q, y) — the same recursive-CTE shape as the
-    grouped_models oracle, built from the SAME fragments."""
-    from sf_datalake_spark.ml.grouped import irls_ppm_fragments
+    view (grp, x1q, x2q, y) — built from the SAME shared recursive-CTE
+    builder the production oracles use."""
+    from sf_datalake_spark.ml.grouped import irls_ppm_recursive_sql
 
-    f = irls_ppm_fragments(fx1, fx2, reg, div="//")
-    sums = ", ".join(f"sum({e}) AS {n}" for n, e in f["terms"].items())
-    solve_a = ", ".join(f"{e} AS {n}" for n, e in f["solve_a"].items())
-    dets = ", ".join(f"{e} AS {n}" for n, e in f["dets"].items())
     return f"""
-    WITH RECURSIVE coefs(it, grp, group_n, w0u, w1u, w2u) AS (
-        SELECT 0, grp, count(*),
-               CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
-        FROM data GROUP BY 2
-        UNION ALL
-        SELECT it + 1, grp, n, {f['w0_next']}, {f['w1_next']}, {f['w2_next']}
-        FROM (
-            SELECT it, grp, n, w0u, w1u, w2u, {dets}
-            FROM (
-                SELECT it, grp, n, w0u, w1u, w2u, {solve_a}
-                FROM (
-                    SELECT it, grp, max(group_n) AS n, max(w0u) AS w0u,
-                           max(w1u) AS w1u, max(w2u) AS w2u, {sums}
-                    FROM (
-                        SELECT it, grp, group_n, w0u, w1u, w2u, x1q, x2q, y,
-                               {f['s']} AS s, {f['r']} AS r
-                        FROM (
-                            SELECT it, grp, group_n, w0u, w1u, w2u,
-                                   x1q, x2q, y, {f['p']} AS p
-                            FROM (
-                                SELECT c.it AS it, c.grp AS grp,
-                                       c.group_n AS group_n, c.w0u AS w0u,
-                                       c.w1u AS w1u, c.w2u AS w2u,
-                                       d.x1q AS x1q, d.x2q AS x2q,
-                                       d.y AS y, {f['z']} AS z
-                                FROM coefs c JOIN data d ON d.grp = c.grp
-                                WHERE c.it < {n_iter}
-                            )
-                        )
-                    ) GROUP BY 1, 2
-                )
-            )
-        )
-    )
+    WITH RECURSIVE {irls_ppm_recursive_sql(fx1, fx2, reg, n_iter)}
     SELECT grp, group_n, w0u AS w0_ppm, w1u AS w1_ppm, w2u AS w2_ppm
     FROM coefs WHERE it = {n_iter} ORDER BY grp
     """
