@@ -1472,45 +1472,73 @@ def q_ncd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     level) remains the production DEFLATE-based variant."""
     docs = (
         _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 16 == 0)
+        .filter((F.col("doc_id") % 16 == 0) & (F.length("text") >= 8))
         .select(
             "doc_id", "text", F.expr("n_chars div 200").alias("len_bucket")
         )
     )
-
-    def c_expr(col: str) -> str:
-        return (
-            f"CAST(size(array_distinct(transform(sequence(1, length({col})"
-            f" - 7), i -> substring({col}, i, 8)))) AS BIGINT)"
-        )
-
-    a = docs.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("text").alias("text_a"),
-        "len_bucket",
+    # Decomposed joint count (the perf-load-bearing identity): the
+    # separator \x1f appears exactly once in xy and never inside a
+    # document, so the 8 boundary-spanning grams are pairwise distinct
+    # (the separator sits at a different offset in each) and distinct
+    # from every document gram — hence
+    #     C(xy) = C(x) + C(y) − |grams(x) ∩ grams(y)| + 8.
+    # The intersection comes from ONE inverted-index equi-join on the
+    # distinct-gram table (the ngram_jaccard shape: JVM codegen, no
+    # per-pair text scans — the direct per-pair HOF recount cost 34 s
+    # at sf0.1 where this costs ~1 s), and the DuckDB oracle computes
+    # C(xy) from the actual concatenation, so the driver's hash check
+    # independently validates the identity cross-engine.  100 TB note:
+    # the gram join inherits the hot-shingle caveat — apply the
+    # ngram_jaccard_capped document-frequency guard when boilerplate
+    # grams make a join key quadratic.
+    grams = docs.select(
+        "doc_id", "len_bucket",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, length(text) - 7),"
+                    " i -> substring(text, i, 8))"
+                )
+            )
+        ).alias("gram"),
     )
-    b = docs.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("text").alias("text_b"),
-        "len_bucket",
+    c_doc = grams.groupBy("doc_id", "len_bucket").agg(
+        F.count("*").cast("bigint").alias("c_doc")
+    )
+    inter = (
+        grams.select(F.col("doc_id").alias("id_a"), "len_bucket", "gram")
+        .join(
+            grams.select(F.col("doc_id").alias("id_b"), "len_bucket", "gram"),
+            ["len_bucket", "gram"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    a = c_doc.select(
+        F.col("doc_id").alias("id_a"), "len_bucket",
+        F.col("c_doc").alias("c_a"),
+    )
+    b = c_doc.select(
+        F.col("doc_id").alias("id_b"), "len_bucket",
+        F.col("c_doc").alias("c_b"),
     )
     pairs = (
         a.join(b, "len_bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter((F.length("text_a") >= 8) & (F.length("text_b") >= 8))
-        .withColumn("__xy", F.concat_ws(chr(31), "text_a", "text_b"))
+        .join(inter, ["id_a", "id_b"], "left")
+        .selectExpr(
+            "id_a", "id_b", "c_a", "c_b",
+            "c_a + c_b - coalesce(n_common, 0) + 8 AS c_ab",
+        )
+        .selectExpr(
+            "id_a", "id_b", "c_a", "c_b", "c_ab",
+            "(c_ab - least(c_a, c_b)) * 1000000 div greatest(c_a, c_b)"
+            " AS ncd_ppm",
+        )
     )
-    scored = pairs.selectExpr(
-        "id_a", "id_b",
-        c_expr("text_a") + " AS c_a",
-        c_expr("text_b") + " AS c_b",
-        c_expr("__xy") + " AS c_ab",
-    ).selectExpr(
-        "id_a", "id_b", "c_a", "c_b", "c_ab",
-        "(c_ab - least(c_a, c_b)) * 1000000 div greatest(c_a, c_b)"
-        " AS ncd_ppm",
-    )
-    return scored.orderBy("ncd_ppm", "id_a", "id_b").limit(20)
+    return pairs.orderBy("ncd_ppm", "id_a", "id_b").limit(20)
 
 
 _NCD_PAIRS_SQL = r"""
