@@ -238,3 +238,39 @@ def test_pca_top2_ppm_aligns_with_mllib(spark):
     for a, b in (("pc1_ppm", "p1"), ("pc2_ppm", "p2")):
         r = np.corrcoef(ppm_pd[a].to_numpy(float), ml[b].to_numpy(float))[0, 1]
         assert abs(r) > 0.99, (a, b, r)
+
+
+def test_pca_fixed_basis_fit_slice_semantics(spark):
+    """pca_top2_fixed_basis_ppm must fit means + components on the
+    fit_expr slice ONLY and project every row through that one basis —
+    so out-of-slice rows change NOTHING about in-slice coordinates,
+    and a slice-shifted point projects through the slice's basis, not
+    its own."""
+    import numpy as np
+    import pandas as pd
+
+    from sf_datalake_spark.ml.exploration import pca_top2_fixed_basis_ppm
+
+    rng = np.random.RandomState(21)
+    fit = rng.normal(size=(80, 3)) * np.array([3.0, 1.0, 0.2])
+    rest = rng.normal(size=(40, 3)) * np.array([0.1, 5.0, 9.0]) + 7.0
+    pdf = pd.DataFrame(
+        np.vstack([fit, rest]), columns=["e0", "e1", "e2"]
+    )
+    pdf.insert(0, "rid", range(120))
+    pdf.insert(1, "grp", ["fit"] * 80 + ["rest"] * 40)
+    df = spark.createDataFrame(pdf)
+
+    both = pca_top2_fixed_basis_ppm(
+        df, ["rid"], ["e0", "e1", "e2"], fit_expr="grp = 'fit'", n_iter=10
+    ).toPandas().set_index("rid").sort_index()
+    only_fit = pca_top2_fixed_basis_ppm(
+        df.filter("grp = 'fit'"), ["rid"], ["e0", "e1", "e2"],
+        fit_expr=None, n_iter=10,
+    ).toPandas().set_index("rid").sort_index()
+    # in-slice coordinates identical whether or not out-of-slice rows
+    # ride along (the basis ignores them)
+    assert (both.loc[:79] == only_fit).all().all()
+    # and the out-of-slice rows are projected (present, non-trivial)
+    assert len(both) == 120
+    assert both.loc[80:, "pc1_ppm"].abs().max() > 0
