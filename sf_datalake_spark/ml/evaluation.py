@@ -382,9 +382,11 @@ def calibration_buckets_ppm(
     ``ml/grouped.irls_logistic_groups_ppm``).
 
     Everything is engine-exact: ``bin = min(p_ppm div 1e5, n_bins-1)``
-    is integer arithmetic; ``mean_score``/``frac_positive`` are single
-    correctly-rounded divisions of exact integer sums by the count;
-    the per-bucket Brier contribution sums ``(p_ppm − 1e6·y)²`` (exact
+    is integer arithmetic; ``mean_score``/``frac_positive`` divide an
+    exact DECIMAL(38,0)/HUGEINT integer sum by the count (NOT ``avg``,
+    whose double accumulator goes order-dependent once a bucket's sum
+    passes 2^53 ≈ 9e9 rows at p_ppm ≤ 1e6 — r09 advice #2); the
+    per-bucket Brier contribution sums ``(p_ppm − 1e6·y)²`` (exact
     int64 per row) before ONE division by 1e12 — so a DuckDB twin
     hashes identically, which the float form's order-dependent
     ``avg``/``sum`` of doubles cannot guarantee.
@@ -402,8 +404,16 @@ def calibration_buckets_ppm(
         .groupBy("bin")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.round(F.avg("__p") / 1e6, 6).alias("mean_score"),
-            F.round(F.avg("__y"), 6).alias("frac_positive"),
+            F.round(
+                F.expr("CAST(sum(CAST(__p AS DECIMAL(38,0))) AS DOUBLE)")
+                / F.expr("CAST(count(*) AS DOUBLE)") / 1e6,
+                6,
+            ).alias("mean_score"),
+            F.round(
+                F.expr("CAST(sum(CAST(__y AS DECIMAL(38,0))) AS DOUBLE)")
+                / F.expr("CAST(count(*) AS DOUBLE)"),
+                6,
+            ).alias("frac_positive"),
             F.round(
                 F.expr(
                     "CAST(sum(CAST((__p - 1000000 * __y) * (__p - 1000000 * __y)"

@@ -309,6 +309,11 @@ def pca_ppm_fragments(d: int, n_iter: int, div: str) -> dict[str, str]:
             "defl": defl}
 
 
+#: rounds the last :func:`_pca_power_iter_ppm` call actually executed
+#: before hitting its exact integer fixed point (diagnostics/tests only)
+_LAST_POWER_ROUNDS = 0
+
+
 def _pca_power_iter_ppm(cen: DataFrame, d: int, n_iter: int) -> list[int]:
     """Driver loop of the fixed-point power iteration: per round ONE
     map-side-combined aggregation of d exact-integer sums (scalars —
@@ -317,9 +322,12 @@ def _pca_power_iter_ppm(cen: DataFrame, d: int, n_iter: int) -> list[int]:
     :func:`pca_ppm_fragments` so the oracle replay cannot drift."""
     import math
 
+    global _LAST_POWER_ROUNDS
     frag = pca_ppm_fragments(d, n_iter, div="div")
     v = [_PCA_U] + [0] * (d - 1)
+    _LAST_POWER_ROUNDS = 0
     for _ in range(n_iter):
+        _LAST_POWER_ROUNDS += 1
         sd = frag["sd"]
         for i in range(d):
             sd = sd.replace(f"v{i}", str(v[i]))
@@ -335,9 +343,20 @@ def _pca_power_iter_ppm(cen: DataFrame, d: int, n_iter: int) -> list[int]:
         for i in range(1, d):
             nn = nn + tf[i] * tf[i]  # left-associated, like the SQL twin
         den = math.sqrt(nn)
-        if den != 0.0:
-            v = [int(math.floor(tf[i] / den * 1000000.0 + 0.5))
-                 for i in range(d)]
+        if den == 0.0:
+            # den = 0 keeps v, so every remaining round replays the same
+            # (sd, t, den) — an exact fixed point; the oracle's full
+            # n_iter replay lands on this same v. Skip the dead scans.
+            break
+        nv = [int(math.floor(tf[i] / den * 1000000.0 + 0.5))
+              for i in range(d)]
+        if nv == v:
+            # exact integer fixed point: v' = f(v) = v, so rounds
+            # k+1..n_iter all reproduce v bit-for-bit in BOTH engines —
+            # early exit changes nothing the oracle can observe, only
+            # the number of aggregation scans.
+            break
+        v = nv
     return v
 
 

@@ -1369,6 +1369,8 @@ def exact_near_dup_pairs_q(
         nrm = (X * X).sum(axis=1)  # exact integers
         if ci == cj:
             iu, ju = np.triu_indices(n, k=1)
+            G = X @ X.T  # exact integers (partial sums < 2^53)
+            dots = G[iu, ju]
         else:
             ii = np.where(shards == ci)[0]
             jj = np.where(shards == cj)[0]
@@ -1376,11 +1378,17 @@ def exact_near_dup_pairs_q(
                 return pd.DataFrame({"id_1": [], "id_2": [], "cosine": []})
             iu = np.repeat(ii, len(jj))
             ju = np.tile(jj, len(ii))
-        G = X @ X.T  # exact integers (partial sums < 2^53)
+            # cross block ONLY (r09 advice #4): the intra-shard blocks of
+            # the full (na+nb)² Gram were computed and discarded — up to
+            # ~4× wasted BLAS FLOPs in the n² hot path. Row-major ravel
+            # pairs ii[k] with every jj, exactly the repeat/tile order.
+            # Dots are exact integers < 2^53, so the narrower matmul is
+            # bit-identical to slicing the full Gram — oracle-invisible.
+            dots = (X[ii] @ X[jj].T).ravel()
         denom_ok = (nrm[iu] > 0) & (nrm[ju] > 0)
-        iu, ju = iu[denom_ok], ju[denom_ok]
+        iu, ju, dots = iu[denom_ok], ju[denom_ok], dots[denom_ok]
         # the SAME expression tree as the SQL twin: dot / sqrt(na * nb)
-        cos = G[iu, ju] / np.sqrt(nrm[iu] * nrm[ju])
+        cos = dots / np.sqrt(nrm[iu] * nrm[ju])
         keep = cos >= thr
         i, j = iu[keep], ju[keep]
         a, b = ids[i], ids[j]

@@ -1121,7 +1121,15 @@ _JACCARD_CAPPED_SQL = rf"""
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-3 neighbors via the Arrow/BLAS path (broadcast
     corpus matrix, ``mapInPandas`` batched matmul — ~100× the
-    interpreted higher-order-function plan)."""
+    interpreted higher-order-function plan).
+
+    The broadcast path collects the corpus to the driver once — the
+    documented SMALL-CORPUS form. Beyond driver/executor memory
+    (~1 GB per 2M × 64-dim float64 vectors) use the oracle-identical
+    :func:`q_embedding_topk_sharded` /
+    ``operators.similarity.sharded_topk_np`` twin, which shards the
+    corpus with no driver collect (the q_ngram_jaccard capped/uncapped
+    discipline, r09 verdict hygiene #3)."""
     emb = _t(spark, sf_dir, "embeddings")
     topk = brute_force_topk_np(emb, emb, k=3, vec_col="embedding")
     return topk.select(

@@ -484,7 +484,8 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: "\x1f lr \x1f" is exactly the greedy left-to-right pair merge —
 #: replace() is leftmost non-overlapping, which matches the training
 #: fold's overlap rule.  \x1f never occurs in the documents corpus
-#: (asserted in tests/test_corpus_queries.py) and can never be produced
+#: (asserted in tests/test_corpus.py::
+#: test_bpe_oracle_delimiter_absent_from_corpus) and can never be produced
 #: by a merge.  The recursive term sees only the FRONTIER rows (DuckDB
 #: working-table semantics), so the argmax subquery naturally scores
 #: the current state; a best pair under min_pair_count freezes the

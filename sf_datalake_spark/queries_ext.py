@@ -658,6 +658,11 @@ def q_pca_trajectories(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("periode") < F.lit("1996-01-01"))
     )
     first = sliced.agg(F.min("periode").alias("p0")).first()["p0"]
+    if first is None:
+        # without this, fit_expr interpolates the string "None" and the
+        # user sees an opaque Catalyst parse error instead of the real
+        # problem (r09 advice): the window holds no rows at all
+        raise ValueError("empty trajectory window: no panel rows in 1995")
     return pca_top2_fixed_basis_ppm(
         sliced, ["custkey", "periode"],
         ["revenue", "revenue_lag1m", "revenue_mean3m"],
@@ -1042,11 +1047,32 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "UTF-8").alias("content"),
     )
     decoded = decode_images(docs)
-    resized = resize_images(decoded, 8, 8)
-    return resized.select(
-        "asset_id", "height", "width", "channels",
-        F.md5("pixels").alias("pixels_md5"),
-    )
+    # persist: the resized frame feeds BOTH the decode-accounting gate
+    # and the returned rows — decode is the codec-bound stage
+    resized = resize_images(decoded, 8, 8).persist()
+    try:
+        # in-query decode accounting (r09 verdict #5): utf-8 payloads
+        # all take the deterministic stub path (16×16×3), which never
+        # skips a row — exactly ONE output shape, count == input count;
+        # a silent Arrow-plumbing row drop or shape drift raises here
+        # instead of shrinking the rows-only row count unnoticed
+        n_in = docs.count()
+        shapes = resized.groupBy("height", "width", "channels").count().collect()
+        census = {(r["height"], r["width"], r["channels"]): r["count"]
+                  for r in shapes}
+        if census != {(8, 8, 3): n_in}:
+            raise ValueError(
+                f"multimodal_decode accounting broke: expected {n_in} rows "
+                f"all at shape (8, 8, 3), got {census}"
+            )
+        out = resized.select(
+            "asset_id", "height", "width", "channels",
+            F.md5("pixels").alias("pixels_md5"),
+            F.lit("stub:16x16x3->8x8x3").alias("decode_path"),
+        ).localCheckpoint(eager=True)
+    finally:
+        resized.unpersist()
+    return out
 
 
 def q_image_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1452,11 +1478,20 @@ _SEMANTIC_DEDUP_SQL = f"""
 
 def q_ml_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship learning slice as a query: panel features → logistic
-    regression → per-entity failure probability + alert level."""
+    regression → per-entity failure probability + alert level.
+
+    Rows-only (MLlib training state is engine-native), but NOT
+    check-free (r09 verdict #5): the query evaluates the held-out
+    AUC-ROC in-line and RAISES if the model degenerates below 0.55 —
+    so "executed green" attests a real scored model, not just a run
+    that produced rows — and pins the band as the constant
+    ``auc_band`` column.  The fixed-point twin of this slice
+    (``calibration_curve``) is fully hash-oracled."""
     from pyspark.ml.functions import vector_to_array
     from pyspark.ml.feature import VectorAssembler
 
     from sf_datalake_spark.ml import fit_ready, make_classifier, with_alert_levels
+    from sf_datalake_spark.ml.evaluation import binary_metrics
     from sf_datalake_spark.operators.split import hash_split
     from sf_datalake_spark.operators.windows import with_lag
     from sf_datalake_spark.queries import q_target_variable
@@ -1472,12 +1507,28 @@ def q_ml_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     train, _ = fit_ready(train)
     model = make_classifier("LogisticRegression", maxIter=10).fit(train)
     train.unpersist()
+    # persist: the scored test frame feeds BOTH the in-query AUC gate
+    # and the returned rows — without it the panel join re-executes
     preds = model.transform(test).withColumn(
         "probability_1", F.round(F.element_at(vector_to_array("probability"), 2), 6)
-    )
-    return with_alert_levels(
-        preds, {0.5: 0.6, 2.0: 0.3}, score_col="probability_1"
-    ).select("custkey", "periode", "failure", "probability_1", "alert_level")
+    ).persist()
+    try:
+        auc = binary_metrics(preds)["auc_roc"]
+        if not 0.55 <= auc <= 1.0:
+            raise ValueError(
+                f"ml_train_predict model degenerated: held-out AUC-ROC "
+                f"{auc:.4f} outside [0.55, 1.0] — the rows-only pass is "
+                "only meaningful for a model that actually ranks"
+            )
+        out = with_alert_levels(
+            preds, {0.5: 0.6, 2.0: 0.3}, score_col="probability_1"
+        ).select(
+            "custkey", "periode", "failure", "probability_1", "alert_level",
+            F.lit("auc_roc>=0.55").alias("auc_band"),
+        ).localCheckpoint(eager=True)
+    finally:
+        preds.unpersist()
+    return out
 
 
 #: calibration_curve's fixed-point model spec: revenue features scaled
@@ -1619,8 +1670,10 @@ def _calibration_curve_sql() -> str:
     )
     SELECT CAST(least(p_ppm // 100000, 9) AS INT) AS bin,
            CAST(count(*) AS BIGINT) AS n,
-           round(avg(p_ppm) / 1e6, 6) AS mean_score,
-           round(avg(y), 6) AS frac_positive,
+           round(CAST(sum(CAST(p_ppm AS DECIMAL(38,0))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) / 1e6, 6) AS mean_score,
+           round(CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS frac_positive,
            round(CAST(sum((p_ppm - 1000000 * y) * (p_ppm - 1000000 * y))
                       AS DOUBLE) / 1e12, 6) AS brier_sum
     FROM scored GROUP BY 1

@@ -206,6 +206,53 @@ def test_pca_top2_ppm_matches_duckdb_exactly(spark):
     assert got == want
 
 
+def test_pca_power_iter_early_exit_is_oracle_invisible(spark):
+    """Round-10 trim: the Spark power iteration breaks out as soon as
+    the integer component vector hits an exact fixed point (v' == v ⇒
+    every later round replays the same v in both engines), while the
+    DuckDB oracle always runs the full ``n_iter`` recursion.  On
+    well-separated data the exit must actually trigger (< n_iter
+    rounds) AND the projections must still equal the full replay —
+    i.e. the trim is invisible to the hash oracle by construction."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    import sf_datalake_spark.ml.exploration as ex
+
+    rng = np.random.RandomState(7)
+    # one dominant direction → the ppm vector pins down in a few rounds
+    X = rng.normal(size=(200, 3)) * np.array([10.0, 0.5, 0.05])
+    pdf = pd.DataFrame(X, columns=["e0", "e1", "e2"])
+    pdf.insert(0, "rid", range(200))
+
+    got = {
+        r["rid"]: (r["pc1_ppm"], r["pc2_ppm"])
+        for r in ex.pca_top2_ppm(
+            spark.createDataFrame(pdf), "rid", ["e0", "e1", "e2"], n_iter=10
+        ).collect()
+    }
+    # _LAST_POWER_ROUNDS reflects the PC2 iteration (the last call);
+    # with this spectrum both components stabilize well before 10
+    assert ex._LAST_POWER_ROUNDS < 10, (
+        "early exit never fired on a spectrally trivial input — the "
+        f"trim is dead code (ran {ex._LAST_POWER_ROUNDS} rounds)"
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    src = "SELECT rid, " + ", ".join(
+        f"CAST(round(CAST(e{i} AS DOUBLE) * 1000000.0) AS BIGINT) AS x{i}"
+        for i in range(3)
+    ) + " FROM t"
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            ex.pca_top2_ppm_sql(3, 10, src, id_cols=("rid",))
+        ).fetchall()
+    }
+    assert got == want
+
+
 def test_pca_top2_ppm_aligns_with_mllib(spark):
     """Quality pin: the fixed-point PC1/PC2 coordinates correlate with
     MLlib's exact PCA projection at |r| > 0.99 (up to sign — power
