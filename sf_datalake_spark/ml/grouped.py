@@ -291,6 +291,11 @@ def irls_ppm_fragments(
     }
 
 
+#: rounds the last :func:`irls_logistic_groups_ppm` call actually ran
+#: before the all-groups exact fixed point (diagnostics/tests only)
+_LAST_IRLS_ROUNDS = 0
+
+
 def irls_logistic_groups_ppm(
     df: DataFrame,
     group_col: str,
@@ -351,9 +356,40 @@ def irls_logistic_groups_ppm(
         (name, f"sum(CAST({expr} AS DECIMAL(38,0)))")
         for name, expr in frag["terms"].items()
     ]
+    global _LAST_IRLS_ROUNDS
+    _LAST_IRLS_ROUNDS = 0
     try:
         for _ in range(n_iter):
-            coefs = _irls_round(data, coefs, frag, sums)
+            _LAST_IRLS_ROUNDS += 1
+            nxt = _irls_round(data, coefs, frag, sums)
+            # Early exit at the exact all-groups fixed point (round-10
+            # trim, the _pca_power_iter_ppm argument): the round map is
+            # deterministic per group, so a group whose µ-unit
+            # coefficients came back unchanged replays unchanged in
+            # every later round — if EVERY group is stable, rounds
+            # k+1..n_iter are bit-for-bit no-ops in BOTH engines and
+            # the oracle's full-n_iter recursion lands on these same
+            # coefficients. The check is one tiny join of two
+            # |groups|-row localCheckpoint'd frames (never data-sized),
+            # and only starts past the halfway round: trajectories that
+            # pin at all pin late (calibration stabilizes at round 5 of
+            # 8, saving 3 design-matrix scans; grouped_models never
+            # does — measured at sf0.01/sf0.1), so earlier checks are
+            # pure per-job overhead in local mode.
+            if _LAST_IRLS_ROUNDS > n_iter // 2 and _LAST_IRLS_ROUNDS < n_iter:
+                changed = (
+                    nxt.alias("n")
+                    .join(coefs.alias("o"), "grp")
+                    .filter(
+                        "n.w0u <> o.w0u OR n.w1u <> o.w1u OR n.w2u <> o.w2u"
+                    )
+                    .limit(1)
+                    .count()
+                )
+                if changed == 0:
+                    coefs = nxt
+                    break
+            coefs = nxt
     finally:
         # Safe to release before return: every round's coefs is
         # localCheckpoint(eager)-materialized, so nothing downstream

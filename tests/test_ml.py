@@ -344,6 +344,54 @@ def test_irls_ppm_matches_duckdb_exactly(spark):
     assert got == want, (got, want)
 
 
+def test_irls_ppm_early_exit_is_oracle_invisible(spark):
+    """Round-10 trim: the Spark IRLS loop breaks once EVERY group's
+    µ-unit coefficients come back unchanged (exact fixed point ⇒ all
+    later rounds replay bit-for-bit in both engines), while the DuckDB
+    oracle always runs the full recursion.  At n_iter=14 the trajectory
+    on this data pins well before the end, so the exit must actually
+    fire AND the coefficients must equal the full 14-round replay."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    import sf_datalake_spark.ml.grouped as gm
+
+    rng = np.random.RandomState(3)
+    frames = []
+    for g in ("a", "b"):
+        n = 150
+        x1 = rng.randint(0, 60000, n)
+        x2 = rng.randint(0, 400, n)
+        # labels independent of x → both groups' µ-unit coefficients pin
+        # by round 4 (DuckDB-probed); the exit check starts at round 8
+        # (past n_iter//2) and must fire there
+        frames.append(pd.DataFrame({
+            "grp": g, "x1q": x1, "x2q": x2,
+            "y": rng.randint(0, 2, n).astype("int64"),
+        }))
+    pdf = pd.concat(frames, ignore_index=True)
+
+    got = {
+        r["grp"]: (r["group_n"], r["w0_ppm"], r["w1_ppm"], r["w2_ppm"])
+        for r in gm.irls_logistic_groups_ppm(
+            spark.createDataFrame(pdf), "grp", "x1q", 10000, "x2q", 100,
+            "y", reg=1e-6, n_iter=14,
+        ).collect()
+    }
+    assert gm._LAST_IRLS_ROUNDS < 14, (
+        "all-groups early exit never fired by round 14 — the trim is "
+        f"dead code (ran {gm._LAST_IRLS_ROUNDS} rounds)"
+    )
+    con = duckdb.connect()
+    con.register("data", pdf)
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(_irls_ppm_duck_sql(10000, 100, 1e-6, 14)).fetchall()
+    }
+    assert got == want, (gm._LAST_IRLS_ROUNDS, got, want)
+
+
 def test_irls_ppm_close_to_float_irls(spark):
     """Model-quality pin: the fixed-point trajectory lands within the
     quantization band of the float IRLS optimum on separable-ish data
