@@ -346,11 +346,10 @@ def irls_logistic_groups_ppm(
         F.col(x2q_col).cast("bigint").alias("x2q"),
         F.col(label_col).cast("bigint").alias("y"),
     ).persist()
-    coefs = data.groupBy("grp").agg(
-        F.count("*").alias("group_n"),
-        F.lit(0).cast("bigint").alias("w0u"),
-        F.lit(0).cast("bigint").alias("w1u"),
-        F.lit(0).cast("bigint").alias("w2u"),
+    spark = df.sparkSession
+    grp_type = dict(data.dtypes)["grp"]
+    coef_schema = (
+        f"grp {grp_type}, group_n bigint, w0u bigint, w1u bigint, w2u bigint"
     )
     sums = [
         (name, f"sum(CAST({expr} AS DECIMAL(38,0)))")
@@ -359,55 +358,60 @@ def irls_logistic_groups_ppm(
     global _LAST_IRLS_ROUNDS
     _LAST_IRLS_ROUNDS = 0
     try:
+        # Coefficients live on the DRIVER between rounds (r10, guide
+        # §2.4/§5): they are |groups| rows of 4 integers — collecting
+        # them costs nothing, and rebuilding each round's input as a
+        # literal LocalRelation removes BOTH per-round coordination
+        # jobs the old DataFrame-resident loop paid (the
+        # localCheckpoint(eager) materialization and the broadcast
+        # build over a checkpointed frame): each Newton round is now
+        # exactly ONE job — scan the cached matrix, map-side-combine
+        # the 9 exact-integer sums, Cramer-solve the 5-row aggregate
+        # inside Catalyst, collect.  Numerically NOTHING changes: the
+        # round map is the same Catalyst expression tree over the same
+        # exact integers, only the transport of the tiny coefficient
+        # frame differs (bigint → Python int → bigint, exact).
+        counts = data.groupBy("grp").agg(
+            F.count("*").alias("group_n")
+        ).collect()
+        coef_rows = sorted(
+            (r["grp"], r["group_n"], 0, 0, 0) for r in counts
+        )
         for _ in range(n_iter):
             _LAST_IRLS_ROUNDS += 1
-            nxt = _irls_round(data, coefs, frag, sums)
-            # Early exit at the exact all-groups fixed point (round-10
-            # trim, the _pca_power_iter_ppm argument): the round map is
-            # deterministic per group, so a group whose µ-unit
-            # coefficients came back unchanged replays unchanged in
-            # every later round — if EVERY group is stable, rounds
+            coefs_df = spark.createDataFrame(coef_rows, coef_schema)
+            nxt_rows = sorted(
+                (r["grp"], r["group_n"], r["w0u"], r["w1u"], r["w2u"])
+                for r in _irls_round(data, coefs_df, frag, sums).collect()
+            )
+            # Early exit at the exact all-groups fixed point: the round
+            # map is deterministic per group, so if EVERY group's
+            # µ-unit coefficients came back unchanged, rounds
             # k+1..n_iter are bit-for-bit no-ops in BOTH engines and
             # the oracle's full-n_iter recursion lands on these same
-            # coefficients. The check is one tiny join of two
-            # |groups|-row localCheckpoint'd frames (never data-sized),
-            # and only starts past the halfway round: trajectories that
-            # pin at all pin late (calibration stabilizes at round 5 of
-            # 8, saving 3 design-matrix scans; grouped_models never
-            # does — measured at sf0.01/sf0.1), so earlier checks are
-            # pure per-job overhead in local mode.
-            if _LAST_IRLS_ROUNDS > n_iter // 2 and _LAST_IRLS_ROUNDS < n_iter:
-                changed = (
-                    nxt.alias("n")
-                    .join(coefs.alias("o"), "grp")
-                    .filter(
-                        "n.w0u <> o.w0u OR n.w1u <> o.w1u OR n.w2u <> o.w2u"
-                    )
-                    .limit(1)
-                    .count()
-                )
-                if changed == 0:
-                    coefs = nxt
-                    break
-            coefs = nxt
+            # coefficients.  With driver-resident coefficients the
+            # check is a free tuple comparison, so it runs EVERY round
+            # (the old frame-resident check cost a join job and only
+            # ran past the halfway round).
+            stable = nxt_rows == coef_rows
+            coef_rows = nxt_rows
+            if stable:
+                break
     finally:
-        # Safe to release before return: every round's coefs is
-        # localCheckpoint(eager)-materialized, so nothing downstream
-        # re-reads the cached design matrix through this handle.
         data.unpersist()
-    return coefs.select(
-        "grp",
-        F.col("group_n").cast("bigint").alias("group_n"),
-        F.col("w0u").alias("w0_ppm"),
-        F.col("w1u").alias("w1_ppm"),
-        F.col("w2u").alias("w2_ppm"),
+    return spark.createDataFrame(
+        coef_rows,
+        f"grp {grp_type}, group_n bigint, "
+        "w0_ppm bigint, w1_ppm bigint, w2_ppm bigint",
     )
 
 
 def _irls_round(data, coefs, frag, sums):
     """One Newton round: rows → exact-integer sums → Catalyst Cramer.
-    Returns the next coefficients, localCheckpoint(eager)-materialized
-    so the iterative lineage never compounds (pagerank discipline)."""
+    Returns the next coefficients as a LAZY frame over the cached
+    design matrix and the literal ``coefs`` LocalRelation — the caller
+    collects it (one job), so no checkpoint is needed: lineage never
+    compounds because each round starts from driver-resident rows."""
     rows = (
         data.join(F.broadcast(coefs), "grp")
         .selectExpr("grp", "x1q", "x2q", "y", "group_n",
@@ -441,7 +445,6 @@ def _irls_round(data, coefs, frag, sums):
             frag["w1_next"] + " AS w1u",
             frag["w2_next"] + " AS w2u",
         )
-        .localCheckpoint(eager=True)
     )
 
 

@@ -1500,34 +1500,44 @@ def q_ml_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     panel = with_lag(panel, "revenue", [1], keys=["custkey"], period_col="periode",
                      suffix_fmt="revenue_lag{n}m").fillna({"revenue_lag1m": 0.0})
     labeled = panel.join(q_target_variable(spark, sf_dir), ["custkey", "periode"])
+    # Persist the assembled panel ONCE for both split sides (r10, guide
+    # §2.4/§5): hash_split is a pair of complementary filters, so
+    # without this the TRAIN side's fit_ready cache and the TEST side's
+    # model.transform each re-executed the whole panel+lag+label join
+    # from parquet independently.  fit_ready's own (coalesced) cache
+    # now fills from this one, and the test scan is a cache read.
     assembled = VectorAssembler(
         inputCols=["revenue", "revenue_lag1m"], outputCol="features"
-    ).transform(labeled)
-    train, test = hash_split(assembled, "custkey", test_fraction=0.3)
-    train, _ = fit_ready(train)
-    model = make_classifier("LogisticRegression", maxIter=10).fit(train)
-    train.unpersist()
-    # persist: the scored test frame feeds BOTH the in-query AUC gate
-    # and the returned rows — without it the panel join re-executes
-    preds = model.transform(test).withColumn(
-        "probability_1", F.round(F.element_at(vector_to_array("probability"), 2), 6)
-    ).persist()
+    ).transform(labeled).persist()
     try:
-        auc = binary_metrics(preds)["auc_roc"]
-        if not 0.55 <= auc <= 1.0:
-            raise ValueError(
-                f"ml_train_predict model degenerated: held-out AUC-ROC "
-                f"{auc:.4f} outside [0.55, 1.0] — the rows-only pass is "
-                "only meaningful for a model that actually ranks"
-            )
-        out = with_alert_levels(
-            preds, {0.5: 0.6, 2.0: 0.3}, score_col="probability_1"
-        ).select(
-            "custkey", "periode", "failure", "probability_1", "alert_level",
-            F.lit("auc_roc>=0.55").alias("auc_band"),
-        ).localCheckpoint(eager=True)
+        train, test = hash_split(assembled, "custkey", test_fraction=0.3)
+        train, _ = fit_ready(train)
+        model = make_classifier("LogisticRegression", maxIter=10).fit(train)
+        train.unpersist()
+        # persist: the scored test frame feeds BOTH the in-query AUC gate
+        # and the returned rows — without it the panel join re-executes
+        preds = model.transform(test).withColumn(
+            "probability_1",
+            F.round(F.element_at(vector_to_array("probability"), 2), 6),
+        ).persist()
+        try:
+            auc = binary_metrics(preds)["auc_roc"]
+            if not 0.55 <= auc <= 1.0:
+                raise ValueError(
+                    f"ml_train_predict model degenerated: held-out AUC-ROC "
+                    f"{auc:.4f} outside [0.55, 1.0] — the rows-only pass is "
+                    "only meaningful for a model that actually ranks"
+                )
+            out = with_alert_levels(
+                preds, {0.5: 0.6, 2.0: 0.3}, score_col="probability_1"
+            ).select(
+                "custkey", "periode", "failure", "probability_1", "alert_level",
+                F.lit("auc_roc>=0.55").alias("auc_band"),
+            ).localCheckpoint(eager=True)
+        finally:
+            preds.unpersist()
     finally:
-        preds.unpersist()
+        assembled.unpersist()
     return out
 
 
@@ -1584,26 +1594,37 @@ def q_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         irls_ppm_fragments,
     )
 
-    data = _calibration_data(spark, sf_dir)
-    train = data.filter(F.col("__bucket") >= 3000)
-    test = data.filter(F.col("__bucket") < 3000)
-    coefs = irls_logistic_groups_ppm(
-        train, "grp", "x1q", _CAL_FX1, "x2q", _CAL_FX2, "y",
-        reg=_CAL_REG, n_iter=_CAL_ITER,
-    )
-    frag = irls_ppm_fragments(_CAL_FX1, _CAL_FX2, _CAL_REG, "div")
-    scored = (
-        test.join(
-            F.broadcast(coefs.selectExpr(
-                "grp", "w0_ppm AS w0u", "w1_ppm AS w1u", "w2_ppm AS w2u")),
-            "grp",
+    # Persist the design matrix ONCE for both split sides (r10, guide
+    # §2.4/§5): the train side used to materialize IRLS's internal cache
+    # and the test side re-executed the whole panel+lag+label join tree
+    # from parquet a second time — one persist makes the upstream run
+    # once, IRLS's internal projection cache fills from it, and the test
+    # scan is a cache read.  The tiny (≤ n_bins-row) result is forced
+    # with localCheckpoint before unpersisting (the ml_train_predict
+    # hygiene pattern: no persisted frame outlives the query callable).
+    data = _calibration_data(spark, sf_dir).persist()
+    try:
+        train = data.filter(F.col("__bucket") >= 3000)
+        test = data.filter(F.col("__bucket") < 3000)
+        coefs = irls_logistic_groups_ppm(
+            train, "grp", "x1q", _CAL_FX1, "x2q", _CAL_FX2, "y",
+            reg=_CAL_REG, n_iter=_CAL_ITER,
         )
-        .selectExpr("y", frag["z"] + " AS z")
-        .selectExpr("y", frag["p"] + " AS p_ppm")
-    )
-    return calibration_buckets_ppm(
-        scored, n_bins=10, score_ppm_col="p_ppm", label_col="y"
-    )
+        frag = irls_ppm_fragments(_CAL_FX1, _CAL_FX2, _CAL_REG, "div")
+        scored = (
+            test.join(
+                F.broadcast(coefs.selectExpr(
+                    "grp", "w0_ppm AS w0u", "w1_ppm AS w1u", "w2_ppm AS w2u")),
+                "grp",
+            )
+            .selectExpr("y", frag["z"] + " AS z")
+            .selectExpr("y", frag["p"] + " AS p_ppm")
+        )
+        return calibration_buckets_ppm(
+            scored, n_bins=10, score_ppm_col="p_ppm", label_col="y"
+        ).localCheckpoint(eager=True)
+    finally:
+        data.unpersist()
 
 
 def _calibration_curve_sql() -> str:
@@ -1745,39 +1766,51 @@ def q_linear_shap_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembled = VectorAssembler(inputCols=feats, outputCol="features").transform(labeled)
     train, _ = fit_ready(assembled)
     model = make_classifier("LogisticRegression", maxIter=10).fit(train)
-    train.unpersist()
-    preds = model.transform(assembled).withColumn(
-        "logodds", F.element_at(vector_to_array("rawPrediction"), 2)
-    )
-    cond = linear_conditional_contributions(
-        preds, model, keep=["custkey", "periode", "logodds", "features"],
-        feature_names=feats,
-    )
-    # Interventional flavour as inline Column arithmetic on the SAME
-    # frame (coef_i · x_i) — joining a second linear_contributions()
-    # projection back on (custkey, periode) would add a shuffle join
-    # for columns derivable in place.
-    arr = vector_to_array(F.col("features"))
-    both = cond.select(
-        "*",
-        *[
-            (arr.getItem(i) * F.lit(float(c))).alias(f"int_{f}")
-            for i, (f, c) in enumerate(zip(feats, model.coefficients))
-        ],
-    )
-    cond_total = F.col("base") + sum(F.col(f"contrib_{f}") for f in feats)
-    int_total = F.lit(float(model.intercept)) + sum(F.col(f"int_{f}") for f in feats)
-    return both.agg(
-        F.count("*").alias("n_rows"),
-        F.sum((F.abs(cond_total - F.col("logodds")) < 1e-6).cast("long"))
-        .alias("n_additive_ok"),
-        F.sum((F.abs(cond_total - int_total) < 1e-6).cast("long"))
-        .alias("n_totals_match"),
-        F.sum(
-            (F.abs(F.col(f"contrib_{feats[0]}") - F.col(f"int_{feats[0]}")) > 1e-9)
-            .cast("long")
-        ).alias("n_credit_shifted"),
-    )
+    try:
+        # Score the fit_ready-CACHED frame, not the raw lineage (r10,
+        # guide §5): ``train`` holds exactly ``assembled``'s rows
+        # (hash_split-free full fit), so transforming it is a cache
+        # read, where transforming ``assembled`` re-executed the whole
+        # panel+lag+label join from parquet a second time.  The 1-row
+        # result is forced with localCheckpoint inside the persist
+        # scope (ml_train_predict hygiene); aggregates are order-free
+        # exact counts, so partitioning differences cannot move them.
+        preds = model.transform(train).withColumn(
+            "logodds", F.element_at(vector_to_array("rawPrediction"), 2)
+        )
+        cond = linear_conditional_contributions(
+            preds, model, keep=["custkey", "periode", "logodds", "features"],
+            feature_names=feats,
+        )
+        # Interventional flavour as inline Column arithmetic on the SAME
+        # frame (coef_i · x_i) — joining a second linear_contributions()
+        # projection back on (custkey, periode) would add a shuffle join
+        # for columns derivable in place.
+        arr = vector_to_array(F.col("features"))
+        both = cond.select(
+            "*",
+            *[
+                (arr.getItem(i) * F.lit(float(c))).alias(f"int_{f}")
+                for i, (f, c) in enumerate(zip(feats, model.coefficients))
+            ],
+        )
+        cond_total = F.col("base") + sum(F.col(f"contrib_{f}") for f in feats)
+        int_total = F.lit(float(model.intercept)) + sum(
+            F.col(f"int_{f}") for f in feats
+        )
+        return both.agg(
+            F.count("*").alias("n_rows"),
+            F.sum((F.abs(cond_total - F.col("logodds")) < 1e-6).cast("long"))
+            .alias("n_additive_ok"),
+            F.sum((F.abs(cond_total - int_total) < 1e-6).cast("long"))
+            .alias("n_totals_match"),
+            F.sum(
+                (F.abs(F.col(f"contrib_{feats[0]}") - F.col(f"int_{feats[0]}"))
+                 > 1e-9).cast("long")
+            ).alias("n_credit_shifted"),
+        ).localCheckpoint(eager=True)
+    finally:
+        train.unpersist()
 
 
 def q_resampled_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1984,17 +2017,18 @@ def q_tree_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
     preds = model.transform(test).withColumn(
         "p1", F.element_at(vector_to_array("probability"), 2)
     )
-    out = tree_contributions(preds, model, keep=["custkey", "periode"])
-    return (
-        out.join(preds.select("custkey", "periode", "p1"), ["custkey", "periode"])
-        .select(
-            "custkey",
-            "periode",
-            F.round("base", 6).alias("base"),
-            F.round("contrib_revenue", 6).alias("contrib_revenue"),
-            F.round("contrib_revenue_lag1m", 6).alias("contrib_revenue_lag1m"),
-            F.round("p1", 6).alias("probability_1"),
-        )
+    # p1 rides through the Arrow pass via ``keep`` (the r10 fix mirroring
+    # q_tree_shap_parity's fused form): the old join-back on
+    # (custkey, periode) re-executed the whole panel+transform subtree a
+    # second time AND paid an extra shuffle for a self-aligned join.
+    out = tree_contributions(preds, model, keep=["custkey", "periode", "p1"])
+    return out.select(
+        "custkey",
+        "periode",
+        F.round("base", 6).alias("base"),
+        F.round("contrib_revenue", 6).alias("contrib_revenue"),
+        F.round("contrib_revenue_lag1m", 6).alias("contrib_revenue_lag1m"),
+        F.round("p1", 6).alias("probability_1"),
     )
 
 

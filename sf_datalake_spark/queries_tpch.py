@@ -794,34 +794,43 @@ def q_grouped_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         irls_ppm_score_expr,
     )
 
-    data = _grouped_models_data(spark, sf_dir)
-    coefs = irls_logistic_groups_ppm(
-        data, "grp", "x1q", _GM_FX1, "x2q", _GM_FX2, "y",
-        reg=_GM_REG, n_iter=_GM_ITER,
-    )
-    z = irls_ppm_score_expr(_GM_FX1, _GM_FX2, "div")
-    scored = data.join(
-        F.broadcast(
-            coefs.selectExpr(
-                "grp", "group_n",
-                "w0_ppm AS w0u", "w1_ppm AS w1u", "w2_ppm AS w2u",
-            )
-        ),
-        "grp",
-    ).selectExpr(
-        "grp", "group_n", "w0u", "w1u", "w2u",
-        f"CASE WHEN ({z} > 0) = (y = 1) THEN 1 ELSE 0 END AS ok",
-    )
-    return scored.groupBy("grp").agg(
-        F.max("group_n").alias("group_n"),
-        F.max("w0u").alias("w0_ppm"),
-        F.max("w1u").alias("w1_ppm"),
-        F.max("w2u").alias("w2_ppm"),
-        F.sum("ok").cast("bigint").alias("n_correct"),
-    ).select(
-        F.col("grp").alias("o_orderpriority"),
-        "group_n", "w0_ppm", "w1_ppm", "w2_ppm", "n_correct",
-    )
+    # Persist the design matrix ONCE for fit + scoring (r10, guide
+    # §2.4/§5): IRLS's internal projection cache fills from this persist
+    # on round 1, and the in-sample scoring pass below reads the same
+    # cache instead of re-executing the lineitem-agg + orders join from
+    # parquet a second time.  The 5-row result is forced with
+    # localCheckpoint before unpersisting (ml_train_predict hygiene).
+    data = _grouped_models_data(spark, sf_dir).persist()
+    try:
+        coefs = irls_logistic_groups_ppm(
+            data, "grp", "x1q", _GM_FX1, "x2q", _GM_FX2, "y",
+            reg=_GM_REG, n_iter=_GM_ITER,
+        )
+        z = irls_ppm_score_expr(_GM_FX1, _GM_FX2, "div")
+        scored = data.join(
+            F.broadcast(
+                coefs.selectExpr(
+                    "grp", "group_n",
+                    "w0_ppm AS w0u", "w1_ppm AS w1u", "w2_ppm AS w2u",
+                )
+            ),
+            "grp",
+        ).selectExpr(
+            "grp", "group_n", "w0u", "w1u", "w2u",
+            f"CASE WHEN ({z} > 0) = (y = 1) THEN 1 ELSE 0 END AS ok",
+        )
+        return scored.groupBy("grp").agg(
+            F.max("group_n").alias("group_n"),
+            F.max("w0u").alias("w0_ppm"),
+            F.max("w1u").alias("w1_ppm"),
+            F.max("w2u").alias("w2_ppm"),
+            F.sum("ok").cast("bigint").alias("n_correct"),
+        ).select(
+            F.col("grp").alias("o_orderpriority"),
+            "group_n", "w0_ppm", "w1_ppm", "w2_ppm", "n_correct",
+        ).localCheckpoint(eager=True)
+    finally:
+        data.unpersist()
 
 
 def _grouped_models_sql() -> str:
