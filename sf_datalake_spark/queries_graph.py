@@ -52,30 +52,28 @@ _EDGES_CTE = """
 
 def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(src, dst) part pairs co-purchased in >= 2 distinct orders,
-    src < dst. One self-equi-join on l_orderkey + one count aggregation
-    — both shuffle on small keys; the quadratic-per-order blowup is
-    bounded by order size (TPC-H orders hold ~4 items)."""
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= _EDGE_MIN_COUNT)
-        .select("src", "dst")
-    )
+    src < dst.
+
+    r10 (guide §2.3/§2.4): delegates to the per-basket array expansion
+    in ``operators.itemsets.frequent_pairs`` instead of the original
+    l_orderkey self-equi-join.  The join form re-executed the
+    distinct'd membership on both sides, shuffled it twice, and
+    shuffled the QUADRATIC post-join pair blowup; the basket form
+    shuffles the membership once (basket → sorted item array, partial
+    agg map-side) and then only the 16-byte pair keys — and a single
+    degenerate mega-order can no longer skew the join (pair fan-out
+    happens post-shuffle, bounded per task).  Output verified
+    identical (exceptAll both ways = 0 at sf0.1); the DuckDB oracle
+    CTE is unchanged — pair support == co-occurrence count when
+    membership is distinct'd, so the two forms are the same algebra.
+    """
+    from sf_datalake_spark.operators.itemsets import frequent_pairs
+
+    mem = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return frequent_pairs(
+        mem, "l_orderkey", "l_partkey", min_support=_EDGE_MIN_COUNT,
+        prune_items=False,
+    ).select(F.col("item_1").alias("src"), F.col("item_2").alias("dst"))
 
 
 # ---------------------------------------------------------------------------
@@ -458,27 +456,19 @@ def q_weighted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     takes the min — exponential in principle, fine at sf0.01, and the
     contrast with k relaxation rounds is the point."""
     from sf_datalake_spark.operators.components import bellman_k_hops
+    from sf_datalake_spark.operators.itemsets import frequent_pairs
 
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= _EDGE_MIN_COUNT)
-        .select("src", "dst", F.expr("1000L div w").alias("wgt"))
+    # r10: same basket-expansion edge build as ``_part_edges`` (guide
+    # §2.3/§2.4 — one membership shuffle instead of a two-sided
+    # self-join; ``support`` IS the co-purchase count w).
+    mem = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = frequent_pairs(
+        mem, "l_orderkey", "l_partkey", min_support=_EDGE_MIN_COUNT,
+        prune_items=False,
+    ).select(
+        F.col("item_1").alias("src"),
+        F.col("item_2").alias("dst"),
+        F.expr("1000L div support").alias("wgt"),
     )
     seeds = (
         _t(spark, sf_dir, "part")

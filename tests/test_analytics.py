@@ -142,6 +142,30 @@ class TestFrequentPairs:
         }
         assert pruned == full
 
+    def test_prune_items_flag_identical_output(self, spark):
+        # r10: prune_items=False skips the Apriori item-support pass;
+        # the prune is lossless (pair support <= rarer item's support),
+        # so both settings must produce the identical pair set — the
+        # flag only moves work, never rows.
+        rows = [
+            (b, i)
+            for b in range(1, 10)
+            for i in range(1, 7)
+            if (b + i) % 4 != 0
+        ]
+        m = self._baskets(spark, rows)
+        with_prune = {
+            (r["item_1"], r["item_2"]): r["support"]
+            for r in frequent_pairs(m, "b", "i", min_support=3).collect()
+        }
+        without = {
+            (r["item_1"], r["item_2"]): r["support"]
+            for r in frequent_pairs(
+                m, "b", "i", min_support=3, prune_items=False
+            ).collect()
+        }
+        assert with_prune == without
+
     def test_max_basket_size_guard(self, spark):
         m = self._baskets(
             spark,
