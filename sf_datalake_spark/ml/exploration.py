@@ -426,10 +426,21 @@ def pca_top2_fixed_basis_ppm(
     if n == 0:
         raise ValueError("pca fit slice is empty")
     means = [_tdiv(int(stats[f"s{i}"] or 0), n) for i in range(d)]
+    # Right-size the iteration cache (r10, the fit_ready policy, guide
+    # §2.2): the centered matrix inherits the upstream width (32
+    # near-empty partitions for a ≤15k-row panel/embedding slice) and
+    # every one of the 2·n_iter power rounds re-pays those task
+    # launches — same measured pathology as the grouped-IRLS cache
+    # (9 rounds on 32 partitions ≈ 10 s vs ≈ 4.3 s on 4 at sf0.1).
+    # Size-derived, not a constant: a billion-row matrix still gets
+    # thousands of partitions.
+    from sf_datalake_spark.ml.models import fit_ready
+
     cen = xq.select(
         *id_cols, "__fit",
         *[(F.col(f"x{i}") - F.lit(means[i])).alias(f"c{i}") for i in range(d)],
-    ).persist()
+    )
+    cen, _ = fit_ready(cen, target_rows_per_partition=250_000, min_partitions=4)
     try:
         frag = pca_ppm_fragments(d, n_iter, div="div")
         v1 = _pca_power_iter_ppm(cen.filter("__fit"), d, n_iter)
@@ -441,6 +452,9 @@ def pca_top2_fixed_basis_ppm(
             return sd
 
         p1 = cen.selectExpr("*", f"{lit_sd(v1)} AS sd")
+        # deflated matrix: already narrow after cen's coalesce (it reads
+        # the cen cache partition-for-partition), so a plain persist
+        # keeps the width fit_ready chose above
         defl = p1.selectExpr(
             *id_cols, "__fit", "sd AS pc1q",
             *[

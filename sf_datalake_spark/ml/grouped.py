@@ -371,32 +371,77 @@ def irls_logistic_groups_ppm(
         # round map is the same Catalyst expression tree over the same
         # exact integers, only the transport of the tiny coefficient
         # frame differs (bigint → Python int → bigint, exact).
+        # Right-size the cached matrix before the rounds (r10, the
+        # fit_ready policy, guide §2.2/§2.6): the projection inherits
+        # the upstream shuffle width (32 near-empty partitions for a
+        # ~150k-row panel slice), and every Newton round re-pays that
+        # many task launches for microseconds of compute each —
+        # measured at sf0.1: 9 rounds on 32 partitions ≈ 10 s vs
+        # ≈ 4.3 s on 4.  ~250k rows/partition ≈ 10 MB of 4-bigint rows;
+        # the floor of 4 keeps the partial aggregation parallel.  At
+        # cluster scale a billion-row matrix still gets thousands of
+        # partitions — the coalesce is size-derived, not a constant.
+        from sf_datalake_spark.ml.models import fit_ready
+
+        data, _ = fit_ready(
+            data, target_rows_per_partition=250_000, min_partitions=4
+        )
         counts = data.groupBy("grp").agg(
             F.count("*").alias("group_n")
         ).collect()
         coef_rows = sorted(
             (r["grp"], r["group_n"], 0, 0, 0) for r in counts
         )
-        for _ in range(n_iter):
-            _LAST_IRLS_ROUNDS += 1
-            coefs_df = spark.createDataFrame(coef_rows, coef_schema)
-            nxt_rows = sorted(
-                (r["grp"], r["group_n"], r["w0u"], r["w1u"], r["w2u"])
-                for r in _irls_round(data, coefs_df, frag, sums).collect()
-            )
-            # Early exit at the exact all-groups fixed point: the round
-            # map is deterministic per group, so if EVERY group's
-            # µ-unit coefficients came back unchanged, rounds
-            # k+1..n_iter are bit-for-bit no-ops in BOTH engines and
-            # the oracle's full-n_iter recursion lands on these same
-            # coefficients.  With driver-resident coefficients the
-            # check is a free tuple comparison, so it runs EVERY round
-            # (the old frame-resident check cost a join job and only
-            # ran past the halfway round).
-            stable = nxt_rows == coef_rows
-            coef_rows = nxt_rows
-            if stable:
-                break
+        # Inline the coefficients as CASE literals when the group set is
+        # small (r10, guide §2.4): the broadcast-join transport paid a
+        # per-round broadcast build + AQE stage materialization that
+        # dominated the round (measured at sf0.1, identical outputs
+        # asserted: join+AQE ≈ 0.70 s/round, CASE literals with AQE
+        # pinned off ≈ 0.29 s/round; execution itself is ~0.07 s).  AQE
+        # is re-planning a 3-node projection+agg per round here — pure
+        # coordination latency on a plan whose shape never changes —
+        # so it is pinned off for the loop and restored after.  Both
+        # transports evaluate the SAME fragment arithmetic on the SAME
+        # exact integers; beyond _IRLS_LIT_MAX_GROUPS the broadcast
+        # join remains (a CASE over millions of groups would explode
+        # the plan).
+        use_lit = (
+            len(coef_rows) <= _IRLS_LIT_MAX_GROUPS
+            and all(isinstance(r[0], (str, int)) for r in coef_rows)
+        )
+        aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        try:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            for _ in range(n_iter):
+                _LAST_IRLS_ROUNDS += 1
+                if use_lit:
+                    rnd = _irls_round_lit(data, coef_rows, frag, sums)
+                else:
+                    rnd = _irls_round(
+                        data,
+                        spark.createDataFrame(coef_rows, coef_schema),
+                        frag,
+                        sums,
+                    )
+                nxt_rows = sorted(
+                    (r["grp"], r["group_n"], r["w0u"], r["w1u"], r["w2u"])
+                    for r in rnd.collect()
+                )
+                # Early exit at the exact all-groups fixed point: the
+                # round map is deterministic per group, so if EVERY
+                # group's µ-unit coefficients came back unchanged,
+                # rounds k+1..n_iter are bit-for-bit no-ops in BOTH
+                # engines and the oracle's full-n_iter recursion lands
+                # on these same coefficients.  With driver-resident
+                # coefficients the check is a free tuple comparison, so
+                # it runs EVERY round (the old frame-resident check
+                # cost a join job and only ran past the halfway round).
+                stable = nxt_rows == coef_rows
+                coef_rows = nxt_rows
+                if stable:
+                    break
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
     finally:
         data.unpersist()
     return spark.createDataFrame(
@@ -404,6 +449,54 @@ def irls_logistic_groups_ppm(
         f"grp {grp_type}, group_n bigint, "
         "w0_ppm bigint, w1_ppm bigint, w2_ppm bigint",
     )
+
+
+#: CASE-literal coefficient transport is used up to this many groups;
+#: beyond it the broadcast-join path keeps the plan size bounded
+_IRLS_LIT_MAX_GROUPS = 64
+
+
+def _sql_lit(v) -> str:
+    """SQL literal for a group key / µ-unit coefficient (str or int)."""
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return f"{int(v)}L"
+
+
+def _irls_round_lit(data, coef_rows, frag, sums):
+    """One Newton round with the (small) coefficient table inlined as
+    CASE literals instead of a broadcast join — same rows, same
+    arithmetic, no per-round broadcast build.  The explicit IN filter
+    replicates the inner join's semantics exactly (rows whose group is
+    not in the coefficient table — e.g. a NULL key — drop out)."""
+    keys = ", ".join(_sql_lit(r[0]) for r in coef_rows)
+
+    def case(idx):
+        return (
+            "CASE "
+            + " ".join(
+                f"WHEN grp = {_sql_lit(r[0])} THEN {_sql_lit(r[idx])}"
+                for r in coef_rows
+            )
+            + " END"
+        )
+
+    rows = (
+        data.where(f"grp IN ({keys})")
+        .selectExpr(
+            "grp", "x1q", "x2q", "y",
+            case(1) + " AS group_n", case(2) + " AS w0u",
+            case(3) + " AS w1u", case(4) + " AS w2u",
+        )
+        .selectExpr("grp", "x1q", "x2q", "y", "group_n",
+                    "w0u", "w1u", "w2u", frag["z"] + " AS z")
+        .selectExpr("grp", "x1q", "x2q", "y", "group_n",
+                    "w0u", "w1u", "w2u", frag["p"] + " AS p")
+        .selectExpr("grp", "x1q", "x2q", "y", "group_n",
+                    "w0u", "w1u", "w2u",
+                    frag["s"] + " AS s", frag["r"] + " AS r")
+    )
+    return _irls_solve(rows, frag, sums)
 
 
 def _irls_round(data, coefs, frag, sums):
@@ -422,6 +515,12 @@ def _irls_round(data, coefs, frag, sums):
                     "w0u", "w1u", "w2u",
                     frag["s"] + " AS s", frag["r"] + " AS r")
     )
+    return _irls_solve(rows, frag, sums)
+
+
+def _irls_solve(rows, frag, sums):
+    """Shared tail of a Newton round: 9 exact-integer sums per group,
+    then the 3×3 Cramer solve inside Catalyst."""
     agg = rows.groupBy("grp").agg(
         F.expr("max(group_n)").alias("n"),
         F.expr("max(w0u)").alias("w0u"),

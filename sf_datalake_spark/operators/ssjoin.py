@@ -73,6 +73,12 @@ def set_similarity_join(
         .agg(F.count("*").alias("df"))
     )
 
+    # The df-ordered token table feeds THREE plan references (the
+    # prefix explode + both token-array join-backs) — without pinning,
+    # the scan+tokenize+dfreq+sort subtree re-executes for each (r10,
+    # guide §2.4; the item_cf_topk lineage-pinning pattern).
+    # localCheckpoint truncates the lineage once; blocks are
+    # ContextCleaner-managed, no persisted-frame leak.
     ordered = (
         sets.select("__id", F.size("toks").alias("n"), F.explode("toks").alias("tok"))
         .join(dfreq, "tok")
@@ -83,6 +89,7 @@ def set_similarity_join(
                 lambda s: s["tok"],
             ).alias("toks")
         )
+        .localCheckpoint(eager=True)
     )
 
     # Candidate pairs carry ONLY (id, n) through the token join and the

@@ -423,6 +423,48 @@ def test_irls_ppm_close_to_float_irls(spark):
     assert abs(out["w2_ppm"] / 1e6 - coef[1]) < 1e-2
 
 
+def test_irls_ppm_lit_and_join_transports_identical(spark):
+    """r10: the CASE-literal coefficient transport (small group sets)
+    and the broadcast-join transport (big group sets) must walk the
+    identical integer trajectory — same fragments, same exact
+    arithmetic, only the plumbing differs.  Forcing the join path via
+    the group-count threshold and comparing against the default (lit)
+    path guards the equivalence; also asserts the AQE pin is restored."""
+    import numpy as np
+    import pandas as pd
+
+    import sf_datalake_spark.ml.grouped as G
+
+    rng = np.random.RandomState(17)
+    n = 300
+    pdf = pd.DataFrame({
+        "grp": rng.choice(["g'1", "g2", "g3"], n),  # quote exercises escaping
+        "x1q": rng.randint(0, 60000, n),
+        "x2q": rng.randint(0, 400, n),
+        "y": rng.randint(0, 2, n),
+    })
+    df = spark.createDataFrame(pdf)
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+
+    def run():
+        return sorted(
+            map(tuple, G.irls_logistic_groups_ppm(
+                df, "grp", "x1q", 10000, "x2q", 100, "y",
+                reg=1e-6, n_iter=4,
+            ).collect())
+        )
+
+    lit_rows = run()
+    saved = G._IRLS_LIT_MAX_GROUPS
+    G._IRLS_LIT_MAX_GROUPS = 0  # force the broadcast-join transport
+    try:
+        join_rows = run()
+    finally:
+        G._IRLS_LIT_MAX_GROUPS = saved
+    assert lit_rows == join_rows
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe_before
+
+
 def test_irls_ppm_degenerate_single_class(spark):
     """A single-class group must stay finite and deterministic: the
     s >= 1 Newton-weight floor keeps the Hessian nonsingular and the
