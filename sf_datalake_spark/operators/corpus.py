@@ -764,9 +764,11 @@ def greedy_coverage_select(
     (count desc, id asc). The per-round driver traffic is one scalar —
     the selection is inherently sequential (each pick conditions on
     all previous), the scoring is fully distributed.  The covered set
-    is a token DataFrame rebuilt as (winner tokens ∪ previous),
-    localCheckpoint-ed per round (iterative-lineage discipline); its
-    size is bounded by the union vocabulary, not the corpus.
+    is DERIVED from the cached incidence each round (tokens of the
+    taken ids, ``filter(isin)``): a left-anti probe ignores duplicate
+    build rows, so no union/distinct materialization and no per-round
+    localCheckpoint job — the lineage stays two ops deep off the
+    persisted frame no matter how many rounds run (r10, guide §2.4).
 
     At 100 TB: scoring shuffles (id, token) once per round — same as
     any distinct-count; with k in the tens this is k scans of a
@@ -778,15 +780,18 @@ def greedy_coverage_select(
         F.col(id_col).alias("id"), F.col(token_col).alias("tok")
     ).distinct().persist()
     picks = []
-    covered = None
     taken: list = []
     try:
         for rank in range(1, k + 1):
             cand = toks
             if taken:
-                cand = cand.filter(~F.col("id").isin(taken))
-            if covered is not None:
-                cand = cand.join(covered, "tok", "left_anti")
+                # covered tokens = tokens of the taken docs, read from
+                # the SAME cached frame (duplicates are harmless to a
+                # left-anti probe — no distinct needed)
+                covered = toks.filter(F.col("id").isin(taken)).select("tok")
+                cand = cand.filter(~F.col("id").isin(taken)).join(
+                    covered, "tok", "left_anti"
+                )
             scores = cand.groupBy("id").agg(F.count("*").alias("m"))
             top = scores.orderBy(
                 F.col("m").desc(), F.col("id").asc()
@@ -796,12 +801,6 @@ def greedy_coverage_select(
             winner, marginal = top[0]["id"], top[0]["m"]
             taken.append(winner)
             picks.append((rank, winner, marginal))
-            new_cov = toks.filter(F.col("id") == winner).select("tok")
-            covered = (
-                new_cov
-                if covered is None
-                else covered.union(new_cov).distinct()
-            ).localCheckpoint(eager=True)
         spark = tokens.sparkSession
         out = spark.createDataFrame(
             [

@@ -50,12 +50,20 @@ def set_similarity_join(
     id_col: str,
     tokens_col: str,
     threshold: float,
+    pin_lineage: bool = True,
 ) -> DataFrame:
     """All pairs (id_a < id_b) whose distinct-token Jaccard >= threshold.
 
     ``tokens_col`` is ``array<string>``; duplicates inside a record are
     collapsed (set semantics).  Returns ``id_a, id_b, inter_size,
     union_size, jaccard`` with jaccard an exact integer ratio.
+
+    ``pin_lineage`` (default on) localCheckpoints the df-ordered token
+    table so its scan+tokenize+dfreq subtree executes once instead of
+    once per plan reference; pass ``False`` to keep the whole lineage
+    lazy/visible (plan-shape tests assert scan pushdown through it —
+    checkpointing hides the scan node from the FINAL plan without
+    changing what was pushed when the subtree ran).
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")
@@ -89,8 +97,9 @@ def set_similarity_join(
                 lambda s: s["tok"],
             ).alias("toks")
         )
-        .localCheckpoint(eager=True)
     )
+    if pin_lineage:
+        ordered = ordered.localCheckpoint(eager=True)
 
     # Candidate pairs carry ONLY (id, n) through the token join and the
     # dedup shuffle — the token arrays rejoin after dropDuplicates, so

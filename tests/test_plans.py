@@ -510,7 +510,28 @@ def test_mining_query_plan_shapes(spark):
     assert rep["n_python_evals"] == 0
     assert rep["n_cartesian_products"] == 0
     assert rep["n_nested_loop_joins"] == 0
-    assert any("doc_id" in f for f in rep["pushed_filters"]), (
+
+    # Pushdown is asserted through the UN-pinned lineage: the registry
+    # query localCheckpoints the df-ordered token table (r10 — the
+    # subtree feeds three plan references), which truncates the final
+    # plan above the documents scan.  The pin changes WHEN the subtree
+    # runs, not what was pushed to the scan when it did — so the
+    # structural claim is checked on the same operator with
+    # pin_lineage=False (identical logical plan below the checkpoint).
+    from sf_datalake_spark.functions.text import tokenize
+    from sf_datalake_spark.operators.ssjoin import set_similarity_join
+
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .filter(F.col("doc_id") % 8 == 0)
+        .select("doc_id", tokenize("text").alias("toks"))
+    )
+    rep_unpinned = plan_report(
+        set_similarity_join(docs, "doc_id", "toks", 0.6, pin_lineage=False)
+    )
+    assert rep_unpinned["n_cartesian_products"] == 0
+    assert rep_unpinned["n_nested_loop_joins"] == 0
+    assert any("doc_id" in f for f in rep_unpinned["pushed_filters"]), (
         "doc_id slice not pushed to the documents scan"
     )
 
