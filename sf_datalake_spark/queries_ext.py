@@ -1437,10 +1437,16 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sf_datalake_spark.operators.similarity import exact_near_dup_pairs_q
 
     emb = _t(spark, sf_dir, "embeddings")
+    # The pair frame feeds TWO consumers (the component edge build and
+    # the pair-census agg) with different downstream projections, so
+    # nothing dedupes the plan references and the per-cell BLAS Gram —
+    # the dominant stage — executed twice (r10, guide §2.4/§5).  Pin
+    # the (small, ≥0.3-cosine) pair set once; blocks are
+    # ContextCleaner-managed.
     pairs = exact_near_dup_pairs_q(
         emb, id_col="vec_id", vec_col="embedding",
         threshold=0.3, quant=1000, n_shards=8,
-    )
+    ).localCheckpoint(eager=True)
     labeled = dedup_clusters(emb.select("vec_id"), pairs, "vec_id")
     dupes = labeled.filter(F.col("is_canonical") == 0)
     stats = pairs.agg(
