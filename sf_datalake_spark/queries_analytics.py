@@ -781,47 +781,68 @@ def q_item_cf_topk(
                          "explode is Σbasket² — not allowed)")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    w_cap = Window.partitionBy("u").orderBy("__bhash", "i")
-    # The capped incidence feeds FIVE plan references (both self-join
-    # sides, both degree joins, upstream) — without pinning, the
-    # scan+join+distinct+cap subtree re-executes for each
-    # (25-exchange plan, audited round 5).  localCheckpoint truncates
-    # the lineage once (same pattern as connected_components /
-    # pareto's core_labeled; blocks are freed by the ContextCleaner, no
-    # persisted-frame leak).  Round-6 trims (r5 verdict #6, measured
-    # interleaved old/new on one session, new faster in every adjacent
-    # pair): the orders dimension is broadcast into the incidence join
-    # (2.4 MB at sf0.1 — map-side, no shuffle), and the symmetric
-    # doubling of the pair table is a codegen'd 2-element explode in
-    # the SAME pass instead of a self-union, which removes the second
-    # localCheckpoint materialization entirely.  (Also tried and
-    # REJECTED: fusing cap+pairs into one groupBy(u) with nested HOF
-    # transforms — higher-order-function lambdas run on the
-    # interpreted expression path and benched 2.2x SLOWER than the
-    # codegen'd window + self-join.)
+    # Basket-expansion pair build (r10, guide §2.3/§2.4 — the
+    # frequent_pairs shape the graph-family edge builds adopted): ONE
+    # groupBy(u) with a set-collecting aggregate replaces the old
+    # distinct → window-cap → self-join chain, cutting the exchanges
+    # from 7 to 4 (distinct on (u,i), the window re-shuffle on u, and
+    # both self-join shuffles collapse into the single groupBy(u)
+    # exchange; pair fan-out is generated post-shuffle inside the same
+    # stage).  The md5 cap hash is computed CODEGEN-side in the scan
+    # projection before the aggregation — the round-6 "nested HOF 2.2x
+    # slower" experiment evaluated md5 inside the interpreted lambda,
+    # which is the cost this split avoids; the remaining HOF work is
+    # slice/transform over ≤ max_basket-element arrays.
+    # collect_set(struct(h, i)) deduplicates (u, i) map-side (set
+    # semantics, exactly the old distinct()), array_sort orders by
+    # (h, i) — the window's (__bhash, i) sort key — and slice applies
+    # the deterministic per-user cap with no window shuffle.  The
+    # checkpointed basket table (|users| rows, ≤ max_basket ints each —
+    # far smaller than the old row-per-(u,i) pin) feeds the degree and
+    # pair consumers without re-executing the scan+join+agg subtree.
     ui = (
         li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
-        .distinct()
         .withColumn(
-            "__bhash",
+            "__h",
             F.expr("conv(substr(md5(concat(cast(u as string), ':', "
                    "cast(i as string))), 1, 8), 16, 10)").cast("bigint"),
         )
-        .withColumn("__brank", F.row_number().over(w_cap))
-        .filter(F.col("__brank") <= max_basket)
-        .select("u", "i")
+    )
+    baskets = (
+        ui.groupBy("u")
+        .agg(F.collect_set(F.struct("__h", "i")).alias("__his"))
+        .select(
+            "u",
+            F.expr(
+                f"array_sort(transform(slice(array_sort(__his), 1, "
+                f"{int(max_basket)}), s -> s.i))"
+            ).alias("__items"),
+        )
         .localCheckpoint(eager=True)
     )
-    deg = ui.groupBy("i").agg(F.count("*").alias("c"))
-    a = ui.alias("a")
-    b = ui.alias("b")
-    pair = (
-        a.join(
-            b,
-            (F.col("a.u") == F.col("b.u")) & (F.col("a.i") < F.col("b.i")),
+    deg = (
+        baskets.select(F.explode("__items").alias("i"))
+        .groupBy("i")
+        .agg(F.count("*").alias("c"))
+    )
+    items = F.col("__items")
+    pair_structs = F.flatten(
+        F.transform(
+            items,
+            lambda x, pos: F.transform(
+                F.slice(
+                    items, pos + 2,
+                    F.greatest(F.size(items) - pos - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("i"), y.alias("j")),
+            ),
         )
-        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+    )
+    pair = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.i", "p.j")
+        .groupBy("i", "j")
         .agg(F.count("*").alias("cij"))
     )
     both = pair.select(

@@ -358,7 +358,16 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + 10000000) div 100000"
         ).alias("b_bucket"),
     )
-    cand = a.join(b, "block")
+    # The 25-nation block join fans ~600²·25 ≈ 9M candidate pairs out of
+    # a probe side that arrives as ONE scan partition (customer.parquet
+    # is a single small file), so the entire pair evaluation ran on one
+    # core (guide §2.5 input skew / §2.6 stragglers).  Spread the probe
+    # side across the cluster before the fan-out (no-op at real scale —
+    # see spread_narrow_scan) and pin the build side broadcast so the
+    # planner can never flip which side stays narrow.
+    from sf_datalake_spark.operators.skew import spread_narrow_scan
+
+    cand = spread_narrow_scan(a).join(F.broadcast(b), "block")
     scored = fellegi_sunter_score(
         cand,
         [

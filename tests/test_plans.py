@@ -929,23 +929,22 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
 
 
 def test_item_cf_basket_cap_plan(spark):
-    """Round-5: item_cf_topk's pair self-join must consume the CAPPED
-    incidence.  The cap subtree is localCheckpoint-ed (it feeds five
-    plan references — without pinning the scan+distinct+cap pipeline
-    re-executed for each, a 25-exchange plan), so the final plan reads
-    checkpointed rows, keeps the two degree joins broadcast, and stays
-    within a tight exchange budget; the cap semantics themselves are
-    asserted behaviorally (basket sizes ≤ 32 in the incidence feeding
-    the join) and an uncapped call is a hard error.
+    """Round-5 origin, r10 shape: item_cf_topk's pairs must come from
+    the CAPPED per-user baskets.  Since r10 the basket table (one
+    groupBy(u) with collect_set + sorted slice — the frequent_pairs
+    basket-expansion shape) is localCheckpoint-ed and feeds the degree
+    and pair consumers; the final plan reads checkpointed rows, keeps
+    the two degree joins broadcast, and stays within a tight exchange
+    budget; the cap semantics themselves are asserted behaviorally
+    (1-item baskets yield no pairs) and an uncapped call is a hard
+    error.
 
-    Exchange budget is 8 since round 6: the pair groupBy pipeline
-    (2 exchanges on u for the self-join + 1 on (i, j)) is INLINE in the
-    final plan — it was previously materialized behind a second
-    localCheckpoint, which hid those three exchanges from this count
-    while still paying them as a separate job (plus the
-    materialization pass the round-6 symmetric-explode removed).  Any
-    count above 8 means the capped-incidence subtree is being
-    re-derived again."""
+    Exchange budget is 6 since r10: 3 shuffles (degree groupBy(i),
+    pair groupBy(i, j), final top-k window on i) + 2 broadcast
+    exchanges (degree joins) + slack of 1.  The old
+    distinct → window-cap → self-join chain put 5 shuffles + 2
+    broadcasts in the final plan; any count above 6 means the
+    self-join or an upstream re-derivation is back."""
     import pytest as _pytest
 
     from pyspark.sql import functions as F
@@ -954,8 +953,9 @@ def test_item_cf_basket_cap_plan(spark):
 
     df = q_item_cf_topk(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") <= 8, (
-        "cap/checkpoint regression: upstream re-derivation is back"
+    assert plan.count("Exchange") <= 6, (
+        "cap/checkpoint regression: the self-join pair build (or an "
+        "upstream re-derivation) is back"
     )
     rep = plan_report(df, execute=True)
     assert rep["n_python_evals"] == 0
