@@ -868,11 +868,20 @@ def bfs_k_hops(
     - Cost is proportional to edges INCIDENT to each frontier, not the
       whole graph, every round — the reason frontier BFS beats k
       rounds of full-graph propagation when seeds are few.
+
+    r10 shuffle trims (guide §2.4): the undirected edge list is NOT
+    dedup'd — duplicate edges only duplicate frontier candidates, and
+    the per-round ``distinct`` already collapses those, so the old
+    ``union().distinct()`` paid a full edge-list exchange for nothing
+    (result-identical for ANY input, duplicate edges included).  And
+    ``visited`` is a plain union of the per-round PINNED frontiers —
+    re-checkpointing the growing union every round was one extra
+    materialization job per hop with no consumer besides the anti-join,
+    which reads the same pinned blocks either way.
     """
     und = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .distinct()
         .persist()
     )
     try:
@@ -880,20 +889,23 @@ def bfs_k_hops(
             seeds.select(F.col(seed_col).alias("id")).distinct()
             .localCheckpoint(eager=True)
         )
-        visited = frontier.withColumn("min_hops", F.lit(0))
+        levels = [frontier.withColumn("min_hops", F.lit(0))]
+        visited_ids = frontier
         for h in range(1, k + 1):
             frontier = (
                 frontier.join(und, frontier.id == und.s)
                 .select(F.col("d").alias("id"))
                 .distinct()
-                .join(visited.select("id"), "id", "left_anti")
+                .join(visited_ids, "id", "left_anti")
                 .localCheckpoint(eager=True)
             )
             if not frontier.take(1):
                 break
-            visited = visited.union(
-                frontier.withColumn("min_hops", F.lit(h))
-            ).localCheckpoint(eager=True)
+            levels.append(frontier.withColumn("min_hops", F.lit(h)))
+            visited_ids = visited_ids.union(frontier)
+        visited = levels[0]
+        for lvl in levels[1:]:
+            visited = visited.union(lvl)
         return visited.select("id", F.col("min_hops").cast("int").alias("min_hops"))
     finally:
         und.unpersist()
@@ -904,6 +916,7 @@ def label_propagation_sync(
     rounds: int,
     src: str = "src",
     dst: str = "dst",
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """Deterministic SYNCHRONOUS label propagation (community
     detection): every node starts labeled with its own id; each round
@@ -920,26 +933,31 @@ def label_propagation_sync(
 
     Returns ``(id, label)`` for every node incident to an edge.  Each
     round is ONE join (edges ⋈ labels on src) + ONE count aggregation +
-    ONE window argmax — all keyed by node id, same bucketing story as
-    :func:`bfs_k_hops`. Labels are localCheckpoint-ed per round
+    ONE argmax aggregation — all keyed by node id, same bucketing story
+    as :func:`bfs_k_hops`. Labels are localCheckpoint-ed per round
     (iterative-lineage discipline).
-    """
-    from pyspark.sql import Window
 
+    ``dedup_edges`` (default True, the historical behavior) dedups the
+    undirected edge list — message counts ARE sensitive to duplicate
+    edges here, unlike BFS.  Pass False when the input is already a
+    unique ``src < dst`` pair set (e.g. ``frequent_pairs`` output) and
+    the dedup exchange is pure overhead (r10, guide §2.4).  The
+    per-round argmax is a ``min(struct(-c, label))`` aggregation since
+    r10 — same (c desc, label asc) order as the old row_number window,
+    but partial-aggregatable map-side and with no per-partition sort.
+    """
     und = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .distinct()
-        .persist()
     )
+    if dedup_edges:
+        und = und.distinct()
+    und = und.persist()
     try:
         labels = (
             und.select(F.col("s").alias("id")).distinct()
             .withColumn("label", F.col("id"))
             .localCheckpoint(eager=True)
-        )
-        w = Window.partitionBy("id").orderBy(
-            F.col("c").desc(), F.col("label").asc()
         )
         for _ in range(rounds):
             msgs = und.join(
@@ -947,9 +965,16 @@ def label_propagation_sync(
             ).select(F.col("d").alias("id"), "label")
             counts = msgs.groupBy("id", "label").agg(F.count("*").alias("c"))
             labels = (
-                counts.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("id", "label")
+                counts.groupBy("id")
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("c")).alias("__nc"),
+                            F.col("label").alias("label"),
+                        )
+                    ).alias("__best")
+                )
+                .select("id", F.col("__best.label").alias("label"))
                 .localCheckpoint(eager=True)
             )
         return labels
@@ -989,6 +1014,11 @@ def bellman_k_hops(
     100 TB the edge list is the reused side — persist it, bucket it
     by src, and the per-round join is exchange-free on the big side.
     """
+    # No dedup of the undirected list (r10, guide §2.4): the per-round
+    # groupBy-min absorbs duplicate (s, d, w) rows — and even genuinely
+    # duplicated edges with different weights relax to the same min —
+    # so the old union().distinct() paid a full edge exchange for a
+    # result-identical frame.
     und = (
         edges.select(
             F.col(src).alias("s"), F.col(dst).alias("d"),
@@ -1000,7 +1030,6 @@ def bellman_k_hops(
                 F.col(weight).cast("bigint").alias("w"),
             )
         )
-        .distinct()
         .persist()
     )
     try:

@@ -14,14 +14,15 @@ Spark-first design, sized for 100 TB:
   membership table is semi-joined down to frequent items before any
   pair is formed.  On heavy-tailed corpora this removes most of the
   pair volume for the cost of one cheap count.
-- **Pairs via self-join on the basket key**, ``item_1 < item_2`` — the
-  join is an equi-join on basket id (shuffle on basket, no broadcast
-  needed, no cartesian), and each basket of size *s* yields exactly
-  s·(s−1)/2 ordered pairs.  Baskets are bounded (a 100-line order, a
-  cart), so per-key fan-out is quadratic in a SMALL s — the hot-basket
-  guard ``max_basket_size`` drops degenerate mega-baskets (a crawler
-  session with 10^5 items would alone emit 5·10^9 pairs) the same way
-  the dedup layer caps hot shingles.
+- **Pairs via per-basket array expansion**, ``item_1 < item_2`` — one
+  groupBy collects each basket's (deduped, sorted) items and the i<j
+  pairs are generated post-shuffle inside the same stage; each basket
+  of size *s* yields exactly s·(s−1)/2 ordered pairs.  Baskets are
+  bounded (a 100-line order, a cart), so per-key fan-out is quadratic
+  in a SMALL s — the hot-basket guard ``max_basket_size`` drops
+  degenerate mega-baskets (a crawler session with 10^5 items would
+  alone emit 5·10^9 pairs) the same way the dedup layer caps hot
+  shingles.
 - The final support count shuffles on the pair key — 16 bytes — never
   on basket contents.
 """
@@ -59,8 +60,11 @@ def frequent_pairs(
     ~0.3 s of 2.5 s at sf0.1 with zero rows removed)."""
     m = baskets.select(
         F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
+    )
     if prune_items:
+        # the support count and the semi-join both need the DISTINCT
+        # membership, so the dedup is a standalone exchange here
+        m = m.distinct()
         freq_items = (
             m.groupBy("__i")
             .agg(F.count("*").alias("__s"))
@@ -76,8 +80,13 @@ def frequent_pairs(
     # scans it once and shuffles only (basket → items) and the 16-byte
     # pair keys.  Per-basket fan-out is s·(s−1)/2 — quadratic in the
     # SMALL bounded basket size, linear in baskets.
+    # collect_set dedups (basket, item) INSIDE the aggregation (partial
+    # sets merge map-side), so the no-prune path never pays a separate
+    # distinct exchange of the membership table (r10, guide §2.4); the
+    # prune path arrives already distinct'd and a set-collect of unique
+    # rows is the same list.
     baskets_arr = m.groupBy("__b").agg(
-        F.array_sort(F.collect_list("__i")).alias("__items")
+        F.array_sort(F.collect_set("__i")).alias("__items")
     )
     if max_basket_size is not None:
         baskets_arr = baskets_arr.filter(

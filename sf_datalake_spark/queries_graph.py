@@ -137,7 +137,9 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sf_datalake_spark.operators.components import label_propagation_sync
 
     edges = _part_edges(spark, sf_dir)
-    labels = label_propagation_sync(edges, _LPA_ROUNDS)
+    # frequent_pairs emits each unordered pair exactly once → the
+    # operator's dedup exchange is pure overhead here (r10)
+    labels = label_propagation_sync(edges, _LPA_ROUNDS, dedup_edges=False)
     return labels.select(F.col("id").alias("part_node"), "label")
 
 
