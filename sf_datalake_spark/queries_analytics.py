@@ -446,7 +446,8 @@ def q_streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq_col="event_id",
         type_col="event_type",
     )
-    pairs = run_to_memory(pairs_stream, "q_streaming_transitions")
+    pairs = run_to_memory(pairs_stream, "q_streaming_transitions",
+                          final_watermark_batch=False)
     counts = pairs.groupBy("from_type", "to_type").agg(
         F.count("*").alias("n")
     )
@@ -610,7 +611,8 @@ def q_streaming_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__shard", F.pmod(F.col("doc_id"), F.lit(8)))
     )
     admitted = streaming_sample_admissions(stream, "__shard", "__sk", k=100)
-    sink = run_to_memory(admitted, "q_streaming_exact_k")
+    sink = run_to_memory(admitted, "q_streaming_exact_k",
+                         final_watermark_batch=False)
     return (
         sink.orderBy("__sk", "doc_id")
         .limit(100)

@@ -1070,7 +1070,8 @@ def q_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_mean_word_len=3.0, max_mean_word_len=6.0,
         max_dup_token_frac=0.8, min_stopword_hits=1,
     ).select("doc_id", "n_tokens", "keep")
-    return run_to_memory(gated, "q_streaming_quality", output_mode="append")
+    return run_to_memory(gated, "q_streaming_quality", output_mode="append",
+                         final_watermark_batch=False)
 
 
 _STREAMING_QUALITY_SQL = r"""

@@ -900,7 +900,8 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs=[F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("session_value")],
         keys=["user_id"],
     )
-    out = run_to_memory(agg, "q_streaming_sessions", output_mode="complete")
+    out = run_to_memory(agg, "q_streaming_sessions", output_mode="complete",
+                        final_watermark_batch=False)
     return out.select(
         "user_id",
         F.unix_micros("session_start").alias("session_start_us"),
@@ -2819,7 +2820,8 @@ def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         keys=["event_type"],
     )
-    out = run_to_memory(agg, "q_streaming_windowed", output_mode="complete")
+    out = run_to_memory(agg, "q_streaming_windowed", output_mode="complete",
+                        final_watermark_batch=False)
     return out.select(
         "event_type",
         F.unix_micros("window_start").alias("window_start_us"),
@@ -2848,7 +2850,8 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events_stream(spark, sf_dir).select("user_id", "event_type"),
         ["user_id", "event_type"],
     )
-    return run_to_memory(dd, "q_streaming_dedup", output_mode="append")
+    return run_to_memory(dd, "q_streaming_dedup", output_mode="append",
+                         final_watermark_batch=False)
 
 
 _STREAMING_DEDUP_SQL = """
@@ -3057,7 +3060,8 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id_r").alias("purchase_id"),
         (F.unix_timestamp("ts_r") - F.unix_timestamp("ts_l")).alias("secs_between"),
     )
-    return run_to_memory(joined, "q_stream_stream_join", output_mode="append")
+    return run_to_memory(joined, "q_stream_stream_join", output_mode="append",
+                         final_watermark_batch=False)
 
 
 _STREAM_STREAM_JOIN_SQL = """
@@ -3127,7 +3131,8 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("value_sum"),
     )
-    out = run_to_memory(agg, "q_stream_static_join", output_mode="complete")
+    out = run_to_memory(agg, "q_stream_static_join", output_mode="complete",
+                        final_watermark_batch=False)
     return out.select("c_mktsegment", "n_events", "value_sum")
 
 
@@ -3414,7 +3419,8 @@ def q_streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_ticks"),
         )
     )
-    out = run_to_memory(agg, "q_streaming_ohlc", output_mode="complete")
+    out = run_to_memory(agg, "q_streaming_ohlc", output_mode="complete",
+                        final_watermark_batch=False)
     return out.select(
         "event_type",
         F.to_date("w.start").alias("day"),

@@ -297,7 +297,8 @@ def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     est = run_to_memory(
-        est_stream, "q_streaming_hll_distinct", output_mode="complete"
+        est_stream, "q_streaming_hll_distinct", output_mode="complete",
+        final_watermark_batch=False,
     )
     exact = (
         _t(spark, sf_dir, "events")
@@ -351,7 +352,8 @@ def q_streaming_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     est = run_to_memory(
-        est_stream, "q_streaming_kll_quantiles", output_mode="complete"
+        est_stream, "q_streaming_kll_quantiles", output_mode="complete",
+        final_watermark_batch=False,
     )
     ev = _t(spark, sf_dir, "events").select("event_type", "value")
     return (

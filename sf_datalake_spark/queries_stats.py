@@ -973,7 +973,8 @@ def q_streaming_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("bit_or(bit)").alias("bits"))
     )
     words = run_to_memory(
-        words_stream, "q_streaming_bitmap_distinct", output_mode="complete"
+        words_stream, "q_streaming_bitmap_distinct", output_mode="complete",
+        final_watermark_batch=False,
     )
     return words.groupBy("event_type").agg(
         F.sum(F.expr("bit_count(bits)")).cast("bigint").alias("n_distinct"),
