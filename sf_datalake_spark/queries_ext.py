@@ -2567,14 +2567,22 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    new_sigs = minhash_signature(
-        docs.filter(F.col("source") == "src3"), "doc_id", "text",
-        num_hashes=8, shingle_n=3,
+    # ONE shingle+hash pass, pinned (r10, guide §2.4/§5):
+    # lsh_pairs_against references the new side 4 times (banding,
+    # within-batch banding, both est_jaccard signature join-backs) and
+    # the base side 3 — two separate per-slice minhash_signature calls
+    # re-executed the explode+md5+8-hash-min pipeline for EACH
+    # reference (~3.3 full-corpus passes total).  Signatures for the
+    # whole corpus are computed once, tagged with the source (cheap
+    # column-pruned scan, broadcast join), and pinned; the slices are
+    # filters over the pinned rows.
+    sigs_all = (
+        minhash_signature(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
+        .join(F.broadcast(docs.select("doc_id", "source")), "doc_id")
+        .localCheckpoint(eager=True)
     )
-    base_sigs = minhash_signature(
-        docs.filter(F.col("source") != "src3"), "doc_id", "text",
-        num_hashes=8, shingle_n=3,
-    )
+    new_sigs = sigs_all.filter(F.col("source") == "src3").drop("source")
+    base_sigs = sigs_all.filter(F.col("source") != "src3").drop("source")
     return lsh_pairs_against(
         new_sigs, base_sigs, "doc_id",
         bands=4, rows_per_band=2, signature_length=8,
