@@ -186,11 +186,14 @@ def running_total_alerts(
         total, emitted = state.get if state.exists else (0.0, 0)
         rows = []
         for pdf in pdfs:
-            for _, r in pdf.sort_values(ts_col).iterrows():
-                total += float(r[value_col])
+            sp = pdf.sort_values(ts_col)
+            # zip over the two touched columns — iterrows builds a
+            # Series per row, ~40x slower (guide §4.2)
+            for v, ts in zip(sp[value_col], sp[ts_col]):
+                total += float(v)
                 while total >= threshold * (emitted + 1):
                     emitted += 1
-                    rows.append((*key, emitted, total, r[ts_col]))
+                    rows.append((*key, emitted, total, ts))
         state.update((total, emitted))
         if timeout_ms is not None:
             state.setTimeoutDuration(timeout_ms)
@@ -335,11 +338,12 @@ def running_total_alerts_tws(
             total, emitted = got if got is not None else (0.0, 0)
             out = []
             for pdf in rows:
-                for _, r in pdf.sort_values(ts_col).iterrows():
-                    total += float(r[value_col])
+                sp = pdf.sort_values(ts_col)
+                for v, ts in zip(sp[value_col], sp[ts_col]):
+                    total += float(v)
                     while total >= threshold * (emitted + 1):
                         emitted += 1
-                        out.append((*key, emitted, total, r[ts_col]))
+                        out.append((*key, emitted, total, ts))
             self._state.update((total, emitted))
             yield pd.DataFrame(out, columns=cols)
 
