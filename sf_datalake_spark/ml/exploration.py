@@ -440,7 +440,20 @@ def pca_top2_fixed_basis_ppm(
         *id_cols, "__fit",
         *[(F.col(f"x{i}") - F.lit(means[i])).alias(f"c{i}") for i in range(d)],
     )
-    cen, _ = fit_ready(cen, target_rows_per_partition=250_000, min_partitions=4)
+    # min_partitions=1, not the IRLS loop's 4: every power round is a
+    # KEYLESS global aggregation, and a 1-partition cache satisfies
+    # AllTuples so the partial→final exchange (and its extra AQE job
+    # per round) disappears — measured 2 jobs/round → 1.  Still
+    # size-derived: a billion-row matrix gets thousands of partitions
+    # and the exchange cost is then negligible against the scan.
+    cen, _ = fit_ready(cen, target_rows_per_partition=250_000, min_partitions=1)
+    if cen.rdd.getNumPartitions() == 1:
+        # a cached scan reports UNKNOWN partitioning even with one
+        # partition, so the planner still inserts the partial→final
+        # exchange; Coalesce(1) advertises SinglePartition and the
+        # per-round agg plans as ONE stage (measured: 2 jobs/round → 1,
+        # plan loses the Exchange).  Data-wise a no-op.
+        cen = cen.coalesce(1)
     try:
         frag = pca_ppm_fragments(d, n_iter, div="div")
         v1 = _pca_power_iter_ppm(cen.filter("__fit"), d, n_iter)

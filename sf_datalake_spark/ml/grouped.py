@@ -384,8 +384,18 @@ def irls_logistic_groups_ppm(
         from sf_datalake_spark.ml.models import fit_ready
 
         data, _ = fit_ready(
-            data, target_rows_per_partition=250_000, min_partitions=4
+            data, target_rows_per_partition=250_000, min_partitions=1
         )
+        if data.rdd.getNumPartitions() == 1:
+            # Coalesce(1) advertises SinglePartition (a cached scan
+            # reports UNKNOWN partitioning even at one partition), and
+            # SinglePartition satisfies the groupBy's clustered
+            # distribution — every Newton round's 9-sum aggregation
+            # plans as ONE stage with no exchange (the PCA power loop's
+            # r10 finding; measured there: 2 jobs/round → 1).  At any
+            # real size the cache is many partitions and this is a
+            # no-op.
+            data = data.coalesce(1)
         counts = data.groupBy("grp").agg(
             F.count("*").alias("group_n")
         ).collect()
