@@ -968,7 +968,16 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip-tested) remains the production form for users who want
     actual DEFLATE sizes; docs shorter than 8 chars are skipped (the
     ratio is undefined), mirroring the zlib form's empty-doc skip."""
-    docs = _t(spark, sf_dir, "documents")
+    from sf_datalake_spark.operators.skew import spread_narrow_scan
+
+    # The per-row work (an interpreted HOF materializing ~|text| 8-gram
+    # slices + array_distinct) is heavy per input byte, and the
+    # documents file arrives as ONE scan partition — the whole stage
+    # ran on a single core (census r10: 2 tasks total).  Spread it
+    # (no-op at real scale — see spread_narrow_scan).  Guide §2.5/§2.6.
+    docs = spread_narrow_scan(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     grams = F.expr(
         "transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))"
     )
