@@ -580,9 +580,15 @@ def repetition_stats(
     """
     if ngram_n < 1:
         raise ValueError(f"ngram_n must be >= 1, got {ngram_n}")
+    from sf_datalake_spark.operators.skew import spread_narrow_scan
+
     toks = tokenize(text_col)
     base = (
-        df.select(F.col(id_col), toks.alias("__t"))
+        # tokenize + array_distinct + per-gram concat all run in the
+        # scan stage; spread a narrow single-file scan across the
+        # cluster first (no-op at real scale — measured −14% at sf0.1)
+        spread_narrow_scan(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), toks.alias("__t"))
         .filter(F.size("__t") >= ngram_n)
         .select(
             id_col,
