@@ -98,10 +98,17 @@ def test_quarantine_replay_of_r06_driver_numbers_heals_the_record():
     """The v6 design criterion (round-6 verdict #4): replaying the r06
     driver sidecar's contaminated interleaved numbers with the judge's
     standalone re-measurements as the 'fresh' timings must produce a
-    queries map whose history guard flags none of that cluster."""
-    hist = bench._committed_history()
-    if "anti_join_inactive" not in hist:
-        return  # fresh clone without the r06 sidecar history
+    queries map whose history guard flags none of that cluster.
+
+    The history is FROZEN at the r06-era committed floors: the live
+    ``_committed_history()`` min keeps dropping as the engine gets
+    faster (the r10 clean anchor put range_join_months at 0.26 s), and
+    against a newer, lower floor the same 0.69 s re-measure is
+    LEGITIMATELY still suspect — this test checks the healing
+    mechanism, not the current repo's speed."""
+    # r06-era committed floors (what _committed_history() returned then)
+    hist = {"range_join_months": 0.66, "anti_join_inactive": 0.40,
+            "semi_join_active": 0.42}
     # r06 contaminated values (driver sidecar) / judge standalone truths
     timings = {"range_join_months": 1.65, "anti_join_inactive": 1.35,
                "semi_join_active": 0.92}
