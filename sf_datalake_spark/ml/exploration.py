@@ -446,7 +446,13 @@ def pca_top2_fixed_basis_ppm(
     # per round) disappears — measured 2 jobs/round → 1.  Still
     # size-derived: a billion-row matrix gets thousands of partitions
     # and the exchange cost is then negligible against the scan.
-    cen, _ = fit_ready(cen, target_rows_per_partition=250_000, min_partitions=1)
+    # Keep a handle to the frame fit_ready cached: the coalesce(1)
+    # below is a different plan (Repartition over the cached scan) and
+    # unpersist() on it does not release the cache entry — the
+    # r10 advice-verified leak.  The finally unpersists `cached`.
+    cached, _ = fit_ready(cen, target_rows_per_partition=250_000,
+                          min_partitions=1)
+    cen = cached
     if cen.rdd.getNumPartitions() == 1:
         # a cached scan reports UNKNOWN partitioning even with one
         # partition, so the planner still inserts the partial→final
@@ -487,7 +493,7 @@ def pca_top2_fixed_basis_ppm(
         finally:
             defl.unpersist()
     finally:
-        cen.unpersist()
+        cached.unpersist()
     return out
 
 

@@ -383,9 +383,15 @@ def irls_logistic_groups_ppm(
         # partitions — the coalesce is size-derived, not a constant.
         from sf_datalake_spark.ml.models import fit_ready
 
-        data, _ = fit_ready(
+        # Keep a handle to the frame fit_ready cached: coalesce(1)
+        # below produces a DIFFERENT plan (Repartition over the cached
+        # scan), and unpersist() on that wrapper does not match the
+        # cache entry — the r10 advice-verified leak.  The finally
+        # must unpersist `cached`, never the coalesced rebind.
+        cached, _ = fit_ready(
             data, target_rows_per_partition=250_000, min_partitions=1
         )
+        data = cached
         if data.rdd.getNumPartitions() == 1:
             # Coalesce(1) advertises SinglePartition (a cached scan
             # reports UNKNOWN partitioning even at one partition), and
@@ -453,7 +459,7 @@ def irls_logistic_groups_ppm(
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
     finally:
-        data.unpersist()
+        cached.unpersist()
     return spark.createDataFrame(
         coef_rows,
         f"grp {grp_type}, group_n bigint, "
