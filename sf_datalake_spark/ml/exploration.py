@@ -18,7 +18,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.ml.feature import PCA, VectorAssembler
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -207,43 +207,90 @@ def quantile_summary(
 ) -> DataFrame:
     """Exact quantiles per column (long format: column, quantile, value).
 
-    ``F.percentile`` is exact (full sort per group) — right for
-    analysis-time summaries; switch to ``approx_percentile`` for the
-    100 TB interactive path.
+    Bit-identical to ``F.percentile`` (linear interpolation at
+    ``position = q * (n - 1)``) but WITHOUT its single-buffer exact
+    aggregate: Spark's ``Percentile`` holds a value→count map of the
+    ENTIRE column in one aggregation buffer and merges every partial
+    into ONE final reducer — 2.6 s serial at sf0.1 and a driver-sized
+    OOM at 100 TB (r10 verdict #1).  Here the value→count map is an
+    ordinary distributed ``groupBy(column, value)`` (partial map-side
+    aggregation, shuffle bounded by the DISTINCT value domain, never
+    the row count), the cumulative rank is a per-column window over
+    those distinct values, and each quantile interpolates between the
+    two bracketing order statistics with EXACTLY Spark's expression
+    ``(ceil(pos) - pos) * lo + (pos - floor(pos)) * hi`` (including
+    its lo==hi and equal-key short-circuits), so outputs match the old
+    aggregate to the last ulp.
 
-    All columns are aggregated in ONE scan (a single multi-aggregate
-    select), then pivoted to long format by exploding the 1-row result
-    — a per-column union of separate scans would read the table
-    len(cols) times.
+    All columns still travel in ONE scan (exploded to long format);
+    values are compared/interpolated as doubles — the same
+    ``toDoubleValue`` conversion the Percentile aggregate applies.
+    Memory bound: the per-column sort is over distinct values (e.g. a
+    DECIMAL(15,2) price domain), one window partition per column.
     """
-    qlist = ", ".join(str(float(q)) for q in quantiles)
     qarr = F.array(*[F.lit(float(q)) for q in quantiles])
-    row = df.agg(
-        *[
-            F.expr(f"percentile(`{c}`, array({qlist}))").alias(f"__q{i}")
-            for i, c in enumerate(cols)
-        ]
+    long = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column"),
+                            F.col(c).cast("double").alias("value"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("__s")
+        )
+        .select("__s.column", "__s.value")
+        .filter(F.col("value").isNotNull())
     )
-    stacked = row.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("column"),
-                        F.col(f"__q{i}").alias("__vals"),
-                    )
-                    for i, c in enumerate(cols)
-                ]
-            )
-        ).alias("__s")
+    cnt = long.groupBy("column", "value").agg(F.count("*").alias("__c"))
+    w_cum = (
+        Window.partitionBy("column")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return stacked.select(
-        F.col("__s.column").alias("column"),
-        F.posexplode("__s.__vals").alias("__i", "value"),
-    ).select(
+    w_all = Window.partitionBy("column")
+    cum = cnt.select(
+        "column",
+        "value",
+        F.sum("__c").over(w_cum).alias("__cum"),
+        F.sum("__c").over(w_all).alias("__n"),
+    )
+    # position = q * (n - 1), computed long→double exactly as the
+    # Percentile aggregate does; the value at 0-based sorted index k is
+    # the least value whose cumulative count reaches k + 1.
+    pos = (F.col("__q") * (F.col("__n") - F.lit(1)).cast("double")).alias(
+        "__pos"
+    )
+    qexp = cum.select(
+        "column", "value", "__cum", "__n",
+        F.posexplode(qarr).alias("__i", "__q"),
+    ).select("column", "value", "__cum", "__i", pos)
+    agg = qexp.groupBy("column", "__i").agg(
+        F.min("__pos").alias("__pos"),
+        F.min(
+            F.when(F.col("__cum") >= F.floor("__pos") + 1, F.col("value"))
+        ).alias("__lov"),
+        F.min(
+            F.when(F.col("__cum") >= F.ceil("__pos") + 1, F.col("value"))
+        ).alias("__hiv"),
+    )
+    value = (
+        F.when(F.ceil("__pos") == F.floor("__pos"), F.col("__lov"))
+        .when(F.col("__hiv") == F.col("__lov"), F.col("__lov"))
+        .otherwise(
+            (F.ceil("__pos").cast("double") - F.col("__pos")) * F.col("__lov")
+            + (F.col("__pos") - F.floor("__pos").cast("double"))
+            * F.col("__hiv")
+        )
+    )
+    return agg.select(
         "column",
         F.element_at(qarr, F.col("__i") + 1).alias("quantile"),
-        "value",
+        value.alias("value"),
     )
 
 
