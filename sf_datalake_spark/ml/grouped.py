@@ -425,6 +425,15 @@ def irls_logistic_groups_ppm(
             len(coef_rows) <= _IRLS_LIT_MAX_GROUPS
             and all(isinstance(r[0], (str, int)) for r in coef_rows)
         )
+        # CONTRACT (r10 verdict #3): the AQE flip below is a
+        # session-wide conf — Spark has no per-DataFrame AQE scope — so
+        # this operator assumes SINGLE-THREADED driver execution, which
+        # is how the bench, the oracle drive, and the driver contract
+        # all run queries.  A concurrent query submitted from another
+        # driver thread during the (sub-second) loop window would plan
+        # without AQE; callers running multi-threaded drivers must
+        # serialize around grouped-IRLS or accept that.  The previous
+        # value is restored in the finally even on error.
         aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
         try:
             spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -609,6 +609,7 @@ def k_core(
     dst: str = "id_2",
     max_iter: int = 40,
     driver_threshold: int = 1_000_000,
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """Vertices of the k-core — the maximal subgraph in which every
     vertex keeps degree >= k — with their within-core degree.
@@ -633,15 +634,23 @@ def k_core(
     # canonicalize + distinct: duplicate edges (either orientation)
     # must not double-count degrees — the driver path's adjacency SETS
     # dedup implicitly, so the distributed path must match.
-    directed = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("u"),
-            F.greatest(F.col(src), F.col(dst)).alias("v"),
+    # ``dedup_edges=False`` skips that full exchange for callers whose
+    # edge source is ALREADY canonical (src < dst) and unique — e.g.
+    # ``frequent_pairs`` output, unique by its groupBy(item_1, item_2)
+    # construction (same contract as label_propagation_sync's flag;
+    # pinned by tests/test_graph_batch.py).  Duplicate edges with the
+    # flag off would double-count distributed-path degrees.
+    directed = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if dedup_edges:
+        directed = (
+            directed.select(
+                F.least("u", "v").alias("u"),
+                F.greatest("u", "v").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
         )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .persist()
-    )
+    directed = directed.persist()
     try:
         n_edges = directed.count()
         if n_edges <= driver_threshold:
@@ -720,6 +729,7 @@ def core_numbers(
     dst: str = "id_2",
     max_iter: int = 40,
     driver_threshold: int = 1_000_000,
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """Core number (degeneracy) of every vertex — the largest k such
     that the vertex survives in the k-core.
@@ -739,15 +749,19 @@ def core_numbers(
     """
     import math
 
-    directed = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("u"),
-            F.greatest(F.col(src), F.col(dst)).alias("v"),
+    # dedup_edges=False: same already-canonical-and-unique caller
+    # contract as k_core above (frequent_pairs-shaped edge sources).
+    directed = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if dedup_edges:
+        directed = (
+            directed.select(
+                F.least("u", "v").alias("u"),
+                F.greatest("u", "v").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
         )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .persist()
-    )
+    directed = directed.persist()
     try:
         n_edges = directed.count()
         if n_edges <= driver_threshold:

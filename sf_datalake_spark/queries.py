@@ -54,6 +54,18 @@ from sf_datalake_spark.operators.windows import (
 
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
+#: Lazy-plan memo for :func:`_t`, keyed (applicationId, sf_dir, name).
+#: ``spark.read.parquet(path)`` runs a one-task schema-inference JOB on
+#: every call (~0.1 s of pure scheduler latency), so a 300-query drive
+#: re-paid it thousands of times — over half the per-query fixed
+#: overhead the r10 verdict flagged.  The memo holds the UNRESOLVED
+#: lazy DataFrame only — schema + file listing, exactly what a
+#: metastore catalog table would provide — never rows: every action
+#: still scans the parquet data pages, so bench/oracle runs compute
+#: from the inputs each time (cache-clearing between runs is
+#: unaffected; there is nothing persisted to clear).
+_T_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # DELIBERATE session pin, part of the query contract: every query
@@ -63,6 +75,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # didn't build); callers needing another zone should not share a
     # session with these queries.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _T_MEMO.get(key)
+    if df is None:
+        df = _t_load(spark, sf_dir, name)
+        _T_MEMO[key] = df
+    return df
+
+
+def _t_load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # The events table stores parquet TIMESTAMP(NANOS), which Spark
         # builds surface differently: native-nanos readers return

@@ -598,7 +598,8 @@ def q_streaming_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs_path = _os.path.join(sf_dir, "documents.parquet")
-    schema = spark.read.parquet(docs_path).schema
+    # _t memoizes the lazy plan, so the schema costs no footer job here
+    schema = _t(spark, sf_dir, "documents").schema
     import hashlib as _hashlib
     import tempfile as _tempfile
 
@@ -847,22 +848,17 @@ def q_item_cf_topk(
         .groupBy("i", "j")
         .agg(F.count("*").alias("cij"))
     )
-    both = pair.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("i"), F.col("j"), F.col("cij")),
-                F.struct(
-                    F.col("j").alias("i"),
-                    F.col("i").alias("j"),
-                    F.col("cij"),
-                ),
-            )
-        ).alias("p")
-    ).select("p.*")
-    # item degrees are |items| rows (20k at sf0.1) against the pair
-    # table's millions — broadcast both degree joins
-    scored = (
-        both.join(F.broadcast(deg.select(F.col("i"), F.col("c").alias("ci"))), "i")
+    # Score the CANONICAL (i < j) pair table first, then emit both
+    # directions (r11): sim2_ppm = cij²·10⁶ div (ci·cj) is symmetric,
+    # so scoring before the direction explode halves both broadcast
+    # join probes and the score arithmetic vs the old
+    # explode-then-join order.  Item degrees are |items| rows (20k at
+    # sf0.1) against the pair table's millions — broadcast both
+    # degree joins.
+    half = (
+        pair.join(
+            F.broadcast(deg.select(F.col("i"), F.col("c").alias("ci"))), "i"
+        )
         .join(
             F.broadcast(deg.select(F.col("i").alias("j"), F.col("c").alias("cj"))),
             "j",
@@ -874,6 +870,19 @@ def q_item_cf_topk(
             F.expr("cij * cij * 1000000L div (ci * cj)").alias("sim2_ppm"),
         )
     )
+    scored = half.select(
+        F.explode(
+            F.array(
+                F.struct("i", "j", "cij", "sim2_ppm"),
+                F.struct(
+                    F.col("j").alias("i"),
+                    F.col("i").alias("j"),
+                    "cij",
+                    "sim2_ppm",
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
     w = Window.partitionBy("i").orderBy(
         F.col("sim2_ppm").desc(), F.col("j").asc()
     )

@@ -2576,6 +2576,11 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole corpus are computed once, tagged with the source (cheap
     # column-pruned scan, broadcast join), and pinned; the slices are
     # filters over the pinned rows.
+    # Scale caveat (r10 advice): the broadcast hint ships one row per
+    # document — fine for this corpus slice, but a billions-of-docs
+    # corpus exceeds the 8 GB broadcast cap; at that size drop the hint
+    # (the equi-join sort-merges on doc_id) or tag `source` inside the
+    # minhash input projection so no join is needed at all.
     sigs_all = (
         minhash_signature(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
         .join(F.broadcast(docs.select("doc_id", "source")), "doc_id")
@@ -2750,6 +2755,9 @@ _TFIDF_SQL = r"""
 # streaming≡batch proof strategy as streaming_sessions.
 # ---------------------------------------------------------------------------
 
+_EVENTS_RAW_DT: dict[tuple[str, str], str] = {}
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events parquet as a file stream, ``ts`` normalized to a UTC
     TIMESTAMP.
@@ -2765,10 +2773,16 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, "events.parquet")
-    try:
-        raw_dt = dict(spark.read.parquet(path).dtypes)["ts"]
-    except Exception:  # legacy reader rejects TIMESTAMP(NANOS) outright
-        raw_dt = "bigint"
+    memo_key = (spark.sparkContext.applicationId, path)
+    raw_dt = _EVENTS_RAW_DT.get(memo_key)
+    if raw_dt is None:
+        try:
+            raw_dt = dict(spark.read.parquet(path).dtypes)["ts"]
+        except Exception:  # legacy reader rejects TIMESTAMP(NANOS) outright
+            raw_dt = "bigint"
+        # footer probe costs a one-task job per call — memoize like
+        # queries._t (schema metadata only, never rows)
+        _EVENTS_RAW_DT[memo_key] = raw_dt
 
     # The driver testdata ships events.parquet as a single FILE inside
     # sf_dir, so the stream points at sf_dir with a name glob.  A
@@ -2910,7 +2924,8 @@ def q_streaming_near_dup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sf_datalake_spark.streaming import read_file_stream, run_near_dup_gate
 
     docs_path = os.path.join(sf_dir, "documents.parquet")
-    schema = spark.read.parquet(docs_path).schema
+    # _t memoizes the lazy plan, so the schema costs no footer job here
+    schema = _t(spark, sf_dir, "documents").schema
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     corpus = os.path.join(tempfile.gettempdir(), f"sfdl_gate_{tag}")
     shutil.rmtree(corpus, ignore_errors=True)  # the gate APPENDS: start clean
@@ -2949,7 +2964,8 @@ def q_streaming_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sf_datalake_spark.streaming import read_file_stream, run_bloom_gate
 
     docs_path = os.path.join(sf_dir, "documents.parquet")
-    schema = spark.read.parquet(docs_path).schema
+    # _t memoizes the lazy plan, so the schema costs no footer job here
+    schema = _t(spark, sf_dir, "documents").schema
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     corpus = os.path.join(tempfile.gettempdir(), f"sfdl_bgate_{tag}")
     sketch = os.path.join(tempfile.gettempdir(), f"sfdl_bgate_sk_{tag}")

@@ -369,6 +369,11 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # planner can never flip which side stays narrow.
     from sf_datalake_spark.operators.skew import spread_narrow_scan
 
+    # Scale caveat (r10 advice): the pinned broadcast of the blocked
+    # right side carries the same at-scale hazard the hint guards
+    # against — a customer dimension past the 8 GB broadcast cap needs
+    # the hint dropped (the planner then shuffle-joins on block) or a
+    # size gate; at this corpus the build side is ~600 rows/nation.
     cand = spread_narrow_scan(a).join(F.broadcast(b), "block")
     scored = fellegi_sunter_score(
         cand,

@@ -509,7 +509,8 @@ def q_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sf_datalake_spark.streaming import read_file_stream, run_scd2_sink
 
     orders_path = os.path.join(sf_dir, "orders.parquet")
-    schema = spark.read.parquet(orders_path).schema
+    # _t memoizes the lazy plan, so the schema costs no footer job here
+    schema = _t(spark, sf_dir, "orders").schema
     app_id = spark.sparkContext.applicationId
     root = (
         f"{tempfile.gettempdir()}/sf_datalake_spark_scd2/"
@@ -572,7 +573,11 @@ def q_k_core_parts(
     edges = pairs.select(
         F.col("item_1").alias("u"), F.col("item_2").alias("v")
     )
-    return k_core(edges, 3, "u", "v")
+    # frequent_pairs output is canonical (item_1 < item_2) and unique
+    # by construction (groupBy item_1, item_2) — skip the operator's
+    # canonicalize+distinct exchange (r11; contract pinned by
+    # tests/test_graph_batch.py::test_k_core_dedup_edges_contract).
+    return k_core(edges, 3, "u", "v", dedup_edges=False)
 
 
 _K_CORE_SQL = """
@@ -692,14 +697,23 @@ def q_fk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
 
     def audit(rel, child, ck, parent, pk):
-        orphans = child.join(
-            parent.select(F.col(pk).alias(ck)), ck, "left_anti"
+        # ONE pass per relation (r11, guide §2.4): parent keys are
+        # unique (PKs / a filter of PKs), so a left join + conditional
+        # count computes children and orphans in a single aggregation —
+        # the old anti-join + two global aggs + crossJoin shape paid
+        # two extra exchanges and their AQE jobs per relation for the
+        # same two numbers (counts identical: unique parent keys mean
+        # the left join never duplicates a child row, and a null hit
+        # IS the anti-join membership test).
+        j = child.join(
+            parent.select(F.col(pk).alias(ck), F.lit(1).alias("__hit")),
+            ck,
+            "left",
         )
-        return child.agg(
+        return j.agg(
             F.lit(rel).alias("relation"),
             F.count("*").alias("n_children"),
-        ).crossJoin(
-            orphans.agg(F.count("*").alias("n_orphans"))
+            F.count(F.when(F.col("__hit").isNull(), 1)).alias("n_orphans"),
         )
 
     holey = orders.filter(F.col("o_orderkey") % 10 != 0)
@@ -1013,7 +1027,8 @@ def q_streaming_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sf_datalake_spark.streaming import read_file_stream, run_skyline_sink
 
     part_path = os.path.join(sf_dir, "part.parquet")
-    schema = spark.read.parquet(part_path).schema
+    # _t memoizes the lazy plan, so the schema costs no footer job here
+    schema = _t(spark, sf_dir, "part").schema
     app_id = spark.sparkContext.applicationId
     root = (
         f"{tempfile.gettempdir()}/sf_datalake_spark_skyline/"
@@ -1394,7 +1409,8 @@ def q_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("item_1").alias("u"), F.col("item_2").alias("v")
     )
-    return core_numbers(edges, "u", "v")
+    # Same already-unique edge contract as q_k_core_parts (r11).
+    return core_numbers(edges, "u", "v", dedup_edges=False)
 
 
 _CORE_SQL = """

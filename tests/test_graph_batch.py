@@ -208,3 +208,91 @@ def test_grid_distance_join_non_divisor_cell_seam(spark):
     ).collect()
     assert len(out) == 1
     assert out[0]["dist2_micro"] == 3_200_000 * 3_200_000
+
+
+def test_label_propagation_dedup_edges_contract(spark):
+    """r10-advice guard for the dedup_edges=False fast path: the flag
+    skips the canonicalize+distinct exchange and is therefore
+    DUPLICATE-SENSITIVE (message counts change with repeated edges).
+    The q_label_propagation call site relies on _part_edges' groupBy
+    output being unique — this test pins both halves of that contract:
+    (a) on an already-unique edge list the fast path equals the deduped
+    path, (b) on a duplicated edge list it diverges, so a future edge
+    source that starts emitting duplicates fails here instead of
+    silently corrupting labels."""
+    uniq = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (2, 5)],
+        "src bigint, dst bigint",
+    )
+    a = sorted(
+        (r["id"], r["label"])
+        for r in label_propagation_sync(uniq, rounds=3,
+                                        dedup_edges=True).collect()
+    )
+    b = sorted(
+        (r["id"], r["label"])
+        for r in label_propagation_sync(uniq, rounds=3,
+                                        dedup_edges=False).collect()
+    )
+    assert a == b
+
+    # duplicating one edge swings node 5's round-1 vote (neighbors
+    # {2, 4}, tie -> 2; with (4,5) doubled the majority is 4)
+    dup = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (2, 5), (4, 5)],
+        "src bigint, dst bigint",
+    )
+    c = {
+        r["id"]: r["label"]
+        for r in label_propagation_sync(dup, rounds=1,
+                                        dedup_edges=False).collect()
+    }
+    d = {
+        r["id"]: r["label"]
+        for r in label_propagation_sync(dup, rounds=1,
+                                        dedup_edges=True).collect()
+    }
+    assert c[5] == 4 and d[5] == 2
+
+
+def test_k_core_dedup_edges_contract(spark):
+    """dedup_edges=False on k_core/core_numbers mirrors the LPA flag:
+    equal to the deduped path on canonical unique edges, DIVERGENT on
+    duplicated/reversed edges (degrees double-count), so a future edge
+    source violating the q_k_core_parts / q_core_decomposition
+    contract fails loudly."""
+    from sf_datalake_spark.operators.components import core_numbers, k_core
+
+    uniq = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (2, 5), (1, 4)],
+        "u bigint, v bigint",
+    )
+    for fn, kw in ((k_core, {"k": 2}), (core_numbers, {})):
+        a = sorted(
+            tuple(r) for r in fn(uniq, src="u", dst="v",
+                                  dedup_edges=True, **kw).collect()
+        )
+        b = sorted(
+            tuple(r) for r in fn(uniq, src="u", dst="v",
+                                  dedup_edges=False, **kw).collect()
+        )
+        assert a == b, fn.__name__
+
+    # duplicated + reversed edges: the fast path double-counts degrees
+    # on the DISTRIBUTED path; the small-graph driver path dedups via
+    # adjacency sets either way, so force the distributed loop.
+    dup = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (1, 3), (1, 3)], "u bigint, v bigint"
+    )
+    deduped = sorted(
+        tuple(r)
+        for r in k_core(dup, 2, "u", "v", dedup_edges=True,
+                        driver_threshold=0).collect()
+    )
+    raw = sorted(
+        tuple(r)
+        for r in k_core(dup, 2, "u", "v", dedup_edges=False,
+                        driver_threshold=0).collect()
+    )
+    assert deduped == [(1, 2), (2, 2), (3, 2)]
+    assert raw != deduped
