@@ -44,9 +44,18 @@ def train_bigram_lm(
     ``bigram_counts``: (v, w, c_vw); ``unigram_counts``: (v, c_v).
     ``vocab_size`` counts distinct reference tokens (excl. <unk>).
     """
-    toks = reference.select(tokenize(F.col(text_col)).alias("t")).filter(
-        F.size("t") >= 2
-    )
+    # Pin the tokenized reference ONCE (r11, guide §2.4/§5): the
+    # scan+regex-tokenize subtree used to execute four times — the
+    # bigram-count build, the unigram-count build, the vocab scalar,
+    # and again inside each downstream broadcast build.  The reference
+    # slice is a curated sample (bounded at any corpus scale), so the
+    # checkpoint is small; note the vocab count runs over the
+    # UNFILTERED arrays (a 1-token document still contributes its
+    # token) exactly as before.
+    base = reference.select(
+        tokenize(F.col(text_col)).alias("t")
+    ).localCheckpoint(eager=True)
+    toks = base.filter(F.size("t") >= 2)
     bigrams = toks.select(
         F.explode(
             F.expr("transform(sequence(1, size(t) - 1),"
@@ -56,7 +65,7 @@ def train_bigram_lm(
     bigram_counts = bigrams.groupBy("v", "w").agg(F.count("*").alias("c_vw"))
     unigram_counts = bigrams.groupBy("v").agg(F.count("*").alias("c_v"))
     vocab_size = (
-        reference.select(F.explode(tokenize(F.col(text_col))).alias("w"))
+        base.select(F.explode("t").alias("w"))
         .agg(F.countDistinct("w"))
         .first()[0]
     )
