@@ -1434,22 +1434,56 @@ def q_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per event day: exact distinct users over trailing 1 / 7 / 30
     days and the DAU/MAU stickiness in ppm — three
     sliding_bitmap_distinct passes joined on the day."""
-    from sf_datalake_spark.operators.sketches import sliding_bitmap_distinct
-
+    # Fused tri-window form of sliding_bitmap_distinct (r11, guide
+    # §2.4): three separate operator calls re-scanned events and
+    # re-built the (day, word) bitmap level THREE times, then paid two
+    # equi-joins to line the counts up.  The level-1 bitmap table is
+    # built ONCE and pinned; each window size replicates only the
+    # kilobyte-scale word table (1+7+30 copies — identical volume to
+    # the three separate calls combined), and one conditional
+    # aggregation pivots the three counts per day.  Per-window
+    # semantics identical to the operator (trailing windows, anchor
+    # days restricted to days with events, bit_or merge + popcount).
     ev = _t(spark, sf_dir, "events")
     day = F.to_date("ts")
-    dau = sliding_bitmap_distinct(ev, day, "user_id", 1).select(
-        "window_day", F.col("n_distinct").alias("dau")
+    level1 = (
+        ev.select(
+            day.alias("__day"),
+            F.expr("user_id div 64").alias("__word"),
+            F.expr("shiftleft(1L, cast(user_id % 64 as int))").alias("__bit"),
+        )
+        .groupBy("__day", "__word")
+        .agg(F.expr("bit_or(__bit)").alias("__bits"))
+        .localCheckpoint(eager=True)
     )
-    wau = sliding_bitmap_distinct(ev, day, "user_id", 7).select(
-        "window_day", F.col("n_distinct").alias("wau")
+    days = level1.select(F.col("__day").alias("window_day")).distinct()
+
+    def spread(w: int) -> DataFrame:
+        return level1.select(
+            F.explode(
+                F.sequence(F.col("__day"), F.date_add(F.col("__day"), w - 1))
+            ).alias("window_day"),
+            F.lit(w).alias("__w"),
+            "__word",
+            "__bits",
+        )
+
+    merged = (
+        spread(1).unionByName(spread(7)).unionByName(spread(30))
+        .join(days, "window_day")
+        .groupBy("__w", "window_day", "__word")
+        .agg(F.expr("bit_or(__bits)").alias("__bits"))
     )
-    mau = sliding_bitmap_distinct(ev, day, "user_id", 30).select(
-        "window_day", F.col("n_distinct").alias("mau")
+    counts = merged.groupBy("__w", "window_day").agg(
+        F.sum(F.expr("bit_count(__bits)")).cast("bigint").alias("n")
     )
     return (
-        dau.join(wau, "window_day")
-        .join(mau, "window_day")
+        counts.groupBy("window_day")
+        .agg(
+            F.max(F.when(F.col("__w") == 1, F.col("n"))).alias("dau"),
+            F.max(F.when(F.col("__w") == 7, F.col("n"))).alias("wau"),
+            F.max(F.when(F.col("__w") == 30, F.col("n"))).alias("mau"),
+        )
         .select(
             "window_day",
             "dau",
