@@ -41,6 +41,14 @@ def resample_classes(
     kept count being Bernoulli-by-hash around the target rather than
     exact.
     """
+    # Pin the labeled input once (r11, guide §5): the class-count
+    # collect below is an ACTION, and without the pin the caller's full
+    # feature pipeline executed twice — once for the counts, again for
+    # the returned filtered/sampled frame.  A labeled training panel is
+    # orders of magnitude smaller than the raw tables it came from, so
+    # the checkpoint is cheap at any scale; blocks are
+    # ContextCleaner-managed (no persisted-frame leak).
+    df = df.localCheckpoint(eager=True)
     counts = {
         r[label_col]: r["count"]
         for r in df.groupBy(label_col).count().collect()

@@ -522,6 +522,9 @@ def test_fit_ready_coalesce_paths_leak_no_cache(spark):
         "pca_top2_fixed_basis_ppm leaked a persisted frame"
     for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
         jrdd.unpersist(False)
+    # the blanket release above also drops any pre-test leftovers from
+    # the shared session — re-baseline for the IRLS half
+    before = jsc.getPersistentRDDs().size()
 
     ipdf = pd.DataFrame({
         "grp": ["a"] * 30 + ["b"] * 30,
