@@ -73,30 +73,44 @@ def set_similarity_join(
         F.array_distinct(F.col(tokens_col)).alias("toks"),
     ).filter(F.size("toks") > 0)
 
-    # Global order = (document frequency, token): df counts double as
-    # ranks, so no global rank/sort pass is needed — one agg, one join.
+    # Global order = (document frequency, token), materialized as a
+    # DENSE INTEGER RANK per token (r11): the output carries only pair
+    # ids and SIZES — token values never leave the operator — and the
+    # rank map is an exact bijection, so intersect/union sizes are
+    # bit-identical while every downstream join key and array element
+    # becomes an int.  Measured at sf0.1 the verify phase (array
+    # intersects over 155k surviving pairs) was ~75% of the wall on
+    # STRING arrays; integer arrays hash far cheaper.  The rank window
+    # is a single pass over the VOCABULARY (distinct tokens — orders
+    # of magnitude below corpus size; an extreme-vocab corpus would
+    # swap in operators/windows.global_rank_two_pass).
+    from pyspark.sql import Window
+
     dfreq = (
         sets.select(F.explode("toks").alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("df"))
     )
+    ranked = dfreq.select(
+        "tok",
+        F.row_number()
+        .over(Window.orderBy("df", "tok"))
+        .alias("rk"),
+    )
 
-    # The df-ordered token table feeds THREE plan references (the
+    # The rank-ordered token table feeds THREE plan references (the
     # prefix explode + both token-array join-backs) — without pinning,
-    # the scan+tokenize+dfreq+sort subtree re-executes for each (r10,
+    # the scan+tokenize+dfreq+rank subtree re-executes for each (r10,
     # guide §2.4; the item_cf_topk lineage-pinning pattern).
     # localCheckpoint truncates the lineage once; blocks are
-    # ContextCleaner-managed, no persisted-frame leak.
+    # ContextCleaner-managed, no persisted-frame leak.  Ascending rank
+    # order IS the (df, token) order, so array_sort of the ranks
+    # reproduces the exact prefix the string form used.
     ordered = (
         sets.select("__id", F.size("toks").alias("n"), F.explode("toks").alias("tok"))
-        .join(dfreq, "tok")
+        .join(ranked, "tok")
         .groupBy("__id", "n")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("df", "tok"))),
-                lambda s: s["tok"],
-            ).alias("toks")
-        )
+        .agg(F.array_sort(F.collect_list("rk")).alias("toks"))
     )
     if pin_lineage:
         ordered = ordered.localCheckpoint(eager=True)
